@@ -1,0 +1,65 @@
+"""The flagship pipeline: main-content extraction over interleaved documents.
+
+Stage graph (all lazy; Ray Data's streaming executor pipelines them with
+backpressure — the engine-level analogue of the reference's
+dependence-driven scheduling, SURVEY.md §3.1):
+
+    read(nested corpus)
+      -> explode (spans -> rows, + per-doc sentinel)        [stateless map]
+      -> normalize (trim / degenerate-drop)                  [stateless map]
+      -> Recognizer (glyph decode, nearest-template)         [ACTOR POOL]
+      -> strip_boilerplate                                   [stateless map]
+      -> reassemble (hash-bucket groupby, re-index, implode) [THE shuffle]
+
+Knobs are sized for a multi-node run: ``batch_size`` bounds per-task heap
+for wide rows; ``recognizer_concurrency`` is the actor-pool size
+(templates load once per actor); ``num_buckets`` is the shuffle fan-in
+(size so a bucket fits a worker's heap, see ``stages/assemble.py``).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ocr_ray.stages.assemble import reassemble
+from ocr_ray.stages.boilerplate import strip_boilerplate
+from ocr_ray.stages.explode import explode_documents
+from ocr_ray.stages.glyphs import Recognizer
+from ocr_ray.stages.normalize import normalize_spans
+
+
+def extract_documents(
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 8192,
+    recognizer_concurrency: int | tuple[int, int] = 4,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Nested corpus Dataset -> nested extracted Dataset (same schema)."""
+    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        Recognizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=recognizer_concurrency,
+    )
+    ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")
+    return reassemble(ds, num_buckets=num_buckets)
+
+
+def extract_spans_flat(
+    ds: ray.data.Dataset,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Extraction with flat (exploded) output — one row per surviving span.
+
+    Runs the full pipeline (including reassembly, so offsets are re-indexed
+    in reading order) then re-explodes without sentinels; documents whose
+    spans were all stripped contribute no rows, matching the SQL oracle's
+    relational output shape.
+    """
+    nested = extract_documents(ds, **kwargs)
+    return nested.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    )

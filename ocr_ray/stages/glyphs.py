@@ -1,0 +1,139 @@
+"""Glyph codec, segmentation and the nearest-template recognizer.
+
+The recognition kernel re-expresses the reference's per-datum compute
+kernels (e.g. the wavefront cell scorer,
+``/root/reference/examples/smith-waterman/smithwaterman.c:83-196``, and the
+char-class mapping normalizer, ``smithwaterman.c:25-60``) as a *batched*
+feature-vector nearest-template matcher:
+
+- every character in the glyph alphabet has a deterministic GLYPH_DIM-dim
+  feature vector (the "template");
+- an encoded glyph span is the concatenation of uint8-quantized feature
+  vectors, one GLYPH_DIM-byte cell per character (a deterministic stand-in
+  for rasterized glyph features — no image libs in this environment);
+- segmentation slices the byte stream into fixed-size cells (the
+  connected-component analogue);
+- recognition de-quantizes each cell and takes the nearest template under
+  squared Euclidean distance, computed for a whole batch of glyphs with one
+  numpy matmul.
+
+``Recognizer`` is a callable class: Ray Data runs it as an actor pool via
+``map_batches(Recognizer, concurrency=N)``, so the template matrix is built
+once per actor in ``__init__`` (never per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.schema import KIND_GLYPHS, KIND_TEXT
+
+GLYPH_DIM = 8  # feature dims per glyph == bytes per encoded glyph cell
+ALPHABET_LO = 32  # ' '
+ALPHABET_HI = 126  # '~'
+ALPHABET_SIZE = ALPHABET_HI - ALPHABET_LO + 1
+_TEMPLATE_SEED = 0x0C12
+
+
+def _template_matrix() -> np.ndarray:
+    """(ALPHABET_SIZE, GLYPH_DIM) float32 template features in [0, 1)."""
+    rng = np.random.default_rng(_TEMPLATE_SEED)
+    return rng.random((ALPHABET_SIZE, GLYPH_DIM), dtype=np.float32)
+
+
+def _quantized_templates() -> np.ndarray:
+    """(ALPHABET_SIZE, GLYPH_DIM) uint8 — the byte form glyphs are encoded as."""
+    return np.round(_template_matrix() * 255.0).astype(np.uint8)
+
+
+class GlyphCodec:
+    """Deterministic text <-> glyph-byte-stream codec (corpus side).
+
+    ``encode`` is used only by the corpus generator and the test oracle;
+    the engine inverts it with the real segmentation + recognition stages.
+    """
+
+    def __init__(self) -> None:
+        self.templates_q = _quantized_templates()
+
+    def encode(self, text: str) -> bytes:
+        if not text:
+            return b""
+        codes = np.frombuffer(text.encode("ascii", errors="replace"), dtype=np.uint8)
+        codes = np.where((codes < ALPHABET_LO) | (codes > ALPHABET_HI), ord("?"), codes)
+        return self.templates_q[codes - ALPHABET_LO].tobytes()
+
+
+def segment_payloads(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarray]:
+    """Slice encoded byte streams into glyph cells.
+
+    Returns ``(cells, lengths)`` where ``cells`` is a
+    ``(total_glyphs, GLYPH_DIM)`` uint8 array of all glyph cells across the
+    inputs (concatenated) and ``lengths[i]`` is the glyph count of input i.
+    The whole batch segments with one ``frombuffer``+``reshape`` — no
+    per-glyph Python.
+    """
+    lengths = np.fromiter(
+        (0 if p is None else len(p) // GLYPH_DIM for p in payloads),
+        dtype=np.int64,
+        count=len(payloads),
+    )
+    blob = b"".join(p for p in payloads if p)
+    cells = np.frombuffer(blob, dtype=np.uint8).reshape(-1, GLYPH_DIM)
+    return cells, lengths
+
+
+class Recognizer:
+    """Actor-pool stage: decode ``kind=='glyphs'`` spans to text.
+
+    Stateful setup (template matrix + its squared norms, the decode table)
+    happens once per actor here; ``__call__`` handles one Arrow batch of
+    exploded spans, leaving non-glyph rows untouched (zero-copy columns).
+    """
+
+    def __init__(self) -> None:
+        self.templates = _quantized_templates().astype(np.float32) / 255.0
+        self.t_norms = (self.templates**2).sum(axis=1)  # (A,)
+        self.chars = np.frombuffer(
+            bytes(range(ALPHABET_LO, ALPHABET_HI + 1)), dtype=np.uint8
+        )
+
+    def recognize_cells(self, cells: np.ndarray) -> np.ndarray:
+        """(n, GLYPH_DIM) uint8 cells -> (n,) uint8 character codes."""
+        if len(cells) == 0:
+            return np.empty(0, dtype=np.uint8)
+        x = cells.astype(np.float32) / 255.0
+        # argmin ||x - t||^2 == argmin (t.t - 2 x.t); batch matmul.
+        scores = self.t_norms[None, :] - 2.0 * (x @ self.templates.T)
+        return self.chars[np.argmin(scores, axis=1)]
+
+    def decode_payloads(self, payloads: list[bytes | None]) -> list[str]:
+        cells, lengths = segment_payloads(payloads)
+        codes = self.recognize_cells(cells)
+        text = codes.tobytes().decode("ascii")
+        bounds = np.concatenate([[0], np.cumsum(lengths)])
+        return [text[bounds[i] : bounds[i + 1]] for i in range(len(lengths))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "payload" not in batch.column_names or batch.num_rows == 0:
+            return batch
+        kind = batch["kind"]
+        mask = pc.equal(kind, KIND_GLYPHS)
+        n_glyph = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        if n_glyph == 0:
+            return batch.drop_columns(["payload"])
+        mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        glyph_idx = np.flatnonzero(mask_np)
+        decoded = self.decode_payloads([payloads[i] for i in glyph_idx])
+        text = batch["text"].to_pylist()
+        for i, s in zip(glyph_idx, decoded):
+            text[i] = s
+        kind_np = np.asarray(batch["kind"].to_pylist(), dtype=object)
+        kind_np[glyph_idx] = KIND_TEXT
+        out = batch.drop_columns(["payload", "text", "kind"])
+        out = out.append_column("kind", pa.array(kind_np, type=pa.string()))
+        out = out.append_column("text", pa.array(text, type=pa.string()))
+        return out

@@ -1,0 +1,35 @@
+"""Span normalization — whitespace trim + degenerate-span drop.
+
+Vectorized per-batch normalizer (char-class normalization analogue of the
+reference's mapping kernel,
+``/root/reference/examples/smith-waterman/smithwaterman.c:25-60``):
+
+- trims ASCII whitespace from text spans;
+- drops spans that carry neither text nor a media_ref (after trimming),
+  except glyph spans whose content lives in ``payload``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.schema import KIND_DOC_SENTINEL, KIND_GLYPHS
+
+
+def normalize_spans(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    text = pc.utf8_trim_whitespace(batch["text"])
+    batch = batch.set_column(
+        batch.column_names.index("text"), "text", text
+    )
+    empty = pc.and_(
+        pc.equal(text, ""),
+        pc.equal(batch["media_ref"], ""),
+    )
+    special = pc.is_in(
+        batch["kind"], value_set=pa.array([KIND_GLYPHS, KIND_DOC_SENTINEL])
+    )
+    keep = pc.or_(pc.invert(empty), special)
+    return batch.filter(keep)
