@@ -32,7 +32,7 @@ def extract_documents(
     ds: ray.data.Dataset,
     *,
     batch_size: int = 8192,
-    recognizer_concurrency: int | tuple[int, int] = 4,
+    recognizer_concurrency: int | tuple[int, int] = (1, 4),
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Nested corpus Dataset -> nested extracted Dataset (same schema)."""

@@ -1,0 +1,680 @@
+"""Query registry: every operator surfaced to the driver.
+
+Each entry pairs a Ray Data implementation (callable ``fn(sf_dir)``) with,
+where SQL-expressible, an equivalent DuckDB oracle over the registered
+views (``region nation customer supplier part orders lineitem events
+documents embeddings``). Column names AND numeric semantics match exactly:
+
+- money/2-decimal aggregates are computed in integer units on the Ray side
+  and as DECIMAL sums cast to DOUBLE in SQL — identical nearest-doubles of
+  identical exact rationals (see ``functions/relational.py``);
+- every top-k/sort has a deterministic tiebreak on a key column;
+- extraction queries run the *real* engine over the deterministically
+  synthesized span corpus (``ocr_ray.corpus``), whose synthesis rule is
+  arithmetic on (doc_id, span_index) so the SQL oracle reproduces
+  synthesis + extraction end-to-end — including the glyph variant, whose
+  recognized output must equal the withheld source text.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    BroadcastLookup,
+    BroadcastSemiFilter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sources import read_documents, read_table
+
+QUERY_FNS: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _big_spenders(sf_dir: str) -> list:
+    """Distinct custkeys of orders above a price threshold (small key set,
+    computed with a vectorized pre-filter then ``unique`` — broadcast side
+    of the semi/anti joins)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.unique("o_custkey")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Extraction (flagship) — SQL oracle reproduces corpus synthesis + extraction.
+# ---------------------------------------------------------------------------
+
+_EXTRACT_SQL = """
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3 THEN '' ELSE s END AS text,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+         THEN printf('m-%d', (d * 1000 + si) % 9973) ELSE '' END AS media_ref
+  FROM spans
+)
+SELECT printf('doc-%08d', d) AS doc_id, kind, text, media_ref,
+       CAST(row_number() OVER (PARTITION BY d ORDER BY si) - 1 AS INTEGER) AS "offset"
+FROM tagged WHERE kind <> 'boilerplate'
+"""
+
+
+@query("extract_spans", sql=_EXTRACT_SQL)
+def extract_spans(sf_dir: str) -> ray.data.Dataset:
+    """Full extraction over the plain (no-glyph) interleaved corpus; flat output."""
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+
+@query("extract_glyphs", sql=_EXTRACT_SQL)
+def extract_glyphs(sf_dir: str) -> ray.data.Dataset:
+    """Extraction over the glyph corpus: encoded spans must decode (segment +
+    nearest-template recognize) back to the exact withheld text, so the
+    oracle is the same SQL as ``extract_spans``."""
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+
+@query(
+    "extract_media_index",
+    sql="""
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8
+)
+SELECT printf('doc-%08d', d) AS doc_id,
+       CAST(count(*) FILTER (WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3) AS BIGINT) AS n_media,
+       CAST(count(*) FILTER (WHERE (d + si) % 7 <> 0 AND (d + si) % 5 <> 3) AS BIGINT) AS n_content
+FROM spans GROUP BY d
+""",
+)
+def extract_media_index(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc media/content span counts from the extracted corpus."""
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    flat = extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+    def counts(t: pa.Table) -> pa.Table:
+        media = pc.equal(t["kind"], "media")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_media": pc.cast(media, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        flat.map_batches(counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("is_media", alias_name="n_media"), Count(alias_name="n_total"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_media": pc.cast(t["n_media"], pa.int64()),
+                "n_content": pc.cast(pc.subtract(t["n_total"], t["n_media"]), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Relational: aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary with exact integer-unit aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = datetime.datetime(1998, 9, 2)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        qty_c = to_units(t["l_quantity"])
+        price_c = to_units(t["l_extendedprice"])
+        disc_c = to_units(t["l_discount"])
+        tax_c = to_units(t["l_tax"])
+        disc_price_u4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c))
+        charge_u6 = pc.multiply(disc_price_u4, pc.add(pa.scalar(100, type=pa.int64()), tax_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_price_u4": disc_price_u4,
+                "charge_u6": charge_u6,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_u4", alias_name="disc_price_u4"),
+            Sum("charge_u6", alias_name="charge_u6"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": units_to_double(df["qty_c"], 2),
+                "sum_base_price": units_to_double(df["price_c"], 2),
+                "sum_disc_price": units_to_double(df["disc_price_u4"], 4),
+                "sum_charge": units_to_double(df["charge_u6"], 6),
+            }
+        )
+        out["avg_qty"] = units_to_double(df["qty_c"], 2) / n
+        out["avg_price"] = units_to_double(df["price_c"], 2) / n
+        out["count_order"] = n
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "events_by_type",
+    sql="""
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Event-stream rollup with exact sums and a distinct-count."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_c": to_units(t["value"]),
+                "user_id": t["user_id"],
+            }
+        )
+
+    # distinct users per type: dedupe (type, user) pairs first, then count.
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    base = prepped.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="value_c")
+    )
+    uniq = (
+        prepped.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    joined = base.join(uniq, join_type="inner", num_partitions=2, on=("event_type",))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": units_to_double(df["value_c"], 2),
+                "avg_value": units_to_double(df["value_c"], 2)
+                / df["n_events"].to_numpy(dtype=np.int64),
+                "n_users": df["n_users"].astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "orders_per_month",
+    sql="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY month
+""",
+)
+def orders_per_month(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": df["month"],
+                "n_orders": df["n_orders"].astype(np.int64),
+                "total_price": units_to_double(df["price_c"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Relational: joins / filters / sorts / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_revenue_orders",
+    sql="""
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  strftime(ANY_VALUE(o_orderdate), '%Y-%m-%d') AS o_orderdate,
+  ANY_VALUE(o_orderpriority) AS o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
+    """Q3-style: broadcast semi-filter on customers, hash join to orders,
+    exact revenue aggregate, deterministic top-10."""
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = {
+        r["c_custkey"]
+        for r in cust.filter(
+            expr="c_mktsegment == 'BUILDING'"
+        ).select_columns(["c_custkey"]).take_all()
+    }
+    keys_ref = ray.put(keys)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        BroadcastSemiFilter,
+        batch_format="pyarrow",
+        fn_constructor_args=(keys_ref, "o_custkey"),
+        concurrency=(1, 2),
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = to_units(t["l_extendedprice"])
+        disc_c = to_units(t["l_discount"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_u4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
+            }
+        )
+
+    li_rev = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
+    )
+    joined = li_rev.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype(np.int64),
+                "revenue": units_to_double(df["rev_u4"], 4),
+                "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                "o_orderpriority": df["o_orderpriority"],
+            }
+        )
+
+    return (
+        joined.map_batches(finalize, batch_format="pandas")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    sql="""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per customer nation: large-large hash join (lineitem x orders)
+    plus broadcast dimension lookups (customer -> nation name)."""
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    mapping_ref = ray.put({int(k): (v,) for k, v in zip(c2n["c_custkey"], c2n["n_name"])})
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = to_units(t["l_extendedprice"])
+        disc_c = to_units(t["l_discount"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_u4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
+            }
+        )
+
+    li_rev = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
+    )
+    joined = li_rev.join(
+        orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",)
+    ).map_batches(
+        BroadcastLookup,
+        batch_format="pyarrow",
+        fn_constructor_args=(mapping_ref, "o_custkey", [("n_name", pa.string())]),
+        concurrency=(1, 2),
+    )
+    agg = joined.groupby("n_name").aggregate(Sum("rev_u4", alias_name="rev_u4"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": df["n_name"], "revenue": units_to_double(df["rev_u4"], 4)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "filter_project_lineitem",
+    sql="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity > 25
+""",
+)
+def filter_project_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Predicate + projection entirely inside one vectorized map_batches."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+
+    def fp(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)), pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.greater(t["l_quantity"], pa.scalar(25.0)),
+        )
+        t = t.filter(mask)
+        price_c = to_units(t["l_extendedprice"])
+        disc_c = to_units(t["l_discount"])
+        rev_u4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int32()),
+                "l_quantity": t["l_quantity"],
+                "revenue": pc.divide(pc.cast(rev_u4, pa.float64()), pa.scalar(10000.0)),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+@query(
+    "top_orders",
+    sql="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def top_orders(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+@query("distinct_segments", sql="SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(sf_dir: str) -> pa.Table:
+    vals = read_table(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), type=pa.string())})
+
+
+@query(
+    "semi_join_customers",
+    sql="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+""",
+)
+def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
+    """Semi join via broadcast key set (no shuffle)."""
+    keys = set(_big_spenders(sf_dir))
+    keys_ref = ray.put(keys)
+    return read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        BroadcastSemiFilter,
+        batch_format="pyarrow",
+        fn_constructor_args=(keys_ref, "c_custkey"),
+        concurrency=(1, 2),
+    )
+
+
+@query(
+    "anti_join_customers",
+    sql="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+""",
+)
+def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
+    keys = set(_big_spenders(sf_dir))
+    keys_ref = ray.put(keys)
+    return read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        BroadcastSemiFilter,
+        batch_format="pyarrow",
+        fn_constructor_args=(keys_ref, "c_custkey"),
+        fn_constructor_kwargs={"anti": True},
+        concurrency=(1, 2),
+    )
+
+
+@query(
+    "string_funcs_part",
+    sql="""
+SELECT p_partkey, upper(p_name) AS name_upper, CAST(length(p_name) AS BIGINT) AS name_len,
+  substr(p_type, 1, 5) AS type_prefix, reverse(p_brand) AS brand_rev,
+  p_brand || '#' || p_type AS brand_type
+FROM part
+""",
+)
+def string_funcs_part(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_brand"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_upper": pc.utf8_upper(t["p_name"]),
+                "name_len": pc.cast(pc.utf8_length(t["p_name"]), pa.int64()),
+                "type_prefix": pc.utf8_slice_codeunits(t["p_type"], 0, 5),
+                "brand_rev": pc.utf8_reverse(t["p_brand"]),
+                "brand_type": pc.binary_join_element_wise(
+                    t["p_brand"], t["p_type"], "#"
+                ),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+@query(
+    "user_sessions",
+    sql="""
+WITH e AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), f AS (
+  SELECT user_id,
+    CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECONDS THEN 1 ELSE 0 END AS brk
+  FROM e
+)
+SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM f GROUP BY user_id
+""",
+)
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Sessionization (30-min inactivity gap): the windowed/stateful
+    streaming analogue — partition by key, order by time within the group
+    (Ray Data has no watermarks; the finite-log groupby is the idiom)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        brk = g["ts"].diff() > pd.Timedelta(seconds=1800)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(brk.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stats",
+    sql="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  (CAST(length(text) AS BIGINT) - (len(string_split(text, ' ')) - 1))
+    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+FROM documents
+""",
+)
+def token_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.token_stats, batch_format="pyarrow")
+
+
+@query(
+    "lang_id",
+    sql=None,  # heuristic classifier; verified in pytest against its own spec
+)
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.lang_id, batch_format="pyarrow")
+
+
+@query("doc_quality", sql=None)
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
+
+
+@query("doc_fingerprint", sql=None)
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
