@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns.
+
+- ``brute_topk``: exact cosine top-k — the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul and emits only its local
+  top-k per query (partial top-k combiner), and a tiny final reduce merges
+  partials. No full-similarity materialization.
+- ``IvfIndex`` / ``ivf_topk``: the scale path — deterministic centroids,
+  per-batch cluster assignment, candidate search restricted to the
+  ``nprobe`` closest centroids per query. Recall measured vs brute force
+  in tests.
+- ``lsh_buckets`` + near-dup pairs: random-hyperplane signatures for
+  cosine near-duplicate detection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+_RNG_SEED = 0xA11
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    d = len(arr[0])
+    return flat.reshape(len(arr), d).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BatchTopK:
+    """map_batches stage: local cosine top-k of each broadcast query
+    against the batch's vectors. Emits (query_id, vec_id, score) partials."""
+
+    def __init__(self, queries_ref, *, k: int, exclude_self: bool = True):
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.q = _normalize(qmat)  # (Q, d)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        scores = self.q @ m.T  # (Q, n)
+        if self.exclude_self:
+            scores[self.qids[:, None] == vids[None, :]] = -np.inf
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = vids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+        keep = np.isfinite(rows_s)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep]),
+                "vec_id": pa.array(rows_v[keep]),
+                "score": pa.array(rows_s[keep]),
+            }
+        )
+
+
+def merge_topk(group: pd.DataFrame, *, k: int) -> pd.DataFrame:
+    """Final reduce: global top-k per query from the batch partials,
+    deterministic tiebreak (score desc, vec_id asc)."""
+    g = group.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def brute_topk(ds, queries_ref, *, k: int = 5):
+    """Exact cosine top-k for a broadcast query set over an embedding Dataset."""
+    partial = ds.map_batches(
+        BatchTopK,
+        batch_format="pyarrow",
+        fn_constructor_args=(queries_ref,),
+        fn_constructor_kwargs={"k": k},
+        concurrency=(1, 4),
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path)
+# ---------------------------------------------------------------------------
+
+
+def make_centroids(sample: np.ndarray, *, n_centroids: int) -> np.ndarray:
+    """Deterministic centroids: seeded sample of rows + one refinement step."""
+    rng = np.random.default_rng(_RNG_SEED)
+    pick = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = _normalize(sample[pick])
+    # one Lloyd step for stability
+    assign = np.argmax(_normalize(sample) @ cent.T, axis=1)
+    for c in range(len(cent)):
+        members = sample[assign == c]
+        if len(members):
+            cent[c] = members.mean(axis=0)
+    return _normalize(cent)
+
+
+class IvfPartial:
+    """Per-batch IVF search: score queries only against vectors whose
+    cluster is among each query's nprobe nearest centroids."""
+
+    def __init__(self, queries_ref, centroids_ref, *, k: int, nprobe: int):
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.q = _normalize(qmat)
+        self.cent = ray.get(centroids_ref)  # (C, d), normalized
+        self.k = k
+        qc = self.q @ self.cent.T
+        npb = min(nprobe, self.cent.shape[0])
+        self.probe = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]  # (Q, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        clusters = np.argmax(m @ self.cent.T, axis=1)  # (n,)
+        mask = (self.probe[:, :, None] == clusters[None, None, :]).any(axis=1)  # (Q, n)
+        scores = self.q @ m.T
+        scores[~mask] = -np.inf
+        scores[self.qids[:, None] == vids[None, :]] = -np.inf
+        k = min(self.k, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = vids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+        keep = np.isfinite(rows_s)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep]),
+                "vec_id": pa.array(rows_v[keep]),
+                "score": pa.array(rows_s[keep]),
+            }
+        )
+
+
+def ivf_topk(ds, queries_ref, centroids_ref, *, k: int = 5, nprobe: int = 4):
+    partial = ds.map_batches(
+        IvfPartial,
+        batch_format="pyarrow",
+        fn_constructor_args=(queries_ref, centroids_ref),
+        fn_constructor_kwargs={"k": k, "nprobe": nprobe},
+        concurrency=(1, 4),
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH buckets for cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_bits: int = 8, n_tables: int = 4) -> np.ndarray:
+    """(n_tables, dim, n_bits) independent sign-LSH tables. Multiple tables
+    drive the miss probability down multiplicatively: a pair at angle θ
+    collides in one table with p=(1-θ/π)^n_bits and misses all tables with
+    (1-p)^n_tables."""
+    rng = np.random.default_rng(_RNG_SEED + 1)
+    return rng.standard_normal((n_tables, dim, n_bits))
+
+
+def lsh_buckets(batch: pa.Table, *, planes: np.ndarray) -> pa.Table:
+    """Sign-LSH bucket rows per vector — one row per (table, vector)."""
+    m = _normalize(_as_matrix(batch["embedding"]))
+    n_tables, _, n_bits = planes.shape
+    tables = []
+    for t in range(n_tables):
+        bits = (m @ planes[t]) > 0  # (n, b)
+        bucket = (
+            bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        tables.append(
+            pa.table(
+                {
+                    "table_id": pa.array(np.full(len(bucket), t, dtype=np.int32)),
+                    "vec_id": batch["vec_id"],
+                    "bucket": pa.array(bucket, type=pa.uint64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def neardup_pairs_in_bucket(group: pd.DataFrame, *, tau: float, max_group: int = 512) -> pd.DataFrame:
+    """Exact cosine verification of all pairs inside one LSH bucket."""
+    g = group.sort_values("vec_id").head(max_group)
+    vids = g["vec_id"].to_numpy(dtype=np.int64)
+    if len(vids) < 2:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+    m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+    s = m @ m.T
+    ia, ib = np.triu_indices(len(vids), k=1)
+    keep = s[ia, ib] >= tau
+    return pd.DataFrame(
+        {"vec_a": vids[ia[keep]], "vec_b": vids[ib[keep]], "cosine": s[ia, ib][keep]}
+    )
+
+
+def with_perturbed(batch: pa.Table, *, scale: float = 0.05, offset: int = 1_000_000) -> pa.Table:
+    """Union each embedding with a deterministic perturbed copy
+    (vec_id + offset) — the seeded near-duplicate population."""
+    vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    m = _as_matrix(batch["embedding"])
+    noise = np.stack(
+        [np.random.default_rng(int(v)).standard_normal(m.shape[1]) for v in vids]
+    )
+    pert = m + scale * noise * np.linalg.norm(m, axis=1, keepdims=True) / np.sqrt(m.shape[1])
+    out_ids = np.concatenate([vids, vids + offset])
+    out_vecs = np.concatenate([m, pert]).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids),
+            "embedding": pa.array(list(out_vecs)),
+        }
+    )

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, key-based, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup.
+
+All are expressed Ray-Data-first:
+
+- hashing/minhashing/simhashing are vectorized per batch (numpy over the
+  flattened token stream — no Python per row/shingle);
+- candidate generation is a ``groupby`` on a *bounded* key (band hash,
+  shingle bucket, LSH bucket) — the only shuffles;
+- pair verification touches only candidate docs (broadcast of the
+  involved subset), mirroring the reference's idempotent-event dedup
+  semantics (duplicate satisfactions dropped,
+  ``/root/reference/src/event/hc/hc-event.c:202-208``).
+
+Scale notes are on each operator: group-size caps guard hot keys, and
+every "collect to driver" step is over data already reduced to candidate
+pairs (<< corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# content hashing / exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_md5(batch: pa.Table, *, col: str = "text", out: str = "content_md5") -> pa.Table:
+    """Append an md5 content hash (hex). md5 chosen for SQL-oracle parity;
+    a production run would use a vectorized xxhash."""
+    hashes = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[col].to_pylist()]
+    return batch.append_column(out, pa.array(hashes, type=pa.string()))
+
+
+def first_per_key(group: pd.DataFrame, *, key: str, order: str) -> pd.DataFrame:
+    """Vectorized keep-first-by-order within a hash bucket of keys."""
+    g = group.sort_values([key, order], kind="mergesort")
+    return g[~g[key].duplicated()].drop(columns=["_bucket"], errors="ignore")
+
+
+def dedup_by_key(ds, *, key: str, order: str, num_buckets: int = 16):
+    """Exact dedup: hash-partition on ``key``, keep the first row by
+    ``order`` in each key group. One shuffle; per-bucket body vectorized."""
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(t[key].to_pylist(), dtype=object))
+        return t.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: first_per_key(g, key=key, order=order), batch_format="pandas"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_HASH_SEED = 0x5EED
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_HASH_SEED)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(texts: pa.ChunkedArray | pa.Array, *, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """k-word shingle hashes for a batch of texts.
+
+    Returns ``(flat_shingle_hash_u64, shingles_per_doc)``; the whole batch
+    tokenizes with one Arrow split and hashes with numpy rolling windows.
+    """
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    word_h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+    # rolling combine of k consecutive word hashes within each doc
+    n_sh = np.maximum(counts - (k - 1), 0)
+    if word_h.size == 0 or int(n_sh.sum()) == 0:
+        return np.empty(0, dtype=np.uint64), n_sh
+    doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    sh_starts = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
+    # index of first word of each shingle (flat):
+    first_word_idx = (
+        np.arange(int(n_sh.sum()), dtype=np.int64)
+        - np.repeat(sh_starts, n_sh)
+        + np.repeat(doc_starts, n_sh)
+    )
+    with np.errstate(over="ignore"):
+        acc = np.zeros(int(n_sh.sum()), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(k):
+            acc = acc * mult + word_h[first_word_idx + j]
+    return acc, n_sh
+
+
+def minhash_signatures(texts, *, num_perm: int = 64, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(n_docs, num_perm) uint64 MinHash signatures (empty docs -> MAX)."""
+    sh, n_sh = shingle_hashes(texts, k=k)
+    a, b = _perm_params(num_perm)
+    n_docs = len(n_sh)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig, n_sh
+    with np.errstate(over="ignore"):
+        hashed = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # (S, P)
+    starts = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
+    nonempty = n_sh > 0
+    mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
+    sig[nonempty] = mins
+    return sig, n_sh
+
+
+def minhash_bands(batch: pa.Table, *, num_perm: int = 64, bands: int = 32, k: int = 3) -> pa.Table:
+    """Per doc: emit one row per LSH band -> (band_id, band_hash, doc_id).
+
+    Downstream ``groupby(['band_id','band_hash'])`` brings candidate
+    duplicates together (the shuffle). 32 bands x 2 rows over 64 perms:
+    detection probability 1-(1-J^2)^32 (≈0.9999 at J=0.5) — the exact
+    verify stage removes the extra false candidates this admits."""
+    sig, _ = minhash_signatures(batch["text"], num_perm=num_perm, k=k)
+    rows_per = num_perm // bands
+    n = batch.num_rows
+    band_sig = sig.reshape(n, bands, rows_per)
+    with np.errstate(over="ignore"):
+        mult = np.uint64(0xC2B2AE3D27D4EB4F)
+        bh = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per):
+            bh = bh * mult + band_sig[:, :, j]
+    doc_ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=object), bands)
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
+
+
+def candidate_pairs_from_band(group: pd.DataFrame, *, max_group: int = 256) -> pd.DataFrame:
+    """All doc pairs sharing one (band_id, band_hash) bucket.
+
+    Hot buckets above ``max_group`` are truncated (logged upstream) — at
+    100 TB a hot band hash means near-identical boilerplate docs; cap and
+    let the exact-verify stage handle the rest via transitivity."""
+    ids = np.unique(group["doc_id"].to_numpy())[:max_group]
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+
+def exact_jaccard(text_a: str, text_b: str, *, k: int = 3) -> float:
+    """Oracle-grade exact k-shingle Jaccard for a verified pair."""
+    ta, tb = text_a.split(" "), text_b.split(" ")
+    sa = {tuple(ta[i : i + k]) for i in range(max(len(ta) - k + 1, 0))}
+    sb = {tuple(tb[i : i + k]) for i in range(max(len(tb) - k + 1, 0))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash per doc from word hashes (vectorized bit voting)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    word_h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+    bits = ((word_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits * 2 - 1  # ±1 per bit
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    n = batch.num_rows
+    doc_votes = np.zeros((n, 64), dtype=np.int64)
+    nonempty = counts > 0
+    if word_h.size:
+        doc_votes[nonempty] = np.add.reduceat(votes, starts[nonempty], axis=0)
+    sh = ((doc_votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, type=pa.uint64())})
+
+
+def hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+# ---------------------------------------------------------------------------
+# derived near-dup corpora (deterministic; no external data)
+# ---------------------------------------------------------------------------
+
+MUTANT_OFFSET = 1_000_000
+
+
+def with_mutants(batch: pa.Table, *, drop_every: int = 10) -> pa.Table:
+    """Union each doc with a deterministic mutated copy (every
+    ``drop_every``-th word removed; doc_id + MUTANT_OFFSET) — the seeded
+    near-duplicate population for dedup operators."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    mut_texts = [
+        " ".join(w for i, w in enumerate(t.split(" ")) if (i + 1) % drop_every != 0)
+        for t in texts
+    ]
+    out_ids = list(ids) + [int(d) + MUTANT_OFFSET for d in ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "text": pa.array(list(texts) + mut_texts, type=pa.string()),
+        }
+    )

@@ -678,3 +678,384 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (documents +- derived duplicate populations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_docs",
+    sql="""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+)
+SELECT doc_id, md5(text) AS content_md5 FROM u
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+)
+def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup (hash-partition + first-per-key) over a corpus seeded
+    with exact duplicate copies (doc_id + 2e6)."""
+    from ocr_ray.functions.dedup import add_md5, dedup_by_key
+
+    def dup_union(t: pa.Table) -> pa.Table:
+        shifted = pc.add(t["doc_id"], pa.scalar(2_000_000, type=pa.int64()))
+        both = pa.concat_tables([t, t.set_column(t.column_names.index("doc_id"), "doc_id", shifted)])
+        return both
+
+    ds = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(dup_union, batch_format="pyarrow")
+        .map_batches(add_md5, batch_format="pyarrow")
+    )
+    out = dedup_by_key(ds, key="content_md5", order="doc_id", num_buckets=8)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_md5"]), batch_format="pyarrow"
+    )
+
+
+@query(
+    "prefix_dedup_docs",
+    sql="""
+SELECT doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+  ORDER BY doc_id) = 1
+""",
+)
+def prefix_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Key-based near-dedup: first-5-words prefix key (real duplicate keys
+    exist in the corpus), vectorized key extraction."""
+    from ocr_ray.functions.dedup import dedup_by_key
+
+    def keyed(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
+        return pa.table({"doc_id": t["doc_id"], "prefix_key": prefix})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    out = dedup_by_key(ds, key="prefix_key", order="doc_id", num_buckets=8)
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _verified_pairs(ds_docs, cand_pairs, *, tau: float):
+    """Exact-Jaccard verification of candidate pairs.
+
+    Scale assumption (documented): candidate pairs << corpus, so the pair
+    list and the involved docs' texts fit in the object store as a
+    broadcast subset (semi-filtered fetch, not a full materialization).
+    """
+    from ray.data.aggregate import Count
+    from ocr_ray.functions.dedup import exact_jaccard
+    from ocr_ray.functions.relational import BroadcastSemiFilter
+
+    pairs_tbl = (
+        cand_pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    )
+    pairs = pairs_tbl.to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
+    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    keys_ref = ray.put(involved)
+    texts = dict(
+        zip(
+            *(
+                lambda df: (df["doc_id"].tolist(), df["text"].tolist())
+            )(
+                ds_docs.map_batches(
+                    BroadcastSemiFilter,
+                    batch_format="pyarrow",
+                    fn_constructor_args=(keys_ref, "doc_id"),
+                    concurrency=(1, 2),
+                ).to_pandas()
+            )
+        )
+    )
+    keep = [
+        exact_jaccard(texts[a], texts[b]) >= tau
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    ]
+    out = pairs[np.asarray(keep, dtype=bool)]
+    return pa.table(
+        {
+            "doc_a": pa.array(out["doc_a"].to_numpy(dtype=np.int64)),
+            "doc_b": pa.array(out["doc_b"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+@query("minhash_dedup_pairs", sql=None)
+def minhash_dedup_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup detection: shingle -> 64-perm minhash -> 16
+    bands -> band-bucket groupby -> candidate pairs -> exact-Jaccard
+    verify (tau=0.5) over a corpus seeded with mutated copies."""
+    from ocr_ray.functions.dedup import (
+        candidate_pairs_from_band,
+        minhash_bands,
+        with_mutants,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        with_mutants, batch_format="pyarrow"
+    )
+    bands = docs.map_batches(minhash_bands, batch_format="pyarrow")
+    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
+        candidate_pairs_from_band, batch_format="pandas"
+    )
+    return _verified_pairs(docs, cands, tau=0.5)
+
+
+@query("ngram_jaccard_pairs", sql=None)
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """n-gram Jaccard near-dup via shingle inverted index: explode
+    (shingle_hash, doc_id), group by shingle (hot keys capped), emit
+    co-occurrence pairs, exact-verify tau=0.5."""
+    from ocr_ray.functions.dedup import shingle_hashes, with_mutants
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        with_mutants, batch_format="pyarrow"
+    )
+
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        sh, n_sh = shingle_hashes(t["text"])
+        ids = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), n_sh)
+        bucket = (sh % np.uint64(64)).astype(np.int32)
+        return pa.table(
+            {"shingle": pa.array(sh), "doc_id": pa.array(ids), "bucket": pa.array(bucket)}
+        )
+
+    import pandas as _pd
+
+    def pairs_in_bucket(g: _pd.DataFrame, max_group: int = 32) -> _pd.DataFrame:
+        # Vectorized over the whole hash bucket: one sort, run detection on
+        # shingle boundaries, pair expansion per small run (hot shingles capped).
+        g = g.drop_duplicates(["shingle", "doc_id"]).sort_values(
+            ["shingle", "doc_id"], kind="mergesort"
+        )
+        sh = g["shingle"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        change = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(sh)]])
+        out_a, out_b = [], []
+        for s, t_ in zip(starts, ends):
+            n = min(t_ - s, max_group)
+            if n >= 2:
+                seg = ids[s : s + n]
+                ia, ib = np.triu_indices(n, k=1)
+                out_a.append(seg[ia])
+                out_b.append(seg[ib])
+        if not out_a:
+            return _pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        df = _pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+        return df.drop_duplicates()
+
+    cands = (
+        docs.map_batches(explode_shingles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    return _verified_pairs(docs, cands, tau=0.5)
+
+
+@query("simhash_docs", sql=None)
+def simhash_docs(sf_dir: str) -> ray.data.Dataset:
+    from ocr_ray.functions.dedup import simhash
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        simhash, batch_format="pyarrow"
+    )
+
+
+@query("simhash_neardup_pairs", sql=None)
+def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup: 64-bit signatures, 4x16-bit band blocking,
+    Hamming<=8 verification over the mutated-copy corpus."""
+    from ocr_ray.functions.dedup import hamming_u64, simhash, with_mutants
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        with_mutants, batch_format="pyarrow"
+    )
+    sigs = docs.map_batches(simhash, batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        bands = []
+        for b in range(4):
+            chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands.append(
+                pa.table(
+                    {
+                        "band_id": pa.array(np.full(len(ids), b, dtype=np.int32)),
+                        "band_val": pa.array(chunk),
+                        "doc_id": pa.array(ids),
+                        "simhash": pa.array(sh, type=pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(bands)
+
+    import pandas as _pd
+
+    def pairs_in_group(g: _pd.DataFrame, max_group: int = 64) -> _pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_group)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sh = g["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return _pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hd = hamming_u64(sh[ia], sh[ib])
+        keep = hd <= 8
+        return _pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": hd[keep]})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 8):
+    from ocr_ray.functions.ann import _as_matrix
+
+    tbl = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(n, type=pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    tbl = tbl.sort_values("vec_id")
+    qmat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    return tbl["vec_id"].to_numpy(dtype=np.int64), qmat
+
+
+@query(
+    "embedding_topk",
+    sql="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sc
+  FROM q, embeddings WHERE vec_id <> qid
+)
+SELECT qid AS query_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+""",
+)
+def embedding_topk(sf_dir: str) -> ray.data.Dataset:
+    """Brute-force cosine top-5 for 8 broadcast query vectors: per-batch
+    numpy matmul partial top-k, tiny final merge. Scores are not emitted
+    (float-kernel differences); ranks have a deterministic tiebreak."""
+    from ocr_ray.functions.ann import brute_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_topk(ds, queries_ref, k=5)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+@query("ann_ivf_topk", sql=None)
+def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
+    """IVF approximate top-5 (nprobe=4 of 16 centroids) — the 100TB-scale
+    path; recall vs brute force asserted in tests."""
+    from ocr_ray.functions.ann import _as_matrix, ivf_topk, make_centroids
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    sample = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).limit(256).to_pandas()
+    )
+    cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
+    centroids_ref = ray.put(cent)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=4)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+@query("embedding_neardup_pairs", sql=None)
+def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup over a corpus seeded with perturbed
+    copies: sign-LSH bucket groupby, exact cosine verify (tau=0.8)."""
+    import functools
+
+    from ocr_ray.functions.ann import (
+        hyperplanes,
+        lsh_buckets,
+        neardup_pairs_in_bucket,
+        with_perturbed,
+    )
+
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        with_perturbed, batch_format="pyarrow"
+    )
+    planes = hyperplanes(64, n_bits=8, n_tables=4)
+    bucketed = ds.map_batches(
+        lsh_buckets, batch_format="pyarrow", fn_kwargs={"planes": planes}
+    )
+    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        functools.partial(neardup_pairs_in_bucket, tau=0.8), batch_format="pandas"
+    )
+    # multiple tables re-discover the same pair: dedupe on the pair key
+    return (
+        pairs.map_batches(lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; schema/actor/batch layout real)
+# ---------------------------------------------------------------------------
+
+
+@query("media_features", sql=None)
+def media_features(sf_dir: str) -> ray.data.Dataset:
+    """Media spans -> synthetic binary payloads -> MediaDecoder actor pool
+    (small batches for wide binary rows) -> per-item feature rows."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import MediaDecoder, attach_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"fake_decode": True},
+    )

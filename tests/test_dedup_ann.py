@@ -1,0 +1,121 @@
+"""Op-specific correctness for non-SQL operators: dedup recall/precision
+vs brute force, ANN recall vs exact, simhash/media determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray.functions.dedup import MUTANT_OFFSET, exact_jaccard
+
+
+def _docs(sf_dir: str) -> dict[int, str]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _mutant_text(text: str, drop_every: int = 10) -> str:
+    return " ".join(w for i, w in enumerate(text.split(" ")) if (i + 1) % drop_every != 0)
+
+
+def _to_df(res) -> pd.DataFrame:
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __ray_entry__ as e
+
+    return e.queries()
+
+
+def test_minhash_finds_all_seeded_pairs(queries, sf_smoke):
+    pairs = _to_df(queries["minhash_dedup_pairs"](sf_smoke))
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    docs = _docs(sf_smoke)
+    missing = []
+    for d, text in docs.items():
+        j = exact_jaccard(text, _mutant_text(text))
+        if j >= 0.6:  # comfortably above tau; LSH must not miss these
+            if (d, d + MUTANT_OFFSET) not in found:
+                missing.append((d, round(j, 3)))
+    assert not missing, f"minhash missed {len(missing)} seeded pairs: {missing[:5]}"
+    # precision: every reported pair must actually clear tau
+    for a, b in list(found)[:200]:
+        ta = docs[a] if a < MUTANT_OFFSET else _mutant_text(docs[a - MUTANT_OFFSET])
+        tb = docs[b] if b < MUTANT_OFFSET else _mutant_text(docs[b - MUTANT_OFFSET])
+        assert exact_jaccard(ta, tb) >= 0.5, (a, b)
+
+
+def test_ngram_jaccard_pairs_superset_of_seeded(queries, sf_smoke):
+    pairs = _to_df(queries["ngram_jaccard_pairs"](sf_smoke))
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    docs = _docs(sf_smoke)
+    for d, text in docs.items():
+        if exact_jaccard(text, _mutant_text(text)) >= 0.6:
+            assert (d, d + MUTANT_OFFSET) in found, d
+
+
+def test_ivf_recall_vs_brute(queries, sf_smoke):
+    brute = _to_df(queries["embedding_topk"](sf_smoke))
+    ivf = _to_df(queries["ann_ivf_topk"](sf_smoke))
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute.query_id == q]["vec_id"])
+        a = set(ivf[ivf.query_id == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5, f"IVF mean recall {np.mean(recalls):.2f} (per-q {recalls})"
+
+
+def test_embedding_neardup_finds_perturbed(queries, sf_smoke):
+    pairs = _to_df(queries["embedding_neardup_pairs"](sf_smoke))
+    found = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    n_src = pq.ParquetFile(f"{sf_smoke}/embeddings.parquet").metadata.num_rows
+    hits = sum((v, v + 1_000_000) in found for v in range(n_src))
+    assert hits / n_src >= 0.9, f"only {hits}/{n_src} perturbed pairs found"
+
+
+def test_simhash_deterministic(queries, sf_smoke):
+    a = _to_df(queries["simhash_docs"](sf_smoke)).sort_values("doc_id").reset_index(drop=True)
+    b = _to_df(queries["simhash_docs"](sf_smoke)).sort_values("doc_id").reset_index(drop=True)
+    assert (a["simhash"].to_numpy() == b["simhash"].to_numpy()).all()
+
+
+def test_simhash_neardups_are_close(queries, sf_smoke):
+    pairs = _to_df(queries["simhash_neardup_pairs"](sf_smoke))
+    assert (pairs["hamming"] <= 8).all()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    n_src = pq.ParquetFile(f"{sf_smoke}/documents.parquet").metadata.num_rows
+    hits = sum((d, d + MUTANT_OFFSET) in found for d in range(n_src))
+    assert hits / n_src >= 0.5, f"simhash found {hits}/{n_src} seeded pairs"
+
+
+def test_media_features_deterministic_and_complete(queries, sf_smoke):
+    a = _to_df(queries["media_features"](sf_smoke))
+    b = _to_df(queries["media_features"](sf_smoke))
+    a = a.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    b = b.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    assert (a["feature_norm"].to_numpy() == b["feature_norm"].to_numpy()).all()
+    assert set(a.columns) >= {"doc_id", "media_ref", "media_kind", "n_bytes", "feature", "feature_norm"}
+    assert (a["n_bytes"] == 256).all()
+
+
+def test_media_decoder_real_decode_is_stubbed():
+    from ocr_ray.stages.media import MediaDecoder
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake_decode=False)
+
+
+def test_lang_id_on_english_docs(queries, sf_smoke):
+    df = _to_df(queries["lang_id"](sf_smoke))
+    # docs with >= 2 'the' votes should be classified en (stopword-vote spec)
+    strong = df[df["votes_en"] >= 2]
+    assert (strong["pred_lang"] == "en").mean() > 0.9
+
+
+def test_fingerprint_deterministic_and_distinct(queries, sf_smoke):
+    df = _to_df(queries["doc_fingerprint"](sf_smoke))
+    assert df["fingerprint"].nunique() == len(df)  # texts are unique
