@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also `--scaling`).
+
+Plain mode: runs the headline extraction pipeline plus a representative
+query set over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the plain benchmark twice in fresh processes at
+num_cpus=8 and 32 on the same input (the sandbox stand-in for the
+N-vs-4N-node criterion, see BASELINE.md) and prints both times plus
+scaling efficiency ``eff = t8 / (4 * t32)``.
+
+Corpus synthesis (deterministic, from documents.parquet) happens before
+timing and doubles as the page-cache warmup; timing covers read ->
+explode -> recognize (actor pool) -> strip -> two-phase reassembly ->
+resumable partitioned write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_REPS = int(os.environ.get("OCR_RAY_BENCH_REPS", "8"))
+OUT_DIR = "/tmp/ocr_ray_bench_out"
+STATS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+QUERY_SET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "user_sessions",
+    "token_stats",
+    "exact_dedup_docs",
+    "minhash_dedup_pairs",
+    "simhash_docs",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "media_features",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.pipelines.extract import extract_documents
+    from ocr_ray.pipelines.queries import QUERY_FNS
+    from ocr_ray.sources import read_documents
+    from ocr_ray.state import write_extracted_resumable
+
+    # untimed: corpus synthesis (cached across runs) + cache warm
+    corpus = ensure_corpus(SF_DIR, glyphs=True, reps=BENCH_REPS)
+    n_docs = read_documents(corpus).count()
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    extracted = extract_documents(
+        read_documents(corpus),
+        batch_size=8192,
+        recognizer_concurrency=(1, max(NUM_CPUS // 2, 2)),
+        num_buckets=max(NUM_CPUS * 2, 16),
+        two_phase=True,
+        chunk_size=1024,
+    )
+    manifest = write_extracted_resumable(extracted, OUT_DIR, num_parts=max(NUM_CPUS, 8))
+    t_headline = time.perf_counter() - t0
+    assert int(manifest["row_count"].sum()) == n_docs, (
+        f"bench output rows {manifest['row_count'].sum()} != corpus docs {n_docs}"
+    )
+
+    q_times: dict[str, float] = {}
+    for name in QUERY_SET:
+        fn = QUERY_FNS[name]
+        tq = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        q_times[name] = round(time.perf_counter() - tq, 3)
+
+    result = {
+        "metric": "extraction_wall_sec",
+        "value": round(t_headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": int(n_docs),
+        "docs_per_sec": round(n_docs / t_headline, 1),
+        "bench_reps": BENCH_REPS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = lo["value"] / (4 * hi["value"])
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": lo["docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

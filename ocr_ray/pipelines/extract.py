@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import ray.data
 
-from ocr_ray.stages.assemble import reassemble
+from ocr_ray.stages.assemble import reassemble, reassemble_two_phase
 from ocr_ray.stages.boilerplate import strip_boilerplate
 from ocr_ray.stages.explode import explode_documents
 from ocr_ray.stages.glyphs import Recognizer
@@ -34,8 +34,15 @@ def extract_documents(
     batch_size: int = 8192,
     recognizer_concurrency: int | tuple[int, int] = (1, 4),
     num_buckets: int = 64,
+    two_phase: bool = False,
+    chunk_size: int = 1024,
 ) -> ray.data.Dataset:
-    """Nested corpus Dataset -> nested extracted Dataset (same schema)."""
+    """Nested corpus Dataset -> nested extracted Dataset (same schema).
+
+    ``two_phase=True`` switches reassembly to the skew-safe chunked
+    partial+final shape — required when documents can be pathologically
+    large (group > block); at 100 TB scale it should be the default.
+    """
     ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -45,6 +52,8 @@ def extract_documents(
         concurrency=recognizer_concurrency,
     )
     ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")
+    if two_phase:
+        return reassemble_two_phase(ds, num_buckets=num_buckets, chunk_size=chunk_size)
     return reassemble(ds, num_buckets=num_buckets)
 
 

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ocr_ray.schema import KIND_DOC_SENTINEL
+from ocr_ray.schema import KIND_DOC_SENTINEL, SPAN_STRUCT
 from ocr_ray.stages.explode import implode_spans
 
 if True:  # typing-only import kept lazy for ray worker pickling
@@ -88,3 +88,154 @@ def reassemble(ds: "ray.data.Dataset", *, num_buckets: int = 64) -> "ray.data.Da
         add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
     )
     return ds.groupby("bucket").map_groups(reassemble_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Two-phase (skew-safe) reassembly
+# ---------------------------------------------------------------------------
+#
+# Pathological documents (100-1000x the median span count, per the f_skew
+# fixture and SURVEY.md §7.5) would make single groups larger than a block.
+# Phase 1 partial-assembles on the salted key (doc_id, chunk_id = offset //
+# chunk_size) — bounded groups regardless of doc size; phase 2 merges the
+# (few, large) chunk rows per document. This is the partial+final
+# aggregation shape of the reference's nested finish scopes
+# (/root/reference/src/task/hc/hc-task.c:168-215).
+
+
+def add_chunk_bucket(batch: pa.Table, *, num_buckets: int, chunk_size: int) -> pa.Table:
+    offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+    chunk = (offs.astype(np.int64) // chunk_size).astype(np.int32)
+    ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+    salted = ids.astype(str).astype(object)
+    salted = np.char.add(np.char.add(salted.astype(str), "#"), chunk.astype(str)).astype(object)
+    h = pd.util.hash_array(salted, categorize=False)
+    out = batch.append_column("chunk_id", pa.array(chunk))
+    return out.append_column("bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+
+def partial_assemble_bucket(group: pa.Table) -> pa.Table:
+    """Phase 1: one row per (doc_id, chunk_id) with its spans imploded in
+    chunk-local order (original offsets preserved for the final merge)."""
+    if group.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "chunk_id": pa.array([], type=pa.int32()),
+                "spans": pa.array([], type=pa.large_list(SPAN_STRUCT)),
+            }
+        )
+    tbl = group.drop_columns(["bucket"])
+    tbl = tbl.sort_by(
+        [
+            ("doc_id", "ascending"),
+            ("chunk_id", "ascending"),
+            ("offset", "ascending"),
+            ("kind", "ascending"),
+            ("media_ref", "ascending"),
+        ]
+    )
+    doc_codes = pc.dictionary_encode(tbl["doc_id"]).combine_chunks().indices.to_numpy(
+        zero_copy_only=False
+    )
+    chunks = tbl["chunk_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    is_new = np.empty(len(doc_codes), dtype=bool)
+    is_new[0] = True
+    is_new[1:] = (doc_codes[1:] != doc_codes[:-1]) | (chunks[1:] != chunks[:-1])
+    starts = np.flatnonzero(is_new)
+    counts = np.diff(np.concatenate([starts, [len(doc_codes)]]))
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            tbl["kind"].combine_chunks(),
+            tbl["text"].combine_chunks(),
+            tbl["media_ref"].combine_chunks(),
+            tbl["offset"].combine_chunks(),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    list_offsets = np.concatenate([[0], np.cumsum(counts)])
+    spans = pa.LargeListArray.from_arrays(pa.array(list_offsets, type=pa.int64()), struct_arr)
+    return pa.table(
+        {
+            "doc_id": pc.take(tbl["doc_id"].combine_chunks(), pa.array(starts, type=pa.int64())),
+            "chunk_id": pc.take(tbl["chunk_id"].combine_chunks(), pa.array(starts, type=pa.int64())),
+            "spans": spans,
+        }
+    )
+
+
+def merge_chunks_bucket(group: pa.Table) -> pa.Table:
+    """Phase 2: merge a doc's chunk rows (sorted by chunk_id) into the final
+    nested row — drop sentinels, re-index offsets 0..k-1."""
+    if group.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.string())})
+    tbl = group.drop_columns([c for c in ("bucket",) if c in group.column_names])
+    tbl = tbl.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+    doc_codes = pc.dictionary_encode(tbl["doc_id"]).combine_chunks().indices.to_numpy(
+        zero_copy_only=False
+    )
+    change = np.flatnonzero(np.diff(doc_codes)) + 1
+    doc_starts = np.concatenate([[0], change])  # row index of each doc's first chunk
+
+    spans = tbl["spans"].combine_chunks()
+    row_lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(spans)  # struct array, already in final order
+    kind = pc.struct_field(flat, "kind")
+    nonsent = pc.not_equal(kind, KIND_DOC_SENTINEL).to_numpy(zero_copy_only=False)
+
+    # map each flat span to its doc run
+    row_doc = np.zeros(len(doc_codes), dtype=np.int64)
+    row_doc[doc_starts[1:]] = 1
+    row_doc = np.cumsum(row_doc)
+    flat_doc = np.repeat(row_doc, row_lens)
+    n_docs = len(doc_starts)
+    span_counts = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(span_counts, flat_doc[nonsent], 1)
+    list_offsets = np.concatenate([[0], np.cumsum(span_counts)])
+
+    keep_flat = pa.array(nonsent)
+    kept = pa.table(
+        {
+            "kind": pc.filter(kind, keep_flat),
+            "text": pc.filter(pc.struct_field(flat, "text"), keep_flat),
+            "media_ref": pc.filter(pc.struct_field(flat, "media_ref"), keep_flat),
+        }
+    )
+    new_offsets = (
+        np.arange(int(span_counts.sum()), dtype=np.int32)
+        - np.repeat(list_offsets[:-1], span_counts).astype(np.int32)
+    )
+    struct_arr = pa.StructArray.from_arrays(
+        [
+            kept["kind"].combine_chunks(),
+            kept["text"].combine_chunks(),
+            kept["media_ref"].combine_chunks(),
+            pa.array(new_offsets, type=pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans_out = pa.LargeListArray.from_arrays(pa.array(list_offsets, type=pa.int64()), struct_arr)
+    first_doc_ids = pc.take(
+        tbl["doc_id"].combine_chunks(), pa.array(doc_starts, type=pa.int64())
+    )
+    return pa.table({"doc_id": first_doc_ids, "spans": spans_out})
+
+
+def reassemble_two_phase(
+    ds: "ray.data.Dataset",
+    *,
+    num_buckets: int = 64,
+    chunk_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Skew-safe reassembly: chunk-level partial assembly, then doc-level
+    merge. Two bounded shuffles instead of one unbounded-group shuffle."""
+    ds = ds.map_batches(
+        add_chunk_bucket,
+        batch_format="pyarrow",
+        fn_kwargs={"num_buckets": num_buckets, "chunk_size": chunk_size},
+    )
+    partial = ds.groupby("bucket").map_groups(partial_assemble_bucket, batch_format="pyarrow")
+    partial = partial.map_batches(
+        add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": max(num_buckets // 4, 1)}
+    )
+    return partial.groupby("bucket").map_groups(merge_chunks_bucket, batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Checkpoint/resume (manifest) + skew (two-phase reassembly) tests —
+the f_idem_resume and f_skew fixture families of FIXTURES.md."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.oracle import expected_extraction
+from ocr_ray.pipelines.extract import extract_documents
+from ocr_ray.schema import SPAN_STRUCT, docs_table_to_dict, span_sequences_equal
+from ocr_ray.sources import read_documents
+from ocr_ray.state import load_manifest, write_extracted_resumable
+from ocr_ray.state.manifest import skip_completed_partitions
+
+OUT = "/tmp/ocr_ray_test_resume"
+
+
+def _read_all_fragments(out_dir: str) -> pa.Table:
+    files = sorted(Path(out_dir).glob("part=*/data.parquet"))
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_resumable_write_and_resume(sf_smoke):
+    shutil.rmtree(OUT, ignore_errors=True)
+    corpus = ensure_corpus(sf_smoke, glyphs=False)
+    num_parts = 8
+
+    # Run 1: process only a *subset* of partitions by simulating a kill —
+    # write fragments for docs in partitions 0..3 (filter the input), as if
+    # the job died halfway.
+    from ocr_ray.state.manifest import partition_of
+
+    def keep_low_parts(t: pa.Table) -> pa.Table:
+        parts = partition_of(t["doc_id"], num_parts)
+        return t.filter(pa.array(parts < 4))
+
+    ds1 = read_documents(corpus).map_batches(keep_low_parts, batch_format="pyarrow")
+    m1 = write_extracted_resumable(
+        extract_documents(ds1, num_buckets=8, recognizer_concurrency=2), OUT, num_parts=num_parts
+    )
+    assert set(m1["partition"]) == {0, 1, 2, 3}
+    assert len(load_manifest(OUT)) == 4
+
+    # Run 2 (resume): full input, completed partitions skipped at the read.
+    ds2, n_done = skip_completed_partitions(read_documents(corpus), OUT, num_parts)
+    assert n_done == 4
+    m2 = write_extracted_resumable(
+        extract_documents(ds2, num_buckets=8, recognizer_concurrency=2), OUT, num_parts=num_parts
+    )
+    assert set(m2["partition"]) == {4, 5, 6, 7}, "resume must process only unfinished partitions"
+
+    # Exactly-once: every doc in exactly one fragment, content == oracle.
+    tbl = _read_all_fragments(OUT)
+    got = docs_table_to_dict(tbl)
+    want = expected_extraction(sf_smoke)
+    assert sorted(got) == sorted(want)
+    assert len(tbl["doc_id"]) == len(set(tbl["doc_id"].to_pylist())), "doc duplicated across fragments"
+    for d in want:
+        assert span_sequences_equal(got[d], want[d]), d
+
+    # Manifest lineage records carry metrics.
+    rec = load_manifest(OUT)[0]
+    assert rec["status"] == "complete" and rec["row_count"] > 0 and "span_checksum" in rec
+
+
+def test_rerun_after_complete_is_noop(sf_smoke):
+    corpus = ensure_corpus(sf_smoke, glyphs=False)
+    ds, n_done = skip_completed_partitions(read_documents(corpus), OUT, 8)
+    assert n_done == 8
+    assert ds.count() == 0  # nothing left to do
+
+
+def _skew_corpus(n_small: int = 99, n_big: int = 2, big_spans: int = 3000) -> pa.Table:
+    """990-small + pathological-docs shape (f_skew), deterministic."""
+    rng = np.random.default_rng(7)
+    rows_ids, rows_spans = [], []
+    for i in range(n_small):
+        k = int(rng.integers(3, 10))
+        rows_ids.append(f"s-{i:05d}")
+        rows_spans.append(
+            [
+                {"kind": "text", "text": f"small {i} {j}", "media_ref": "", "offset": j}
+                for j in range(k)
+            ]
+        )
+    for i in range(n_big):
+        rows_ids.append(f"big-{i:03d}")
+        spans = [
+            {
+                "kind": ("media" if j % 11 == 3 else "text"),
+                "text": ("" if j % 11 == 3 else f"big {i} {j}"),
+                "media_ref": (f"m-{j}" if j % 11 == 3 else ""),
+                "offset": j,
+            }
+            for j in range(big_spans)
+        ]
+        rng.shuffle(spans)
+        rows_spans.append(spans)
+    return pa.table(
+        {
+            "doc_id": pa.array(rows_ids, type=pa.string()),
+            "spans": pa.array(rows_spans, type=pa.large_list(SPAN_STRUCT)),
+        }
+    )
+
+
+@pytest.mark.parametrize("two_phase", [False, True], ids=["single", "two_phase"])
+def test_skew_reassembly_equivalence(two_phase):
+    corpus = _skew_corpus()
+    out = extract_documents(
+        rd.from_arrow(corpus),
+        num_buckets=8,
+        recognizer_concurrency=2,
+        two_phase=two_phase,
+        chunk_size=256,
+    ).to_pandas()
+    got = {r["doc_id"]: list(r["spans"]) for _, r in out.iterrows()}
+    assert len(got) == corpus.num_rows
+    # every doc reassembled in offset order with re-indexed offsets
+    src = docs_table_to_dict(corpus)
+    for doc_id, spans in src.items():
+        expect = sorted(spans, key=lambda s: s["offset"])
+        g = got[doc_id]
+        assert [s["offset"] for s in g] == list(range(len(g)))
+        assert span_sequences_equal(g, [{**s, "offset": i} for i, s in enumerate(expect)]), doc_id
+
+
+def test_two_phase_agrees_with_single_phase(sf_smoke):
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+    a = extract_documents(read_documents(corpus), num_buckets=8, two_phase=False).to_pandas()
+    b = extract_documents(
+        read_documents(corpus), num_buckets=8, two_phase=True, chunk_size=4
+    ).to_pandas()
+    da = {r["doc_id"]: list(r["spans"]) for _, r in a.iterrows()}
+    db = {r["doc_id"]: list(r["spans"]) for _, r in b.iterrows()}
+    assert set(da) == set(db)
+    for d in da:
+        assert span_sequences_equal(da[d], db[d]), d
