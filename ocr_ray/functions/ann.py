@@ -175,7 +175,10 @@ def hyperplanes(dim: int, n_bits: int = 8, n_tables: int = 4) -> np.ndarray:
 
 
 def lsh_buckets(batch: pa.Table, *, planes: np.ndarray) -> pa.Table:
-    """Sign-LSH bucket rows per vector — one row per (table, vector)."""
+    """Sign-LSH bucket rows per vector — one row per (table, vector).
+
+    ``pair_key`` folds (table_id, bucket) into one uint64 so downstream
+    candidate generation shuffles on a single coarse-bucketable key."""
     m = _normalize(_as_matrix(batch["embedding"]))
     n_tables, _, n_bits = planes.shape
     tables = []
@@ -184,12 +187,15 @@ def lsh_buckets(batch: pa.Table, *, planes: np.ndarray) -> pa.Table:
         bucket = (
             bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)[None, :]
         ).sum(axis=1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pair_key = bucket ^ (np.uint64(t) * np.uint64(0x9E3779B97F4A7C15))
         tables.append(
             pa.table(
                 {
                     "table_id": pa.array(np.full(len(bucket), t, dtype=np.int32)),
                     "vec_id": batch["vec_id"],
                     "bucket": pa.array(bucket, type=pa.uint64()),
+                    "pair_key": pa.array(pair_key, type=pa.uint64()),
                     "embedding": batch["embedding"],
                 }
             )

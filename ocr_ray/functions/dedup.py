@@ -141,10 +141,14 @@ def minhash_bands(batch: pa.Table, *, num_perm: int = 64, bands: int = 32, k: in
         for j in range(rows_per):
             bh = bh * mult + band_sig[:, :, j]
     doc_ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=object), bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+    with np.errstate(over="ignore"):
+        pair_key = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
     return pa.table(
         {
-            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_id": pa.array(band_ids.astype(np.int32)),
             "band_hash": pa.array(bh.reshape(-1)),
+            "pair_key": pa.array(pair_key, type=pa.uint64()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
         }
     )
@@ -161,6 +165,81 @@ def candidate_pairs_from_band(group: pd.DataFrame, *, max_group: int = 256) -> p
         return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+
+# ---------------------------------------------------------------------------
+# coarse-bucket pair generation (the shape every *_pairs operator uses)
+# ---------------------------------------------------------------------------
+#
+# A groupby on the raw LSH key (band hash / sign bucket / shingle) creates
+# millions of tiny groups and pays a Python call per group. Instead every
+# key is folded into one of ``num_buckets`` coarse hash buckets — the ONLY
+# shuffle key — and the per-bucket body sorts by (key, id) once and detects
+# key runs with numpy. One Python call per bucket, vectorized inside; the
+# number of buckets scales with the cluster, not with the key cardinality.
+
+
+def run_index_pairs(
+    keys: np.ndarray, *, max_group: int, presorted: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs (ia, ib) of same-key runs in a key array.
+
+    ``keys`` must be sortable (uint64); rows within a run pair all-vs-all
+    up to ``max_group`` rows per run (hot-key cap). Returns indices into
+    the *sorted* order — callers sort their payload arrays the same way.
+    """
+    n = len(keys)
+    if n < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    assert presorted, "sort keys (and payloads) before calling run_index_pairs"
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        m = min(e - s, max_group)
+        if m >= 2:
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ia + s)
+            out_b.append(ib + s)
+    if not out_a:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def bucketed_pairs(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    pair_body,
+    num_buckets: int = 64,
+):
+    """keyed rows -> candidate pairs via coarse hash buckets.
+
+    ``pair_body(g: pd.DataFrame) -> pd.DataFrame`` runs once per coarse
+    bucket (vectorized inside). The bucket is ``key % num_buckets`` so all
+    rows of one key land together regardless of bucket count.
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_bucket", pa.array((k % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pair_body, batch_format="pandas")
+    )
+
+
+def shingle_set(text: str, *, k: int = 3) -> set:
+    """The k-word shingle set of one text (for cached pair verification)."""
+    t = text.split(" ")
+    return {tuple(t[i : i + k]) for i in range(max(len(t) - k + 1, 0))}
 
 
 def exact_jaccard(text_a: str, text_b: str, *, k: int = 3) -> float:
@@ -202,13 +281,15 @@ def simhash(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, type=pa.uint64())})
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = a ^ b
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Vectorized popcount of a^b via byte-view + 256-entry lookup."""
+    x = np.ascontiguousarray(a ^ b)
+    if len(x) == 0:
+        return np.empty(0, dtype=np.int64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -624,18 +624,39 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
     (Ray Data has no watermarks; the finite-log groupby is the idiom)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        brk = g["ts"].diff() > pd.Timedelta(seconds=1800)
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def sessions_body(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per bucket: sort by (user, time), detect user
+        # boundaries and >30min gaps, fold with reduceat — no per-user calls.
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": [], "n_sessions": [], "n_events": []})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = (ts[1:] - ts[:-1]) > np.timedelta64(1800, "s")
+        brk |= new_user
+        starts = np.flatnonzero(new_user)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(brk.sum()) + 1],
-                "n_events": [len(g)],
+                "user_id": uid[starts],
+                "n_sessions": np.add.reduceat(brk.astype(np.int64), starts),
+                "n_events": np.diff(np.concatenate([starts, [len(g)]])),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sessions_body, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -750,38 +771,37 @@ def _verified_pairs(ds_docs, cand_pairs, *, tau: float):
     Scale assumption (documented): candidate pairs << corpus, so the pair
     list and the involved docs' texts fit in the object store as a
     broadcast subset (semi-filtered fetch, not a full materialization).
+    Cross-bucket pair dedup happens driver-side on the (small) pair list —
+    cheaper than a shuffle on millions of tiny (doc_a, doc_b) groups.
     """
-    from ray.data.aggregate import Count
-    from ocr_ray.functions.dedup import exact_jaccard
+    from ocr_ray.functions.dedup import shingle_set
     from ocr_ray.functions.relational import BroadcastSemiFilter
 
-    pairs_tbl = (
-        cand_pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    )
-    pairs = pairs_tbl.to_pandas()
+    pairs = cand_pairs.to_pandas()
     if len(pairs) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
+    pairs = pairs[["doc_a", "doc_b"]].drop_duplicates()
     involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
     keys_ref = ray.put(involved)
-    texts = dict(
-        zip(
-            *(
-                lambda df: (df["doc_id"].tolist(), df["text"].tolist())
-            )(
-                ds_docs.map_batches(
-                    BroadcastSemiFilter,
-                    batch_format="pyarrow",
-                    fn_constructor_args=(keys_ref, "doc_id"),
-                    concurrency=(1, 2),
-                ).to_pandas()
-            )
-        )
+    fetched = ds_docs.map_batches(
+        BroadcastSemiFilter,
+        batch_format="pyarrow",
+        fn_constructor_args=(keys_ref, "doc_id"),
+        concurrency=(1, 2),
+    ).to_pandas()
+    # precompute each involved doc's shingle set ONCE (pairs share docs)
+    sets = {
+        int(d): shingle_set(t) for d, t in zip(fetched["doc_id"], fetched["text"])
+    }
+    keep = np.fromiter(
+        (
+            (len(sets[a] & sets[b]) / len(sets[a] | sets[b]) if (sets[a] or sets[b]) else 1.0) >= tau
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+        ),
+        dtype=bool,
+        count=len(pairs),
     )
-    keep = [
-        exact_jaccard(texts[a], texts[b]) >= tau
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
-    ]
-    out = pairs[np.asarray(keep, dtype=bool)]
+    out = pairs[keep]
     return pa.table(
         {
             "doc_a": pa.array(out["doc_a"].to_numpy(dtype=np.int64)),
@@ -792,31 +812,45 @@ def _verified_pairs(ds_docs, cand_pairs, *, tau: float):
 
 @query("minhash_dedup_pairs", sql=None)
 def minhash_dedup_pairs(sf_dir: str) -> pa.Table:
-    """MinHash-LSH near-dup detection: shingle -> 64-perm minhash -> 16
-    bands -> band-bucket groupby -> candidate pairs -> exact-Jaccard
-    verify (tau=0.5) over a corpus seeded with mutated copies."""
+    """MinHash-LSH near-dup detection: shingle -> 64-perm minhash -> 32
+    bands -> coarse-bucket run-pair candidates -> exact-Jaccard verify
+    (tau=0.5) over a corpus seeded with mutated copies."""
     from ocr_ray.functions.dedup import (
-        candidate_pairs_from_band,
+        bucketed_pairs,
         minhash_bands,
+        run_index_pairs,
         with_mutants,
     )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
     )
-    bands = docs.map_batches(minhash_bands, batch_format="pyarrow")
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidate_pairs_from_band, batch_format="pandas"
+    bands = docs.map_batches(minhash_bands, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["pair_key", "doc_id"]), batch_format="pyarrow"
     )
+
+    def pair_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_key", "doc_id"], kind="mergesort")
+        keys = g["pair_key"].to_numpy(dtype=np.uint64)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        ia, ib = run_index_pairs(keys, max_group=256, presorted=True)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
+
+    cands = bucketed_pairs(bands, key_col="pair_key", id_col="doc_id", pair_body=pair_body)
     return _verified_pairs(docs, cands, tau=0.5)
 
 
 @query("ngram_jaccard_pairs", sql=None)
 def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     """n-gram Jaccard near-dup via shingle inverted index: explode
-    (shingle_hash, doc_id), group by shingle (hot keys capped), emit
-    co-occurrence pairs, exact-verify tau=0.5."""
-    from ocr_ray.functions.dedup import shingle_hashes, with_mutants
+    (shingle_hash, doc_id), coarse-bucket run pairs (hot shingles capped),
+    exact-verify tau=0.5."""
+    from ocr_ray.functions.dedup import (
+        bucketed_pairs,
+        run_index_pairs,
+        shingle_hashes,
+        with_mutants,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
@@ -825,43 +859,22 @@ def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     def explode_shingles(t: pa.Table) -> pa.Table:
         sh, n_sh = shingle_hashes(t["text"])
         ids = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), n_sh)
-        bucket = (sh % np.uint64(64)).astype(np.int32)
-        return pa.table(
-            {"shingle": pa.array(sh), "doc_id": pa.array(ids), "bucket": pa.array(bucket)}
-        )
+        return pa.table({"shingle": pa.array(sh), "doc_id": pa.array(ids)})
 
-    import pandas as _pd
-
-    def pairs_in_bucket(g: _pd.DataFrame, max_group: int = 32) -> _pd.DataFrame:
-        # Vectorized over the whole hash bucket: one sort, run detection on
-        # shingle boundaries, pair expansion per small run (hot shingles capped).
+    def pair_body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["shingle", "doc_id"]).sort_values(
             ["shingle", "doc_id"], kind="mergesort"
         )
         sh = g["shingle"].to_numpy(dtype=np.uint64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
-        change = np.flatnonzero(sh[1:] != sh[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(sh)]])
-        out_a, out_b = [], []
-        for s, t_ in zip(starts, ends):
-            n = min(t_ - s, max_group)
-            if n >= 2:
-                seg = ids[s : s + n]
-                ia, ib = np.triu_indices(n, k=1)
-                out_a.append(seg[ia])
-                out_b.append(seg[ib])
-        if not out_a:
-            return _pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-        df = _pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
-        return df.drop_duplicates()
+        ia, ib = run_index_pairs(sh, max_group=32, presorted=True)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
 
-    cands = (
-        docs.map_batches(explode_shingles, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    cands = bucketed_pairs(
+        docs.map_batches(explode_shingles, batch_format="pyarrow"),
+        key_col="shingle",
+        id_col="doc_id",
+        pair_body=pair_body,
     )
     return _verified_pairs(docs, cands, tau=0.5)
 
@@ -877,9 +890,17 @@ def simhash_docs(sf_dir: str) -> ray.data.Dataset:
 
 @query("simhash_neardup_pairs", sql=None)
 def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
-    """SimHash near-dup: 64-bit signatures, 4x16-bit band blocking,
-    Hamming<=8 verification over the mutated-copy corpus."""
-    from ocr_ray.functions.dedup import hamming_u64, simhash, with_mutants
+    """SimHash near-dup: 64-bit signatures, 4x16-bit band blocking keyed
+    through coarse buckets, vectorized Hamming<=8 verification over the
+    mutated-copy corpus; cross-bucket pair dedup driver-side (pairs <<
+    corpus)."""
+    from ocr_ray.functions.dedup import (
+        bucketed_pairs,
+        hamming_u64,
+        run_index_pairs,
+        simhash,
+        with_mutants,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
@@ -892,11 +913,12 @@ def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
         bands = []
         for b in range(4):
             chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):
+                pair_key = chunk ^ (np.uint64(b) * np.uint64(0x9E3779B97F4A7C15))
             bands.append(
                 pa.table(
                     {
-                        "band_id": pa.array(np.full(len(ids), b, dtype=np.int32)),
-                        "band_val": pa.array(chunk),
+                        "pair_key": pa.array(pair_key, type=pa.uint64()),
                         "doc_id": pa.array(ids),
                         "simhash": pa.array(sh, type=pa.uint64()),
                     }
@@ -904,29 +926,32 @@ def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
             )
         return pa.concat_tables(bands)
 
-    import pandas as _pd
-
-    def pairs_in_group(g: _pd.DataFrame, max_group: int = 64) -> _pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_group)
+    def pair_body(g: pd.DataFrame, max_group: int = 64) -> pd.DataFrame:
+        g = g.sort_values(["pair_key", "doc_id"], kind="mergesort")
+        keys = g["pair_key"].to_numpy(dtype=np.uint64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         sh = g["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return _pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
         hd = hamming_u64(sh[ia], sh[ib])
         keep = hd <= 8
-        return _pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": hd[keep]})
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": hd[keep]}
+        ).drop_duplicates(["doc_a", "doc_b"])
 
-    from ray.data.aggregate import Min
-
-    pairs = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs_in_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    cands = bucketed_pairs(
+        sigs.map_batches(band_rows, batch_format="pyarrow"),
+        key_col="pair_key",
+        id_col="doc_id",
+        pair_body=pair_body,
     )
-    return pairs
+    pairs = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs["doc_a"].to_numpy(dtype=np.int64)),
+            "doc_b": pa.array(pairs["doc_b"].to_numpy(dtype=np.int64)),
+            "hamming": pa.array(pairs["hamming"].to_numpy(dtype=np.int64)),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -999,19 +1024,12 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
 
 
 @query("embedding_neardup_pairs", sql=None)
-def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
+def embedding_neardup_pairs(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup over a corpus seeded with perturbed
-    copies: sign-LSH bucket groupby, exact cosine verify (tau=0.8)."""
-    import functools
-
-    from ocr_ray.functions.ann import (
-        hyperplanes,
-        lsh_buckets,
-        neardup_pairs_in_bucket,
-        with_perturbed,
-    )
-
-    from ray.data.aggregate import Count
+    copies: sign-LSH keys through coarse buckets, vectorized exact cosine
+    verify (tau=0.8), driver-side cross-table pair dedup (pairs << corpus)."""
+    from ocr_ray.functions.ann import _as_matrix, _normalize, hyperplanes, lsh_buckets, with_perturbed
+    from ocr_ray.functions.dedup import bucketed_pairs, run_index_pairs
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         with_perturbed, batch_format="pyarrow"
@@ -1020,15 +1038,33 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     bucketed = ds.map_batches(
         lsh_buckets, batch_format="pyarrow", fn_kwargs={"planes": planes}
     )
-    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        functools.partial(neardup_pairs_in_bucket, tau=0.8), batch_format="pandas"
+
+    def pair_body(g: pd.DataFrame, max_group: int = 512, tau: float = 0.8) -> pd.DataFrame:
+        g = g.sort_values(["pair_key", "vec_id"], kind="mergesort")
+        keys = g["pair_key"].to_numpy(dtype=np.uint64)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
+        if len(ia) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=np.int64),
+                    "vec_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        cos = np.einsum("ij,ij->i", m[ia], m[ib])
+        keep = cos >= tau
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]}).drop_duplicates()
+
+    cands = bucketed_pairs(
+        bucketed, key_col="pair_key", id_col="vec_id", pair_body=pair_body
     )
-    # multiple tables re-discover the same pair: dedupe on the pair key
-    return (
-        pairs.map_batches(lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    pairs = cands.to_pandas().drop_duplicates()
+    return pa.table(
+        {
+            "vec_a": pa.array(pairs["vec_a"].to_numpy(dtype=np.int64)),
+            "vec_b": pa.array(pairs["vec_b"].to_numpy(dtype=np.int64)),
+        }
     )
 
 
