@@ -13,12 +13,19 @@ Design rules for oracle parity and scale:
   (the reference's shared-table-by-pointer pattern,
   ``/root/reference/examples/smith-waterman/smithwaterman.c:334-344``,
   made explicit and distributed-safe).
-- **Large-large joins** use ``Dataset.join`` (hash partitioned).
+- **Large-large joins** use ``hash_join`` below: both sides are tagged,
+  unioned and shuffled ONCE on ``hash(key) % num_buckets`` through the
+  same sort-based machinery as every groupby in the engine, and each
+  bucket joins with one vectorized merge. This outperforms
+  ``Dataset.join`` here (which spins up a separate HashShuffleAggregator
+  actor pool per call) and keeps bucket count — not key cardinality — as
+  the parallelism knob, which is what scales on a real cluster.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -73,10 +80,105 @@ class BroadcastLookup:
         self.out_cols = out_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key_col].to_pylist()
-        hit = np.fromiter((k in self.mapping for k in keys), dtype=bool, count=len(keys))
-        batch = batch.filter(pa.array(hit))
-        rows = [self.mapping[k] for k, h in zip(keys, hit) if h]
+        keys = pd.Series(batch[self.key_col].to_pylist())
         for i, (name, typ) in enumerate(self.out_cols):
-            batch = batch.append_column(name, pa.array([r[i] for r in rows], type=typ))
-        return batch
+            mapped = keys.map({k: v[i] for k, v in self.mapping.items()})
+            batch = batch.append_column(name, pa.array(mapped, type=typ))
+        # inner-join semantics: drop rows that missed every lookup column
+        return batch.filter(pc.is_valid(batch[self.out_cols[0][0]]))
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-group hash join
+# ---------------------------------------------------------------------------
+
+
+def _key_hash(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        vals = col.to_numpy(zero_copy_only=False)
+    else:
+        vals = np.asarray(col.to_pylist(), dtype=object)
+    h = pd.util.hash_array(vals, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Distributed equality join on one key column, Ray-Data-first.
+
+    Align schemas (null-fill the other side's columns — Arrow keeps exact
+    types through nulls), tag ``_side``, ``union`` the two Datasets, add
+    ``_bucket = hash(side's key) % num_buckets`` and co-group with ONE
+    shuffle; each bucket splits by side and merges vectorized. The same
+    partitioning discipline as the engine's groupbys: bucket count is the
+    scale knob, hot keys are bounded by the merge being per-bucket (not
+    per-key), and no extra actor pool is spun up per join call.
+    """
+    assert how in ("inner", "left"), how
+    right_on = right_on or on
+    # ds.schema() EXECUTES the upstream plan for computed datasets — pass
+    # explicit schemas whenever the side isn't a bare read.
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lnames = list(lschema.names)
+    rename = {
+        n: (n + suffix if n != right_on and n in lnames else n) for n in rschema.names
+    }
+    rnames = [rename[n] for n in rschema.names]
+    full_fields: list[tuple[str, pa.DataType]] = [
+        (n, lschema.types[lschema.names.index(n)]) for n in lnames
+    ] + [
+        (rename[n], rschema.types[rschema.names.index(n)])
+        for n in rschema.names
+        if rename[n] not in lnames
+    ]
+
+    def align(side: int, key_col: str, colmap: dict[str, str]):
+        inv = {v: k for k, v in colmap.items()}
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in full_fields:
+                src = inv.get(name, name if side == 0 else None)
+                if src is not None and src in t.column_names:
+                    cols[name] = pc.cast(t[src], typ)
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            out = pa.table(cols)
+            out = out.append_column("_side", pa.array(np.full(n, side, dtype=np.int8)))
+            return out.append_column(
+                "_bucket", pa.array(_key_hash(t[key_col], num_buckets))
+            )
+
+        return fn
+
+    la = left.map_batches(align(0, on, {n: n for n in lnames}), batch_format="pyarrow")
+    ra = right.map_batches(align(1, right_on, rename), batch_format="pyarrow")
+    both = la.union(ra)
+
+    lcols = list(lnames)
+    rcols = list(rnames)
+    out_names = lcols + [c for c in rcols if c != right_on or right_on != on]
+    types = dict(full_fields)
+    out_schema = pa.schema([(n, types[n]) for n in out_names])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lt = g.filter(pc.equal(g["_side"], 0)).select(lcols)
+        rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
+        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on, right_on=right_on, how=how)
+        # explicit schema keeps per-bucket outputs identical (empty buckets,
+        # NaN-induced dtype drift on outer rows)
+        return pa.Table.from_pandas(out[out_names], schema=out_schema, preserve_index=False)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -33,6 +33,7 @@ from ocr_ray.corpus import ensure_corpus
 from ocr_ray.functions.relational import (
     BroadcastLookup,
     BroadcastSemiFilter,
+    hash_join,
     to_units,
     units_to_double,
 )
@@ -288,7 +289,16 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
     )
-    joined = base.join(uniq, join_type="inner", num_partitions=2, on=("event_type",))
+    joined = hash_join(
+        base,
+        uniq,
+        on="event_type",
+        num_buckets=4,
+        left_schema=pa.schema(
+            {"event_type": pa.string(), "n_events": pa.int64(), "value_c": pa.int64()}
+        ),
+        right_schema=pa.schema({"event_type": pa.string(), "n_users": pa.int64()}),
+    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -403,7 +413,22 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("rev_u4", alias_name="rev_u4"))
     )
-    joined = li_rev.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = hash_join(
+        li_rev,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "o_custkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_orderpriority": pa.string(),
+            }
+        ),
+    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -461,8 +486,14 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("rev_u4", alias_name="rev_u4"))
     )
-    joined = li_rev.join(
-        orders, join_type="inner", num_partitions=4, on=("l_orderkey",), right_on=("o_orderkey",)
+    joined = hash_join(
+        li_rev,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
     ).map_batches(
         BroadcastLookup,
         batch_format="pyarrow",
