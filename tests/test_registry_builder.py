@@ -1,0 +1,110 @@
+"""Registry + config-driven builder: spec-built pipelines must equal the
+directly-composed pipeline (span-sequence equality), unknown stages must
+fail loudly before execution, and the CLI driver must run + resume."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.pipelines.builder import build_pipeline, run_pipeline
+from ocr_ray.pipelines.extract import extract_documents
+from ocr_ray.registry import UnknownStageError, list_stages, stage
+from ocr_ray.schema import docs_table_to_dict, span_sequences_equal
+from ocr_ray.sources import read_documents
+
+
+def _spec(corpus: str, *, sink: dict | None = None, stages: list | None = None) -> dict:
+    return {
+        "pipeline": {
+            "source": {"path": corpus},
+            "stages": stages
+            or [
+                {"name": "explode"},
+                {"name": "normalize"},
+                {"name": "recognize", "concurrency": [1, 2], "batch_size": 4096},
+                {"name": "strip_boilerplate"},
+                {"name": "reassemble", "num_buckets": 8},
+            ],
+            **({"sink": sink} if sink else {}),
+        }
+    }
+
+
+def test_builder_matches_direct_pipeline(sf_smoke):
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+    built = pa.concat_tables(
+        build_pipeline(_spec(corpus)).iter_batches(batch_format="pyarrow")
+    )
+    direct = pa.concat_tables(
+        extract_documents(
+            read_documents(corpus), num_buckets=8, recognizer_concurrency=2
+        ).iter_batches(batch_format="pyarrow")
+    )
+    a, b = docs_table_to_dict(built), docs_table_to_dict(direct)
+    assert set(a) == set(b)
+    assert all(span_sequences_equal(a[d], b[d]) for d in a)
+
+
+def test_unknown_stage_fails_before_execution(sf_smoke):
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+    with pytest.raises(UnknownStageError):
+        build_pipeline(_spec(corpus, stages=[{"name": "expload"}]))
+
+
+def test_registry_lists_builtins():
+    names = set(list_stages())
+    assert {"explode", "normalize", "recognize", "strip_boilerplate", "reassemble"} <= names
+
+
+def test_user_stage_registration(sf_smoke):
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+
+    @stage("keep_media_only")
+    def keep_media_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["kind"], "media"))
+
+    ds = build_pipeline(
+        _spec(
+            corpus,
+            stages=[{"name": "explode", "sentinels": False}, {"name": "keep_media_only"}],
+        )
+    )
+    kinds = set(ds.unique("kind"))
+    assert kinds == {"media"}
+
+
+def test_cli_run_and_resume(sf_smoke, tmp_path):
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "pipeline.json"
+    cfg.write_text(
+        json.dumps(_spec(corpus, sink={"out_dir": out, "num_parts": 4, "resume": True}))
+    )
+    run = subprocess.run(
+        [sys.executable, "-m", "ocr_ray.run", "--config", str(cfg), "--num-cpus", "2"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    s1 = json.loads(run.stdout.strip().splitlines()[-1])
+    assert s1["fragments_written"] == 4 and s1["fragments_skipped"] == 0
+    assert s1["rows_written"] > 0
+
+    rerun = subprocess.run(
+        [sys.executable, "-m", "ocr_ray.run", "--config", str(cfg), "--num-cpus", "2"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert rerun.returncode == 0, rerun.stderr[-2000:]
+    s2 = json.loads(rerun.stdout.strip().splitlines()[-1])
+    assert s2["fragments_skipped"] == 4 and s2["rows_written"] == 0
