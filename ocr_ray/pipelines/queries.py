@@ -691,6 +691,414 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Relational: set ops / sampling / window / as-of join / scalar functions
+# ---------------------------------------------------------------------------
+
+
+def _distinct_nationkeys(sf_dir: str, table: str, col: str) -> set[int]:
+    """Distinct int keys of one side (tiny result; the shuffle is the
+    distributed ``unique``, the set itself is driver-side by design)."""
+    return {int(v) for v in read_table(sf_dir, table, columns=[col]).unique(col)}
+
+
+def _keyset_table(keys) -> pa.Table:
+    return pa.table({"nationkey": pa.array(sorted(keys), type=pa.int64())})
+
+
+@query(
+    "nations_union",
+    sql="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+)
+def nations_union(sf_dir: str) -> pa.Table:
+    """Set op UNION via two distributed uniques + driver-side set union."""
+    return _keyset_table(
+        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
+        | _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
+    )
+
+
+@query(
+    "nations_intersect",
+    sql="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+)
+def nations_intersect(sf_dir: str) -> pa.Table:
+    return _keyset_table(
+        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
+        & _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
+    )
+
+
+@query(
+    "nations_except",
+    sql="""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+""",
+)
+def nations_except(sf_dir: str) -> pa.Table:
+    return _keyset_table(
+        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
+        - _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
+    )
+
+
+@query(
+    "sample_orders_systematic",
+    sql="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 3
+""",
+)
+def sample_orders_systematic(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic ~1% systematic sample (key-residue filter) — the
+    reproducible cousin of ``Dataset.random_sample`` for pipelines that
+    must be re-runnable/resumable (same sample every run, any cluster)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["o_orderkey"],
+                pc.multiply(pc.divide(t["o_orderkey"], pa.scalar(97, type=pa.int64())), pa.scalar(97, type=pa.int64())),
+            ),
+            pa.scalar(3, type=pa.int64()),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+@query(
+    "top_orders_per_customer",
+    sql="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 2
+""",
+)
+def top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Windowed top-k per group (row_number PARTITION BY): coarse-bucket
+    shuffle on the partition key, one vectorized rank pass per bucket."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def rank_body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        cust = g["o_custkey"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(g)]]))
+        rnk = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+        out = g[["o_custkey", "o_orderkey", "o_totalprice"]].copy()
+        out["rnk"] = rnk + 1
+        return out[rnk < 2]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_body, batch_format="pandas")
+    )
+
+
+@query(
+    "asof_join_events_orders",
+    sql="""
+WITH e AS (
+  SELECT event_id, user_id,
+    TIMESTAMP '1995-01-01' + INTERVAL ((event_id % 2400)) DAY AS ed
+  FROM events
+), o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS matched_date
+FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ed >= o.o_orderdate
+""",
+)
+def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
+    """As-of (backward) join: each event (with a derived event date) to the
+    latest order of the matching customer at or before that date. Both
+    sides co-partition on the by-key through one coarse-bucket shuffle;
+    each bucket runs one vectorized ``pandas.merge_asof``. Date ties are
+    pre-collapsed to max(o_orderkey) so the match is deterministic."""
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    num_buckets = 16
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "o_orderkey": pa.nulls(t.num_rows, type=pa.int64()),
+                "o_orderdate": pa.nulls(t.num_rows, type=pa.timestamp("us")),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "_bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": pa.nulls(t.num_rows, type=pa.int64()),
+                "user_id": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "_bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    both = events.map_batches(prep_events, batch_format="pyarrow").union(
+        orders.map_batches(prep_orders, batch_format="pyarrow")
+    )
+
+    def asof_body(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_side"] == 0][["event_id", "user_id"]].copy()
+        o = g[g["_side"] == 1][["user_id", "o_orderdate", "o_orderkey"]].copy()
+        e["ed"] = (
+            pd.Timestamp("1995-01-01")
+            + pd.to_timedelta(e["event_id"].to_numpy() % 2400, unit="D")
+        ).astype(o["o_orderdate"].dtype)
+        # collapse date ties deterministically: max orderkey per (cust, date)
+        o = (
+            o.sort_values(["user_id", "o_orderdate", "o_orderkey"], kind="mergesort")
+            .drop_duplicates(["user_id", "o_orderdate"], keep="last")
+        )
+        e = e.sort_values("ed", kind="mergesort")
+        o = o.sort_values("o_orderdate", kind="mergesort")
+        m = pd.merge_asof(
+            e,
+            o,
+            left_on="ed",
+            right_on="o_orderdate",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype(np.int64),
+                "user_id": m["user_id"].astype(np.int64),
+                "o_orderkey": m["o_orderkey"].astype(np.int64),
+                "matched_date": m["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    return both.groupby("_bucket").map_groups(asof_body, batch_format="pandas")
+
+
+@query(
+    "date_functions_orders",
+    sql="""
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mon,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+)
+def date_functions_orders(sf_dir: str) -> ray.data.Dataset:
+    """Date/time scalar kernels (year/month/day/isodow/quarter/date math)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        due = pc.add(d, pa.scalar(datetime.timedelta(days=90)))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "yr": pc.cast(pc.year(d), pa.int64()),
+                "mon": pc.cast(pc.month(d), pa.int64()),
+                "dom": pc.cast(pc.day(d), pa.int64()),
+                "dow_iso": pc.cast(
+                    pc.day_of_week(d, count_from_zero=False, week_start=1), pa.int64()
+                ),
+                "qtr": pc.cast(pc.quarter(d), pa.int64()),
+                "due_date": pc.strftime(due, format="%Y-%m-%d"),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+@query(
+    "math_functions_lineitem",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+  sqrt(l_quantity) AS qty_sqrt,
+  l_quantity * l_quantity AS qty_sq,
+  abs(l_discount - 0.05) AS disc_dev,
+  ceil(l_extendedprice / 100) AS price_ceil,
+  floor(l_extendedprice / 100) AS price_floor,
+  round(l_extendedprice) AS price_round,
+  CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+FROM lineitem
+""",
+)
+def math_functions_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Math scalar kernels chosen for IEEE bit-exactness across engines
+    (sqrt/abs/ceil/floor/integer-valued round/multiply/mod)."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def fx(t: pa.Table) -> pa.Table:
+        price100 = pc.divide(t["l_extendedprice"], pa.scalar(100.0))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int32()),
+                "qty_sqrt": pc.sqrt(t["l_quantity"]),
+                "qty_sq": pc.multiply(t["l_quantity"], t["l_quantity"]),
+                "disc_dev": pc.abs(pc.subtract(t["l_discount"], pa.scalar(0.05))),
+                "price_ceil": pc.ceil(price100),
+                "price_floor": pc.floor(price100),
+                "price_round": pc.round(
+                    t["l_extendedprice"], ndigits=0, round_mode="half_towards_infinity"
+                ),
+                "key_mod7": pc.subtract(
+                    t["l_orderkey"],
+                    pc.multiply(
+                        pc.divide(t["l_orderkey"], pa.scalar(7, type=pa.int64())),
+                        pa.scalar(7, type=pa.int64()),
+                    ),
+                ),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+@query(
+    "json_extract_events",
+    sql="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+  CAST(length(props) AS BIGINT) AS props_len
+FROM events
+""",
+)
+def json_extract_events(sf_dir: str) -> ray.data.Dataset:
+    """JSON scalar extraction over the events.props column — vectorized
+    regex field extraction (no Python json.loads per row)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "k_value": k,
+                "props_len": pc.cast(pc.utf8_length(t["props"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+@query(
+    "supplier_stats_by_nation",
+    sql="""
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_suppliers,
+  CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+  CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Min/Max/Count/Avg aggregate suite with exact integer-unit money."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "bal_c": to_units(t["s_acctbal"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Min("bal_c", alias_name="min_c"),
+            Max("bal_c", alias_name="max_c"),
+            Sum("bal_c", alias_name="sum_c"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_suppliers"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "nationkey": df["nationkey"].astype(np.int64),
+                "n_suppliers": n,
+                "min_bal": units_to_double(df["min_c"], 2),
+                "max_bal": units_to_double(df["max_c"], 2),
+                "avg_bal": units_to_double(df["sum_c"], 2) / n,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query("approx_distinct_users", sql=None)
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog-style approximate COUNT(DISTINCT user_id) per event_type:
+    per-batch partial registers (the combiner), one tiny groupby on
+    (event_type, register), numpy merge + linear-counting correction.
+    Accuracy vs exact asserted in tests (sketch ops have no SQL oracle)."""
+    from ocr_ray.functions.sketch import hll_estimate, hll_partial_registers
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    partials = ds.map_batches(hll_partial_registers, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        partials.groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    out = hll_estimate(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "approx_users": pa.array(out["approx_users"], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
 
