@@ -80,6 +80,7 @@ def run_bench() -> dict:
     extracted = extract_documents(
         read_documents(corpus),
         batch_size=8192,
+        doc_batch_size=1024,
         recognizer_concurrency=(1, max(NUM_CPUS // 2, 2)),
         num_buckets=max(NUM_CPUS * 2, 16),
         two_phase=True,

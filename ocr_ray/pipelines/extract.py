@@ -32,6 +32,7 @@ def extract_documents(
     ds: ray.data.Dataset,
     *,
     batch_size: int = 8192,
+    doc_batch_size: int = 1024,
     recognizer_concurrency: int | tuple[int, int] = (1, 4),
     num_buckets: int = 64,
     two_phase: bool = False,
@@ -39,16 +40,25 @@ def extract_documents(
 ) -> ray.data.Dataset:
     """Nested corpus Dataset -> nested extracted Dataset (same schema).
 
-    ``two_phase=True`` switches reassembly to the skew-safe chunked
-    partial+final shape — required when documents can be pathologically
-    large (group > block); at 100 TB scale it should be the default.
+    ``doc_batch_size`` batches the NESTED side (one row explodes to many
+    spans) and therefore sets the task count of the fused
+    explode->normalize->recognize actor-pool stage — size it so
+    ``n_docs / doc_batch_size >> actor pool size`` or the pool starves;
+    ``batch_size`` bounds the exploded span batches. ``two_phase=True``
+    switches reassembly to the skew-safe chunked partial+final shape —
+    required when documents can be pathologically large (group > block);
+    at 100 TB scale it should be the default.
     """
-    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=batch_size)
+    # NOTE: these three fuse into ONE actor-pool operator; the largest
+    # batch_size among fused stages drives task bundling, so the Recognizer
+    # deliberately inherits the doc-level batches (one 1024-doc bundle ->
+    # one ~25k-span recognition matmul) instead of pinning its own
+    # batch_size, which would starve the pool (5 tasks for 16 actors).
+    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=doc_batch_size)
     ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
     ds = ds.map_batches(
         Recognizer,
         batch_format="pyarrow",
-        batch_size=batch_size,
         concurrency=recognizer_concurrency,
     )
     ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")

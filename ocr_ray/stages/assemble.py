@@ -104,14 +104,20 @@ def reassemble(ds: "ray.data.Dataset", *, num_buckets: int = 64) -> "ray.data.Da
 
 
 def add_chunk_bucket(batch: pa.Table, *, num_buckets: int, chunk_size: int) -> pa.Table:
+    """Salted shuffle key: mix the doc hash with the chunk index numerically
+    (no per-row string building) so one pathological document spreads over
+    many buckets while (doc, chunk) stays co-located."""
     offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
     chunk = (offs.astype(np.int64) // chunk_size).astype(np.int32)
-    ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
-    salted = ids.astype(str).astype(object)
-    salted = np.char.add(np.char.add(salted.astype(str), "#"), chunk.astype(str)).astype(object)
-    h = pd.util.hash_array(salted, categorize=False)
+    h = pd.util.hash_array(
+        np.asarray(batch["doc_id"].to_pylist(), dtype=object), categorize=False
+    )
+    with np.errstate(over="ignore"):
+        salted = h ^ (chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     out = batch.append_column("chunk_id", pa.array(chunk))
-    return out.append_column("bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+    return out.append_column(
+        "bucket", pa.array((salted % np.uint64(num_buckets)).astype(np.int32))
+    )
 
 
 def partial_assemble_bucket(group: pa.Table) -> pa.Table:
