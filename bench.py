@@ -66,10 +66,9 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from ocr_ray.corpus import ensure_corpus
-    from ocr_ray.pipelines.extract import extract_documents
+    from ocr_ray.pipelines.extract import extract_and_write
     from ocr_ray.pipelines.queries import QUERY_FNS
     from ocr_ray.sources import read_documents
-    from ocr_ray.state import write_extracted_resumable
 
     # untimed: corpus synthesis (cached across runs) + cache warm
     corpus = ensure_corpus(SF_DIR, glyphs=True, reps=BENCH_REPS)
@@ -77,8 +76,10 @@ def run_bench() -> dict:
 
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
-    extracted = extract_documents(
+    manifest, _ = extract_and_write(
         read_documents(corpus),
+        OUT_DIR,
+        num_parts=max(NUM_CPUS * 2, 16),
         batch_size=8192,
         doc_batch_size=1024,
         recognizer_concurrency=(1, max(NUM_CPUS // 2, 2)),
@@ -86,13 +87,25 @@ def run_bench() -> dict:
         two_phase=True,
         chunk_size=1024,
     )
-    manifest = write_extracted_resumable(extracted, OUT_DIR, num_parts=max(NUM_CPUS, 8))
     t_headline = time.perf_counter() - t0
     assert int(manifest["row_count"].sum()) == n_docs, (
         f"bench output rows {manifest['row_count'].sum()} != corpus docs {n_docs}"
     )
 
     q_times: dict[str, float] = {}
+    if os.environ.get("OCR_RAY_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "extraction_wall_sec",
+            "value": round(t_headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": int(n_docs),
+            "docs_per_sec": round(n_docs / t_headline, 1),
+            "bench_reps": BENCH_REPS,
+        }
     for name in QUERY_SET:
         fn = QUERY_FNS[name]
         tq = time.perf_counter()
@@ -117,8 +130,19 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """The two-parallelism-level protocol (BASELINE.md): the headline
+    pipeline only (queries skipped), on a corpus sized so compute dominates
+    fixed overhead (actor startup + shuffle setup) — the sandbox stand-in
+    for the N-vs-4N-node criterion, where a real run is hours long and
+    per-job overhead is noise."""
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            OCR_RAY_SKIP_QUERIES="1",
+            OCR_RAY_BENCH_REPS=str(int(os.environ.get("OCR_RAY_SCALING_REPS", "64"))),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -67,6 +67,53 @@ def extract_documents(
     return reassemble(ds, num_buckets=num_buckets)
 
 
+def extract_and_write(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    num_parts: int = 64,
+    batch_size: int = 8192,
+    doc_batch_size: int = 1024,
+    recognizer_concurrency: int | tuple[int, int] = (1, 4),
+    num_buckets: int = 64,
+    two_phase: bool = True,
+    chunk_size: int = 1024,
+    resume: bool = True,
+):
+    """Extraction with the resumable sink FUSED into the final reassembly
+    groupby: bucket id == fragment id, so the nested output is written by
+    the same task that assembles it — one less all-to-all than
+    ``extract_documents(...)`` + ``write_extracted_resumable(...)``.
+
+    Returns ``(manifest_df, skipped_fragments)``. With ``resume=True``,
+    fragments already committed are filtered out at the READ (no decode /
+    recognition / shuffle is spent on them).
+    """
+    from ocr_ray.state.manifest import ResumableSink, skip_completed_partitions
+
+    skipped = 0
+    if resume:
+        ds, skipped = skip_completed_partitions(ds, out_dir, num_parts)
+    sink = ResumableSink(out_dir)
+    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=doc_batch_size)
+    ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        Recognizer, batch_format="pyarrow", concurrency=recognizer_concurrency
+    )
+    ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")
+    if two_phase:
+        manifest = reassemble_two_phase(
+            ds,
+            num_buckets=num_buckets,
+            chunk_size=chunk_size,
+            final_buckets=num_parts,
+            sink=sink,
+        )
+    else:
+        manifest = reassemble(ds, num_buckets=num_parts, sink=sink)
+    return manifest.to_pandas(), skipped
+
+
 def extract_spans_flat(
     ds: ray.data.Dataset,
     **kwargs,

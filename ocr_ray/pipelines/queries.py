@@ -1071,6 +1071,149 @@ def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pandas")
 
 
+@query(
+    "events_tumbling_5min",
+    sql="""
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M') AS window_start,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY window_start, event_type
+""",
+)
+def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate (5-min windows) — the finite-log idiom for
+    the reference's absent streaming surface: window id is pure integer
+    arithmetic on the epoch, then a standard partial+final groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    w_us = 5 * 60 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        start = pc.multiply(pc.divide(epoch, pa.scalar(w_us, type=pa.int64())), pa.scalar(w_us, type=pa.int64()))
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    pc.cast(start, pa.timestamp("us")), format="%Y-%m-%d %H:%M"
+                ),
+                "event_type": t["event_type"],
+                "value_c": to_units(t["value"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": units_to_double(df["value_c"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "events_hopping_10min",
+    sql="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE AS w, value FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY w
+""",
+)
+def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
+    """Hopping windows (size 10 min, hop 5 min): each event replicates into
+    its two overlapping windows inside map_batches (flat-map shape), then
+    one groupby — replication happens before the shuffle, no driver loop."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    hop_us = 5 * 60 * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        b = pc.multiply(pc.divide(epoch, pa.scalar(hop_us, type=pa.int64())), pa.scalar(hop_us, type=pa.int64()))
+        value_c = to_units(t["value"])
+        starts = pa.concat_arrays(
+            [
+                pc.cast(b, pa.int64()).combine_chunks(),
+                pc.subtract(b, pa.scalar(hop_us, type=pa.int64())).combine_chunks(),
+            ]
+        )
+        vals = pa.concat_arrays([value_c.combine_chunks()] * 2)
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    pc.cast(starts, pa.timestamp("us")), format="%Y-%m-%d %H:%M"
+                ),
+                "value_c": vals,
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": df["window_start"],
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": units_to_double(df["value_c"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "doc_tokens_exploded",
+    sql="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, unnest(ws) AS token,
+  CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos
+FROM s
+""",
+)
+def doc_tokens_exploded(sf_dir: str) -> ray.data.Dataset:
+    """Unnest/explode: one output row per token with its position — the
+    flat_map primitive, fully inside Arrow kernels."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), parents),
+                "token": pc.list_flatten(toks),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 @query("approx_distinct_users", sql=None)
 def approx_distinct_users(sf_dir: str) -> pa.Table:
     """HyperLogLog-style approximate COUNT(DISTINCT user_id) per event_type:

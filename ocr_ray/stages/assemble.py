@@ -82,12 +82,35 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
     return implode_spans(first_doc_ids, span_tbl, list_offsets)
 
 
-def reassemble(ds: "ray.data.Dataset", *, num_buckets: int = 64) -> "ray.data.Dataset":
-    """Exploded spans Dataset -> nested documents Dataset (the shuffle)."""
+def _with_sink(body, sink):
+    """Wrap a per-bucket reassembly body so the bucket's nested output is
+    committed to its fragment INSIDE the same group task (fused sink —
+    bucket id == partition id, no extra shuffle between reassembly and
+    write; the group result becomes the manifest row)."""
+    if sink is None:
+        return body
+
+    def fused(group: pa.Table) -> pa.Table:
+        part = int(group["bucket"][0].as_py())
+        return sink.write(body(group), part)
+
+    return fused
+
+
+def reassemble(
+    ds: "ray.data.Dataset", *, num_buckets: int = 64, sink=None
+) -> "ray.data.Dataset":
+    """Exploded spans Dataset -> nested documents Dataset (the shuffle).
+
+    With ``sink`` (a ``ResumableSink``), each bucket is also written as
+    output fragment ``bucket`` in the same task and the returned Dataset
+    carries the manifest rows instead of the documents."""
     ds = ds.map_batches(
         add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
     )
-    return ds.groupby("bucket").map_groups(reassemble_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        _with_sink(reassemble_bucket, sink), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -232,16 +255,23 @@ def reassemble_two_phase(
     *,
     num_buckets: int = 64,
     chunk_size: int = 1024,
+    final_buckets: int | None = None,
+    sink=None,
 ) -> "ray.data.Dataset":
     """Skew-safe reassembly: chunk-level partial assembly, then doc-level
-    merge. Two bounded shuffles instead of one unbounded-group shuffle."""
+    merge. Two bounded shuffles instead of one unbounded-group shuffle.
+    ``final_buckets`` sets the doc-level bucket count (== output fragment
+    count when ``sink`` is given)."""
     ds = ds.map_batches(
         add_chunk_bucket,
         batch_format="pyarrow",
         fn_kwargs={"num_buckets": num_buckets, "chunk_size": chunk_size},
     )
     partial = ds.groupby("bucket").map_groups(partial_assemble_bucket, batch_format="pyarrow")
+    nb2 = final_buckets if final_buckets is not None else max(num_buckets // 4, 1)
     partial = partial.map_batches(
-        add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": max(num_buckets // 4, 1)}
+        add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": nb2}
     )
-    return partial.groupby("bucket").map_groups(merge_chunks_bucket, batch_format="pyarrow")
+    return partial.groupby("bucket").map_groups(
+        _with_sink(merge_chunks_bucket, sink), batch_format="pyarrow"
+    )

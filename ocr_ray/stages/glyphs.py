@@ -116,24 +116,54 @@ class Recognizer:
         bounds = np.concatenate([[0], np.cumsum(lengths)])
         return [text[bounds[i] : bounds[i + 1]] for i in range(len(lengths))]
 
+    def decode_binary_array(self, pay: pa.Array) -> pa.Array:
+        """Decode a (large_)binary array of glyph payloads to a string array
+        with NO per-row Python: slice the value buffer directly, one matmul
+        over all cells, rebuild the string array from raw buffers (the
+        recognized bytes ARE the utf8 data; offsets are payload offsets/8)."""
+        if len(pay) == 0:
+            return pa.array([], type=pa.large_string())
+        off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+        offs = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+            pay.offset : pay.offset + len(pay) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+        cells = data[offs[0] : offs[-1]].reshape(-1, GLYPH_DIM)
+        codes = self.recognize_cells(cells)
+        text_offs = (offs - offs[0]) // GLYPH_DIM
+        return pa.Array.from_buffers(
+            pa.large_utf8(),
+            len(pay),
+            [None, pa.py_buffer(text_offs.tobytes()), pa.py_buffer(codes.tobytes())],
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "payload" not in batch.column_names or batch.num_rows == 0:
-            return batch
-        kind = batch["kind"]
+            return batch.drop_columns(
+                [c for c in ("payload",) if c in batch.column_names]
+            )
+        kind = batch["kind"].combine_chunks()
         mask = pc.equal(kind, KIND_GLYPHS)
         n_glyph = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
         if n_glyph == 0:
             return batch.drop_columns(["payload"])
-        mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
-        payloads = batch["payload"].to_pylist()
+        mask_np = mask.to_numpy(zero_copy_only=False)
         glyph_idx = np.flatnonzero(mask_np)
-        decoded = self.decode_payloads([payloads[i] for i in glyph_idx])
-        text = batch["text"].to_pylist()
-        for i, s in zip(glyph_idx, decoded):
-            text[i] = s
-        kind_np = np.asarray(batch["kind"].to_pylist(), dtype=object)
-        kind_np[glyph_idx] = KIND_TEXT
+        pay = batch["payload"].combine_chunks().filter(mask)
+        decoded = self.decode_binary_array(pay)
+        # scatter decoded back: concat(non-glyph text, decoded) then take in
+        # original row order — pure Arrow kernels, no Python per row.
+        other_idx = np.flatnonzero(~mask_np)
+        text = batch["text"].combine_chunks()
+        merged_text = pa.concat_arrays(
+            [text.filter(pc.invert(mask)).cast(pa.large_string()), decoded]
+        )
+        order = np.empty(batch.num_rows, dtype=np.int64)
+        order[other_idx] = np.arange(len(other_idx))
+        order[glyph_idx] = len(other_idx) + np.arange(len(glyph_idx))
+        new_text = pc.take(merged_text, pa.array(order)).cast(pa.string())
+        new_kind = pc.if_else(mask, pa.scalar(KIND_TEXT), kind)
         out = batch.drop_columns(["payload", "text", "kind"])
-        out = out.append_column("kind", pa.array(kind_np, type=pa.string()))
-        out = out.append_column("text", pa.array(text, type=pa.string()))
+        out = out.append_column("kind", new_kind)
+        out = out.append_column("text", new_text)
         return out

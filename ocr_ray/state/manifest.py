@@ -96,9 +96,17 @@ class ResumableSink:
         self.out_dir = out_dir
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
         part = int(group["_part"][0].as_py())
-        tbl = group.drop_columns(["_part"])
+        return self.write(group.drop_columns(["_part"]), part)
+
+    def write(self, tbl: pa.Table, part: int) -> pa.Table:
+        """Commit one fragment + its lineage record; returns manifest row.
+
+        Callable directly from a reassembly group body (fused sink — no
+        extra shuffle between reassembly and write) or via ``__call__``
+        on ``_part``-tagged nested tables.
+        """
+        t0 = time.perf_counter()
         pdir = Path(self.out_dir) / f"part={part:05d}"
         pdir.mkdir(parents=True, exist_ok=True)
         tmp = pdir / f".tmp-{uuid.uuid4().hex}.parquet"

@@ -144,3 +144,26 @@ def test_two_phase_agrees_with_single_phase(sf_smoke):
     assert set(da) == set(db)
     for d in da:
         assert span_sequences_equal(da[d], db[d]), d
+
+
+def test_fused_extract_and_write_matches_oracle(sf_smoke, tmp_path):
+    from ocr_ray.pipelines.extract import extract_and_write
+
+    corpus = ensure_corpus(sf_smoke, glyphs=True)
+    out = str(tmp_path / "fused")
+    m, skipped = extract_and_write(
+        read_documents(corpus), out, num_parts=8, recognizer_concurrency=2,
+        num_buckets=8, two_phase=True, chunk_size=64,
+    )
+    assert skipped == 0 and int(m["row_count"].sum()) > 0
+    got = docs_table_to_dict(_read_all_fragments(out))
+    want = expected_extraction(sf_smoke)
+    assert sorted(got) == sorted(want)
+    for d in want:
+        assert span_sequences_equal(got[d], want[d]), d
+    # resume: second run skips everything
+    m2, skipped2 = extract_and_write(
+        read_documents(corpus), out, num_parts=8, recognizer_concurrency=2,
+        num_buckets=8, two_phase=True, chunk_size=64,
+    )
+    assert skipped2 == 8 and len(m2) == 0
