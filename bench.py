@@ -82,7 +82,7 @@ def run_bench() -> dict:
         num_parts=max(NUM_CPUS * 2, 16),
         batch_size=8192,
         doc_batch_size=1024,
-        recognizer_concurrency=(1, max(NUM_CPUS // 2, 2)),
+        recognizer_concurrency=max(NUM_CPUS // 2, 2),
         num_buckets=max(NUM_CPUS * 2, 16),
         two_phase=True,
         chunk_size=1024,

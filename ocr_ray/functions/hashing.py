@@ -1,0 +1,72 @@
+"""Vectorized string hashing for partitioning and checksums.
+
+One implementation shared by the reassembly bucketer, the resumable-sink
+partitioner and the lineage checksum, so "which fragment owns doc X" has
+exactly one answer everywhere (the single-assignment invariant depends on
+it). Hashes are computed straight off Arrow utf8 value buffers — no
+Python string materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_BASE = np.uint64(1_000_003)
+_EMPTY_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_utf8_column(arr) -> np.ndarray:
+    """Per-row uint64 polynomial hash of a string/binary Arrow array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].astype(
+        np.uint64
+    )
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    out = np.full(len(arr), _EMPTY_SEED, dtype=np.uint64)
+    if len(data) == 0:
+        return out
+    max_len = int(lens.max())
+    powers = np.ones(max(max_len, 1), dtype=np.uint64)
+    if max_len > 1:
+        powers[1:] = _BASE
+        with np.errstate(over="ignore"):
+            powers = np.cumprod(powers, dtype=np.uint64)
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    with np.errstate(over="ignore"):
+        terms = data * powers[pos]
+        nonempty = lens > 0
+        out[nonempty] += np.add.reduceat(terms, offs[:-1][nonempty])
+    return out
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — spreads the polynomial hash before modulo."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def doc_bucket(doc_ids, num_buckets: int) -> np.ndarray:
+    """THE doc_id -> bucket/partition function (int32). Used by reassembly
+    bucketing AND the resumable sink's partition filter — identical by
+    construction."""
+    if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        doc_ids = pa.array(list(doc_ids), type=pa.string())
+    h = mix64(hash_utf8_column(doc_ids))
+    return (h % np.uint64(num_buckets)).astype(np.int32)

@@ -33,13 +33,17 @@ def extract_documents(
     *,
     batch_size: int = 8192,
     doc_batch_size: int = 1024,
-    recognizer_concurrency: int | tuple[int, int] = (1, 4),
+    recognizer_concurrency: int | tuple[int, int] = 2,
     num_buckets: int = 64,
     two_phase: bool = False,
     chunk_size: int = 1024,
 ) -> ray.data.Dataset:
     """Nested corpus Dataset -> nested extracted Dataset (same schema).
 
+    A FIXED actor-pool size (int) avoids the autoscaling ramp that
+    serializes small runs, but the pool reserves its CPUs for the whole
+    execution: size it STRICTLY below the cluster/session CPU count or
+    upstream read/shuffle tasks starve and the pipeline deadlocks.
     ``doc_batch_size`` batches the NESTED side (one row explodes to many
     spans) and therefore sets the task count of the fused
     explode->normalize->recognize actor-pool stage — size it so
@@ -74,7 +78,7 @@ def extract_and_write(
     num_parts: int = 64,
     batch_size: int = 8192,
     doc_batch_size: int = 1024,
-    recognizer_concurrency: int | tuple[int, int] = (1, 4),
+    recognizer_concurrency: int | tuple[int, int] = 2,
     num_buckets: int = 64,
     two_phase: bool = True,
     chunk_size: int = 1024,

@@ -36,10 +36,11 @@ if True:  # typing-only import kept lazy for ray worker pickling
 
 
 def hash_bucket(ids: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
-    """Deterministic uint64 hash of a string column -> int32 bucket ids."""
-    arr = np.asarray(ids.to_pylist() if hasattr(ids, "to_pylist") else ids, dtype=object)
-    h = pd.util.hash_array(arr, categorize=False)
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+    """Deterministic uint64 hash of a string column -> int32 bucket ids
+    (shared with the resumable sink's partitioner — see functions/hashing)."""
+    from ocr_ray.functions.hashing import doc_bucket
+
+    return doc_bucket(ids, num_buckets)
 
 
 def add_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
@@ -130,11 +131,11 @@ def add_chunk_bucket(batch: pa.Table, *, num_buckets: int, chunk_size: int) -> p
     """Salted shuffle key: mix the doc hash with the chunk index numerically
     (no per-row string building) so one pathological document spreads over
     many buckets while (doc, chunk) stays co-located."""
+    from ocr_ray.functions.hashing import hash_utf8_column, mix64
+
     offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
     chunk = (offs.astype(np.int64) // chunk_size).astype(np.int32)
-    h = pd.util.hash_array(
-        np.asarray(batch["doc_id"].to_pylist(), dtype=object), categorize=False
-    )
+    h = mix64(hash_utf8_column(batch["doc_id"]))
     with np.errstate(over="ignore"):
         salted = h ^ (chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     out = batch.append_column("chunk_id", pa.array(chunk))

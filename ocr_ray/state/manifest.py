@@ -39,20 +39,19 @@ ENGINE_VERSION = "ocr_ray-0.1.0"
 
 
 def partition_of(doc_ids, num_parts: int) -> np.ndarray:
-    arr = np.asarray(
-        doc_ids.to_pylist() if hasattr(doc_ids, "to_pylist") else doc_ids, dtype=object
-    )
-    h = pd.util.hash_array(arr, categorize=False)
-    return (h % np.uint64(num_parts)).astype(np.int32)
+    from ocr_ray.functions.hashing import doc_bucket
+
+    return doc_bucket(doc_ids, num_parts)
 
 
 def _span_checksum(tbl: pa.Table) -> int:
-    """Order-insensitive uint64 checksum over (doc_id, span content).
-
-    Vectorized: explode spans with Arrow kernels, join the identity fields
-    into one string column, hash with pandas' siphash, wrap-sum.
-    """
+    """Order-insensitive uint64 checksum over (doc_id, span content) —
+    vectorized field-wise polynomial hashes mixed with distinct odd
+    multipliers, wrap-summed (order-insensitive so fragment-internal row
+    order never matters)."""
     import pyarrow.compute as pc
+
+    from ocr_ray.functions.hashing import hash_utf8_column
 
     spans = tbl["spans"].combine_chunks()
     parent = pc.list_parent_indices(spans)
@@ -60,16 +59,14 @@ def _span_checksum(tbl: pa.Table) -> int:
         return 0
     doc_id = pc.take(tbl["doc_id"].combine_chunks(), parent)
     flat = pc.list_flatten(spans)
-    joined = pc.binary_join_element_wise(
-        doc_id,
-        pc.struct_field(flat, "kind"),
-        pc.struct_field(flat, "text"),
-        pc.struct_field(flat, "media_ref"),
-        pc.cast(pc.struct_field(flat, "offset"), pa.string()),
-        "\x1f",
-    )
-    h = pd.util.hash_array(np.asarray(joined.to_pylist(), dtype=object))
-    return int(h.sum(dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        h = hash_utf8_column(doc_id) * np.uint64(0xA24BAED4963EE407)
+        h ^= hash_utf8_column(pc.struct_field(flat, "kind")) * np.uint64(0x9FB21C651E98DF25)
+        h ^= hash_utf8_column(pc.struct_field(flat, "text")) * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= hash_utf8_column(pc.struct_field(flat, "media_ref")) * np.uint64(0x165667B19E3779F9)
+        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h ^= (offs + np.uint64(1)) * np.uint64(0x27D4EB2F165667C5)
+        return int(h.sum(dtype=np.uint64))
 
 
 def load_manifest(out_dir: str) -> dict[int, dict]:
