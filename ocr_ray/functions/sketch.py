@@ -68,6 +68,36 @@ def hll_partial_registers(batch: pa.Table, *, group_col: str = "event_type", key
     )
 
 
+MG_CAPACITY = 256
+
+
+def misra_gries_partial(batch: pa.Table, *, col: str = "text", k: int = MG_CAPACITY) -> pa.Table:
+    """Misra-Gries summary of one batch's token stream (bounded to ``k``
+    counters). Summaries merge by counter addition and keep the
+    frequent-item guarantee (any item with global frequency > N/k appears
+    in the merged summary); counts are lower bounds, so callers recount
+    the surviving candidates exactly."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch[col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pd.Series(pc.list_flatten(toks).to_pylist())
+    counts = flat.value_counts()
+    if len(counts) > k:
+        # decrement-by-threshold: subtract the (k+1)-th largest count from
+        # all, keep positives — the batched equivalent of MG decrements.
+        thresh = counts.iloc[k]
+        counts = (counts - thresh).iloc[:k]
+        counts = counts[counts > 0]
+    return pa.table(
+        {
+            "token": pa.array(counts.index, type=pa.string()),
+            "count": pa.array(counts.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
     """(event_type, register, rho) merged rows -> per-group estimates."""
     out_groups: list[str] = []

@@ -1214,6 +1214,145 @@ def doc_tokens_exploded(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+@query(
+    "q6_forecast_revenue",
+    sql="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-style global aggregate: vectorized filter + exact
+    integer-unit partial sums per batch, one tiny driver-side reduce."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"]
+    )
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c = to_units(t["l_discount"])
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(3, type=pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(5, type=pa.int64())),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t2 = t.filter(mask)
+        rev_u4 = pc.multiply(to_units(t2["l_extendedprice"]), to_units(t2["l_discount"]))
+        return pa.table({"rev_u4": pa.array([pc.sum(rev_u4).as_py() or 0], type=pa.int64())})
+
+    total = sum(
+        r["rev_u4"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    return pa.table({"revenue": pa.array([total / 1e4], type=pa.float64())})
+
+
+@query(
+    "orders_rollup_year_status",
+    sql="""
+SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+""",
+)
+def orders_rollup_year_status(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP hierarchy (year, status) -> the partial+final idiom: ONE
+    fine-grained distributed groupby, then the two coarser levels fold
+    from the (tiny) finest level — no second pass over the data."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.string()),
+                "status": t["o_orderstatus"],
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["yr", "status"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .to_pandas()
+    )
+    lvl1 = (
+        fine.groupby("yr", as_index=False)[["n_orders", "price_c"]].sum().assign(status="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {"yr": ["ALL"], "status": ["ALL"], "n_orders": [fine["n_orders"].sum()],
+         "price_c": [fine["price_c"].sum()]}
+    )
+    allv = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    return pa.table(
+        {
+            "yr": pa.array(allv["yr"], type=pa.string()),
+            "status": pa.array(allv["status"], type=pa.string()),
+            "n_orders": pa.array(allv["n_orders"].to_numpy(dtype=np.int64)),
+            "total_price": pa.array(units_to_double(allv["price_c"], 2)),
+        }
+    )
+
+
+@query("frequent_tokens", sql=None)
+def frequent_tokens(sf_dir: str) -> pa.Table:
+    """Misra-Gries frequent-items sketch over the corpus token stream:
+    per-batch bounded counter summaries (the combiner), merged driver-side,
+    exact-recount verification of the surviving candidates via one
+    broadcast semi-filtered aggregation. Guarantees: every token with
+    frequency > N/k survives; reported counts are exact (recounted)."""
+    from ocr_ray.functions.sketch import misra_gries_partial
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partials = ds.map_batches(misra_gries_partial, batch_format="pyarrow")
+    merged = partials.to_pandas()
+    cand = merged.groupby("token")["count"].sum().nlargest(64)
+    cand_ref = ray.put(set(cand.index))
+
+    def recount(t: pa.Table) -> pa.Table:
+        keys = ray.get(cand_ref)
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks())
+        hit = flat.filter(pc.is_in(flat, value_set=pa.array(sorted(keys))))
+        df = pd.Series(hit.to_pylist()).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(df.index, type=pa.string()),
+                "count": pa.array(df.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+        .sort_values(["count", "token"], ascending=[False, True])
+        .head(32)
+    )
+    return pa.table(
+        {
+            "token": pa.array(exact["token"], type=pa.string()),
+            "count": pa.array(exact["count"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
 @query("approx_distinct_users", sql=None)
 def approx_distinct_users(sf_dir: str) -> pa.Table:
     """HyperLogLog-style approximate COUNT(DISTINCT user_id) per event_type:

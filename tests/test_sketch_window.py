@@ -79,3 +79,52 @@ def test_asof_matches_are_at_or_before_event_date(queries, sf_smoke):
     )
     matched = pd.to_datetime(df["matched_date"])
     assert (matched <= ed).all()
+
+
+def test_frequent_tokens_match_exact_top(queries, sf_smoke):
+    """MG candidates + exact recount must equal the true global top-32."""
+    import duckdb
+
+    got = _to_df(queries["frequent_tokens"](sf_smoke))
+    truth = (
+        duckdb.connect()
+        .execute(
+            "SELECT tok AS token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text,' ')) AS tok "
+            f"FROM '{sf_smoke}/documents.parquet') GROUP BY tok ORDER BY cnt DESC, tok LIMIT 32"
+        )
+        .fetchdf()
+    )
+    assert list(got["token"]) == list(truth["token"])
+    assert list(got["count"]) == list(truth["cnt"])
+
+
+def test_misra_gries_guarantee_on_synthetic_stream():
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_ray.functions.sketch import misra_gries_partial
+
+    rng = np.random.default_rng(3)
+    # heavy hitter 'hh' is >1/4 of the stream; capacity 8 must keep it
+    words = ["hh" if rng.random() < 0.3 else f"w{rng.integers(0, 500)}" for _ in range(5000)]
+    rows = [" ".join(words[i : i + 50]) for i in range(0, len(words), 50)]
+    out = misra_gries_partial(pa.table({"text": pa.array(rows)}), k=8).to_pandas()
+    assert "hh" in set(out["token"])
+
+
+def test_read_any_csv_jsonl_roundtrip(tmp_path, sf_smoke):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.readers import read_any
+
+    t = pq.read_table(f"{sf_smoke}/nation.parquet")
+    csv_p = tmp_path / "nation.csv"
+    jsonl_p = tmp_path / "nation.jsonl"
+    t.to_pandas().to_csv(csv_p, index=False)
+    t.to_pandas().to_json(jsonl_p, orient="records", lines=True)
+    a = read_any(str(csv_p), columns=["n_nationkey", "n_name"]).to_pandas()
+    b = read_any(str(jsonl_p), columns=["n_nationkey", "n_name"]).to_pandas()
+    c = t.select(["n_nationkey", "n_name"]).to_pandas()
+    for df in (a, b):
+        assert sorted(df["n_name"]) == sorted(c["n_name"])
+        assert len(df) == len(c)
