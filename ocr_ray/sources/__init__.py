@@ -1,1 +1,6 @@
-from ocr_ray.sources.readers import read_documents, read_table  # noqa: F401
+from ocr_ray.sources.readers import (  # noqa: F401
+    read_any,
+    read_documents,
+    read_table,
+    write_documents,
+)
