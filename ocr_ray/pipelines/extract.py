@@ -21,11 +21,48 @@ from __future__ import annotations
 
 import ray.data
 
-from ocr_ray.stages.assemble import reassemble, reassemble_two_phase
+from ocr_ray.stages.assemble import (
+    _with_sink,
+    add_bucket,
+    add_chunk_bucket,
+    merge_chunks_bucket,
+    partial_assemble_bucket,
+    reassemble,
+    reassemble_bucket,
+    reassemble_two_phase,
+)
 from ocr_ray.stages.boilerplate import strip_boilerplate
 from ocr_ray.stages.explode import explode_documents
 from ocr_ray.stages.glyphs import Recognizer
 from ocr_ray.stages.normalize import normalize_spans
+
+
+class ExtractMapper:
+    """The whole pre-shuffle chain (explode -> normalize -> recognize ->
+    strip -> bucket-tag) as ONE actor-pool stage.
+
+    Ray Data would fuse these five map_batches into at most two physical
+    operators (actor + task pool) with an object-store block handoff
+    between them; running them inside one ``__call__`` removes that
+    round trip entirely — measurably faster at both 8 and 32 CPUs (the
+    copy path is the single-node resource that does not scale with
+    cores). The recognizer templates still load once per actor here.
+    """
+
+    def __init__(self, *, num_buckets: int, chunked: bool = False, chunk_size: int = 1024):
+        self.rec = Recognizer()
+        self.num_buckets = num_buckets
+        self.chunked = chunked
+        self.chunk_size = chunk_size
+
+    def __call__(self, batch: "ray.data.block.DataBatch"):
+        t = explode_documents(batch)
+        t = normalize_spans(t)
+        t = self.rec(t)
+        t = strip_boilerplate(t)
+        if self.chunked:
+            return add_chunk_bucket(t, num_buckets=self.num_buckets, chunk_size=self.chunk_size)
+        return add_bucket(t, num_buckets=self.num_buckets)
 
 
 def extract_documents(
@@ -53,22 +90,28 @@ def extract_documents(
     required when documents can be pathologically large (group > block);
     at 100 TB scale it should be the default.
     """
-    # NOTE: these three fuse into ONE actor-pool operator; the largest
-    # batch_size among fused stages drives task bundling, so the Recognizer
-    # deliberately inherits the doc-level batches (one 1024-doc bundle ->
-    # one ~25k-span recognition matmul) instead of pinning its own
-    # batch_size, which would starve the pool (5 tasks for 16 actors).
-    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=doc_batch_size)
-    ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
     ds = ds.map_batches(
-        Recognizer,
+        ExtractMapper,
         batch_format="pyarrow",
+        batch_size=doc_batch_size,
         concurrency=recognizer_concurrency,
+        fn_constructor_kwargs={
+            "num_buckets": num_buckets,
+            "chunked": two_phase,
+            "chunk_size": chunk_size,
+        },
     )
-    ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")
     if two_phase:
-        return reassemble_two_phase(ds, num_buckets=num_buckets, chunk_size=chunk_size)
-    return reassemble(ds, num_buckets=num_buckets)
+        partial = ds.groupby("bucket").map_groups(
+            partial_assemble_bucket, batch_format="pyarrow"
+        )
+        partial = partial.map_batches(
+            add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": max(num_buckets // 4, 1)}
+        )
+        return partial.groupby("bucket").map_groups(
+            merge_chunks_bucket, batch_format="pyarrow"
+        )
+    return ds.groupby("bucket").map_groups(reassemble_bucket, batch_format="pyarrow")
 
 
 def extract_and_write(
@@ -99,22 +142,31 @@ def extract_and_write(
     if resume:
         ds, skipped = skip_completed_partitions(ds, out_dir, num_parts)
     sink = ResumableSink(out_dir)
-    ds = ds.map_batches(explode_documents, batch_format="pyarrow", batch_size=doc_batch_size)
-    ds = ds.map_batches(normalize_spans, batch_format="pyarrow")
     ds = ds.map_batches(
-        Recognizer, batch_format="pyarrow", concurrency=recognizer_concurrency
+        ExtractMapper,
+        batch_format="pyarrow",
+        batch_size=doc_batch_size,
+        concurrency=recognizer_concurrency,
+        fn_constructor_kwargs={
+            "num_buckets": num_buckets if two_phase else num_parts,
+            "chunked": two_phase,
+            "chunk_size": chunk_size,
+        },
     )
-    ds = ds.map_batches(strip_boilerplate, batch_format="pyarrow")
     if two_phase:
-        manifest = reassemble_two_phase(
-            ds,
-            num_buckets=num_buckets,
-            chunk_size=chunk_size,
-            final_buckets=num_parts,
-            sink=sink,
+        partial = ds.groupby("bucket").map_groups(
+            partial_assemble_bucket, batch_format="pyarrow"
+        )
+        partial = partial.map_batches(
+            add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_parts}
+        )
+        manifest = partial.groupby("bucket").map_groups(
+            _with_sink(merge_chunks_bucket, sink), batch_format="pyarrow"
         )
     else:
-        manifest = reassemble(ds, num_buckets=num_parts, sink=sink)
+        manifest = ds.groupby("bucket").map_groups(
+            _with_sink(reassemble_bucket, sink), batch_format="pyarrow"
+        )
     return manifest.to_pandas(), skipped
 
 
