@@ -1307,6 +1307,83 @@ def orders_rollup_year_status(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query(
+    "customers_above_nation_avg",
+    sql="""
+WITH nation_avg AS (
+  SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c JOIN nation_avg n ON c.c_nationkey = n.c_nationkey
+WHERE CAST(c.c_acctbal AS DOUBLE) > n.avg_bal
+""",
+)
+def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-subquery shape (value vs its group's aggregate): the
+    group aggregate is tiny (25 nations) so it broadcasts — one pass to
+    aggregate, one map-side filtered pass; no join shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": pc.cast(t["c_nationkey"], pa.int64()), "bal_c": to_units(t["c_acctbal"])}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("bal_c", alias_name="sum_c"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    avg_by_nation = {
+        int(k): units_to_double(np.array([s]), 2)[0] / n
+        for k, s, n in zip(agg["c_nationkey"], agg["sum_c"], agg["n"])
+    }
+    avg_ref = ray.put(avg_by_nation)
+
+    class AboveAvg:
+        def __init__(self, ref):
+            self.avg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            thresh = np.array([self.avg[int(k)] for k in keys])
+            keep = t["c_acctbal"].to_numpy(zero_copy_only=False) > thresh
+            return t.filter(pa.array(keep)).select(["c_custkey", "c_name", "c_acctbal"])
+
+    return ds.map_batches(
+        AboveAvg, batch_format="pyarrow", fn_constructor_args=(avg_ref,), concurrency=2
+    )
+
+
+@query(
+    "median_price_by_status",
+    sql="""
+SELECT o_orderstatus, median(o_totalprice) AS median_price, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def median_price_by_status(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group median — a holistic aggregate that genuinely needs
+    the whole group: tiny group count (order statuses) through the
+    standard coarse-group map_groups, numpy median inside."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+                "median_price": [float(np.median(g["o_totalprice"].to_numpy()))],
+                "n_orders": [len(g)],
+            }
+        )
+
+    return ds.groupby("o_orderstatus").map_groups(med, batch_format="pandas")
+
+
 @query("frequent_tokens", sql=None)
 def frequent_tokens(sf_dir: str) -> pa.Table:
     """Misra-Gries frequent-items sketch over the corpus token stream:
