@@ -408,13 +408,11 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    li_rev = (
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
-    )
+    # join RAW lineitem rows to the (semi-filtered, ~1/5) orders side, then
+    # aggregate inside the join buckets — one shuffle total instead of a
+    # full lineitem groupby followed by a join shuffle.
     joined = hash_join(
-        li_rev,
+        li.map_batches(rev, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
@@ -430,18 +428,36 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         ),
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket fold: one sort, run boundaries, reduceat
+        # sums; date/priority are constant per order (first of run).
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": [], "revenue": [], "o_orderdate": [], "o_orderpriority": []}
+            )
+        df = df.sort_values("l_orderkey", kind="mergesort")
+        keys = df["l_orderkey"].to_numpy(dtype=np.int64)
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(df["rev_u4"].to_numpy(dtype=np.int64), starts)
+        top = pd.DataFrame(
             {
-                "l_orderkey": df["l_orderkey"].astype(np.int64),
-                "revenue": units_to_double(df["rev_u4"], 4),
-                "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
-                "o_orderpriority": df["o_orderpriority"],
+                "l_orderkey": keys[starts],
+                "revenue": units_to_double(sums, 4),
+                "o_orderdate": df["o_orderdate"].to_numpy()[starts],
+                "o_orderpriority": df["o_orderpriority"].to_numpy()[starts],
             }
-        )
+        ).sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort").head(10)
+        top["o_orderdate"] = pd.to_datetime(top["o_orderdate"]).dt.strftime("%Y-%m-%d")
+        return top  # per-bucket partial top-10; final merge is tiny
 
+    # per_order emits each bucket's local top-10 (correct: an order's rows
+    # are contained in exactly one join bucket; batch_size=None maps whole
+    # bucket blocks, never splitting an order). Global top-10 merges ~160 rows.
     return (
-        joined.map_batches(finalize, batch_format="pandas")
+        joined.map_batches(per_order, batch_format="pandas", batch_size=None)
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -468,7 +484,16 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     mapping_ref = ray.put({int(k): (v,) for k, v in zip(c2n["c_custkey"], c2n["n_name"])})
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    # map orders to n_name FIRST (broadcast customer->nation lookup — no
+    # shuffle), join raw lineitem rows once, aggregate straight to the 25
+    # nation groups (map-side combine makes the final groupby tiny). One
+    # shuffle total instead of lineitem-groupby + join + groupby.
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        BroadcastLookup,
+        batch_format="pyarrow",
+        fn_constructor_args=(mapping_ref, "o_custkey", [("n_name", pa.string())]),
+        concurrency=2,
+    )
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -481,26 +506,36 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    li_rev = (
-        li.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
-    )
     joined = hash_join(
-        li_rev,
+        li.map_batches(rev, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
         num_buckets=16,
         left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
-        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
-    ).map_batches(
-        BroadcastLookup,
-        batch_format="pyarrow",
-        fn_constructor_args=(mapping_ref, "o_custkey", [("n_name", pa.string())]),
-        concurrency=(1, 2),
+        right_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "o_custkey": pa.int64(), "n_name": pa.string()}
+        ),
     )
-    agg = joined.groupby("n_name").aggregate(Sum("rev_u4", alias_name="rev_u4"))
+
+    def combine(t: pa.Table) -> pa.Table:
+        # map-side partial: one row per nation per batch
+        df = pd.DataFrame(
+            {"n_name": t["n_name"].to_pylist(), "rev_u4": t["rev_u4"].to_numpy(zero_copy_only=False)}
+        )
+        red = df.groupby("n_name", sort=False)["rev_u4"].sum().reset_index()
+        return pa.table(
+            {
+                "n_name": pa.array(red["n_name"], type=pa.string()),
+                "rev_u4": pa.array(red["rev_u4"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
+    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"n_name": df["n_name"], "revenue": units_to_double(df["rev_u4"], 4)})
