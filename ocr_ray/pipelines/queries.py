@@ -45,6 +45,19 @@ QUERY_FNS: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def load_small_table(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a SMALL (dimension/broadcast) table.
+
+    The broadcast-small-side pattern: dimension tables ship once via
+    ``ray.put``; reading them through a distributed Dataset would cost a
+    full streaming execution (~seconds of fixed overhead) to move a few MB.
+    Only ever used for sides that are broadcast afterwards.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
 def _big_spenders(sf_dir: str) -> list:
     """Distinct custkeys of orders above a price threshold (small key set,
     computed with a vectorized pre-filter then ``unique`` — broadcast side
@@ -378,13 +391,8 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
     exact revenue aggregate, deterministic top-10."""
     from ray.data.aggregate import Sum
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = {
-        r["c_custkey"]
-        for r in cust.filter(
-            expr="c_mktsegment == 'BUILDING'"
-        ).select_columns(["c_custkey"]).take_all()
-    }
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     keys_ref = ray.put(keys)
 
     orders = read_table(
@@ -479,8 +487,8 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     plus broadcast dimension lookups (customer -> nation name)."""
     from ray.data.aggregate import Sum
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     mapping_ref = ray.put({int(k): (v,) for k, v in zip(c2n["c_custkey"], c2n["n_name"])})
 
@@ -1795,14 +1803,8 @@ def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
 def _query_vectors(sf_dir: str, n: int = 8):
     from ocr_ray.functions.ann import _as_matrix
 
-    tbl = (
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        .map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(n, type=pa.int64()))),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
+    t = load_small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tbl = t.filter(pc.less(t["vec_id"], pa.scalar(n, type=pa.int64()))).to_pandas()
     tbl = tbl.sort_values("vec_id")
     qmat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
     return tbl["vec_id"].to_numpy(dtype=np.int64), qmat
@@ -1845,7 +1847,7 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
     sample = (
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).limit(256).to_pandas()
+        load_small_table(sf_dir, "embeddings", ["vec_id", "embedding"]).slice(0, 256).to_pandas()
     )
     cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
     centroids_ref = ray.put(cent)
