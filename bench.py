@@ -78,7 +78,7 @@ def run_bench() -> dict:
     # groupby (the benchmark corpus is skew-free; the two-phase chunked
     # path is the option for skewed corpora and is correctness-tested).
     # Best-of-N because this sandbox's CPU timing is noisy.
-    reps_n = int(os.environ.get("OCR_RAY_BENCH_TRIALS", "2"))
+    reps_n = int(os.environ.get("OCR_RAY_BENCH_TRIALS", "3"))
     t_headline = None
     for _ in range(max(reps_n, 1)):
         shutil.rmtree(OUT_DIR, ignore_errors=True)
