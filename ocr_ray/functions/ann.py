@@ -84,7 +84,7 @@ def brute_topk(ds, queries_ref, *, k: int = 5):
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref,),
         fn_constructor_kwargs={"k": k},
-        concurrency=(1, 4),
+        concurrency=2,
     )
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"
@@ -153,7 +153,7 @@ def ivf_topk(ds, queries_ref, centroids_ref, *, k: int = 5, nprobe: int = 4):
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref, centroids_ref),
         fn_constructor_kwargs={"k": k, "nprobe": nprobe},
-        concurrency=(1, 4),
+        concurrency=2,
     )
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"

@@ -401,7 +401,7 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         BroadcastSemiFilter,
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "o_custkey"),
-        concurrency=(1, 2),
+        concurrency=2,
     )
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -624,7 +624,7 @@ def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
         BroadcastSemiFilter,
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "c_custkey"),
-        concurrency=(1, 2),
+        concurrency=2,
     )
 
 
@@ -643,7 +643,7 @@ def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "c_custkey"),
         fn_constructor_kwargs={"anti": True},
-        concurrency=(1, 2),
+        concurrency=2,
     )
 
 
@@ -1628,7 +1628,7 @@ def _verified_pairs(ds_docs, cand_pairs, *, tau: float):
         BroadcastSemiFilter,
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "doc_id"),
-        concurrency=(1, 2),
+        concurrency=2,
     ).to_pandas()
     # precompute each involved doc's shingle set ONCE (pairs share docs)
     sets = {
@@ -1927,6 +1927,6 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 2),
+        concurrency=2,
         fn_constructor_kwargs={"fake_decode": True},
     )

@@ -114,7 +114,7 @@ def apply_stage(ds: ray.data.Dataset, name: str, **overrides: Any) -> ray.data.D
     if isinstance(engine.get("concurrency"), list):  # YAML/JSON lists -> tuple
         engine["concurrency"] = tuple(engine["concurrency"])
     if spec.stateful:
-        engine.setdefault("concurrency", (1, 2))
+        engine.setdefault("concurrency", 2)
         return ds.map_batches(
             spec.fn,
             batch_format=spec.batch_format,
