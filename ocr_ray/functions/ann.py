@@ -10,6 +10,13 @@
   in tests.
 - ``lsh_buckets`` + near-dup pairs: random-hyperplane signatures for
   cosine near-duplicate detection.
+
+Reference parity: the broadcast-query pattern re-expresses the
+reference's shared-read-only-table-by-pointer idiom
+(``/root/reference/examples/smith-waterman/smithwaterman.c:334-344``)
+distributed-safely (``ray.put`` once, fetched per actor); the partial
+top-k + tiny final merge is the tree-reduction user pattern
+(``/root/reference/examples/treesum_2level/treesum_2level.c:56-142``).
 """
 
 from __future__ import annotations

@@ -2,9 +2,14 @@
 
 One implementation shared by the reassembly bucketer, the resumable-sink
 partitioner and the lineage checksum, so "which fragment owns doc X" has
-exactly one answer everywhere (the single-assignment invariant depends on
-it). Hashes are computed straight off Arrow utf8 value buffers — no
-Python string materialization.
+exactly one answer everywhere — the engine's analogue of the reference's
+single GUID provider behind every runtime object
+(``/root/reference/src/guid/ptr/ptr-guid.c:27-52``): one authority for
+identity, here for placement. The single-assignment invariant (a doc in
+exactly one fragment; sticky events assert on double-put,
+``/root/reference/src/event/hc/hc-event.c:176-208``) depends on it.
+Hashes are computed straight off Arrow utf8 value buffers — no Python
+string materialization.
 """
 
 from __future__ import annotations
