@@ -1522,6 +1522,38 @@ def token_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "regex_token_stats",
+    sql=r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def regex_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation — the pre-tokenizer
+    shape BPE vocabularies train over). Both engines run RE2, so counts
+    match exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def fx(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_bpe_tokens": pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+@query(
     "lang_id",
     sql=None,  # heuristic classifier; verified in pytest against its own spec
 )
