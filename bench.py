@@ -87,7 +87,6 @@ def run_bench() -> dict:
             read_documents(corpus),
             OUT_DIR,
             num_parts=max(NUM_CPUS * 2, 16),
-            batch_size=8192,
             doc_batch_size=1024,
             recognizer_concurrency=max(NUM_CPUS // 2, 2),
             num_buckets=max(NUM_CPUS * 2, 16),

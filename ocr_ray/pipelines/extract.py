@@ -11,8 +11,9 @@ dependence-driven scheduling, SURVEY.md §3.1):
       -> strip_boilerplate                                   [stateless map]
       -> reassemble (hash-bucket groupby, re-index, implode) [THE shuffle]
 
-Knobs are sized for a multi-node run: ``batch_size`` bounds per-task heap
-for wide rows; ``recognizer_concurrency`` is the actor-pool size
+Knobs are sized for a multi-node run: ``doc_batch_size`` bounds per-task
+heap (one nested doc row explodes to many spans) and sets the fused
+stage's task count; ``recognizer_concurrency`` is the actor-pool size
 (templates load once per actor); ``num_buckets`` is the shuffle fan-in
 (size so a bucket fits a worker's heap, see ``stages/assemble.py``).
 """
@@ -68,7 +69,6 @@ class ExtractMapper:
 def extract_documents(
     ds: ray.data.Dataset,
     *,
-    batch_size: int = 8192,
     doc_batch_size: int = 1024,
     recognizer_concurrency: int | tuple[int, int] = 2,
     num_buckets: int = 64,
@@ -84,8 +84,8 @@ def extract_documents(
     ``doc_batch_size`` batches the NESTED side (one row explodes to many
     spans) and therefore sets the task count of the fused
     explode->normalize->recognize actor-pool stage — size it so
-    ``n_docs / doc_batch_size >> actor pool size`` or the pool starves;
-    ``batch_size`` bounds the exploded span batches. ``two_phase=True``
+    ``n_docs / doc_batch_size >> actor pool size`` or the pool starves.
+    ``two_phase=True``
     switches reassembly to the skew-safe chunked partial+final shape —
     required when documents can be pathologically large (group > block);
     at 100 TB scale it should be the default.
@@ -119,7 +119,6 @@ def extract_and_write(
     out_dir: str,
     *,
     num_parts: int = 64,
-    batch_size: int = 8192,
     doc_batch_size: int = 1024,
     recognizer_concurrency: int | tuple[int, int] = 2,
     num_buckets: int = 64,
