@@ -20,7 +20,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="ocr_ray pipeline runner")
-    p.add_argument("--config", required=True, help="YAML/JSON pipeline spec")
+    p.add_argument("--config", help="YAML/JSON pipeline spec")
     p.add_argument("--num-cpus", type=int, default=None, help="local session size")
     p.add_argument("--list-stages", action="store_true", help="print registry and exit")
     args = p.parse_args(argv)
@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
         for name, desc in list_stages().items():
             print(f"{name:24s} {desc}")
         return 0
+    if not args.config:
+        p.error("--config is required (or use --list-stages)")
 
     import ray
 
