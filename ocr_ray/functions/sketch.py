@@ -98,6 +98,45 @@ def misra_gries_partial(batch: pa.Table, *, col: str = "text", k: int = MG_CAPAC
     )
 
 
+def histogram_partial(
+    batch: pa.Table, *, col: str, lo: float, hi: float, bins: int = 4096
+) -> pa.Table:
+    """Fixed-range histogram of one batch (the mergeable quantile summary:
+    histograms merge by addition). Range [lo, hi] comes from a cheap
+    min/max pre-pass; values outside clamp to the edge bins."""
+    v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    idx = np.clip(((v - lo) / max(hi - lo, 1e-300) * bins).astype(np.int64), 0, bins - 1)
+    counts = np.bincount(idx, minlength=bins)
+    nz = np.flatnonzero(counts)
+    return pa.table(
+        {
+            "bin": pa.array(nz.astype(np.int64)),
+            "count": pa.array(counts[nz].astype(np.int64)),
+        }
+    )
+
+
+def histogram_quantiles(
+    merged: pd.DataFrame, qs: list[float], *, lo: float, hi: float, bins: int = 4096
+) -> list[float]:
+    """Quantiles from merged histogram rows (linear interpolation within a
+    bin — error bounded by bin width (hi-lo)/bins)."""
+    counts = np.zeros(bins, dtype=np.int64)
+    agg = merged.groupby("bin")["count"].sum()
+    counts[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = cum[-1]
+    width = (hi - lo) / bins
+    out = []
+    for q in qs:
+        target = q * (n - 1)
+        b = int(np.searchsorted(cum, target + 1))
+        prev = cum[b - 1] if b > 0 else 0
+        inside = (target - prev) / max(counts[b], 1)
+        out.append(lo + (b + inside) * width)
+    return out
+
+
 def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
     """(event_type, register, rho) merged rows -> per-group estimates."""
     out_groups: list[str] = []

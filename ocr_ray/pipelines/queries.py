@@ -1427,6 +1427,35 @@ def median_price_by_status(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("o_orderstatus").map_groups(med, batch_format="pandas")
 
 
+@query("approx_quantiles_totalprice", sql=None)
+def approx_quantiles_totalprice(sf_dir: str) -> pa.Table:
+    """Approximate quantiles (p10/p50/p90/p99) of o_totalprice via the
+    mergeable fixed-range histogram sketch: one cheap min/max pass, one
+    histogram-partial pass (combiner inside map_batches), tiny driver
+    merge. Error bounded by (max-min)/4096; asserted vs exact in tests."""
+    import functools
+
+    from ray.data.aggregate import Max, Min
+
+    from ocr_ray.functions.sketch import histogram_partial, histogram_quantiles
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    mm = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
+    merged = ds.map_batches(
+        functools.partial(histogram_partial, col="o_totalprice", lo=lo, hi=hi),
+        batch_format="pyarrow",
+    ).to_pandas()
+    qs = [0.1, 0.5, 0.9, 0.99]
+    vals = histogram_quantiles(merged, qs, lo=lo, hi=hi)
+    return pa.table(
+        {
+            "quantile": pa.array(qs, type=pa.float64()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
 @query("frequent_tokens", sql=None)
 def frequent_tokens(sf_dir: str) -> pa.Table:
     """Misra-Gries frequent-items sketch over the corpus token stream:

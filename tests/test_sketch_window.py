@@ -128,3 +128,20 @@ def test_read_any_csv_jsonl_roundtrip(tmp_path, sf_smoke):
     for df in (a, b):
         assert sorted(df["n_name"]) == sorted(c["n_name"])
         assert len(df) == len(c)
+
+
+def test_approx_quantiles_vs_exact(queries, sf_smoke):
+    import duckdb
+
+    got = _to_df(queries["approx_quantiles_totalprice"](sf_smoke)).set_index("quantile")
+    exact = (
+        duckdb.connect()
+        .execute(
+            "SELECT quantile_cont(o_totalprice, [0.1, 0.5, 0.9, 0.99]) AS q FROM "
+            f"'{sf_smoke}/orders.parquet'"
+        )
+        .fetchone()[0]
+    )
+    spread = max(exact) - min(exact)
+    for q, x in zip([0.1, 0.5, 0.9, 0.99], exact):
+        assert abs(got.loc[q, "value"] - x) < 0.01 * spread + 1e-9, (q, got.loc[q, "value"], x)
