@@ -1427,6 +1427,57 @@ def median_price_by_status(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("o_orderstatus").map_groups(med, batch_format="pandas")
 
 
+@query(
+    "orders_pivot_status_by_year",
+    sql="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY yr
+""",
+)
+def orders_pivot_status_by_year(sf_dir: str) -> ray.data.Dataset:
+    """Pivot via conditional aggregation: status becomes columns with
+    map-side 0/1 indicator columns summed in one groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["o_orderstatus"]
+        return pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "is_o": pc.cast(pc.equal(s, "O"), pa.int64()),
+                "is_f": pc.cast(pc.equal(s, "F"), pa.int64()),
+                "is_p": pc.cast(pc.equal(s, "P"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(
+            Sum("is_o", alias_name="n_open"),
+            Sum("is_f", alias_name="n_filled"),
+            Sum("is_p", alias_name="n_partial"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": t["yr"],
+                "n_open": pc.cast(t["n_open"], pa.int64()),
+                "n_filled": pc.cast(t["n_filled"], pa.int64()),
+                "n_partial": pc.cast(t["n_partial"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 @query("approx_quantiles_totalprice", sql=None)
 def approx_quantiles_totalprice(sf_dir: str) -> pa.Table:
     """Approximate quantiles (p10/p50/p90/p99) of o_totalprice via the
