@@ -26,7 +26,25 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ocr_ray.sizing import pool_size
+
 _RNG_SEED = 0xA11
+
+_PARTIAL_SCHEMA = pa.schema(
+    {"query_id": pa.int64(), "vec_id": pa.int64(), "score": pa.float64()}
+)
+
+
+def _partial_table(q=(), v=(), s=()) -> pa.Table:
+    """Typed partial-top-k rows — explicit types so empty batches emit the
+    SAME schema as full ones (no RefBundle schema-mismatch warnings)."""
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(q, dtype=np.int64), type=pa.int64()),
+            "vec_id": pa.array(np.asarray(v, dtype=np.int64), type=pa.int64()),
+            "score": pa.array(np.asarray(s, dtype=np.float64), type=pa.float64()),
+        }
+    )
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -55,6 +73,8 @@ class BatchTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _partial_table()
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         m = _normalize(_as_matrix(batch["embedding"]))
         scores = self.q @ m.T  # (Q, n)
@@ -66,13 +86,7 @@ class BatchTopK:
         rows_v = vids[idx.reshape(-1)]
         rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
         keep = np.isfinite(rows_s)
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q[keep]),
-                "vec_id": pa.array(rows_v[keep]),
-                "score": pa.array(rows_s[keep]),
-            }
-        )
+        return _partial_table(rows_q[keep], rows_v[keep], rows_s[keep])
 
 
 def merge_topk(group: pd.DataFrame, *, k: int) -> pd.DataFrame:
@@ -91,7 +105,7 @@ def brute_topk(ds, queries_ref, *, k: int = 5):
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref,),
         fn_constructor_kwargs={"k": k},
-        concurrency=2,
+        concurrency=pool_size(),
     )
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"
@@ -132,6 +146,8 @@ class IvfPartial:
         self.probe = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]  # (Q, nprobe)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _partial_table()
         vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         m = _normalize(_as_matrix(batch["embedding"]))
         clusters = np.argmax(m @ self.cent.T, axis=1)  # (n,)
@@ -145,13 +161,7 @@ class IvfPartial:
         rows_v = vids[idx.reshape(-1)]
         rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
         keep = np.isfinite(rows_s)
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q[keep]),
-                "vec_id": pa.array(rows_v[keep]),
-                "score": pa.array(rows_s[keep]),
-            }
-        )
+        return _partial_table(rows_q[keep], rows_v[keep], rows_s[keep])
 
 
 def ivf_topk(ds, queries_ref, centroids_ref, *, k: int = 5, nprobe: int = 4):
@@ -160,7 +170,7 @@ def ivf_topk(ds, queries_ref, centroids_ref, *, k: int = 5, nprobe: int = 4):
         batch_format="pyarrow",
         fn_constructor_args=(queries_ref, centroids_ref),
         fn_constructor_kwargs={"k": k, "nprobe": nprobe},
-        concurrency=2,
+        concurrency=pool_size(),
     )
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"

@@ -236,6 +236,90 @@ def bucketed_pairs(
     )
 
 
+def doc_shingle_lists(batch: pa.Table, *, k: int = 3) -> pa.Table:
+    """Per-doc UNIQUE-SORTED shingle-hash signatures as a list<uint64>
+    column — the distributed-verify side input (one row per doc; Jaccard
+    over these hash sets equals Jaccard over word-tuple shingle sets up to
+    u64 collisions). Fully vectorized: one Arrow split, one lexsort, one
+    run-boundary mask for the whole batch."""
+    sh, n_sh = shingle_hashes(batch["text"], k=k)
+    n_docs = len(n_sh)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+    order = np.lexsort((sh, doc_idx))
+    di, ss = doc_idx[order], sh[order]
+    keep = np.empty(len(ss), dtype=bool)
+    if len(ss):
+        keep[0] = True
+        keep[1:] = (di[1:] != di[:-1]) | (ss[1:] != ss[:-1])
+    di2, ss2 = di[keep], ss[keep]
+    counts = np.bincount(di2, minlength=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    arr = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(ss2, type=pa.uint64())
+    )
+    return pa.table({"doc_id": batch["doc_id"], "shingles": arr})
+
+
+SHINGLES_TYPE = pa.large_list(pa.uint64())
+
+
+def pairwise_jaccard_lists(col_a, col_b) -> np.ndarray:
+    """Vectorized Jaccard between row-aligned list<uint64> columns of
+    unique-sorted hash sets: |A∩B| = |A| + |B| - |A∪B|, with the union
+    counted by one lexsort + run-boundary mask over (row, value) — no
+    Python per pair."""
+    la = col_a.combine_chunks() if isinstance(col_a, pa.ChunkedArray) else col_a
+    lb = col_b.combine_chunks() if isinstance(col_b, pa.ChunkedArray) else col_b
+    n = len(la)
+    na = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = pc.list_value_length(lb).to_numpy(zero_copy_only=False).astype(np.int64)
+    va = pc.list_flatten(la).to_numpy(zero_copy_only=False).astype(np.uint64)
+    vb = pc.list_flatten(lb).to_numpy(zero_copy_only=False).astype(np.uint64)
+    rows = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), na), np.repeat(np.arange(n, dtype=np.int64), nb)]
+    )
+    vals = np.concatenate([va, vb])
+    if len(vals) == 0:
+        return np.ones(n, dtype=np.float64)
+    order = np.lexsort((vals, rows))
+    rs, vs = rows[order], vals[order]
+    new = np.empty(len(rs), dtype=np.int64)
+    new[0] = 1
+    new[1:] = ((rs[1:] != rs[:-1]) | (vs[1:] != vs[:-1])).astype(np.int64)
+    union = np.bincount(rs, weights=new, minlength=n).astype(np.int64)
+    inter = na + nb - union
+    jac = inter / np.maximum(union, 1)
+    jac[(na == 0) & (nb == 0)] = 1.0
+    return jac
+
+
+def dedup_pairs(ds, *, cols: tuple[str, str] = ("doc_a", "doc_b"), num_buckets: int | None = None):
+    """Distributed pair dedup: a (a, b) pair always hashes to one coarse
+    bucket, so per-bucket ``drop_duplicates`` is globally exact — replaces
+    the round-1 driver-side ``to_pandas().drop_duplicates()``."""
+    from ocr_ray.functions.hashing import mix64
+    from ocr_ray.sizing import default_buckets
+
+    nb = num_buckets or default_buckets()
+    a_col, b_col = cols
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = mix64(a * np.uint64(0x9E3779B97F4A7C15) + b)
+        return t.append_column("_bucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(list(cols)).drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
 def shingle_set(text: str, *, k: int = 3) -> set:
     """The k-word shingle set of one text (for cached pair verification)."""
     t = text.split(" ")

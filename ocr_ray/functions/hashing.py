@@ -26,6 +26,9 @@ def hash_utf8_column(arr) -> np.ndarray:
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
+    if arr.buffers()[2] is None:
+        # all-null/all-empty arrays (e.g. pa.nulls) carry no data buffer
+        return np.full(len(arr), _EMPTY_SEED, dtype=np.uint64)
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
     else:

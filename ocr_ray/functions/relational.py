@@ -71,21 +71,91 @@ class BroadcastLookup:
 
     ``mapping_ref`` is a ray.put of ``dict[key, tuple]``; ``out_cols`` names
     and types the appended columns. Missing keys drop the row (inner-join
-    semantics) — the reference's event-keyed assembly with a small side.
+    semantics on key MEMBERSHIP — a present key with null values keeps its
+    row) — the reference's event-keyed assembly with a small side.
+
+    The lookup index and per-column Arrow arrays are built ONCE per actor
+    in ``__init__``; ``__call__`` is a vectorized ``get_indexer`` + ``take``
+    per batch (no dict rebuild, no Python row loop).
     """
 
     def __init__(self, mapping_ref, key_col: str, out_cols: list[tuple[str, pa.DataType]]):
-        self.mapping = ray.get(mapping_ref)
+        mapping = ray.get(mapping_ref)
         self.key_col = key_col
         self.out_cols = out_cols
+        self.index = pd.Index(list(mapping.keys()))
+        vals = list(mapping.values())
+        self.columns = [
+            pa.array([v[i] for v in vals], type=typ)
+            for i, (_, typ) in enumerate(out_cols)
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = pd.Series(batch[self.key_col].to_pylist())
-        for i, (name, typ) in enumerate(self.out_cols):
-            mapped = keys.map({k: v[i] for k, v in self.mapping.items()})
-            batch = batch.append_column(name, pa.array(mapped, type=typ))
-        # inner-join semantics: drop rows that missed every lookup column
-        return batch.filter(pc.is_valid(batch[self.out_cols[0][0]]))
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        pos = self.index.get_indexer(keys)
+        hit = pos >= 0
+        batch = batch.filter(pa.array(hit))
+        idx = pa.array(pos[hit], type=pa.int64())
+        for (name, _), col in zip(self.out_cols, self.columns):
+            batch = batch.append_column(name, pc.take(col, idx))
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# distributed set ops (UNION / INTERSECT / EXCEPT over large inputs)
+# ---------------------------------------------------------------------------
+
+
+def set_op(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    op: str,
+    num_buckets: int = 32,
+    key_type: pa.DataType | None = None,
+    out_name: str | None = None,
+):
+    """SQL set semantics (distinct rows) over two LARGE key columns with ONE
+    shuffle: tag sides, union, coarse-bucket on ``hash(key)``, and emit per
+    bucket by side membership — every occurrence of a key lands in exactly
+    one bucket, so per-bucket distinct + membership is globally correct.
+    Output column is named ``out_name`` (default ``on``)."""
+    assert op in ("union", "intersect", "except"), op
+    right_on = right_on or on
+    out_col = out_name or on
+
+    def tag(side: int, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[col]
+            if key_type is not None:
+                key = pc.cast(key, key_type)
+            out = pa.table({out_col: key})
+            out = out.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+            return out.append_column(
+                "_bucket", pa.array(_key_hash(out[out_col], num_buckets))
+            )
+
+        return fn
+
+    both = left.map_batches(tag(0, on), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on), batch_format="pyarrow")
+    )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        lk = g.loc[g["_side"] == 0, out_col].drop_duplicates()
+        if op == "union":
+            keys = pd.concat([lk, g.loc[g["_side"] == 1, out_col]]).drop_duplicates()
+        else:
+            rset = g.loc[g["_side"] == 1, out_col].drop_duplicates()
+            hit = lk.isin(set(rset))
+            keys = lk[hit] if op == "intersect" else lk[~hit]
+        return pd.DataFrame({out_col: keys.reset_index(drop=True)})
+
+    return both.groupby("_bucket").map_groups(body, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +183,8 @@ def hash_join(
     suffix: str = "_r",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    bucket_post=None,
+    post_schema: pa.Schema | None = None,
 ):
     """Distributed equality join on one key column, Ray-Data-first.
 
@@ -123,17 +195,31 @@ def hash_join(
     partitioning discipline as the engine's groupbys: bucket count is the
     scale knob, hot keys are bounded by the merge being per-bucket (not
     per-key), and no extra actor pool is spun up per join call.
+
+    ``how`` supports inner/left/right/full (outer fills are null-typed by
+    the explicit output schema, so per-bucket outputs stay identical).
+
+    ``bucket_post(df) -> df`` (with ``post_schema``) runs INSIDE the
+    per-bucket body on the complete joined bucket — the hook for
+    aggregations that need every row of a key together (a key lives in
+    exactly one bucket, whereas downstream blocks may be dynamically
+    split by the executor, so "one key = one batch" only holds here).
     """
-    assert how in ("inner", "left"), how
+    assert how in ("inner", "left", "right", "full"), how
+    pd_how = "outer" if how == "full" else how
     right_on = right_on or on
     # ds.schema() EXECUTES the upstream plan for computed datasets — pass
     # explicit schemas whenever the side isn't a bare read.
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
+    # rename EVERY right column that collides with a left name, except the
+    # shared-key case (right_on == on) where both sides write one field.
     rename = {
-        n: (n + suffix if n != right_on and n in lnames else n) for n in rschema.names
+        n: (n + suffix if n in lnames and not (n == right_on and right_on == on) else n)
+        for n in rschema.names
     }
+    right_key = rename[right_on]
     rnames = [rename[n] for n in rschema.names]
     full_fields: list[tuple[str, pa.DataType]] = [
         (n, lschema.types[lschema.names.index(n)]) for n in lnames
@@ -169,16 +255,21 @@ def hash_join(
 
     lcols = list(lnames)
     rcols = list(rnames)
-    out_names = lcols + [c for c in rcols if c != right_on or right_on != on]
+    out_names = lcols + [c for c in rcols if c not in lcols]
     types = dict(full_fields)
     out_schema = pa.schema([(n, types[n]) for n in out_names])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lt = g.filter(pc.equal(g["_side"], 0)).select(lcols)
         rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
-        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on, right_on=right_on, how=how)
+        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on, right_on=right_key, how=pd_how)
+        out = out[out_names]
+        if bucket_post is not None:
+            return pa.Table.from_pandas(
+                bucket_post(out), schema=post_schema, preserve_index=False
+            )
         # explicit schema keeps per-bucket outputs identical (empty buckets,
         # NaN-induced dtype drift on outer rows)
-        return pa.Table.from_pandas(out[out_names], schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -126,6 +126,8 @@ def histogram_quantiles(
     counts[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
     cum = np.cumsum(counts)
     n = cum[-1]
+    if n == 0:
+        return [float("nan")] * len(qs)
     width = (hi - lo) / bins
     out = []
     for q in qs:

@@ -39,6 +39,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 QUERY_FNS: dict[str, Callable[[str], Any]] = {}
@@ -401,7 +402,7 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         BroadcastSemiFilter,
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "o_custkey"),
-        concurrency=2,
+        concurrency=pool_size(),
     )
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -415,26 +416,6 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
                 "rev_u4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
             }
         )
-
-    # join RAW lineitem rows to the (semi-filtered, ~1/5) orders side, then
-    # aggregate inside the join buckets — one shuffle total instead of a
-    # full lineitem groupby followed by a join shuffle.
-    joined = hash_join(
-        li.map_batches(rev, batch_format="pyarrow"),
-        orders,
-        on="l_orderkey",
-        right_on="o_orderkey",
-        num_buckets=16,
-        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
-        right_schema=pa.schema(
-            {
-                "o_orderkey": pa.int64(),
-                "o_custkey": pa.int64(),
-                "o_orderdate": pa.timestamp("us"),
-                "o_orderpriority": pa.string(),
-            }
-        ),
-    )
 
     def per_order(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-bucket fold: one sort, run boundaries, reduceat
@@ -461,14 +442,38 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         top["o_orderdate"] = pd.to_datetime(top["o_orderdate"]).dt.strftime("%Y-%m-%d")
         return top  # per-bucket partial top-10; final merge is tiny
 
-    # per_order emits each bucket's local top-10 (correct: an order's rows
-    # are contained in exactly one join bucket; batch_size=None maps whole
-    # bucket blocks, never splitting an order). Global top-10 merges ~160 rows.
-    return (
-        joined.map_batches(per_order, batch_format="pandas", batch_size=None)
-        .sort(["revenue", "l_orderkey"], descending=[True, False])
-        .limit(10)
+    # join RAW lineitem rows to the (semi-filtered, ~1/5) orders side, with
+    # the per-order aggregation + local top-10 running INSIDE the join
+    # bucket body (``bucket_post``): the bucket holds ALL rows of each of
+    # its orderkeys, whereas downstream blocks can be dynamically split by
+    # the executor — one shuffle total, no order ever straddles a task.
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "o_custkey": pa.int64(),
+                "o_orderdate": pa.timestamp("us"),
+                "o_orderpriority": pa.string(),
+            }
+        ),
+        bucket_post=per_order,
+        post_schema=pa.schema(
+            {
+                "l_orderkey": pa.int64(),
+                "revenue": pa.float64(),
+                "o_orderdate": pa.string(),
+                "o_orderpriority": pa.string(),
+            }
+        ),
     )
+    # Global top-10 merges ~160 partial rows.
+    return joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
 
 
 @query(
@@ -500,7 +505,7 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         BroadcastLookup,
         batch_format="pyarrow",
         fn_constructor_args=(mapping_ref, "o_custkey", [("n_name", pa.string())]),
-        concurrency=2,
+        concurrency=pool_size(),
     )
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -599,8 +604,22 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """,
 )
 def top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global top-20: per-block partial top-20 (vectorized argpartition)
+    then a tiny final sort over <= 20 x blocks partial rows — no all-to-all
+    sort of the full table for a 20-row answer."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
 
 
 @query("distinct_segments", sql="SELECT DISTINCT c_mktsegment FROM customer")
@@ -624,7 +643,7 @@ def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
         BroadcastSemiFilter,
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "c_custkey"),
-        concurrency=2,
+        concurrency=pool_size(),
     )
 
 
@@ -643,7 +662,7 @@ def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         fn_constructor_args=(keys_ref, "c_custkey"),
         fn_constructor_kwargs={"anti": True},
-        concurrency=2,
+        concurrency=pool_size(),
     )
 
 
@@ -738,14 +757,21 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _distinct_nationkeys(sf_dir: str, table: str, col: str) -> set[int]:
-    """Distinct int keys of one side (tiny result; the shuffle is the
-    distributed ``unique``, the set itself is driver-side by design)."""
-    return {int(v) for v in read_table(sf_dir, table, columns=[col]).unique(col)}
+def _nation_setop(sf_dir: str, op: str) -> ray.data.Dataset:
+    """Distributed set op over the two nationkey columns — ONE tag-side
+    shuffle (``set_op``); no driver-side set algebra anywhere."""
+    from ocr_ray.functions.relational import set_op
 
-
-def _keyset_table(keys) -> pa.Table:
-    return pa.table({"nationkey": pa.array(sorted(keys), type=pa.int64())})
+    return set_op(
+        read_table(sf_dir, "customer", columns=["c_nationkey"]),
+        read_table(sf_dir, "supplier", columns=["s_nationkey"]),
+        on="c_nationkey",
+        right_on="s_nationkey",
+        op=op,
+        key_type=pa.int64(),
+        out_name="nationkey",
+        num_buckets=8,
+    )
 
 
 @query(
@@ -756,12 +782,8 @@ UNION
 SELECT CAST(s_nationkey AS BIGINT) FROM supplier
 """,
 )
-def nations_union(sf_dir: str) -> pa.Table:
-    """Set op UNION via two distributed uniques + driver-side set union."""
-    return _keyset_table(
-        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
-        | _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
-    )
+def nations_union(sf_dir: str) -> ray.data.Dataset:
+    return _nation_setop(sf_dir, "union")
 
 
 @query(
@@ -772,11 +794,8 @@ INTERSECT
 SELECT CAST(s_nationkey AS BIGINT) FROM supplier
 """,
 )
-def nations_intersect(sf_dir: str) -> pa.Table:
-    return _keyset_table(
-        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
-        & _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
-    )
+def nations_intersect(sf_dir: str) -> ray.data.Dataset:
+    return _nation_setop(sf_dir, "intersect")
 
 
 @query(
@@ -787,10 +806,95 @@ EXCEPT
 SELECT CAST(s_nationkey AS BIGINT) FROM supplier
 """,
 )
-def nations_except(sf_dir: str) -> pa.Table:
-    return _keyset_table(
-        _distinct_nationkeys(sf_dir, "customer", "c_nationkey")
-        - _distinct_nationkeys(sf_dir, "supplier", "s_nationkey")
+def nations_except(sf_dir: str) -> ray.data.Dataset:
+    return _nation_setop(sf_dir, "except")
+
+
+@query(
+    "custkeys_except_orders",
+    sql="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+""",
+)
+def custkeys_except_orders(sf_dir: str) -> ray.data.Dataset:
+    """Set op over two LARGE key columns (customers without orders) — the
+    scale shape: both sides stream through one tag-side shuffle."""
+    from ocr_ray.functions.relational import set_op
+
+    return set_op(
+        read_table(sf_dir, "customer", columns=["c_custkey"]),
+        read_table(sf_dir, "orders", columns=["o_custkey"]),
+        on="c_custkey",
+        right_on="o_custkey",
+        op="except",
+        num_buckets=16,
+    )
+
+
+@query(
+    "custkeys_intersect_orders",
+    sql="""
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+""",
+)
+def custkeys_intersect_orders(sf_dir: str) -> ray.data.Dataset:
+    from ocr_ray.functions.relational import set_op
+
+    return set_op(
+        read_table(sf_dir, "customer", columns=["c_custkey"]),
+        read_table(sf_dir, "orders", columns=["o_custkey"]),
+        on="c_custkey",
+        right_on="o_custkey",
+        op="intersect",
+        num_buckets=16,
+    )
+
+
+@query(
+    "customer_orders_full_outer",
+    sql="""
+SELECT c.c_custkey, c.c_name, o.n_orders
+FROM customer c FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders WHERE o_totalprice > 450000
+  GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def customer_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join through the bucketed hash join (outer fills are
+    null-typed by the explicit bucket output schema). The right side is a
+    filtered per-customer order count, so unmatched rows exist on BOTH
+    sides (big spenders missing from customer would be left-only; customers
+    without big orders are right-null)."""
+    from ray.data.aggregate import Count
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    counts = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    return hash_join(
+        cust,
+        counts,
+        on="c_custkey",
+        right_on="o_custkey",
+        how="full",
+        num_buckets=8,
+        left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
+        right_schema=pa.schema({"o_custkey": pa.int64(), "n_orders": pa.int64()}),
+    ).map_batches(
+        lambda t: t.select(["c_custkey", "c_name", "n_orders"]), batch_format="pyarrow"
     )
 
 
@@ -1398,7 +1502,7 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
             return t.filter(pa.array(keep)).select(["c_custkey", "c_name", "c_acctbal"])
 
     return ds.map_batches(
-        AboveAvg, batch_format="pyarrow", fn_constructor_args=(avg_ref,), concurrency=2
+        AboveAvg, batch_format="pyarrow", fn_constructor_args=(avg_ref,), concurrency=pool_size()
     )
 
 
@@ -1718,53 +1822,71 @@ def prefix_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
-def _verified_pairs(ds_docs, cand_pairs, *, tau: float):
-    """Exact-Jaccard verification of candidate pairs.
+def _verified_pairs(ds_docs, cand_pairs, *, tau: float) -> ray.data.Dataset:
+    """DISTRIBUTED exact-Jaccard verification of candidate pairs — no
+    driver-side materialization of candidates anywhere (the round-1
+    ``to_pandas`` + driver Jaccard was the ``*_pairs`` family's 100 TB
+    scale-killer; web corpora with boilerplate-heavy near-dup clusters
+    violate the "pairs << corpus" assumption it leaned on).
 
-    Scale assumption (documented): candidate pairs << corpus, so the pair
-    list and the involved docs' texts fit in the object store as a
-    broadcast subset (semi-filtered fetch, not a full materialization).
-    Cross-bucket pair dedup happens driver-side on the (small) pair list —
-    cheaper than a shuffle on millions of tiny (doc_a, doc_b) groups.
+    Pipeline: candidate pairs -> distributed pair dedup (one bucketed
+    shuffle) -> two bucketed hash joins attaching each side's per-doc
+    unique-sorted shingle-hash signature (list<uint64>) -> vectorized
+    set-Jaccard per batch (lexsort + run-boundary union counting). Every
+    stage is a map_batches / bucketed shuffle; pairs stay distributed from
+    candidate generation to the final tau filter.
     """
-    from ocr_ray.functions.dedup import shingle_set
-    from ocr_ray.functions.relational import BroadcastSemiFilter
+    from ocr_ray.functions.dedup import (
+        SHINGLES_TYPE,
+        dedup_pairs,
+        doc_shingle_lists,
+        pairwise_jaccard_lists,
+    )
 
-    pairs = cand_pairs.to_pandas()
-    if len(pairs) == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
-    pairs = pairs[["doc_a", "doc_b"]].drop_duplicates()
-    involved = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    keys_ref = ray.put(involved)
-    fetched = ds_docs.map_batches(
-        BroadcastSemiFilter,
-        batch_format="pyarrow",
-        fn_constructor_args=(keys_ref, "doc_id"),
-        concurrency=2,
-    ).to_pandas()
-    # precompute each involved doc's shingle set ONCE (pairs share docs)
-    sets = {
-        int(d): shingle_set(t) for d, t in zip(fetched["doc_id"], fetched["text"])
-    }
-    keep = np.fromiter(
-        (
-            (len(sets[a] & sets[b]) / len(sets[a] | sets[b]) if (sets[a] or sets[b]) else 1.0) >= tau
-            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    pairs = dedup_pairs(cand_pairs, cols=("doc_a", "doc_b"))
+    sigs = ds_docs.map_batches(doc_shingle_lists, batch_format="pyarrow")
+    sig_schema = pa.schema({"doc_id": pa.int64(), "shingles": SHINGLES_TYPE})
+    j1 = hash_join(
+        pairs,
+        sigs,
+        on="doc_a",
+        right_on="doc_id",
+        num_buckets=16,
+        left_schema=pa.schema({"doc_a": pa.int64(), "doc_b": pa.int64()}),
+        right_schema=sig_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "sh_a": t["shingles"]}
         ),
-        dtype=bool,
-        count=len(pairs),
+        batch_format="pyarrow",
     )
-    out = pairs[keep]
-    return pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"].to_numpy(dtype=np.int64)),
-            "doc_b": pa.array(out["doc_b"].to_numpy(dtype=np.int64)),
-        }
+    j2 = hash_join(
+        j1,
+        sigs,
+        on="doc_b",
+        right_on="doc_id",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": SHINGLES_TYPE}
+        ),
+        right_schema=sig_schema,
     )
+
+    def verify(t: pa.Table) -> pa.Table:
+        jac = pairwise_jaccard_lists(t["sh_a"], t["shingles"])
+        out = t.filter(pa.array(jac >= tau))
+        return pa.table(
+            {
+                "doc_a": pc.cast(out["doc_a"], pa.int64()),
+                "doc_b": pc.cast(out["doc_b"], pa.int64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 @query("minhash_dedup_pairs", sql=None)
-def minhash_dedup_pairs(sf_dir: str) -> pa.Table:
+def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
     """MinHash-LSH near-dup detection: shingle -> 64-perm minhash -> 32
     bands -> coarse-bucket run-pair candidates -> exact-Jaccard verify
     (tau=0.5) over a corpus seeded with mutated copies."""
@@ -1794,7 +1916,7 @@ def minhash_dedup_pairs(sf_dir: str) -> pa.Table:
 
 
 @query("ngram_jaccard_pairs", sql=None)
-def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """n-gram Jaccard near-dup via shingle inverted index: explode
     (shingle_hash, doc_id), coarse-bucket run pairs (hot shingles capped),
     exact-verify tau=0.5."""
@@ -1842,11 +1964,11 @@ def simhash_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 @query("simhash_neardup_pairs", sql=None)
-def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
+def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup: 64-bit signatures, 4x16-bit band blocking keyed
     through coarse buckets, vectorized Hamming<=8 verification over the
-    mutated-copy corpus; cross-bucket pair dedup driver-side (pairs <<
-    corpus)."""
+    mutated-copy corpus; cross-band pair dedup is a distributed bucketed
+    shuffle (no driver-side step)."""
     from ocr_ray.functions.dedup import (
         bucketed_pairs,
         hamming_u64,
@@ -1891,20 +2013,17 @@ def simhash_neardup_pairs(sf_dir: str) -> pa.Table:
             {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": hd[keep]}
         ).drop_duplicates(["doc_a", "doc_b"])
 
+    from ocr_ray.functions.dedup import dedup_pairs
+
     cands = bucketed_pairs(
         sigs.map_batches(band_rows, batch_format="pyarrow"),
         key_col="pair_key",
         id_col="doc_id",
         pair_body=pair_body,
     )
-    pairs = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    return pa.table(
-        {
-            "doc_a": pa.array(pairs["doc_a"].to_numpy(dtype=np.int64)),
-            "doc_b": pa.array(pairs["doc_b"].to_numpy(dtype=np.int64)),
-            "hamming": pa.array(pairs["hamming"].to_numpy(dtype=np.int64)),
-        }
-    )
+    # cross-band duplicates of a pair land in one coarse bucket -> exact
+    # distributed dedup; Hamming distance is identical for every copy.
+    return dedup_pairs(cands, cols=("doc_a", "doc_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -1971,10 +2090,10 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
 
 
 @query("embedding_neardup_pairs", sql=None)
-def embedding_neardup_pairs(sf_dir: str) -> pa.Table:
+def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding-cosine near-dup over a corpus seeded with perturbed
     copies: sign-LSH keys through coarse buckets, vectorized exact cosine
-    verify (tau=0.8), driver-side cross-table pair dedup (pairs << corpus)."""
+    verify (tau=0.8), distributed cross-table pair dedup."""
     from ocr_ray.functions.ann import _as_matrix, _normalize, hyperplanes, lsh_buckets, with_perturbed
     from ocr_ray.functions.dedup import bucketed_pairs, run_index_pairs
 
@@ -2003,16 +2122,14 @@ def embedding_neardup_pairs(sf_dir: str) -> pa.Table:
         keep = cos >= tau
         return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]}).drop_duplicates()
 
+    from ocr_ray.functions.dedup import dedup_pairs
+
     cands = bucketed_pairs(
         bucketed, key_col="pair_key", id_col="vec_id", pair_body=pair_body
     )
-    pairs = cands.to_pandas().drop_duplicates()
-    return pa.table(
-        {
-            "vec_a": pa.array(pairs["vec_a"].to_numpy(dtype=np.int64)),
-            "vec_b": pa.array(pairs["vec_b"].to_numpy(dtype=np.int64)),
-        }
-    )
+    # cross-table duplicates of a pair land in one coarse bucket -> exact
+    # distributed dedup (cosine was already verified inside pair_body).
+    return dedup_pairs(cands, cols=("vec_a", "vec_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -2039,6 +2156,6 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=2,
+        concurrency=pool_size(),
         fn_constructor_kwargs={"fake_decode": True},
     )

@@ -1,0 +1,42 @@
+"""Session-derived sizing for actor pools and shuffle bucket counts.
+
+Round-1 finding (BENCH/BASELINE.md): FIXED actor pools beat autoscaling
+for short stages, but a fixed pool must stay strictly below the session
+CPU count or upstream tasks starve (deadlock). Round-1 shipped literal
+``concurrency=2`` on broadcast stages — correct in the 4-CPU test session
+but a bottleneck at 32 CPUs and on a 4N-node cluster. Every pool size and
+default bucket count now derives from the live session:
+
+- ``pool_size(frac)``: ``clamp(cpus * frac, min=2, max=cpus - 2)`` — the
+  ``cpus - 2`` ceiling keeps task slots free for upstream reads (the
+  deadlock guard); the default quarter-of-session fraction keeps several
+  concurrent stages from oversubscribing.
+- ``default_buckets()``: ``2 x cpus`` (floor 16) shuffle buckets — enough
+  buckets that every core gets work in the reduce, few enough that
+  per-bucket Python overhead stays negligible. On a real cluster CPU
+  count is cluster-wide, so both knobs grow with nodes automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+
+
+def session_cpus() -> int:
+    """CPU count of the live Ray session (cluster-wide), or the host's."""
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 4))
+    return os.cpu_count() or 4
+
+
+def pool_size(frac: float = 0.25, *, min_size: int = 2) -> int:
+    """Fixed actor-pool size derived from the session (see module doc)."""
+    cpus = session_cpus()
+    return max(min_size, min(cpus - 2, int(cpus * frac)))
+
+
+def default_buckets(*, min_buckets: int = 16) -> int:
+    """Shuffle bucket count derived from the session (see module doc)."""
+    return max(min_buckets, session_cpus() * 2)
