@@ -75,7 +75,7 @@ class BatchTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _partial_table()
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_as_matrix(batch["embedding"]))
         scores = self.q @ m.T  # (Q, n)
         if self.exclude_self:
@@ -148,7 +148,7 @@ class IvfPartial:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _partial_table()
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_as_matrix(batch["embedding"]))
         clusters = np.argmax(m @ self.cent.T, axis=1)  # (n,)
         mask = (self.probe[:, :, None] == clusters[None, None, :]).any(axis=1)  # (Q, n)
@@ -244,7 +244,7 @@ def neardup_pairs_in_bucket(group: pd.DataFrame, *, tau: float, max_group: int =
 def with_perturbed(batch: pa.Table, *, scale: float = 0.05, offset: int = 1_000_000) -> pa.Table:
     """Union each embedding with a deterministic perturbed copy
     (vec_id + offset) — the seeded near-duplicate population."""
-    vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     m = _as_matrix(batch["embedding"])
     noise = np.stack(
         [np.random.default_rng(int(v)).standard_normal(m.shape[1]) for v in vids]

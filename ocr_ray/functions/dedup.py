@@ -32,10 +32,30 @@ import pyarrow.compute as pc
 
 
 def add_md5(batch: pa.Table, *, col: str = "text", out: str = "content_md5") -> pa.Table:
-    """Append an md5 content hash (hex). md5 chosen for SQL-oracle parity;
-    a production run would use a vectorized xxhash."""
+    """Append an md5 content hash (hex). md5 chosen ONLY for SQL-oracle
+    parity (DuckDB ``md5()``); it is a per-row hashlib loop. Production
+    exact-dedup should use ``add_content_hash`` below (buffer-level
+    vectorized, no Python per row) — the dedup semantics are identical."""
     hashes = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[col].to_pylist()]
     return batch.append_column(out, pa.array(hashes, type=pa.string()))
+
+
+def add_content_hash(batch: pa.Table, *, col: str = "text", out: str = "content_hash") -> pa.Table:
+    """Vectorized 64-bit content hash straight off the Arrow string value
+    buffer (``hash_utf8_column`` + splitmix64 finalizer) — the scale path
+    for exact dedup keys; no Python string materialization."""
+    from ocr_ray.functions.hashing import hash_utf8_column, mix64
+
+    h = mix64(hash_utf8_column(batch[col]))
+    return batch.append_column(out, pa.array(h, type=pa.uint64()))
+
+
+def _word_hashes(flat: pa.Array) -> np.ndarray:
+    """uint64 hashes of a flat token array — buffer-level vectorized
+    (no to_pylist / object-array materialization), splitmix64-finalized."""
+    from ocr_ray.functions.hashing import hash_utf8_column, mix64
+
+    return mix64(hash_utf8_column(flat))
 
 
 def first_per_key(group: pd.DataFrame, *, key: str, order: str) -> pd.DataFrame:
@@ -46,9 +66,16 @@ def first_per_key(group: pd.DataFrame, *, key: str, order: str) -> pd.DataFrame:
 
 def dedup_by_key(ds, *, key: str, order: str, num_buckets: int = 16):
     """Exact dedup: hash-partition on ``key``, keep the first row by
-    ``order`` in each key group. One shuffle; per-bucket body vectorized."""
+    ``order`` in each key group. One shuffle; per-bucket body vectorized
+    (string keys hash straight off the Arrow value buffer)."""
     def bucketize(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(t[key].to_pylist(), dtype=object))
+        col = t[key]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from ocr_ray.functions.hashing import hash_utf8_column, mix64
+
+            h = mix64(hash_utf8_column(col))
+        else:
+            h = pd.util.hash_array(col.to_numpy(zero_copy_only=False))
         return t.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
     return (
@@ -86,7 +113,7 @@ def shingle_hashes(texts: pa.ChunkedArray | pa.Array, *, k: int = 3) -> tuple[np
         toks = toks.combine_chunks()
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
-    word_h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+    word_h = _word_hashes(flat)
     # rolling combine of k consecutive word hashes within each doc
     n_sh = np.maximum(counts - (k - 1), 0)
     if word_h.size == 0 or int(n_sh.sum()) == 0:
@@ -140,7 +167,7 @@ def minhash_bands(batch: pa.Table, *, num_perm: int = 64, bands: int = 32, k: in
         bh = np.zeros((n, bands), dtype=np.uint64)
         for j in range(rows_per):
             bh = bh * mult + band_sig[:, :, j]
-    doc_ids = np.repeat(np.asarray(batch["doc_id"].to_pylist(), dtype=object), bands)
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), bands)
     band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
     with np.errstate(over="ignore"):
         pair_key = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
@@ -348,7 +375,7 @@ def simhash(batch: pa.Table) -> pa.Table:
         toks = toks.combine_chunks()
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
-    word_h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+    word_h = _word_hashes(flat)
     bits = ((word_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

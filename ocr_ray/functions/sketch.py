@@ -139,6 +139,121 @@ def histogram_quantiles(
     return out
 
 
+def grouped_exact_median(ds, *, group_col: str, value_col: str, bins: int = 4096) -> pd.DataFrame:
+    """EXACT per-group median without ever holding a whole group in one
+    task (the round-1 ``groupby.map_groups`` held O(table/groups) rows —
+    the canonical low-cardinality-key skew killer). Three streaming passes:
+
+    1. global min/max (cheap aggregate);
+    2. per-(group, bin) histogram — map-side combine, distributed
+       ``groupby.sum``, driver gets <= groups x bins rows;
+    3. exact values of ONLY the bracketing bin(s) per group (broadcast
+       (group, bin) filter — expected cell size n/bins), then exact
+       order-statistic selection driver-side on those cells.
+
+    Matches ``median()`` semantics (even counts average the two middle
+    values). Degenerate distributions (all values in one bin) fall back to
+    fetching that bin — document the skew, don't hide it.
+    Returns DataFrame (group_col, median, n).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
+        red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
+        return pa.table(
+            {
+                group_col: pa.array(red[group_col], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "count": pa.array(red["count"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+
+    needed: dict[str, set[int]] = {}
+    plan: dict[str, dict] = {}
+    for g, sub in merged.groupby(group_col):
+        sub = sub.sort_values("bin")
+        bvals = sub["bin"].to_numpy(dtype=np.int64)
+        counts = sub["count"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        targets = [(n - 1) // 2, n // 2]
+        below: dict[int, int] = {}
+        for pos in targets:
+            j = int(np.searchsorted(cum, pos + 1))
+            b = int(bvals[j])
+            needed.setdefault(g, set()).add(b)
+            below[b] = int(cum[j - 1]) if j > 0 else 0
+        plan[g] = {"n": n, "targets": targets, "below": below}
+
+    needed_ref = ray.put(needed)
+
+    class CellFilter:
+        def __init__(self, ref):
+            needed_map = ray.get(ref)
+            self.pairs = [(g, b) for g, bs in needed_map.items() for b in bs]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = bin_of(v)
+            groups = t[group_col].to_pylist()
+            keep = pd.MultiIndex.from_arrays([groups, b]).isin(self.pairs)
+            ft = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    group_col: ft[group_col],
+                    "bin": pa.array(b[keep]),
+                    "value": pc.cast(ft[value_col], pa.float64()),
+                }
+            )
+
+    from ocr_ray.sizing import pool_size
+
+    cells = (
+        ds.map_batches(
+            CellFilter,
+            batch_format="pyarrow",
+            fn_constructor_args=(needed_ref,),
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+
+    out_g, out_m, out_n = [], [], []
+    for g, p in plan.items():
+        picked = []
+        gc = cells[cells[group_col] == g]
+        for pos in p["targets"]:
+            # the bin holding this order statistic (recompute as above)
+            for b, below in p["below"].items():
+                cnt = int((gc["bin"] == b).sum())
+                if below <= pos < below + cnt:
+                    vals = np.sort(gc.loc[gc["bin"] == b, "value"].to_numpy())
+                    picked.append(float(vals[pos - below]))
+                    break
+        out_g.append(g)
+        out_m.append((picked[0] + picked[1]) / 2.0)
+        out_n.append(p["n"])
+    return pd.DataFrame({group_col: out_g, "median": out_m, "n": out_n})
+
+
 def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
     """(event_type, register, rho) merged rows -> per-group estimates."""
     out_groups: list[str] = []

@@ -110,11 +110,16 @@ def run_pipeline(spec: dict[str, Any]) -> dict[str, Any]:
     for s in [dict(s) for s in spec["stages"]]:
         name = s.pop("name")
         ds = apply_stage(ds, name, **s)
-    manifest = write_extracted_resumable(ds, out_dir, num_parts=num_parts)
+    manifest, stage_stats = write_extracted_resumable(
+        ds, out_dir, num_parts=num_parts, return_stats=True
+    )
     wall = time.perf_counter() - t0
 
     mdir = Path(out_dir) / "_metrics"
     mdir.mkdir(parents=True, exist_ok=True)
+    # per-stage execution metrics next to the lineage (BASELINE.md protocol
+    # step 4) — wall time / CPU / rows / memory per operator of this run.
+    (mdir / "stage_stats.txt").write_text(stage_stats)
     summary = {
         "rows_written": int(manifest["row_count"].sum()) if len(manifest) else 0,
         "spans_written": int(manifest["span_count"].sum()) if len(manifest) else 0,

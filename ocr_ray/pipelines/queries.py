@@ -1513,22 +1513,24 @@ SELECT o_orderstatus, median(o_totalprice) AS median_price, COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderstatus
 """,
 )
-def median_price_by_status(sf_dir: str) -> ray.data.Dataset:
-    """Exact per-group median — a holistic aggregate that genuinely needs
-    the whole group: tiny group count (order statuses) through the
-    standard coarse-group map_groups, numpy median inside."""
+def median_price_by_status(sf_dir: str) -> pa.Table:
+    """Exact per-group median WITHOUT holding a whole group in one task:
+    distributed histogram selection (min/max pass -> per-(group, bin)
+    histogram groupby -> exact recount of only the bracketing bins). The
+    round-1 ``groupby('o_orderstatus').map_groups`` put ~1/3 of all orders
+    in one pandas frame — the canonical low-cardinality skew killer at
+    100x scale."""
+    from ocr_ray.functions.sketch import grouped_exact_median
+
     ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderstatus": [g["o_orderstatus"].iloc[0]],
-                "median_price": [float(np.median(g["o_totalprice"].to_numpy()))],
-                "n_orders": [len(g)],
-            }
-        )
-
-    return ds.groupby("o_orderstatus").map_groups(med, batch_format="pandas")
+    out = grouped_exact_median(ds, group_col="o_orderstatus", value_col="o_totalprice")
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
+            "median_price": pa.array(out["median"].to_numpy(dtype=np.float64)),
+            "n_orders": pa.array(out["n"].to_numpy(dtype=np.int64)),
+        }
+    )
 
 
 @query(
@@ -1594,13 +1596,22 @@ def approx_quantiles_totalprice(sf_dir: str) -> pa.Table:
 
     from ocr_ray.functions.sketch import histogram_partial, histogram_quantiles
 
+    from ray.data.aggregate import Sum
+
     ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
     mm = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
     lo, hi = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
-    merged = ds.map_batches(
-        functools.partial(histogram_partial, col="o_totalprice", lo=lo, hi=hi),
-        batch_format="pyarrow",
-    ).to_pandas()
+    # distributed partial merge: driver input bounded by bin count (4096),
+    # not by batch count.
+    merged = (
+        ds.map_batches(
+            functools.partial(histogram_partial, col="o_totalprice", lo=lo, hi=hi),
+            batch_format="pyarrow",
+        )
+        .groupby("bin")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
     qs = [0.1, 0.5, 0.9, 0.99]
     vals = histogram_quantiles(merged, qs, lo=lo, hi=hi)
     return pa.table(
@@ -1620,26 +1631,39 @@ def frequent_tokens(sf_dir: str) -> pa.Table:
     frequency > N/k survives; reported counts are exact (recounted)."""
     from ocr_ray.functions.sketch import misra_gries_partial
 
-    ds = read_table(sf_dir, "documents", columns=["text"])
-    partials = ds.map_batches(misra_gries_partial, batch_format="pyarrow")
-    merged = partials.to_pandas()
-    cand = merged.groupby("token")["count"].sum().nlargest(64)
-    cand_ref = ray.put(set(cand.index))
-
-    def recount(t: pa.Table) -> pa.Table:
-        keys = ray.get(cand_ref)
-        toks = pc.split_pattern(t["text"], " ")
-        flat = pc.list_flatten(toks if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks())
-        hit = flat.filter(pc.is_in(flat, value_set=pa.array(sorted(keys))))
-        df = pd.Series(hit.to_pylist()).value_counts()
-        return pa.table(
-            {
-                "token": pa.array(df.index, type=pa.string()),
-                "count": pa.array(df.to_numpy(dtype=np.int64)),
-            }
-        )
-
     from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    # distributed partial merge: driver input bounded by surviving-candidate
+    # cardinality (tokens that appear in ANY batch summary), not batch count.
+    merged = (
+        ds.map_batches(misra_gries_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    cand = merged.set_index("token")["count"].nlargest(64)
+    cand_ref = ray.put(sorted(cand.index))
+
+    class Recount:
+        def __init__(self, ref):
+            self.keys = pa.array(ray.get(ref), type=pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ")
+            flat = pc.list_flatten(
+                toks if not isinstance(toks, pa.ChunkedArray) else toks.combine_chunks()
+            )
+            hit = flat.filter(pc.is_in(flat, value_set=self.keys))
+            vc = hit.value_counts()  # Arrow kernel, no Python rows
+            return pa.table(
+                {
+                    "token": pc.struct_field(vc, "values"),
+                    "count": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+                }
+            )
+
+    recount = Recount(cand_ref)
 
     exact = (
         ds.map_batches(recount, batch_format="pyarrow")
@@ -2077,9 +2101,19 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
 
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
-    sample = (
-        load_small_table(sf_dir, "embeddings", ["vec_id", "embedding"]).slice(0, 256).to_pandas()
-    )
+    ds_all = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # centroid training sample: DISTRIBUTED deterministic systematic sample
+    # (key-residue filter computed inside map_batches) — representative of
+    # the whole table at any scale, unlike the round-1 first-256-rows
+    # driver slice; only ~256 sampled rows ever reach the driver.
+    n_rows = ds_all.count()  # parquet metadata, no scan
+    stride = max(1, n_rows // 256)
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(k % stride == 0))
+
+    sample = ds_all.map_batches(pick, batch_format="pyarrow").to_pandas()
     cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
     centroids_ref = ray.put(cent)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2137,12 +2171,56 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
-@query("media_features", sql=None)
+_MEDIA_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+b AS (SELECT unnest(generate_series(0, 255)) AS i),
+bytes AS (
+  SELECT d, si, m, i % 8 AS lane, (m * 37 + 11 + i * 7) % 256 AS val
+  FROM media CROSS JOIN b
+),
+feat AS (
+  SELECT d, si, m, lane, CAST(SUM(val) AS DOUBLE) / (32 * 255.0) AS f
+  FROM bytes GROUP BY d, si, m, lane
+),
+piv AS (
+  SELECT d, si, m,
+    MAX(CASE WHEN lane = 0 THEN f END) AS f0,
+    MAX(CASE WHEN lane = 1 THEN f END) AS f1,
+    MAX(CASE WHEN lane = 2 THEN f END) AS f2,
+    MAX(CASE WHEN lane = 3 THEN f END) AS f3,
+    MAX(CASE WHEN lane = 4 THEN f END) AS f4,
+    MAX(CASE WHEN lane = 5 THEN f END) AS f5,
+    MAX(CASE WHEN lane = 6 THEN f END) AS f6,
+    MAX(CASE WHEN lane = 7 THEN f END) AS f7
+  FROM feat GROUP BY d, si, m
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  'image' AS media_kind, CAST(256 AS BIGINT) AS n_bytes,
+  f0, f1, f2, f3, f4, f5, f6, f7,
+  sqrt(f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7) AS feature_norm
+FROM piv
+"""
+
+
+@query("media_features", sql=_MEDIA_SQL)
 def media_features(sf_dir: str) -> ray.data.Dataset:
     """Media spans -> synthetic binary payloads -> MediaDecoder actor pool
-    (small batches for wide binary rows) -> per-item feature rows."""
+    (small batches for wide binary rows) -> per-item feature rows.
+
+    The payload rule is integer arithmetic on the media_ref suffix, so the
+    whole binary path (payload synthesis -> buffer-level vectorized decode
+    -> per-lane byte moments) is reproduced by the SQL oracle bit for bit;
+    the list-typed ``feature`` column is dropped here in favor of the f0..f7
+    scalars (same values) because list columns don't hash stably across
+    engines."""
     from ocr_ray.stages.explode import explode_documents
-    from ocr_ray.stages.media import MediaDecoder, attach_payloads
+    from ocr_ray.stages.media import MEDIA_FEATURE_DIM, MediaDecoder, attach_payloads
 
     corpus = ensure_corpus(sf_dir, glyphs=False)
     ds = read_documents(corpus)
@@ -2152,10 +2230,14 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
     )
     with_payloads = flat.map_batches(attach_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
+    decoded = with_payloads.map_batches(
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=512,
         concurrency=pool_size(),
         fn_constructor_kwargs={"fake_decode": True},
     )
+    cols = ["doc_id", "media_ref", "media_kind", "n_bytes"] + [
+        f"f{j}" for j in range(MEDIA_FEATURE_DIM)
+    ] + ["feature_norm"]
+    return decoded.map_batches(lambda t: t.select(cols), batch_format="pyarrow")

@@ -21,8 +21,40 @@ except ImportError:
     HAVE_LANCE = False
 
 
+# Prefer ray.data.read_lance (streaming per-fragment datasource) when the
+# runtime has it; tests force the fragment fallback by flipping this off.
+PREFER_NATIVE_LANCE = True
+
+
+def _read_lance_fragments(path: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
+    """STREAMING per-fragment Lance read: only the fragment-id list touches
+    the driver; each fragment's rows are read inside a distributed task
+    (one task per fragment, blocks flow through the streaming executor
+    with backpressure). Replaces the round-1 whole-dataset
+    ``pa.Table.from_batches`` driver materialization — a driver OOM at any
+    real corpus size."""
+    import pyarrow as pa
+
+    lance_mod = lance
+    frag_ids = [int(f.fragment_id) for f in lance_mod.dataset(path).get_fragments()]
+    ids = ray.data.from_items([{"fragment_id": i} for i in frag_ids])
+
+    def read_frag(batch: pa.Table) -> pa.Table:
+        dset = lance_mod.dataset(path)
+        tables = [
+            dset.get_fragment(int(fid)).to_table(columns=columns)
+            for fid in batch["fragment_id"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    return ids.map_batches(read_frag, batch_size=1, batch_format="pyarrow")
+
+
 def read_documents(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Read a documents corpus (Lance dataset dir or Parquet file/dir)."""
+    """Read a documents corpus (Lance dataset dir or Parquet file/dir).
+    Both Lance paths STREAM: the native ``ray.data.read_lance`` datasource
+    when available, else per-fragment read tasks — never a whole-dataset
+    driver materialization."""
     p = Path(path)
     if p.suffix == ".lance" or (p / "_versions").exists():
         if not HAVE_LANCE:
@@ -30,10 +62,9 @@ def read_documents(path: str, *, columns: list[str] | None = None, **kwargs) -> 
                 "Lance dataset at %s but the 'lance' package is unavailable; "
                 "convert to Parquet or install lance" % path
             )
-        frags = lance.dataset(path).to_batches(columns=columns)
-        import pyarrow as pa
-
-        return ray.data.from_arrow(pa.Table.from_batches(frags))
+        if PREFER_NATIVE_LANCE and hasattr(ray.data, "read_lance"):
+            return ray.data.read_lance(path, columns=columns, **kwargs)
+        return _read_lance_fragments(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

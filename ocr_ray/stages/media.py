@@ -5,9 +5,17 @@ Media payloads are opaque ``large_binary`` columns with typed metadata
 (``media_ref``, ``media_kind``, ``n_bytes``). The decode step needs image/
 audio libraries that are NOT in this environment, so ``MediaDecoder``
 raises ``NotImplementedError`` for real decoding and provides a
-deterministic fake (seeded from the payload bytes) behind
-``fake_decode=True`` — the Ray-side plumbing (schema, actor signature,
-small batch sizes for wide binary rows, output layout) is real and tested.
+deterministic fake behind ``fake_decode=True`` — the Ray-side plumbing
+(schema, actor signature, small batch sizes for wide binary rows, output
+layout) is real and tested.
+
+The synthetic payload is pure integer arithmetic on the media_ref's
+numeric suffix (``byte[i] = (37*m + 11 + 7*i) mod 256``), so the fake
+decode's per-lane byte moments are SQL-expressible and the whole
+media path is oracle-checked end to end (see ``media_features`` in
+``pipelines/queries.py``). Everything is vectorized: payload synthesis is
+one broadcasted numpy expression per batch, and feature extraction reads
+the Arrow binary buffers directly (no per-row Python).
 
 Scale notes: binary rows are wide — callers must use a small
 ``batch_size`` (512 default here) so batch x concurrency fits worker
@@ -18,33 +26,52 @@ splitting.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_FEATURE_DIM = 8
+PAYLOAD_BYTES = 256
 
 
-def synth_media_payload(media_ref: str, *, n_bytes: int = 256) -> bytes:
-    """Deterministic opaque payload for a media_ref (fixture side).
-
-    Seeded from a stable digest — NOT Python ``hash()``, which is
-    randomized per process and would differ across Ray workers.
-    """
-    import hashlib
-
-    seed = int.from_bytes(hashlib.md5(media_ref.encode()).digest()[:4], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=n_bytes, dtype=np.uint8).tobytes()
+def _ref_numbers(refs) -> np.ndarray:
+    """media_ref 'm-<num>' -> int64 numeric suffix (vectorized slice+cast)."""
+    arr = refs.combine_chunks() if isinstance(refs, pa.ChunkedArray) else refs
+    nums = pc.cast(pc.utf8_slice_codeunits(arr, 2, 1 << 30), pa.int64())
+    return nums.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def attach_payloads(batch: pa.Table, *, n_bytes: int = 256) -> pa.Table:
-    """Fixture stage: attach synthetic binary payloads + metadata to media rows."""
-    refs = batch["media_ref"].to_pylist()
-    payloads = [synth_media_payload(r, n_bytes=n_bytes) for r in refs]
-    batch = batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
-    batch = batch.append_column("media_kind", pa.array(["image"] * len(refs), type=pa.string()))
+def payload_matrix(ms: np.ndarray, *, n_bytes: int = PAYLOAD_BYTES) -> np.ndarray:
+    """(n, n_bytes) uint8 payload bytes: (37*m + 11 + 7*i) mod 256."""
+    seeds = (ms * 37 + 11) % 256
+    idx = np.arange(n_bytes, dtype=np.int64)
+    return ((seeds[:, None] + idx[None, :] * 7) % 256).astype(np.uint8)
+
+
+def synth_media_payload(media_ref: str, *, n_bytes: int = PAYLOAD_BYTES) -> bytes:
+    """Deterministic opaque payload for one media_ref (scalar fixture
+    helper; the batch path is ``attach_payloads``)."""
+    m = int(media_ref[2:])
+    return payload_matrix(np.array([m], dtype=np.int64), n_bytes=n_bytes)[0].tobytes()
+
+
+def attach_payloads(batch: pa.Table, *, n_bytes: int = PAYLOAD_BYTES) -> pa.Table:
+    """Fixture stage: attach synthetic binary payloads + metadata to media
+    rows — one vectorized numpy expression, zero-copy into a
+    ``large_binary`` array (flat buffer + arithmetic offsets)."""
+    n = batch.num_rows
+    mat = payload_matrix(_ref_numbers(batch["media_ref"]), n_bytes=n_bytes)
+    offsets = (np.arange(n + 1, dtype=np.int64) * n_bytes)
+    payloads = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
+    )
+    batch = batch.append_column("payload", payloads)
+    batch = batch.append_column(
+        "media_kind", pa.array(np.full(n, "image"), type=pa.string())
+    )
     return batch.append_column(
-        "n_bytes", pa.array(np.full(len(refs), n_bytes, dtype=np.int64))
+        "n_bytes", pa.array(np.full(n, n_bytes, dtype=np.int64))
     )
 
 
@@ -53,7 +80,11 @@ class MediaDecoder:
 
     ``__init__`` is where a real run would load the codec / model once per
     actor; ``__call__`` handles one (small) batch of binary rows and emits
-    a fixed-dim feature vector per media item.
+    a fixed-dim feature vector per media item. The fake decode computes
+    per-lane byte means straight off the Arrow binary buffers — one
+    ``frombuffer`` + ``bincount`` for the whole batch, no per-row Python
+    (rows of ANY length; each row's tail beyond a multiple of
+    MEDIA_FEATURE_DIM is ignored, matching the lane-reshape semantics).
     """
 
     def __init__(self, *, fake_decode: bool = True):
@@ -64,22 +95,46 @@ class MediaDecoder:
             )
         self.fake_decode = fake_decode
 
-    def _features(self, payload: bytes) -> np.ndarray:
-        # Deterministic stand-in for decode + feature extraction: moment
-        # statistics of the byte stream reshaped to MEDIA_FEATURE_DIM lanes.
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-        lanes = arr[: len(arr) - len(arr) % MEDIA_FEATURE_DIM].reshape(-1, MEDIA_FEATURE_DIM)
-        return lanes.mean(axis=0) / 255.0
+    def _feature_matrix(self, payload_col) -> np.ndarray:
+        arr = (
+            payload_col.combine_chunks()
+            if isinstance(payload_col, pa.ChunkedArray)
+            else payload_col
+        )
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        d = MEDIA_FEATURE_DIM
+        pos = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pos < (lens[row] - lens[row] % d)
+        lane_of = row[keep] * d + pos[keep] % d
+        sums = np.bincount(lane_of, weights=data[keep], minlength=n * d).reshape(n, d)
+        rows_per = (lens // d).astype(np.float64)
+        # exact-int sums / (rows * 255.0): ONE double division, matching the
+        # SQL oracle's CAST(SUM(..) AS DOUBLE) / (rows * 255.0) bit for bit.
+        return sums / np.maximum(rows_per[:, None] * 255.0, 1.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack([self._features(p) for p in batch["payload"].to_pylist()])
-        return pa.table(
+        feats = self._feature_matrix(batch["payload"])
+        # left-to-right accumulation (both engines evaluate + left-assoc)
+        norm_sq = feats[:, 0] * feats[:, 0]
+        for j in range(1, MEDIA_FEATURE_DIM):
+            norm_sq = norm_sq + feats[:, j] * feats[:, j]
+        out = pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "media_ref": batch["media_ref"],
                 "media_kind": batch["media_kind"],
                 "n_bytes": batch["n_bytes"],
                 "feature": pa.array(list(feats.astype(np.float32))),
-                "feature_norm": pa.array(np.linalg.norm(feats, axis=1)),
+                "feature_norm": pa.array(np.sqrt(norm_sq)),
             }
         )
+        for j in range(MEDIA_FEATURE_DIM):
+            out = out.append_column(f"f{j}", pa.array(feats[:, j]))
+        return out

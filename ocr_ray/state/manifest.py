@@ -152,12 +152,16 @@ def skip_completed_partitions(ds, out_dir: str, num_parts: int):
     return ds.map_batches(drop_done, batch_format="pyarrow"), len(done)
 
 
-def write_extracted_resumable(extracted_ds, out_dir: str, *, num_parts: int = 16) -> pd.DataFrame:
+def write_extracted_resumable(
+    extracted_ds, out_dir: str, *, num_parts: int = 16, return_stats: bool = False
+):
     """Write an extracted (nested) Dataset as P resumable fragments.
 
     Returns the manifest rows produced by THIS run (skipped fragments do
-    not reappear). Combine with ``skip_completed_partitions`` on the input
-    for end-to-end resume.
+    not reappear) — with ``return_stats=True``, a ``(manifest_df,
+    stats_text)`` tuple where ``stats_text`` is the executed pipeline's
+    per-stage ``ds.stats()`` dump. Combine with
+    ``skip_completed_partitions`` on the input for end-to-end resume.
     """
 
     import functools
@@ -172,4 +176,7 @@ def write_extracted_resumable(extracted_ds, out_dir: str, *, num_parts: int = 16
     manifest_rows = tagged.groupby("_part").map_groups(
         functools.partial(write_group, out_dir=out_dir), batch_format="pyarrow"
     )
-    return manifest_rows.to_pandas()
+    df = manifest_rows.to_pandas()
+    if return_stats:
+        return df, manifest_rows.stats()
+    return df

@@ -98,7 +98,9 @@ def test_media_features_deterministic_and_complete(queries, sf_smoke):
     a = a.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     b = b.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     assert (a["feature_norm"].to_numpy() == b["feature_norm"].to_numpy()).all()
-    assert set(a.columns) >= {"doc_id", "media_ref", "media_kind", "n_bytes", "feature", "feature_norm"}
+    assert set(a.columns) >= {"doc_id", "media_ref", "media_kind", "n_bytes", "feature_norm"} | {
+        f"f{j}" for j in range(8)
+    }
     assert (a["n_bytes"] == 256).all()
 
 

@@ -98,6 +98,9 @@ def test_cli_run_and_resume(sf_smoke, tmp_path):
     s1 = json.loads(run.stdout.strip().splitlines()[-1])
     assert s1["fragments_written"] == 4 and s1["fragments_skipped"] == 0
     assert s1["rows_written"] > 0
+    # per-stage execution metrics land next to the lineage (BASELINE.md §4)
+    stats_txt = (tmp_path / "out" / "_metrics" / "stage_stats.txt").read_text()
+    assert "MapBatches" in stats_txt or "Operator" in stats_txt
 
     rerun = subprocess.run(
         [sys.executable, "-m", "ocr_ray.run", "--config", str(cfg), "--num-cpus", "2"],

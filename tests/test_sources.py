@@ -1,0 +1,71 @@
+"""Source readers: streaming Lance fragment path (with a monkeypatched
+fake lance module — the real package is absent here) and format dispatch.
+The invariant under test: NO code path materializes a whole Lance dataset
+on the driver; only the fragment-id list does."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ocr_ray.sources.readers as readers
+from ocr_ray.testing import FakeFragment, FakeLanceModule
+
+
+def _fragments(n_frags: int = 3, rows_per: int = 4):
+    frags = []
+    for i in range(n_frags):
+        ids = np.arange(i * rows_per, (i + 1) * rows_per, dtype=np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array([f"doc {j}" for j in ids], type=pa.string()),
+                "extra": pa.array(ids * 2),
+            }
+        )
+        frags.append(FakeFragment(i, t))
+    return frags
+
+
+@pytest.fixture()
+def fake_lance(monkeypatch, tmp_path):
+    frags = _fragments()
+    mod = FakeLanceModule(frags)
+    monkeypatch.setattr(readers, "lance", mod)
+    monkeypatch.setattr(readers, "HAVE_LANCE", True)
+    monkeypatch.setattr(readers, "PREFER_NATIVE_LANCE", False)  # force fragment path
+    path = tmp_path / "corpus.lance"
+    path.mkdir()
+    return str(path), mod, frags
+
+
+def test_lance_fragment_read_streams_all_rows(ray_session, fake_lance):
+    path, mod, frags = fake_lance
+    ds = readers.read_documents(path)
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 12
+    assert df["doc_id"].tolist() == list(range(12))
+    # the driver only listed fragments; rows were read inside tasks
+    assert set(df.columns) == {"doc_id", "text", "extra"}
+
+
+def test_lance_fragment_read_prunes_columns(ray_session, fake_lance):
+    path, mod, frags = fake_lance
+    ds = readers.read_documents(path, columns=["doc_id", "text"])
+    df = ds.to_pandas()
+    assert set(df.columns) == {"doc_id", "text"}
+    assert len(df) == 12
+
+
+def test_lance_missing_package_raises(monkeypatch, tmp_path):
+    monkeypatch.setattr(readers, "HAVE_LANCE", False)
+    path = tmp_path / "corpus.lance"
+    path.mkdir()
+    with pytest.raises(ImportError, match="lance"):
+        readers.read_documents(str(path))
+
+
+def test_read_any_dispatch_parquet(ray_session, sf_smoke):
+    ds = readers.read_any(f"{sf_smoke}/nation.parquet", columns=["n_nationkey"])
+    assert ds.count() == 25
