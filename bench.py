@@ -88,7 +88,7 @@ def run_bench() -> dict:
             OUT_DIR,
             num_parts=max(NUM_CPUS * 2, 16),
             doc_batch_size=1024,
-            recognizer_concurrency=max(NUM_CPUS // 2, 2),
+            recognizer_concurrency=None,  # task pool + per-worker template cache
             num_buckets=max(NUM_CPUS * 2, 16),
             two_phase=False,
         )
@@ -138,16 +138,26 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """The two-parallelism-level protocol (BASELINE.md): the headline
     pipeline only (queries skipped), on a corpus sized so compute dominates
-    fixed overhead (actor startup + shuffle setup) — the sandbox stand-in
+    fixed overhead (job startup + shuffle planning) — the sandbox stand-in
     for the N-vs-4N-node criterion, where a real run is hours long and
-    per-job overhead is noise."""
+    per-job overhead is noise.
+
+    This shared sandbox's wall-clock is ±30-40% (co-tenant load), so the
+    two levels run INTERLEAVED (32, 8, 32, 8, ...) across the same time
+    window and the efficiency is computed from each level's best — the
+    standard noise-floor estimate; a sequential A-then-B measurement
+    conflates load drift with scaling."""
+
+    reps = int(os.environ.get("OCR_RAY_SCALING_REPS", "256"))
+    rounds = int(os.environ.get("OCR_RAY_SCALING_ROUNDS", "2"))
 
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             OCR_RAY_SKIP_QUERIES="1",
-            OCR_RAY_BENCH_REPS=str(int(os.environ.get("OCR_RAY_SCALING_REPS", "64"))),
+            OCR_RAY_BENCH_REPS=str(reps),
+            OCR_RAY_BENCH_TRIALS=os.environ.get("OCR_RAY_BENCH_TRIALS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -159,7 +169,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(rounds):
+        for ncpu in (32, 8):
+            runs[ncpu].append(one(ncpu))
+    lo = min(runs[8], key=lambda r: r["value"])
+    hi = min(runs[32], key=lambda r: r["value"])
     eff = lo["value"] / (4 * hi["value"])
     return {
         "metric": "scaling_efficiency_8_to_32",
@@ -168,6 +183,8 @@ def run_scaling() -> dict:
         "docs_per_sec_8": lo["docs_per_sec"],
         "docs_per_sec_32": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "all_sec_8": [r["value"] for r in runs[8]],
+        "all_sec_32": [r["value"] for r in runs[32]],
         "docs": lo["docs"],
         "sf": SF_DIR,
     }

@@ -66,40 +66,83 @@ class ExtractMapper:
         return add_bucket(t, num_buckets=self.num_buckets)
 
 
+# Per-worker-process mapper cache for task-pool mode: Ray reuses worker
+# processes across tasks, so the recognizer templates build once per worker
+# (actor-pool __init__ semantics) WITHOUT an actor pool's startup cost,
+# CPU reservation, or deadlock footgun. Measured (BENCH/BASELINE.md): the
+# fixed actor pool pays ~2-4 s spawning fresh processes per run while task
+# mode reuses the already-warm workers — task mode is never slower here.
+# An explicit actor pool remains the right call when per-actor state is
+# genuinely expensive (multi-GB model weights); pass an int/tuple then.
+_TASK_MAPPER_CACHE: dict[tuple, ExtractMapper] = {}
+
+
+def _task_mapper(batch, *, num_buckets: int, chunked: bool, chunk_size: int):
+    key = (num_buckets, chunked, chunk_size)
+    m = _TASK_MAPPER_CACHE.get(key)
+    if m is None:
+        m = _TASK_MAPPER_CACHE[key] = ExtractMapper(
+            num_buckets=num_buckets, chunked=chunked, chunk_size=chunk_size
+        )
+    return m(batch)
+
+
+def _mapped(ds, *, doc_batch_size, recognizer_concurrency, num_buckets, chunked, chunk_size):
+    """The fused pre-shuffle stage: task pool (concurrency=None, default)
+    or fixed/autoscaling actor pool (int / tuple)."""
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=doc_batch_size,
+    )
+    fn_kwargs = {"num_buckets": num_buckets, "chunked": chunked, "chunk_size": chunk_size}
+    if recognizer_concurrency is None:
+        return ds.map_batches(_task_mapper, fn_kwargs=fn_kwargs, **kwargs)
+    return ds.map_batches(
+        ExtractMapper,
+        concurrency=recognizer_concurrency,
+        fn_constructor_kwargs=fn_kwargs,
+        **kwargs,
+    )
+
+
 def extract_documents(
     ds: ray.data.Dataset,
     *,
     doc_batch_size: int = 1024,
-    recognizer_concurrency: int | tuple[int, int] = 2,
-    num_buckets: int = 64,
+    recognizer_concurrency: int | tuple[int, int] | None = None,
+    num_buckets: int | None = None,
     two_phase: bool = False,
     chunk_size: int = 1024,
 ) -> ray.data.Dataset:
     """Nested corpus Dataset -> nested extracted Dataset (same schema).
 
-    A FIXED actor-pool size (int) avoids the autoscaling ramp that
-    serializes small runs, but the pool reserves its CPUs for the whole
-    execution: size it STRICTLY below the cluster/session CPU count or
-    upstream read/shuffle tasks starve and the pipeline deadlocks.
+    ``recognizer_concurrency=None`` (default) runs the fused mapper as a
+    TASK pool with per-worker-process template caching — see
+    ``_task_mapper``. An int gives a FIXED actor pool (avoids the
+    autoscaling ramp that serializes small runs, but reserves its CPUs for
+    the whole execution: size it STRICTLY below the cluster/session CPU
+    count or upstream read/shuffle tasks starve and the pipeline
+    deadlocks).
     ``doc_batch_size`` batches the NESTED side (one row explodes to many
     spans) and therefore sets the task count of the fused
-    explode->normalize->recognize actor-pool stage — size it so
-    ``n_docs / doc_batch_size >> actor pool size`` or the pool starves.
+    explode->normalize->recognize stage — size it so
+    ``n_docs / doc_batch_size >> pool size`` or the pool starves.
     ``two_phase=True``
     switches reassembly to the skew-safe chunked partial+final shape —
     required when documents can be pathologically large (group > block);
     at 100 TB scale it should be the default.
     """
-    ds = ds.map_batches(
-        ExtractMapper,
-        batch_format="pyarrow",
-        batch_size=doc_batch_size,
-        concurrency=recognizer_concurrency,
-        fn_constructor_kwargs={
-            "num_buckets": num_buckets,
-            "chunked": two_phase,
-            "chunk_size": chunk_size,
-        },
+    if num_buckets is None:
+        from ocr_ray.sizing import buckets_for_input
+
+        num_buckets = buckets_for_input(ds)
+    ds = _mapped(
+        ds,
+        doc_batch_size=doc_batch_size,
+        recognizer_concurrency=recognizer_concurrency,
+        num_buckets=num_buckets,
+        chunked=two_phase,
+        chunk_size=chunk_size,
     )
     if two_phase:
         partial = ds.groupby("bucket").map_groups(
@@ -118,10 +161,10 @@ def extract_and_write(
     ds: ray.data.Dataset,
     out_dir: str,
     *,
-    num_parts: int = 64,
+    num_parts: int | None = None,
     doc_batch_size: int = 1024,
-    recognizer_concurrency: int | tuple[int, int] = 2,
-    num_buckets: int = 64,
+    recognizer_concurrency: int | tuple[int, int] | None = None,
+    num_buckets: int | None = None,
     two_phase: bool = True,
     chunk_size: int = 1024,
     resume: bool = True,
@@ -137,20 +180,23 @@ def extract_and_write(
     """
     from ocr_ray.state.manifest import ResumableSink, skip_completed_partitions
 
+    if num_parts is None or num_buckets is None:
+        from ocr_ray.sizing import buckets_for_input
+
+        derived = buckets_for_input(ds)
+        num_parts = num_parts if num_parts is not None else derived
+        num_buckets = num_buckets if num_buckets is not None else derived
     skipped = 0
     if resume:
         ds, skipped = skip_completed_partitions(ds, out_dir, num_parts)
     sink = ResumableSink(out_dir)
-    ds = ds.map_batches(
-        ExtractMapper,
-        batch_format="pyarrow",
-        batch_size=doc_batch_size,
-        concurrency=recognizer_concurrency,
-        fn_constructor_kwargs={
-            "num_buckets": num_buckets if two_phase else num_parts,
-            "chunked": two_phase,
-            "chunk_size": chunk_size,
-        },
+    ds = _mapped(
+        ds,
+        doc_batch_size=doc_batch_size,
+        recognizer_concurrency=recognizer_concurrency,
+        num_buckets=num_buckets if two_phase else num_parts,
+        chunked=two_phase,
+        chunk_size=chunk_size,
     )
     if two_phase:
         partial = ds.groupby("bucket").map_groups(

@@ -1761,17 +1761,65 @@ def regex_token_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fx, batch_format="pyarrow")
 
 
-@query(
-    "lang_id",
-    sql=None,  # heuristic classifier; verified in pytest against its own spec
-)
+_LANG_SQL = """
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE tok IN ('der','die','und','das','ein','zu')) AS votes_de,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS votes_en,
+    count(*) FILTER (WHERE tok IN ('el','la','de','y','que','en')) AS votes_es,
+    count(*) FILTER (WHERE tok IN ('le','la','et','les','des','un')) AS votes_fr,
+    count(*) FILTER (WHERE tok IN ('de','shi','le','zai','he','you')) AS votes_zh
+  FROM s GROUP BY doc_id)
+SELECT doc_id,
+  CASE
+    WHEN votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr
+         AND votes_de >= votes_zh THEN 'de'
+    WHEN votes_en >= votes_es AND votes_en >= votes_fr AND votes_en >= votes_zh THEN 'en'
+    WHEN votes_es >= votes_fr AND votes_es >= votes_zh THEN 'es'
+    WHEN votes_fr >= votes_zh THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang,
+  votes_de, votes_en, votes_es, votes_fr, votes_zh
+FROM v
+"""
+
+
+@query("lang_id", sql=_LANG_SQL)
 def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-vote language ID — the heuristic is pure token-set counting
+    with a deterministic argmax tie-break (first language in sorted order),
+    so the SQL oracle reproduces it exactly (the CASE chain's >= order IS
+    numpy argmax's first-max rule)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textfn.lang_id, batch_format="pyarrow")
 
 
-@query("doc_quality", sql=None)
+_QUALITY_SQL = """
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS n_stop,
+    SUM(length(tok)) AS sum_len
+  FROM s GROUP BY doc_id),
+m AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio_en,
+    CAST(sum_len AS DOUBLE) / n_tokens AS mean_token_len
+  FROM v)
+SELECT doc_id, n_tokens, stop_ratio_en, mean_token_len,
+  0.4 * LEAST(GREATEST(n_tokens / 64.0, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(stop_ratio_en * 5, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(1.0 - abs(mean_token_len - 5.0) / 5.0, 0.0), 1.0) AS quality
+FROM m
+"""
+
+
+@query("doc_quality", sql=_QUALITY_SQL)
 def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality heuristics (length / stopword-ratio / token-length terms) —
+    every term is IEEE +,-,*,/,abs,min,max in a fixed evaluation order, so
+    the SQL oracle matches bit for bit."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
 

@@ -40,3 +40,18 @@ def pool_size(frac: float = 0.25, *, min_size: int = 2) -> int:
 def default_buckets(*, min_buckets: int = 16) -> int:
     """Shuffle bucket count derived from the session (see module doc)."""
     return max(min_buckets, session_cpus() * 2)
+
+
+def buckets_for_input(ds, *, target_bytes: int = 1 << 30, min_buckets: int | None = None) -> int:
+    """Shuffle/partition count derived from the INPUT size: one bucket per
+    ~``target_bytes`` of data (default 1 GiB — a reduce task's comfortable
+    heap share), floored at ``default_buckets()`` so every core gets work.
+    ``ds.size_bytes()`` on a fresh read comes from file metadata (no
+    execution); at 100 TB this yields ~100k buckets instead of a fixed 64
+    — the knob the round-1 docstrings promised but never computed."""
+    try:
+        nbytes = ds.size_bytes() or 0
+    except Exception:
+        nbytes = 0
+    floor = min_buckets if min_buckets is not None else default_buckets()
+    return max(floor, int(nbytes // target_bytes) + (1 if nbytes % target_bytes else 0))
