@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ocr_ray.sizing import pool_size
+from ocr_ray.functions.relational import _prepared
 
 _RNG_SEED = 0xA11
 
@@ -99,14 +99,18 @@ def merge_topk(group: pd.DataFrame, *, k: int) -> pd.DataFrame:
 
 
 def brute_topk(ds, queries_ref, *, k: int = 5):
-    """Exact cosine top-k for a broadcast query set over an embedding Dataset."""
-    partial = ds.map_batches(
-        BatchTopK,
-        batch_format="pyarrow",
-        fn_constructor_args=(queries_ref,),
-        fn_constructor_kwargs={"k": k},
-        concurrency=pool_size(),
-    )
+    """Exact cosine top-k for a broadcast query set over an embedding
+    Dataset. Task-pool stage: the normalized query matrix is prepared once
+    per worker process (worker-global broadcast cache), not per batch."""
+
+    def fn(batch):
+        st = _prepared(
+            (queries_ref.hex(), "brute", k),
+            lambda: BatchTopK(queries_ref, k=k),
+        )
+        return st(batch)
+
+    partial = ds.map_batches(fn, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"
     )
@@ -165,13 +169,16 @@ class IvfPartial:
 
 
 def ivf_topk(ds, queries_ref, centroids_ref, *, k: int = 5, nprobe: int = 4):
-    partial = ds.map_batches(
-        IvfPartial,
-        batch_format="pyarrow",
-        fn_constructor_args=(queries_ref, centroids_ref),
-        fn_constructor_kwargs={"k": k, "nprobe": nprobe},
-        concurrency=pool_size(),
-    )
+    """IVF top-k as a task-pool stage (probe lists prepared once per worker)."""
+
+    def fn(batch):
+        st = _prepared(
+            (queries_ref.hex(), centroids_ref.hex(), "ivf", k, nprobe),
+            lambda: IvfPartial(queries_ref, centroids_ref, k=k, nprobe=nprobe),
+        )
+        return st(batch)
+
+    partial = ds.map_batches(fn, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"
     )

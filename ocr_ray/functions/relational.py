@@ -49,6 +49,48 @@ def broadcast(obj) -> "ray.ObjectRef":
     return ray.put(obj)
 
 
+# Worker-global cache of PREPARED broadcast state, keyed by ObjectRef id (+
+# stage params). Broadcast stages run as plain TASK functions: Ray reuses
+# worker processes, so the fetch + preparation (sorted key array, lookup
+# index) happens once per worker — actor-pool __init__ semantics without
+# an actor pool's startup latency or CPU reservation (the same measured
+# tradeoff as the extraction mapper, see pipelines/extract.py).
+_BROADCAST_STATE: dict = {}
+
+
+def _prepared(key, build):
+    state = _BROADCAST_STATE.get(key)
+    if state is None:
+        state = _BROADCAST_STATE[key] = build()
+    return state
+
+
+def semi_filter(ds, keys_ref, key_col: str, *, anti: bool = False):
+    """Broadcast semi/anti join as a task-pool map_batches stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flt = _prepared(
+            (keys_ref.hex(), key_col, anti),
+            lambda: BroadcastSemiFilter(keys_ref, key_col, anti=anti),
+        )
+        return flt(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lookup(ds, mapping_ref, key_col: str, out_cols: list[tuple[str, pa.DataType]]):
+    """Broadcast map-side lookup join as a task-pool map_batches stage."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lk = _prepared(
+            (mapping_ref.hex(), key_col, tuple(n for n, _ in out_cols)),
+            lambda: BroadcastLookup(mapping_ref, key_col, out_cols),
+        )
+        return lk(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 class BroadcastSemiFilter:
     """Actor-pool/task stage: keep rows whose ``key_col`` is (or is not) in a
     broadcast key set. The set is fetched from the object store once per

@@ -31,15 +31,15 @@ import ray.data
 
 from ocr_ray.corpus import ensure_corpus
 from ocr_ray.functions.relational import (
-    BroadcastLookup,
-    BroadcastSemiFilter,
     hash_join,
+    lookup,
+    semi_filter,
     to_units,
     units_to_double,
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import default_buckets, pool_size
+from ocr_ray.sizing import pool_size
 from ocr_ray.sources import read_documents, read_table
 
 QUERY_FNS: dict[str, Callable[[str], Any]] = {}
@@ -396,13 +396,12 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
     keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     keys_ref = ray.put(keys)
 
-    orders = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        BroadcastSemiFilter,
-        batch_format="pyarrow",
-        fn_constructor_args=(keys_ref, "o_custkey"),
-        concurrency=pool_size(),
+    orders = semi_filter(
+        read_table(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        ),
+        keys_ref,
+        "o_custkey",
     )
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -501,11 +500,11 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     # shuffle), join raw lineitem rows once, aggregate straight to the 25
     # nation groups (map-side combine makes the final groupby tiny). One
     # shuffle total instead of lineitem-groupby + join + groupby.
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastLookup,
-        batch_format="pyarrow",
-        fn_constructor_args=(mapping_ref, "o_custkey", [("n_name", pa.string())]),
-        concurrency=pool_size(),
+    orders = lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        mapping_ref,
+        "o_custkey",
+        [("n_name", pa.string())],
     )
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -639,11 +638,8 @@ def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
     """Semi join via broadcast key set (no shuffle)."""
     keys = set(_big_spenders(sf_dir))
     keys_ref = ray.put(keys)
-    return read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
-        BroadcastSemiFilter,
-        batch_format="pyarrow",
-        fn_constructor_args=(keys_ref, "c_custkey"),
-        concurrency=pool_size(),
+    return semi_filter(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]), keys_ref, "c_custkey"
     )
 
 
@@ -657,12 +653,11 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
 def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
     keys = set(_big_spenders(sf_dir))
     keys_ref = ray.put(keys)
-    return read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
-        BroadcastSemiFilter,
-        batch_format="pyarrow",
-        fn_constructor_args=(keys_ref, "c_custkey"),
-        fn_constructor_kwargs={"anti": True},
-        concurrency=pool_size(),
+    return semi_filter(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        keys_ref,
+        "c_custkey",
+        anti=True,
     )
 
 
@@ -1489,21 +1484,14 @@ def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
         int(k): units_to_double(np.array([s]), 2)[0] / n
         for k, s, n in zip(agg["c_nationkey"], agg["sum_c"], agg["n"])
     }
-    avg_ref = ray.put(avg_by_nation)
+    avg_ref = ray.put({k: (v,) for k, v in avg_by_nation.items()})
 
-    class AboveAvg:
-        def __init__(self, ref):
-            self.avg = ray.get(ref)
+    def above(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["c_acctbal"], t["_avg"])
+        return t.filter(keep).select(["c_custkey", "c_name", "c_acctbal"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            thresh = np.array([self.avg[int(k)] for k in keys])
-            keep = t["c_acctbal"].to_numpy(zero_copy_only=False) > thresh
-            return t.filter(pa.array(keep)).select(["c_custkey", "c_name", "c_acctbal"])
-
-    return ds.map_batches(
-        AboveAvg, batch_format="pyarrow", fn_constructor_args=(avg_ref,), concurrency=pool_size()
-    )
+    withavg = lookup(ds, avg_ref, "c_nationkey", [("_avg", pa.float64())])
+    return withavg.map_batches(above, batch_format="pyarrow")
 
 
 @query(

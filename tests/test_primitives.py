@@ -1,0 +1,82 @@
+"""Pure-function unit tests for round-2 primitives (no Ray execution):
+vectorized set-Jaccard over list columns, shingle signatures, hash guards,
+sketch edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.functions.dedup import (
+    SHINGLES_TYPE,
+    doc_shingle_lists,
+    pairwise_jaccard_lists,
+    shingle_set,
+)
+from ocr_ray.functions.hashing import hash_utf8_column, mix64
+from ocr_ray.functions.sketch import histogram_quantiles
+
+
+def _lists(rows):
+    return pa.array([np.array(r, dtype=np.uint64) for r in rows], type=SHINGLES_TYPE)
+
+
+def test_pairwise_jaccard_basic():
+    a = _lists([[1, 2, 3], [1, 2], [], [5]])
+    b = _lists([[1, 2, 3], [3, 4], [], [5]])
+    jac = pairwise_jaccard_lists(a, b)
+    assert jac[0] == 1.0  # identical
+    assert jac[1] == 0.0  # disjoint
+    assert jac[2] == 1.0  # both empty -> defined as 1.0
+    assert jac[3] == 1.0
+
+
+def test_pairwise_jaccard_partial_overlap():
+    a = _lists([[1, 2, 3, 4]])
+    b = _lists([[3, 4, 5, 6]])
+    assert np.isclose(pairwise_jaccard_lists(a, b)[0], 2 / 6)
+
+
+def test_pairwise_jaccard_empty_vs_nonempty():
+    jac = pairwise_jaccard_lists(_lists([[]]), _lists([[7, 8]]))
+    assert jac[0] == 0.0
+
+
+def test_doc_shingle_lists_matches_python_set_size():
+    texts = [
+        "a b c d e f g h",
+        "a b c a b c a b c",  # repeated shingles -> unique-sorted dedup
+        "x y",  # fewer than k words -> empty signature
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = doc_shingle_lists(batch)
+    sizes = [len(v) for v in out["shingles"].to_pylist()]
+    expected = [len(shingle_set(t)) for t in texts]
+    assert sizes == expected
+    for v in out["shingles"].to_pylist():
+        arr = np.array(v, dtype=np.uint64)
+        assert (np.diff(arr) > 0).all() if len(arr) > 1 else True  # unique-sorted
+
+
+def test_hash_utf8_null_buffer_guard():
+    # pa.nulls produces a string array with no data buffer — must not crash
+    arr = pa.nulls(3, type=pa.string())
+    h = hash_utf8_column(arr)
+    assert len(h) == 3
+
+
+def test_mix64_deterministic_and_spreading():
+    x = np.arange(10, dtype=np.uint64)
+    a, b = mix64(x), mix64(x)
+    assert (a == b).all()
+    assert len(np.unique(a)) == len(a)
+
+
+def test_histogram_quantiles_empty_returns_nan():
+    import pandas as pd
+
+    empty = pd.DataFrame({"bin": [], "count": []})
+    vals = histogram_quantiles(empty, [0.5], lo=0.0, hi=1.0)
+    assert np.isnan(vals[0])
