@@ -143,6 +143,64 @@ class BroadcastLookup:
         return batch
 
 
+def range_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    left_val: str,
+    right_val: str,
+    lo,
+    hi,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Equality + range join: match rows with equal keys where
+    ``lo <= left_val - right_val <= hi``.
+
+    Distributed shape: co-partition both sides on the EQUALITY key through
+    the bucketed ``hash_join`` machinery (one shuffle); the range predicate
+    is applied INSIDE each bucket body right after the per-bucket merge, so
+    non-qualifying pairs never leave the task. Pair blow-up is bounded by
+    rows-per-key (the equality key's selectivity), the same containment
+    argument as every bucketed aggregate here. ``lo``/``hi`` accept
+    numbers or numpy timedeltas, matching the value columns' dtype
+    difference."""
+
+    def in_range(df: pd.DataFrame) -> pd.DataFrame:
+        delta = df[left_val] - df[right_val]
+        return df[(delta >= lo) & (delta <= hi)]
+
+    out_schema = None
+    if left_schema is not None and right_schema is not None:
+        lnames = list(left_schema.names)
+        rename = {
+            n: (n + "_r" if n in lnames and n != (right_on or on) else n)
+            for n in right_schema.names
+        }
+        fields = [(n, left_schema.types[left_schema.names.index(n)]) for n in lnames]
+        fields += [
+            (rename[n], right_schema.types[right_schema.names.index(n)])
+            for n in right_schema.names
+            if rename[n] not in lnames
+        ]
+        out_schema = pa.schema(fields)
+
+    return hash_join(
+        left,
+        right,
+        on=on,
+        right_on=right_on,
+        num_buckets=num_buckets,
+        left_schema=left_schema,
+        right_schema=right_schema,
+        bucket_post=in_range,
+        post_schema=out_schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed set ops (UNION / INTERSECT / EXCEPT over large inputs)
 # ---------------------------------------------------------------------------

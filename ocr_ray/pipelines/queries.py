@@ -894,6 +894,43 @@ def customer_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "range_join_followup_events",
+    sql="""
+SELECT b.event_id AS event_id, b.user_id AS user_id, b.ts AS ts,
+       a.event_id AS event_id_r, a.ts AS ts_r
+FROM events b JOIN events a ON b.user_id = a.user_id
+WHERE b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def range_join_followup_events(sf_dir: str) -> ray.data.Dataset:
+    """Equality+range join (pairs of same-user events where the second
+    fires within one hour after the first): co-partition on the equality
+    key through the ONE-shuffle bucketed join, apply the time-range
+    predicate inside each bucket body so non-qualifying pairs never leave
+    the task (``range_join``). Self-join flavor: the right side's
+    colliding columns arrive suffixed ``_r``, and the range value column
+    is named post-rename (``ts_r``)."""
+    from ocr_ray.functions.relational import range_join
+
+    ts = pa.timestamp("us")
+    schema = pa.schema({"event_id": pa.int64(), "user_id": pa.int64(), "ts": ts})
+    followup = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    anchor = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return range_join(
+        followup,
+        anchor,
+        on="user_id",
+        left_val="ts",
+        right_val="ts_r",
+        lo=pd.Timedelta(microseconds=1),
+        hi=pd.Timedelta(hours=1),
+        num_buckets=16,
+        left_schema=schema,
+        right_schema=schema,
+    )
+
+
+@query(
     "sample_orders_systematic",
     sql="""
 SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 3
@@ -916,6 +953,177 @@ def sample_orders_systematic(sf_dir: str) -> ray.data.Dataset:
         return t.filter(keep)
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+@query(
+    "stratified_sample_orders",
+    sql="""
+SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderstatus
+      ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 50
+""",
+)
+def stratified_sample_orders(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified sample: exactly 50 rows per stratum
+    (o_orderstatus), chosen by a Knuth multiplicative pseudo-hash of the
+    key — reproducible on any cluster, unlike ``random_sample``.
+
+    Distributed shape: per-batch partial top-50 per stratum (each batch
+    contributes at most 50 x strata rows), then a tiny per-stratum final
+    merge — the same partial-top-k discipline as q3, so no task ever holds
+    a stratum's full population even when strata are few and huge."""
+    K = 50
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = df["o_orderkey"].to_numpy()
+        df["_h"] = (k * 2654435761) % 4294967296
+        df = df.sort_values(["o_orderstatus", "_h", "o_orderkey"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("o_orderstatus", sort=False).head(K), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", "o_orderkey"], kind="mergesort").head(K)
+        return g[["o_orderstatus", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+@query(
+    "collect_orders_per_customer",
+    sql="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS order_keys
+FROM orders GROUP BY o_custkey
+""",
+)
+def collect_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """collect_list / string_agg: per-key ordered list of values, emitted
+    as a deterministic comma-joined string. Coarse-bucket shuffle on the
+    grouping key, one vectorized sort + group-concat pass per bucket —
+    bucket count (not customer count) is the parallelism knob."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        keys = g["o_orderkey"].astype(str).to_numpy()
+        cust = g["o_custkey"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(g)]]))
+        joined = [",".join(keys[s : s + c]) for s, c in zip(starts, counts)]
+        return pd.DataFrame(
+            {
+                "o_custkey": cust[starts],
+                "n_orders": counts.astype(np.int64),
+                "order_keys": joined,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
+    "tfidf_doc_tokens",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token
+), idf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+       CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(idf.df AS DOUBLE)) AS tfidf
+FROM tf, idf, n WHERE tf.token = idf.token
+""",
+)
+def tfidf_doc_tokens(sf_dir: str) -> ray.data.Dataset:
+    """TF-IDF over the document corpus, the canonical two-shuffle shape:
+
+    1. map_batches: tokenize + per-(doc, token) term counts with one Arrow
+       ``group_by`` per batch (documents are whole rows, so per-batch tf is
+       exact — no cross-batch combine needed);
+    2. ``groupby(token).count()`` for document frequency (shuffle #1);
+    3. bucketed ``hash_join`` tf x df on token (shuffle #2), tfidf computed
+       vectorized inside the downstream map.
+
+    N (corpus size) is a parquet metadata count — no execution. The idf
+    join is a real shuffle join, not a broadcast, because at web scale the
+    vocabulary does not fit a broadcast side."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(ds.count())  # parquet metadata count — no execution
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        flat = pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), parents),
+                "token": pc.list_flatten(toks),
+            }
+        )
+        out = flat.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "token", "tf"]).set_column(
+            2, "tf", pc.cast(out["count_all"], pa.int64())
+        )
+
+    tf = ds.map_batches(term_counts, batch_format="pyarrow")
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(
+        tf,
+        df.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("df"), "df", pc.cast(t["df"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        on="token",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"doc_id": pa.int64(), "token": pa.string(), "tf": pa.int64()}
+        ),
+        right_schema=pa.schema({"token": pa.string(), "df": pa.int64()}),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import math
+
+        tf_d = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_d = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # numpy's SIMD log differs from libm ln by 1 ulp on some inputs;
+        # libm (math.log) matches DuckDB bit-exact. df has few distinct
+        # values per batch, so libm-log only the uniques, then gather.
+        uniq, inv = np.unique(df_d, return_inverse=True)
+        idf = np.array([math.log(n_docs / d) for d in uniq])[inv]
+        return t.append_column("tfidf", pa.array(tf_d * idf))
+
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 @query(
