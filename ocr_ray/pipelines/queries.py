@@ -2485,3 +2485,102 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         f"f{j}" for j in range(MEDIA_FEATURE_DIM)
     ] + ["feature_norm"]
     return decoded.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# dedup clustering: near-dup pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    sql="""
+WITH RECURSIVE k AS (
+  SELECT doc_id,
+         substr(text, 1, 16) AS pre,
+         substr(text, greatest(1, length(text) - 15)) AS suf
+  FROM documents
+), stars AS (
+  SELECT min(doc_id) OVER (PARTITION BY pre) AS u, doc_id AS v FROM k
+  UNION ALL
+  SELECT min(doc_id) OVER (PARTITION BY suf) AS u, doc_id AS v FROM k
+), edges AS (
+  SELECT u, v FROM stars WHERE u <> v
+  UNION
+  SELECT v AS u, u AS v FROM stars WHERE u <> v
+), reach(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n
+)
+SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n
+""",
+)
+def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Key-equality dedup CLUSTERS: documents sharing a 16-char text
+    prefix OR a 16-char suffix are duplicates; transitive closure labels
+    each doc with its component's smallest doc_id.
+
+    Distributed shape: shared-key cliques reduced to star edges (one
+    coarse-bucket groupby per key family, O(group) not O(group^2) edges —
+    the boilerplate hot-key guard), alternating large-star/small-star
+    connected components (O(log^2 n) bucketed-shuffle rounds,
+    ``functions/graph.py``), then ONE left-outer ``hash_join`` back to the
+    doc universe so singletons label themselves. The oracle computes the
+    same closure with a recursive CTE."""
+    from ocr_ray.functions.graph import connected_components, star_edges_from_key
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pre": pc.utf8_slice_codeunits(t["text"], 0, 16),
+                "suf": pc.utf8_slice_codeunits(t["text"], -16),
+            }
+        )
+
+    keyed = docs.map_batches(keys, batch_format="pyarrow")
+    edges = star_edges_from_key(keyed, key_col="pre", node_col="doc_id").union(
+        star_edges_from_key(keyed, key_col="suf", node_col="doc_id")
+    )
+    labels = connected_components(edges)
+
+    ids = docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    joined = hash_join(
+        ids,
+        labels,
+        on="doc_id",
+        right_on="node",
+        how="left",
+        num_buckets=16,
+        left_schema=pa.schema({"doc_id": pa.int64()}),
+        right_schema=pa.schema({"node": pa.int64(), "component": pa.int64()}),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        comp = pc.coalesce(t["component"], t["doc_id"])
+        return pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": pc.cast(comp, pa.int64())}
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+@query("minhash_dedup_clusters", sql=None)
+def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """MinHash near-dup pairs promoted to dedup clusters: the verified
+    pair set (``minhash_dedup_pairs``) is the edge list; alternating
+    large-star/small-star connected components label every involved doc
+    with its cluster's smallest doc_id. Seeded mutated copies must land in
+    their original's cluster (asserted in tests/test_graph.py)."""
+    from ocr_ray.functions.graph import connected_components
+
+    pairs = minhash_dedup_pairs(sf_dir)
+    labels = connected_components(pairs, left_col="doc_a", right_col="doc_b")
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "cluster_id": pc.cast(t["component"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
