@@ -2584,3 +2584,366 @@ def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Window functions, reshape, exact top-k / distinct, fuzzy + bloom joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_history",
+    sql="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER win AS rn,
+    lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS prev_d,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_d
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+  CAST(prev_d AS DOUBLE) AS prev_price,
+  CAST(price_d - prev_d AS DOUBLE) AS delta,
+  CAST(run_d AS DOUBLE) AS running_spend
+FROM w
+""",
+)
+def customer_order_history(sf_dir: str) -> ray.data.Dataset:
+    """General window functions over partitions: row_number, lag, lag-delta
+    and running sum per customer in order-date order.
+
+    Distributed shape: ONE coarse-bucket shuffle on the partition key, then
+    a single vectorized pass per bucket — sort, run boundaries, shifted
+    arrays for lag, segmented cumsum (global cumsum minus the value at each
+    run start) for the running total. Money stays in integer units through
+    the cumsum so the running sum is exact (matches the oracle's DECIMAL
+    window sum cast to DOUBLE)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        units = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(g)]]))
+        rn = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts) + 1
+        prev = np.empty_like(units)
+        prev[1:] = units[:-1]
+        prev[0] = 0
+        cum = np.cumsum(units)
+        base = cum - units  # exclusive prefix sum
+        running = cum - np.repeat(base[starts], counts)
+        prev_price = prev / 100.0
+        delta = (units - prev) / 100.0
+        prev_price[new] = np.nan
+        delta[new] = np.nan
+        return pd.DataFrame(
+            {
+                "o_custkey": cust,
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "rn": rn,
+                "prev_price": prev_price,
+                "delta": delta,
+                "running_spend": running / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
+    "orders_unpivot_year_status",
+    sql="""
+WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+s AS (SELECT unnest(['O', 'F', 'P']) AS o_orderstatus),
+c AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT y.yr, s.o_orderstatus, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM y CROSS JOIN s
+LEFT JOIN c ON c.yr = y.yr AND c.o_orderstatus = s.o_orderstatus
+""",
+)
+def orders_unpivot_year_status(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT / melt: the wide per-status pivot (one row per year, one
+    column per status) back to long form (year, status, count) — the
+    reshape inverse of ``orders_pivot_status_by_year``, reusing its plan.
+    The melt is a pure per-batch map (each wide row expands to 3 long
+    rows), so it adds zero shuffles."""
+    wide = orders_pivot_status_by_year(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for col, status in (("n_open", "O"), ("n_filled", "F"), ("n_partial", "P")):
+            parts.append(
+                pa.table(
+                    {
+                        "yr": t["yr"],
+                        "o_orderstatus": pa.array([status] * t.num_rows, type=pa.string()),
+                        "n_orders": pc.cast(t[col], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+@query(
+    "top_tokens_exact",
+    sql="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, CAST(n AS BIGINT) AS n FROM c ORDER BY n DESC, token LIMIT 50
+""",
+)
+def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT global top-k by aggregated count (the exact counterpart of the
+    Misra-Gries ``frequent_tokens`` sketch): map-side per-batch token
+    counts (one Arrow ``group_by`` per batch), ONE ``groupby(token).sum``
+    shuffle, then per-block partial top-50 so the final sort touches at
+    most ``50 x blocks`` rows instead of the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        out = flat.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+            .head(50)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).set_column(
+            1, "n", pc.cast(pa.array(df["n"]), pa.int64())
+        )
+
+    return (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
+@query(
+    "mode_priority_by_status",
+    sql="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) = 1
+""",
+)
+def mode_priority_by_status(sf_dir: str) -> ray.data.Dataset:
+    """Per-group MODE (most frequent value, lexicographic tiebreak): map-
+    side partial counts on the combined key collapse the shuffle to
+    ``|status| x |priority|`` rows, then a tiny per-status argmax."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate([([], "count_all")])
+        return out.rename_columns(["o_orderstatus", "o_orderpriority", "n"]).set_column(
+            2, "n", pc.cast(out["count_all"], pa.int64())
+        )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "o_orderpriority"], ascending=[False, True], kind="mergesort")
+        top = g.iloc[:1]
+        return pd.DataFrame(
+            {
+                "o_orderstatus": top["o_orderstatus"].to_numpy(),
+                "mode_priority": top["o_orderpriority"].to_numpy(),
+                "n": top["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        counts.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n", pc.cast(t["n"], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderstatus")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
+@query(
+    "count_distinct_custs_by_priority",
+    sql="""
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def count_distinct_custs_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """EXACT distributed COUNT(DISTINCT) per group: per-batch local pair
+    dedup, coarse-bucket shuffle on the DISTINCT key (every occurrence of a
+    custkey meets in one bucket), per-bucket global dedup + per-group
+    partial counts, then a tiny ``groupby(group).sum`` — driver never sees
+    a key, and the exact counterpart of the HLL sketch
+    (``approx_distinct_users``)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pairs = (
+            t.group_by(["o_orderpriority", "o_custkey"])
+            .aggregate([([], "count_all")])
+            .select(["o_orderpriority", "o_custkey"])
+        )
+        h = pd.util.hash_array(pairs["o_custkey"].to_numpy(zero_copy_only=False))
+        return pairs.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["o_orderpriority", "o_custkey"])
+        out = d.groupby("o_orderpriority", sort=True).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out[["o_orderpriority", "n"]]
+
+    partials = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup_count, batch_format="pandas")
+    )
+    agg = partials.groupby("o_orderpriority").aggregate(Sum("n", alias_name="n_custs"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_custs"), "n_custs", pc.cast(t["n_custs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "fuzzy_match_parts",
+    sql="""
+SELECT a.p_partkey AS probe_key, b.p_partkey, b.p_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a, part b
+WHERE a.p_partkey <= 5 AND levenshtein(a.p_name, b.p_name) <= 12
+""",
+)
+def fuzzy_match_parts(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy (edit-distance) semi join with broadcast probes: five probe
+    names ship once; the part table streams through a task-pool map_batches
+    whose Levenshtein DP is vectorized over the BATCH dimension
+    (``functions/fuzzy.py`` — no per-row Python in the ASCII path). The
+    distance semantics match DuckDB's ``levenshtein`` exactly."""
+    from ocr_ray.functions.fuzzy import levenshtein_to_probe
+    from ocr_ray.functions.relational import _prepared
+
+    probes_t = load_small_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    probes_t = probes_t.filter(pc.less_equal(probes_t["p_partkey"], 5))
+    probes_ref = ray.put(
+        list(zip(probes_t["p_partkey"].to_pylist(), probes_t["p_name"].to_pylist()))
+    )
+
+    empty = pa.table(
+        {
+            "probe_key": pa.array([], type=pa.int64()),
+            "p_partkey": pa.array([], type=pa.int64()),
+            "p_name": pa.array([], type=pa.string()),
+            "dist": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        probes = _prepared(("fuzzy", probes_ref.hex()), lambda: ray.get(probes_ref))
+        names = t["p_name"].combine_chunks() if isinstance(t["p_name"], pa.ChunkedArray) else t["p_name"]
+        parts = [empty]
+        for pkey, pname in probes:
+            dist = levenshtein_to_probe(names, pname)
+            hit = dist <= 12
+            if not hit.any():
+                continue
+            sel = t.filter(pa.array(hit))
+            parts.append(
+                pa.table(
+                    {
+                        "probe_key": pa.array(
+                            np.full(int(hit.sum()), pkey, dtype=np.int64)
+                        ),
+                        "p_partkey": pc.cast(sel["p_partkey"], pa.int64()),
+                        "p_name": sel["p_name"],
+                        "dist": pa.array(dist[hit]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    big = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return big.map_batches(match, batch_format="pyarrow")
+
+
+@query(
+    "semi_join_customers_bloom",
+    sql="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+""",
+)
+def semi_join_customers_bloom(sf_dir: str) -> ray.data.Dataset:
+    """The same semi join as ``semi_join_customers``, but via the bloom
+    path (``functions/bloom.py``): the key side stays a DATASET end to end
+    — distributed partial blooms OR-merged on the driver (fixed-size, key-
+    cardinality-independent), vectorized may-contain prefilter, then one
+    bucketed co-group for exact verification. This is the scale path when
+    the key set is too large to broadcast exactly."""
+    from ocr_ray.functions.bloom import bloom_semi_join
+
+    keys = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return bloom_semi_join(
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        keys,
+        on="c_custkey",
+        right_on="o_custkey",
+        num_buckets=16,
+        left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
+    )
