@@ -56,11 +56,14 @@ def broadcast(obj) -> "ray.ObjectRef":
 # an actor pool's startup latency or CPU reservation (the same measured
 # tradeoff as the extraction mapper, see pipelines/extract.py).
 _BROADCAST_STATE: dict = {}
+_BROADCAST_STATE_CAP = 64  # long-lived workers serve many queries; evict FIFO
 
 
 def _prepared(key, build):
     state = _BROADCAST_STATE.get(key)
     if state is None:
+        if len(_BROADCAST_STATE) >= _BROADCAST_STATE_CAP:
+            _BROADCAST_STATE.pop(next(iter(_BROADCAST_STATE)))
         state = _BROADCAST_STATE[key] = build()
     return state
 

@@ -268,3 +268,111 @@ def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
         out_groups.append(g)
         out_est.append(int(round(est)))
     return pd.DataFrame({"event_type": out_groups, "approx_users": out_est})
+
+
+def grouped_exact_quantiles(
+    ds, *, group_col: str, value_col: str, qs: tuple[float, ...], bins: int = 4096
+) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (``quantile_disc`` semantics:
+    order statistic at index ``ceil(q*n) - 1``) with the same three-pass
+    distributed-selection shape as ``grouped_exact_median`` — no task ever
+    holds a whole group:
+
+    1. global min/max aggregate;
+    2. per-(group, bin) histogram, map-side combined, distributed
+       ``groupby.sum`` (driver sees <= groups x bins rows);
+    3. broadcast-filter fetch of ONLY the bracketing bins (expected cell
+       size n/bins), exact selection inside each fetched cell.
+
+    Returns a DataFrame ``(group_col, q_<pct>..., n)``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.sizing import pool_size
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
+        red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
+        return pa.table(
+            {
+                group_col: pa.array(red[group_col], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "count": pa.array(red["count"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+
+    # plan: per group, the order-statistic target index of every quantile
+    # and the bin that contains it (+ count of values below that bin)
+    needed: dict[str, set[int]] = {}
+    plan: dict[str, dict] = {}
+    for g, sub in merged.groupby(group_col):
+        sub = sub.sort_values("bin")
+        bvals = sub["bin"].to_numpy(dtype=np.int64)
+        counts = sub["count"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        targets = [max(int(np.ceil(q * n)) - 1, 0) for q in qs]
+        below: dict[int, int] = {}
+        for pos in targets:
+            j = int(np.searchsorted(cum, pos + 1))
+            b = int(bvals[j])
+            needed.setdefault(g, set()).add(b)
+            below[b] = int(cum[j - 1]) if j > 0 else 0
+        plan[g] = {"n": n, "targets": targets, "below": below}
+
+    needed_ref = ray.put(needed)
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.relational import _prepared
+
+        pairs = _prepared(
+            ("qcells", needed_ref.hex()),
+            lambda: [(g, b) for g, bs in ray.get(needed_ref).items() for b in bs],
+        )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bin_of(v)
+        groups = t[group_col].to_pylist()
+        keep = pd.MultiIndex.from_arrays([groups, b]).isin(pairs)
+        ft = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                group_col: ft[group_col],
+                "bin": pa.array(b[keep]),
+                "value": pc.cast(ft[value_col], pa.float64()),
+            }
+        )
+
+    cells = ds.map_batches(cell_filter, batch_format="pyarrow").to_pandas()
+
+    rows: list[dict] = []
+    for g, p in plan.items():
+        gc = cells[cells[group_col] == g]
+        row: dict = {group_col: g}
+        for q, pos in zip(qs, p["targets"]):
+            for b, below in p["below"].items():
+                cnt = int((gc["bin"] == b).sum())
+                if below <= pos < below + cnt:
+                    vals = np.sort(gc.loc[gc["bin"] == b, "value"].to_numpy())
+                    row[f"q_{int(round(q * 100))}"] = float(vals[pos - below])
+                    break
+        row["n"] = p["n"]
+        rows.append(row)
+    cols = [group_col] + [f"q_{int(round(q * 100))}" for q in qs] + ["n"]
+    return pd.DataFrame(rows, columns=cols)

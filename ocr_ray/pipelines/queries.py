@@ -2947,3 +2947,122 @@ def semi_join_customers_bloom(sf_dir: str) -> ray.data.Dataset:
         num_buckets=16,
         left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
     )
+
+
+@query(
+    "events_in_windows",
+    sql="""
+WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (2 * i) DAY AS ws,
+         TIMESTAMP '2024-01-01' + INTERVAL (2 * i) DAY + INTERVAL 60 HOUR AS we
+  FROM range(14) t(i)
+)
+SELECT e.event_id, e.event_type, CAST(w.window_id AS BIGINT) AS window_id
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+""",
+)
+def events_in_windows(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast INTERVAL join (no equality key): each event matches every
+    [start, end) window containing its timestamp; windows overlap, so one
+    event can emit multiple rows.
+
+    Distributed shape: the interval set is the broadcast small side; each
+    batch finds its matching-window RUN with two vectorized
+    ``searchsorted`` calls (intervals sorted by start with equally-sorted
+    ends — uniform width — make the match set contiguous; a general
+    interval set would use the same stage with an interval tree per
+    worker) and emits pairs with a repeat/arange expansion. No shuffle at
+    all — the canonical small-side non-equi join."""
+    starts = np.array(
+        [np.datetime64("2024-01-01") + np.timedelta64(2 * i, "D") for i in range(14)],
+        dtype="datetime64[us]",
+    )
+    ends = starts + np.timedelta64(60, "h")
+    windows_ref = ray.put((starts.astype(np.int64), ends.astype(np.int64)))
+
+    def match(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.relational import _prepared
+
+        s, e = _prepared(("windows", windows_ref.hex()), lambda: ray.get(windows_ref))
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hi = np.searchsorted(s, ts, side="right")  # windows with start <= ts
+        lo = np.searchsorted(e, ts, side="right")  # windows with end <= ts
+        counts = hi - lo
+        total = int(counts.sum())
+        row = np.repeat(np.arange(len(ts)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        win = np.arange(total) - np.repeat(cum, counts) + np.repeat(lo, counts)
+        sel = t.select(["event_id", "event_type"]).take(pa.array(row, type=pa.int64()))
+        return sel.append_column("window_id", pa.array(win.astype(np.int64)))
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+@query(
+    "weighted_sample_orders",
+    sql="""
+WITH p AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE) / o_totalprice AS priority
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, priority FROM p
+ORDER BY priority, o_orderkey LIMIT 64
+""",
+)
+def weighted_sample_orders(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted PRIORITY sample (selection probability grows
+    with o_totalprice): each row gets priority u(key)/weight from an
+    arithmetic uniform hash, and the sample is the global bottom-k by
+    priority — the same distributed shape as A-ExpJ weighted reservoir
+    sampling (compute key -> per-block partial top-k -> tiny merge), with
+    an integer-arithmetic key so the oracle is bit-exact (u < 2^32 is an
+    exactly representable double; one IEEE division on both sides)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prio(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        u = (k * np.int64(2654435761)) % np.int64(4294967296)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        out = t.append_column("priority", pa.array(u.astype(np.float64) / w))
+        df = (
+            out.to_pandas()
+            .sort_values(["priority", "o_orderkey"], kind="mergesort")
+            .head(64)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(prio, batch_format="pyarrow")
+        .sort(["priority", "o_orderkey"])
+        .limit(64)
+    )
+
+
+@query(
+    "quartiles_by_status",
+    sql="""
+SELECT o_orderstatus,
+  quantile_disc(o_totalprice, 0.25) AS q_25,
+  quantile_disc(o_totalprice, 0.50) AS q_50,
+  quantile_disc(o_totalprice, 0.75) AS q_75,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def quartiles_by_status(sf_dir: str) -> pa.Table:
+    """EXACT per-group quartiles (p25/p50/p75, ``quantile_disc``
+    semantics) via distributed histogram selection
+    (``grouped_exact_quantiles``): the holistic-aggregate scale shape —
+    histogram pass + bracketing-bin fetch — never a whole group in one
+    task, unlike a naive ``map_groups`` percentile."""
+    from ocr_ray.functions.sketch import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    df = grouped_exact_quantiles(
+        ds, group_col="o_orderstatus", value_col="o_totalprice", qs=(0.25, 0.5, 0.75)
+    )
+    df["n"] = df["n"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
