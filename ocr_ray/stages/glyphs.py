@@ -100,14 +100,34 @@ class Recognizer:
             bytes(range(ALPHABET_LO, ALPHABET_HI + 1)), dtype=np.uint8
         )
 
+    # glyphs per matmul chunk: caps the score-matrix temp at ~12 MB so the
+    # buffers are allocated once and reused — a single full-batch matmul
+    # materialized (n_glyphs x ALPHABET_SIZE) float32 (hundreds of MB at
+    # 4096-doc batches), and on this host FRESH large allocations
+    # intermittently page-fault ~1000x slow (see functions/hashing.py).
+    _CHUNK = 32768
+
     def recognize_cells(self, cells: np.ndarray) -> np.ndarray:
         """(n, GLYPH_DIM) uint8 cells -> (n,) uint8 character codes."""
-        if len(cells) == 0:
+        n = len(cells)
+        if n == 0:
             return np.empty(0, dtype=np.uint8)
-        x = cells.astype(np.float32) / 255.0
-        # argmin ||x - t||^2 == argmin (t.t - 2 x.t); batch matmul.
-        scores = self.t_norms[None, :] - 2.0 * (x @ self.templates.T)
-        return self.chars[np.argmin(scores, axis=1)]
+        out = np.empty(n, dtype=np.uint8)
+        ch = min(self._CHUNK, n)
+        xbuf = np.empty((ch, cells.shape[1]), dtype=np.float32)
+        sbuf = np.empty((ch, ALPHABET_SIZE), dtype=np.float32)
+        for s in range(0, n, ch):
+            e = min(s + ch, n)
+            m = e - s
+            xb, sc = xbuf[:m], sbuf[:m]
+            np.copyto(xb, cells[s:e], casting="unsafe")
+            xb /= np.float32(255.0)
+            # argmin ||x - t||^2 == argmin (t.t - 2 x.t); chunked matmul.
+            np.matmul(xb, self.templates.T, out=sc)
+            sc *= np.float32(-2.0)
+            sc += self.t_norms[None, :]
+            out[s:e] = self.chars[np.argmin(sc, axis=1)]
+        return out
 
     def decode_payloads(self, payloads: list[bytes | None]) -> list[str]:
         cells, lengths = segment_payloads(payloads)
