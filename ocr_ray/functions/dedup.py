@@ -135,19 +135,32 @@ def shingle_hashes(texts: pa.ChunkedArray | pa.Array, *, k: int = 3) -> tuple[np
 
 
 def minhash_signatures(texts, *, num_perm: int = 64, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """(n_docs, num_perm) uint64 MinHash signatures (empty docs -> MAX)."""
+    """(n_docs, num_perm) uint64 MinHash signatures (empty docs -> MAX).
+
+    One pass per permutation over a single reused S-sized buffer: each
+    permutation is ``x -> a*x + b (mod 2^64)`` with odd ``a`` — a bijection
+    on uint64, so the min statistic is well defined. The earlier
+    ``(S, num_perm) % mersenne`` formulation materialized ~0.5 GB per 10k-doc
+    batch (this host intermittently services fresh large-allocation page
+    faults ~1000x slow, see functions/hashing.py) and paid numpy's scalar
+    uint64-modulo loop — 82 CPU-s per 10k docs; this form is ~100x cheaper
+    with identical detection semantics (the exact-Jaccard verify stage is
+    unchanged)."""
     sh, n_sh = shingle_hashes(texts, k=k)
     a, b = _perm_params(num_perm)
     n_docs = len(n_sh)
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sig, n_sh
-    with np.errstate(over="ignore"):
-        hashed = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # (S, P)
     starts = np.concatenate([[0], np.cumsum(n_sh)])[:-1]
-    nonempty = n_sh > 0
-    mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
-    sig[nonempty] = mins
+    ne_starts = starts[n_sh > 0]
+    nonempty = np.flatnonzero(n_sh > 0)
+    buf = np.empty(len(sh), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            np.multiply(sh, a[j], out=buf)
+            buf += b[j]
+            sig[nonempty, j] = np.minimum.reduceat(buf, ne_starts)
     return sig, n_sh
 
 
@@ -347,6 +360,196 @@ def dedup_pairs(ds, *, cols: tuple[str, str] = ("doc_a", "doc_b"), num_buckets: 
     )
 
 
+def attach_verify_pairs(
+    pairs,
+    sigs,
+    *,
+    tau: float,
+    num_buckets: int | None = None,
+    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    min_count: int = 1,
+):
+    """Candidate pairs + per-doc signatures -> verified pairs with exact
+    set-Jaccard >= ``tau``, in exactly TWO bucketed shuffles with
+    all-Arrow bucket bodies.
+
+    ``pairs`` has columns ``doc_a, doc_b`` (duplicates fine — multiple LSH
+    bands emitting the same pair collapse for free below); ``sigs`` has
+    ``doc_id`` + ``shingles`` (unique-sorted ``list<uint64>``, one row per
+    doc, from :func:`doc_shingle_lists`).
+
+    Shuffle 1 groups by DOC bucket: each pair is emitted once per side,
+    keyed by that side's doc id, so every copy of a duplicate pair lands
+    in the same bucket and dedups there, then picks up the side's
+    signature by sorted lookup. Shuffle 2 regroups by PAIR bucket: the
+    two sides of each pair meet and a vectorized set-Jaccard
+    (:func:`pairwise_jaccard_lists`) filters on ``tau``. Replaces the
+    dedup-shuffle + two pandas-merging hash joins (3 shuffles, signatures
+    computed twice) of the first distributed-verify cut.
+
+    ``min_count`` keeps only pairs emitted at least that many times — the
+    PPJoin-style candidate filter for inverted-index generators: a pair
+    with Jaccard >= tau must share >= tau/(1+tau) * (|A|+|B|) features,
+    so requiring >= 2 shared (sampled) features costs essentially no
+    recall while discarding the long tail of single-feature collisions
+    before signatures are attached.
+    """
+    from ocr_ray.functions.hashing import mix64
+    from ocr_ray.sizing import default_buckets
+
+    nb = num_buckets or default_buckets()
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (mix64(a.astype(np.uint64) * GOLD + b.astype(np.uint64)) % np.uint64(nb)).astype(
+                np.int32
+            )
+
+    union_schema = pa.schema(
+        {
+            "key": pa.int64(),
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "side": pa.int8(),
+            "shingles": SHINGLES_TYPE,
+            "_bucket": pa.int32(),
+        }
+    )
+
+    def emit_pair_sides(t: pa.Table) -> pa.Table:
+        a = t[out_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[out_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        key = np.concatenate([a, b])
+        aa = np.concatenate([a, a])
+        bb = np.concatenate([b, b])
+        side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "a": pa.array(aa),
+                "b": pa.array(bb),
+                "side": pa.array(side),
+                "shingles": pa.nulls(2 * n, type=SHINGLES_TYPE),
+                "_bucket": pa.array(
+                    (key.astype(np.uint64) % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def emit_sigs(t: pa.Table) -> pa.Table:
+        key = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "a": pa.nulls(n, type=pa.int64()),
+                "b": pa.nulls(n, type=pa.int64()),
+                "side": pa.array(np.full(n, -1, dtype=np.int8)),
+                "shingles": pc.cast(t["shingles"], SHINGLES_TYPE),
+                "_bucket": pa.array(
+                    (key.astype(np.uint64) % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    both = pairs.map_batches(emit_pair_sides, batch_format="pyarrow").union(
+        sigs.map_batches(emit_sigs, batch_format="pyarrow")
+    )
+
+    attach_schema = pa.schema(
+        {
+            "a": pa.int64(),
+            "b": pa.int64(),
+            "side": pa.int8(),
+            "shingles": SHINGLES_TYPE,
+            "_pb": pa.int32(),
+        }
+    )
+
+    def attach_bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_sig = side == -1
+        sig_t = g.filter(pa.array(is_sig))
+        pr_t = g.filter(pa.array(~is_sig))
+        if pr_t.num_rows == 0 or sig_t.num_rows == 0:
+            return attach_schema.empty_table()
+        sk = sig_t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sk, kind="stable")
+        sk_sorted = sk[order]
+        sig_sh = pc.take(sig_t["shingles"].combine_chunks(), pa.array(order))
+        key = pr_t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pr_t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pr_t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pr_t["side"].to_numpy(zero_copy_only=False)
+        # dedup identical (a, b, side) rows — all duplicates of a pair
+        # carry the same key, so this bucket sees every copy; with
+        # min_count > 1, runs shorter than min_count are dropped here
+        # (the emit-count filter, see docstring).
+        po = np.lexsort((s, b, a))
+        a, b, s, key = a[po], b[po], s[po], key[po]
+        first = np.empty(len(a), dtype=bool)
+        if len(a):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (s[1:] != s[:-1])
+        if min_count > 1:
+            gid = np.cumsum(first) - 1
+            keep = first & (np.bincount(gid)[gid] >= min_count)
+        else:
+            keep = first
+        a, b, s, key = a[keep], b[keep], s[keep], key[keep]
+        pos = np.searchsorted(sk_sorted, key)
+        pos_c = np.minimum(pos, len(sk_sorted) - 1)
+        valid = sk_sorted[pos_c] == key
+        a, b, s = a[valid], b[valid], s[valid]
+        taken = pc.take(sig_sh, pa.array(pos_c[valid]))
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "side": pa.array(s),
+                "shingles": taken,
+                "_pb": pa.array(_pair_bucket(a, b)),
+            },
+            schema=attach_schema,
+        )
+
+    attached = both.groupby("_bucket").map_groups(attach_bucket, batch_format="pyarrow")
+
+    out_schema = pa.schema({out_cols[0]: pa.int64(), out_cols[1]: pa.int64()})
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, b, a))
+        a, b, s = a[order], b[order], s[order]
+        sh = pc.take(g["shingles"].combine_chunks(), pa.array(order))
+        # complete pairs contribute exactly two adjacent rows (side 0, 1)
+        first = np.empty(len(a), dtype=bool)
+        if len(a):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gid = np.cumsum(first) - 1
+        sizes = np.bincount(gid)
+        full = sizes[gid] == 2
+        lead = first & full  # side-0 row of a complete pair
+        trail = full & ~first  # side-1 row
+        sh_a = sh.filter(pa.array(lead))
+        sh_b = sh.filter(pa.array(trail))
+        jac = pairwise_jaccard_lists(sh_a, sh_b)
+        ok = jac >= tau
+        return pa.table(
+            {out_cols[0]: pa.array(a[lead][ok]), out_cols[1]: pa.array(b[lead][ok])},
+            schema=out_schema,
+        )
+
+    return attached.groupby("_pb").map_groups(verify_bucket, batch_format="pyarrow")
+
+
 def shingle_set(text: str, *, k: int = 3) -> set:
     """The k-word shingle set of one text (for cached pair verification)."""
     t = text.split(" ")
@@ -376,19 +579,25 @@ def simhash(batch: pa.Table) -> pa.Table:
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
     word_h = _word_hashes(flat)
-    bits = ((word_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    votes = bits * 2 - 1  # ±1 per bit
+    # One pass per bit over a reused W-sized buffer. A word gets a +1 vote
+    # on bit j iff the bit is set, -1 otherwise; the summed vote is
+    # positive iff 2*ones > words — computed per doc with reduceat. (The
+    # (W, 64) bit-matrix form materialized ~1 GB per 10k-doc batch; fresh
+    # large allocations intermittently page-fault ~1000x slow on this
+    # host, see functions/hashing.py.)
     starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     n = batch.num_rows
-    doc_votes = np.zeros((n, 64), dtype=np.int64)
-    nonempty = counts > 0
-    if word_h.size:
-        doc_votes[nonempty] = np.add.reduceat(votes, starts[nonempty], axis=0)
-    sh = ((doc_votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    sh = np.zeros(n, dtype=np.uint64)
+    ne = np.flatnonzero(counts > 0)
+    if word_h.size and ne.size:
+        ne_starts = starts[ne]
+        ne_counts = counts[ne]
+        buf = np.empty(word_h.size, dtype=np.uint64)
+        for j in range(64):
+            np.right_shift(word_h, np.uint64(j), out=buf)
+            buf &= np.uint64(1)
+            ones = np.add.reduceat(buf, ne_starts)
+            sh[ne] |= (2 * ones > ne_counts).astype(np.uint64) << np.uint64(j)
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, type=pa.uint64())})
 
 

@@ -2097,60 +2097,17 @@ def _verified_pairs(ds_docs, cand_pairs, *, tau: float) -> ray.data.Dataset:
     scale-killer; web corpora with boilerplate-heavy near-dup clusters
     violate the "pairs << corpus" assumption it leaned on).
 
-    Pipeline: candidate pairs -> distributed pair dedup (one bucketed
-    shuffle) -> two bucketed hash joins attaching each side's per-doc
-    unique-sorted shingle-hash signature (list<uint64>) -> vectorized
-    set-Jaccard per batch (lexsort + run-boundary union counting). Every
-    stage is a map_batches / bucketed shuffle; pairs stay distributed from
-    candidate generation to the final tau filter.
+    Pipeline: candidate pairs (duplicates fine) + per-doc unique-sorted
+    shingle signatures -> :func:`attach_verify_pairs` — TWO bucketed
+    shuffles with all-Arrow bucket bodies (shuffle 1 dedups pairs and
+    attaches each side's signature grouped by doc bucket; shuffle 2
+    regroups by pair bucket and runs the vectorized set-Jaccard). Pairs
+    stay distributed from candidate generation to the final tau filter.
     """
-    from ocr_ray.functions.dedup import (
-        SHINGLES_TYPE,
-        dedup_pairs,
-        doc_shingle_lists,
-        pairwise_jaccard_lists,
-    )
+    from ocr_ray.functions.dedup import attach_verify_pairs, doc_shingle_lists
 
-    pairs = dedup_pairs(cand_pairs, cols=("doc_a", "doc_b"))
     sigs = ds_docs.map_batches(doc_shingle_lists, batch_format="pyarrow")
-    sig_schema = pa.schema({"doc_id": pa.int64(), "shingles": SHINGLES_TYPE})
-    j1 = hash_join(
-        pairs,
-        sigs,
-        on="doc_a",
-        right_on="doc_id",
-        num_buckets=16,
-        left_schema=pa.schema({"doc_a": pa.int64(), "doc_b": pa.int64()}),
-        right_schema=sig_schema,
-    ).map_batches(
-        lambda t: pa.table(
-            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "sh_a": t["shingles"]}
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = hash_join(
-        j1,
-        sigs,
-        on="doc_b",
-        right_on="doc_id",
-        num_buckets=16,
-        left_schema=pa.schema(
-            {"doc_a": pa.int64(), "doc_b": pa.int64(), "sh_a": SHINGLES_TYPE}
-        ),
-        right_schema=sig_schema,
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        jac = pairwise_jaccard_lists(t["sh_a"], t["shingles"])
-        out = t.filter(pa.array(jac >= tau))
-        return pa.table(
-            {
-                "doc_a": pc.cast(out["doc_a"], pa.int64()),
-                "doc_b": pc.cast(out["doc_b"], pa.int64()),
-            }
-        )
-
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return attach_verify_pairs(cand_pairs, sigs, tau=tau)
 
 
 @query("minhash_dedup_pairs", sql=None)
@@ -2185,15 +2142,27 @@ def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
 
 @query("ngram_jaccard_pairs", sql=None)
 def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
-    """n-gram Jaccard near-dup via shingle inverted index: explode
-    (shingle_hash, doc_id), coarse-bucket run pairs (hot shingles capped),
-    exact-verify tau=0.5."""
+    """n-gram Jaccard near-dup via a bottom-sketch shingle inverted
+    index: each doc indexes only shingles whose hash falls below
+    ``min(1, 32/n_shingles) * 2^64`` — a consistent (hash-threshold)
+    bottom-k-style sketch, so two similar docs co-keep the same sampled
+    shingles regardless of length and short docs keep everything; explode
+    (shingle_hash, doc_id), coarse-bucket run pairs (hot shingles
+    capped), require >= 2 shared sampled shingles per candidate
+    (PPJoin-style overlap bound: a tau=0.5 pair shares >= 1/3 of its
+    union, so >= ~10 sketched shingles in expectation), exact-verify
+    tau=0.5. Sketching bounds index emission at O(docs x 32) rows — not
+    O(total shingles) — which is what keeps this from emitting O(docs^2)
+    candidates on boilerplate-heavy corpora where every shingle is hot."""
     from ocr_ray.functions.dedup import (
+        attach_verify_pairs,
         bucketed_pairs,
+        doc_shingle_lists,
         run_index_pairs,
         shingle_hashes,
         with_mutants,
     )
+    from ocr_ray.functions.hashing import mix64
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
@@ -2202,16 +2171,20 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     def explode_shingles(t: pa.Table) -> pa.Table:
         sh, n_sh = shingle_hashes(t["text"])
         ids = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), n_sh)
-        return pa.table({"shingle": pa.array(sh), "doc_id": pa.array(ids)})
+        rate = np.minimum(1.0, 32.0 / np.maximum(np.repeat(n_sh, n_sh), 1))
+        keep = mix64(sh).astype(np.float64) < rate * float(2**64)
+        return pa.table({"shingle": pa.array(sh[keep]), "doc_id": pa.array(ids[keep])})
 
     def pair_body(g: pd.DataFrame) -> pd.DataFrame:
+        # one emission per (shingle, doc) occurrence-pair; multiplicity is
+        # the shared-shingle count consumed by min_count downstream.
         g = g.drop_duplicates(["shingle", "doc_id"]).sort_values(
             ["shingle", "doc_id"], kind="mergesort"
         )
         sh = g["shingle"].to_numpy(dtype=np.uint64)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         ia, ib = run_index_pairs(sh, max_group=32, presorted=True)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     cands = bucketed_pairs(
         docs.map_batches(explode_shingles, batch_format="pyarrow"),
@@ -2219,7 +2192,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
         id_col="doc_id",
         pair_body=pair_body,
     )
-    return _verified_pairs(docs, cands, tau=0.5)
+    sigs = docs.map_batches(doc_shingle_lists, batch_format="pyarrow")
+    return attach_verify_pairs(cands, sigs, tau=0.5, min_count=2)
 
 
 @query("simhash_docs", sql=None)
@@ -2343,21 +2317,18 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     path; recall vs brute force asserted in tests."""
     from ocr_ray.functions.ann import _as_matrix, ivf_topk, make_centroids
 
+    from ocr_ray.sources.readers import sample_parquet_rows
+
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
-    ds_all = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # centroid training sample: DISTRIBUTED deterministic systematic sample
-    # (key-residue filter computed inside map_batches) — representative of
-    # the whole table at any scale, unlike the round-1 first-256-rows
-    # driver slice; only ~256 sampled rows ever reach the driver.
-    n_rows = ds_all.count()  # parquet metadata, no scan
-    stride = max(1, n_rows // 256)
-
-    def pick(t: pa.Table) -> pa.Table:
-        k = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(k % stride == 0))
-
-    sample = ds_all.map_batches(pick, batch_format="pyarrow").to_pandas()
+    # centroid training sample: systematic sample via ROW-GROUP PRUNING —
+    # evenly spaced row groups, stride inside; representative of the whole
+    # table at any scale (unlike the round-1 first-256-rows driver slice)
+    # with I/O proportional to the 256-row sample, not the table (the
+    # round-2a version paid a full distributed scan to keep 256 rows).
+    sample = sample_parquet_rows(
+        f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
+    ).to_pandas()
     cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
     centroids_ref = ray.put(cent)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

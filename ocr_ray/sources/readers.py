@@ -93,6 +93,28 @@ def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.da
     return ds
 
 
+def sample_parquet_rows(
+    path: str, n: int, columns: list[str] | None = None
+) -> "pa.Table":
+    """~``n`` systematically sampled rows via ROW-GROUP PRUNING — reads a
+    bounded number of row groups (evenly spaced across the file) and
+    stride-subsamples rows inside them, never a full scan. The sampling
+    pattern a 100 TB training step needs (e.g. IVF centroid seeding):
+    representative of the whole table, I/O proportional to the sample,
+    not to the data. Deterministic (position-based)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    n_groups = pf.metadata.num_row_groups
+    pick = max(1, min(n_groups, 8))
+    group_idx = sorted({int(i * n_groups / pick) for i in range(pick)})
+    tbl = pf.read_row_groups(group_idx, columns=columns)
+    stride = max(1, tbl.num_rows // max(n, 1))
+    import numpy as np
+
+    return tbl.take(np.arange(0, tbl.num_rows, stride, dtype=np.int64))
+
+
 def write_documents(ds: ray.data.Dataset, path: str, **kwargs) -> None:
     """Write a documents Dataset: Lance when available, else partitioned
     Parquet (one file per block — resumable writes go through
