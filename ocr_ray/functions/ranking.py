@@ -1,0 +1,141 @@
+"""Distributed global ranking: row_number / ntile over partitions.
+
+The scale problem: ``row_number() OVER (PARTITION BY p ORDER BY v)`` with
+low-cardinality ``p`` is the canonical skew killer if implemented as
+``groupby(p).map_groups`` — one task holds a whole partition. The
+distributed shape used everywhere (Spark's window ranking, range
+partitioners) is range-bucket + prefix offsets:
+
+1. one cheap ``min/max`` aggregate of the order key;
+2. per-(partition, range-bin) counts — map-side combined, distributed
+   ``groupby.sum``; the driver sees <= partitions x bins rows and builds
+   the exclusive prefix sum (how many rows of the partition sort before
+   each bin);
+3. ONE coarse-bucket shuffle keyed by (partition, bin): inside a bucket,
+   sort by (partition, bin, value, tiebreak) and add the broadcast
+   offset — every row gets its exact global rank without any task ever
+   holding a whole partition.
+
+Ties are broken by ``tiebreak_col`` (must be unique within a partition)
+so ranks are deterministic and match SQL's ``ORDER BY v, tiebreak``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def partitioned_rank(
+    ds,
+    *,
+    part_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    out_cols: list[str],
+    bins: int = 1024,
+    num_buckets: int | None = None,
+    ntile: int | None = None,
+):
+    """Append ``rn`` (1-based row_number per ``part_col`` ordered by
+    ``(value_col, tiebreak_col)``) — and ``tile`` when ``ntile`` is set,
+    with SQL NTILE semantics (sizes differ by at most one, larger tiles
+    first). Returns a Dataset with ``out_cols + [rn (+ tile)]``.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.sizing import default_buckets
+
+    nb = num_buckets or default_buckets()
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"part": t[part_col].to_pylist(), "bin": bin_of(v)})
+        red = df.groupby(["part", "bin"], sort=False).size().reset_index(name="count")
+        return pa.table(
+            {
+                "part": pa.array(red["part"], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "count": pa.array(red["count"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["part", "bin"])
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+
+    # exclusive prefix: rows of the partition strictly before each bin
+    offsets: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for g, sub in merged.groupby("part"):
+        sub = sub.sort_values("bin")
+        cum = np.concatenate([[0], np.cumsum(sub["count"].to_numpy(dtype=np.int64))])
+        for b, off in zip(sub["bin"].to_numpy(dtype=np.int64), cum[:-1]):
+            offsets[(str(g), int(b))] = int(off)
+        totals[str(g)] = int(cum[-1])
+    state_ref = ray.put((offsets, totals))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bin_of(v)
+        part_h = pd.util.hash_array(np.asarray(t[part_col].to_pylist(), dtype=object))
+        key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
+        t = t.append_column("_bin", pa.array(b))
+        return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ocr_ray.functions.relational import _prepared
+
+        offs, tots = _prepared((state_ref.hex(), "rank_state"), lambda: __import__("ray").get(state_ref))
+        if len(g) == 0:
+            cols = {c: [] for c in out_cols}
+            cols["rn"] = pd.Series([], dtype=np.int64)
+            if ntile:
+                cols["tile"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        g = g.sort_values([part_col, "_bin", value_col, tiebreak_col], kind="mergesort")
+        parts = g[part_col].to_numpy()
+        bins_a = g["_bin"].to_numpy(dtype=np.int64)
+        # cell boundaries: consecutive rows of the same (part, bin)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (parts[1:] != parts[:-1]) | (bins_a[1:] != bins_a[:-1])
+        starts = np.flatnonzero(new)
+        cell_off = np.array(
+            [offs[(str(parts[s]), int(bins_a[s]))] for s in starts], dtype=np.int64
+        )
+        within = np.arange(len(g), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(g))))
+        rn = np.repeat(cell_off, np.diff(np.append(starts, len(g)))) + within + 1
+        out = g[out_cols].copy()
+        out["rn"] = rn
+        if ntile:
+            n_part = np.array([tots[str(p)] for p in parts], dtype=np.int64)
+            base, extra = n_part // ntile, n_part % ntile
+            big_rows = extra * (base + 1)  # rows covered by the larger tiles
+            in_big = rn <= big_rows
+            tile = np.where(
+                in_big,
+                (rn - 1) // np.maximum(base + 1, 1) + 1,
+                extra + np.where(base > 0, (rn - big_rows - 1) // np.maximum(base, 1), 0) + 1,
+            )
+            out["tile"] = tile.astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

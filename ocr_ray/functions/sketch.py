@@ -376,3 +376,129 @@ def grouped_exact_quantiles(
         rows.append(row)
     cols = [group_col] + [f"q_{int(round(q * 100))}" for q in qs] + ["n"]
     return pd.DataFrame(rows, columns=cols)
+
+
+def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int = 4096):
+    """Shared distributed-selection core: per group, fetch the exact
+    values at the order-statistic indices ``targets_fn(n) -> [pos...]``
+    (same three passes as ``grouped_exact_median``; no task ever holds a
+    whole group). Returns ``{group: (n, {pos: value})}``."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
+        red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
+        return pa.table(
+            {
+                group_col: pa.array(red[group_col], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "count": pa.array(red["count"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+
+    needed: dict[str, set[int]] = {}
+    plan: dict[str, dict] = {}
+    for g, sub in merged.groupby(group_col):
+        sub = sub.sort_values("bin")
+        bvals = sub["bin"].to_numpy(dtype=np.int64)
+        counts = sub["count"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        targets = sorted(set(targets_fn(n)))
+        below: dict[int, int] = {}
+        for pos in targets:
+            j = int(np.searchsorted(cum, pos + 1))
+            b = int(bvals[j])
+            needed.setdefault(str(g), set()).add(b)
+            below[b] = int(cum[j - 1]) if j > 0 else 0
+        plan[str(g)] = {"n": n, "targets": targets, "below": below}
+
+    needed_ref = ray.put(needed)
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.relational import _prepared
+
+        pairs = _prepared(
+            ("selcells", needed_ref.hex()),
+            lambda: [(g, b) for g, bs in ray.get(needed_ref).items() for b in bs],
+        )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bin_of(v)
+        groups = t[group_col].to_pylist()
+        keep = pd.MultiIndex.from_arrays([groups, b]).isin(pairs)
+        ft = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                group_col: ft[group_col],
+                "bin": pa.array(b[keep]),
+                "value": pc.cast(ft[value_col], pa.float64()),
+            }
+        )
+
+    cells = ds.map_batches(cell_filter, batch_format="pyarrow").to_pandas()
+
+    out: dict[str, tuple[int, dict[int, float]]] = {}
+    for g, p in plan.items():
+        gc = cells[cells[group_col] == g]
+        picked: dict[int, float] = {}
+        for pos in p["targets"]:
+            for b, below in p["below"].items():
+                cnt = int((gc["bin"] == b).sum())
+                if below <= pos < below + cnt:
+                    vals = np.sort(gc.loc[gc["bin"] == b, "value"].to_numpy())
+                    picked[pos] = float(vals[pos - below])
+                    break
+        out[g] = (p["n"], picked)
+    return out
+
+
+def grouped_percentile_cont(
+    ds, *, group_col: str, value_col: str, qs: tuple[float, ...], bins: int = 4096
+) -> pd.DataFrame:
+    """EXACT per-group INTERPOLATED percentiles (SQL ``quantile_cont`` /
+    ``percentile_cont`` semantics: linear interpolation between the two
+    order statistics bracketing ``h = q*(n-1)``) via the distributed
+    selection core — the holistic-aggregate shape with interpolation on
+    top; no task ever holds a whole group."""
+
+    def targets(n: int) -> list[int]:
+        out = []
+        for q in qs:
+            h = q * (n - 1)
+            out += [int(np.floor(h)), int(np.ceil(h))]
+        return out
+
+    sel = _grouped_select(
+        ds, group_col=group_col, value_col=value_col, targets_fn=targets, bins=bins
+    )
+    rows = []
+    for g, (n, picked) in sel.items():
+        row = {group_col: g}
+        for q in qs:
+            h = q * (n - 1)
+            i0, i1 = int(np.floor(h)), int(np.ceil(h))
+            v0, v1 = picked[i0], picked[i1]
+            # mirror SQL engines' interpolator op order exactly:
+            # (ceil-h)*lo + (h-floor)*hi (not lo + frac*(hi-lo))
+            row[f"p_{int(round(q * 100))}"] = v0 if i0 == i1 else (i1 - h) * v0 + (h - i0) * v1
+        row["n"] = n
+        rows.append(row)
+    cols = [group_col] + [f"p_{int(round(q * 100))}" for q in qs] + ["n"]
+    return pd.DataFrame(rows, columns=cols).sort_values(group_col).reset_index(drop=True)

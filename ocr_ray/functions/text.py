@@ -134,3 +134,92 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         starts = bounds[:-1][nonempty]
         fps[nonempty] = np.add.reduceat(terms, starts)
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, type=pa.uint64())})
+
+
+def token_windows(
+    batch: pa.Table,
+    *,
+    window: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Fixed-size token windows with overlap — the training-data chunking
+    stage (context-window packing). Emits one row per window:
+    ``(id, win_start, chunk, n_tokens)`` where ``chunk`` is tokens
+    ``[win_start, win_start+window)`` joined by spaces.
+
+    Window starts are every ``stride`` tokens while they add new tokens
+    (a trailing window fully covered by the previous one is skipped):
+    ``starts = range(0, max(n_tokens - stride, 1), stride)``.
+
+    Fully vectorized: chunks are BYTE SLICES of the original text (token
+    boundaries are single spaces, so byte offsets follow from token
+    lengths) gathered with one variable-length numpy index — no Python
+    per window. Assumes single-space-separated tokens, which also makes
+    the output equal to SQL's ``array_to_string(words[a:b], ' ')``.
+    """
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.split_pattern(texts, " ")
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_len = pc.binary_length(pc.list_flatten(toks)).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # windows per doc (empty docs still emit one empty window, matching
+    # the SQL range(0, greatest(n-stride, 1), stride) starts)
+    n_win = np.ceil(np.maximum(n_tok - stride, 1) / stride).astype(np.int64)
+    doc_of_win = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+    win_first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
+    win_idx = np.arange(int(n_win.sum()), dtype=np.int64) - np.repeat(win_first, n_win)
+    start_tok = win_idx * stride
+    end_tok = np.minimum(start_tok + window, n_tok[doc_of_win])
+    out_n_tokens = np.maximum(end_tok - start_tok, 0)
+
+    # byte offset of each token inside its doc: cumsum of (len + 1 space)
+    doc_tok_first = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+    within_start = np.zeros(len(tok_len) + 1, dtype=np.int64)
+    np.cumsum(tok_len + 1, out=within_start[1:])
+    # reset the running sum at doc boundaries
+    base = within_start[doc_tok_first]
+    tok_byte_start = within_start[:-1] - np.repeat(base, n_tok)
+
+    buffers = texts.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    # slice-aware: a sliced array shares the parent buffers with an offset
+    text_off = (
+        np.frombuffer(buffers[1], dtype=off_dtype)[texts.offset : texts.offset + n_docs + 1]
+    ).astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+
+    g_start_tok = doc_tok_first[doc_of_win] + start_tok
+    g_last_tok = doc_tok_first[doc_of_win] + end_tok - 1
+    byte_start = text_off[doc_of_win] + np.where(
+        out_n_tokens > 0, tok_byte_start[np.minimum(g_start_tok, len(tok_byte_start) - 1)], 0
+    )
+    byte_end = text_off[doc_of_win] + np.where(
+        out_n_tokens > 0,
+        tok_byte_start[np.maximum(g_last_tok, 0)] + tok_len[np.maximum(g_last_tok, 0)],
+        0,
+    )
+    lens = np.maximum(byte_end - byte_start, 0)
+    out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens) + np.repeat(byte_start, lens)
+    out_bytes = data[idx] if total else np.empty(0, np.uint8)
+    chunk = pa.Array.from_buffers(
+        pa.large_utf8(),
+        len(lens),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+    )
+    ids = pc.take(batch[id_col], pa.array(doc_of_win))
+    return pa.table(
+        {
+            id_col: ids,
+            "win_start": pa.array(start_tok),
+            "chunk": pc.cast(chunk, pa.string()),
+            "n_tokens": pa.array(out_n_tokens),
+        }
+    )

@@ -3037,3 +3037,223 @@ def quartiles_by_status(sf_dir: str) -> pa.Table:
     )
     df["n"] = df["n"].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@query(
+    "order_price_quartile",
+    sql="""
+SELECT o_orderkey, o_orderstatus,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def order_price_quartile(sf_dir: str) -> ray.data.Dataset:
+    """Global row_number + NTILE(4) per status — DISTRIBUTED ranking via
+    range-bucket + prefix offsets (``functions/ranking.py``): a
+    histogram pass builds each partition's bin CDF, then ONE
+    coarse-bucket shuffle ranks locally and adds the broadcast offset.
+    No task ever holds a whole partition (the low-cardinality-PARTITION
+    BY skew shape that a naive map_groups window gets wrong at scale)."""
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = partitioned_rank(
+        ds,
+        part_col="o_orderstatus",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["o_orderkey", "o_orderstatus"],
+        ntile=4,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "rn": pc.cast(t["rn"], pa.int64()),
+                "quartile": pc.cast(t["tile"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "cube_year_status",
+    sql="""
+SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+""",
+)
+def cube_year_status(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE — all four grouping sets folded from ONE distributed
+    fine-grained groupby (same partial+final idiom as the ROLLUP entry;
+    the three coarser levels are arithmetic over the tiny finest level)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.string()),
+                "status": t["o_orderstatus"],
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["yr", "status"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .to_pandas()
+    )
+    by_yr = fine.groupby("yr", as_index=False)[["n_orders", "price_c"]].sum().assign(status="ALL")
+    by_st = (
+        fine.groupby("status", as_index=False)[["n_orders", "price_c"]].sum().assign(yr="ALL")
+    )
+    total = pd.DataFrame(
+        {"yr": ["ALL"], "status": ["ALL"], "n_orders": [fine["n_orders"].sum()],
+         "price_c": [fine["price_c"].sum()]}
+    )
+    allv = pd.concat([fine, by_yr, by_st, total], ignore_index=True)
+    return pa.table(
+        {
+            "yr": pa.array(allv["yr"], type=pa.string()),
+            "status": pa.array(allv["status"], type=pa.string()),
+            "n_orders": pa.array(allv["n_orders"].to_numpy(dtype=np.int64)),
+            "total_price": pa.array(units_to_double(allv["price_c"], 2)),
+        }
+    )
+
+
+@query(
+    "part_name_regex",
+    sql="""
+SELECT p_partkey, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+  (CASE WHEN regexp_matches(p_name, 'r.d|bl.e') THEN 1 ELSE 0 END) AS has_color
+FROM part
+""",
+)
+def part_name_regex(sf_dir: str) -> ray.data.Dataset:
+    """Regex scalar functions (extract + match) as zero-copy Arrow
+    kernels — both Arrow and DuckDB run RE2, so semantics align; the
+    no-match extract maps null -> '' for oracle parity."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["p_name"], r"(?P<w>[a-z]+)$")
+        last = pc.fill_null(pc.struct_field(ext, "w"), "")
+        has = pc.cast(pc.match_substring_regex(t["p_name"], r"r.d|bl.e"), pa.int32())
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "last_word": last,
+                "has_color": pc.cast(has, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@query(
+    "orders_customer_salted",
+    sql="""
+SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def orders_customer_salted(sf_dir: str) -> ray.data.Dataset:
+    """SALTED shuffle join — the hot-key mitigation: the build side is
+    replicated once per salt, the probe side spreads each key across
+    ``SALT`` sub-keys by row hash, and the bucketed join runs on the
+    composite (key * SALT + salt) — a single hot customer key now lands
+    in SALT buckets instead of one. Oracle: the plain equality join
+    (salting never changes the result set)."""
+    from ocr_ray.functions.hashing import mix64
+
+    SALT = np.int64(4)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def salt_probe(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = (mix64(k) % np.uint64(SALT)).astype(np.int64)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "_skey": pa.array(ck * SALT + salt)}
+        )
+
+    def replicate_build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), SALT))
+        rep = t.take(idx)
+        ck = rep["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = np.tile(np.arange(SALT, dtype=np.int64), n)
+        return pa.table({"_skey": pa.array(ck * SALT + salt), "c_name": rep["c_name"]})
+
+    joined = hash_join(
+        orders.map_batches(salt_probe, batch_format="pyarrow"),
+        cust.map_batches(replicate_build, batch_format="pyarrow"),
+        on="_skey",
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "_skey": pa.int64()}),
+        right_schema=pa.schema({"_skey": pa.int64(), "c_name": pa.string()}),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["o_orderkey", "c_name"]), batch_format="pyarrow"
+    )
+
+
+@query(
+    "doc_token_windows",
+    sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, CAST(gs.n AS BIGINT) AS win_start,
+    array_to_string(w[gs.n+1 : gs.n+32], ' ') AS chunk,
+    CAST(least(32, len(w) - gs.n) AS BIGINT) AS n_tokens
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w)-16, 1), 16)) AS n) gs
+)
+SELECT * FROM wins
+""",
+)
+def doc_token_windows(sf_dir: str) -> ray.data.Dataset:
+    """Training-data chunking: 32-token windows with stride 16 per doc —
+    fully vectorized byte-slice gather from the original text buffer
+    (``functions/text.py::token_windows``); flat_map-shaped expansion
+    with no Python per window."""
+    from ocr_ray.functions.text import token_windows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_windows(t, window=32, stride=16), batch_format="pyarrow"
+    )
+
+
+@query(
+    "percentile_cont_by_status",
+    sql="""
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.25) AS p_25,
+  quantile_cont(o_totalprice, 0.90) AS p_90,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def percentile_cont_by_status(sf_dir: str) -> pa.Table:
+    """Interpolated percentiles (``percentile_cont`` semantics) via the
+    distributed-selection core: histogram CDF -> fetch ONLY the two
+    bracketing order statistics per quantile -> interpolate. Exact, and
+    no task ever holds a whole group."""
+    from ocr_ray.functions.sketch import grouped_percentile_cont
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    df = grouped_percentile_cont(
+        ds, group_col="o_orderstatus", value_col="o_totalprice", qs=(0.25, 0.90)
+    )
+    df["n"] = df["n"].astype(np.int64)
+    return pa.Table.from_pandas(df.rename(columns={"o_orderstatus": "o_orderstatus"}), preserve_index=False)
