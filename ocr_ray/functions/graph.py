@@ -178,11 +178,17 @@ def connected_components(
 
     sig = _checksum(edges)
     for _ in range(max_rounds):
+        # no dedup between the two star rounds: the star bodies take the
+        # per-center min over duplicate edges unchanged and dedup their own
+        # bucket output, so the only cost of skipping it is bounded
+        # cross-bucket duplicate carry — one shuffle per round saved.
         edges = _dedup_edges(
-            _star_round(edges, large=True, num_buckets=num_buckets), num_buckets
-        )
-        edges = _dedup_edges(
-            _star_round(edges, large=False, num_buckets=num_buckets), num_buckets
+            _star_round(
+                _star_round(edges, large=True, num_buckets=num_buckets),
+                large=False,
+                num_buckets=num_buckets,
+            ),
+            num_buckets,
         ).materialize()
         new_sig = _checksum(edges)
         if new_sig == sig:

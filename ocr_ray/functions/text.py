@@ -151,7 +151,7 @@ def token_windows(
 
     Window starts are every ``stride`` tokens while they add new tokens
     (a trailing window fully covered by the previous one is skipped):
-    ``starts = range(0, max(n_tokens - stride, 1), stride)``.
+    ``starts = range(0, max(n_tokens - window + stride, 1), stride)``.
 
     Fully vectorized: chunks are BYTE SLICES of the original text (token
     boundaries are single spaces, so byte offsets follow from token
@@ -168,8 +168,8 @@ def token_windows(
     tok_len = pc.binary_length(pc.list_flatten(toks)).to_numpy(zero_copy_only=False).astype(np.int64)
 
     # windows per doc (empty docs still emit one empty window, matching
-    # the SQL range(0, greatest(n-stride, 1), stride) starts)
-    n_win = np.ceil(np.maximum(n_tok - stride, 1) / stride).astype(np.int64)
+    # the SQL range(0, greatest(n - window + stride, 1), stride) starts)
+    n_win = np.ceil(np.maximum(n_tok - window + stride, 1) / stride).astype(np.int64)
     doc_of_win = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
     win_first = np.concatenate([[0], np.cumsum(n_win)])[:-1]
     win_idx = np.arange(int(n_win.sum()), dtype=np.int64) - np.repeat(win_first, n_win)

@@ -3257,3 +3257,121 @@ def percentile_cont_by_status(sf_dir: str) -> pa.Table:
     )
     df["n"] = df["n"].astype(np.int64)
     return pa.Table.from_pandas(df.rename(columns={"o_orderstatus": "o_orderstatus"}), preserve_index=False)
+
+
+@query(
+    "funnel_view_click_purchase",
+    sql="""
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+""",
+)
+def funnel_view_click_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-funnel analysis (view -> click -> purchase): ONE bucketed
+    shuffle on user_id brings each user's events together; the bucket
+    body runs the three-step earliest-after chain vectorized (masked
+    groupby mins + merges) — the sequential-pattern shape sessionization
+    doesn't cover."""
+    from ocr_ray.functions.hashing import mix64
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    nb = 32
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_bucket", pa.array((mix64(u) % np.uint64(nb)).astype(np.int32))
+        )
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype=np.int64),
+            "t_view": pd.Series(dtype="datetime64[us]"),
+            "t_click": pd.Series(dtype="datetime64[us]"),
+            "t_purchase": pd.Series(dtype="datetime64[us]"),
+        }
+    )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty.copy()
+        v = (
+            g[g["event_type"].eq("view")]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t_view"})
+        )
+        c = g[g["event_type"].eq("click")].merge(v, on="user_id")
+        c = (
+            c[c["ts"] > c["t_view"]]
+            .groupby("user_id", as_index=False)
+            .agg(t_view=("t_view", "first"), t_click=("ts", "min"))
+        )
+        p = g[g["event_type"].eq("purchase")].merge(c, on="user_id")
+        p = (
+            p[p["ts"] > p["t_click"]]
+            .groupby("user_id", as_index=False)
+            .agg(t_view=("t_view", "first"), t_click=("t_click", "first"), t_purchase=("ts", "min"))
+        )
+        out = p[["user_id", "t_view", "t_click", "t_purchase"]]
+        return out if len(out) else empty.copy()
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
+    "orders_daily_with_gaps",
+    sql="""
+WITH bounds AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                       CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, COALESCE(d.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+""",
+)
+def orders_daily_with_gaps(sf_dir: str) -> pa.Table:
+    """Date-spine gap filling: distributed per-day counts (map-side
+    combine + tiny groupby), then the driver generates the min..max day
+    spine (bounded by the date RANGE, not the data) and left-joins the
+    aggregate — missing days appear with zero counts."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(t["o_orderdate"], pa.date32())})
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    days = pd.to_datetime(daily["day"])
+    spine = pd.date_range(days.min(), days.max(), freq="D")
+    out = (
+        pd.DataFrame({"day": spine})
+        .merge(pd.DataFrame({"day": pd.to_datetime(daily["day"]), "n_orders": daily["n_orders"]}),
+               on="day", how="left")
+        .fillna({"n_orders": 0})
+    )
+    return pa.table(
+        {
+            "day": pa.array(out["day"].dt.strftime("%Y-%m-%d"), type=pa.string()),
+            "n_orders": pa.array(out["n_orders"].to_numpy(dtype=np.int64)),
+        }
+    )

@@ -80,3 +80,54 @@ def test_histogram_quantiles_empty_returns_nan():
     empty = pd.DataFrame({"bin": [], "count": []})
     vals = histogram_quantiles(empty, [0.5], lo=0.0, hi=1.0)
     assert np.isnan(vals[0])
+
+
+def test_token_windows_matches_naive():
+    from ocr_ray.functions.text import token_windows
+
+    texts = ["a b c d e f g", "x", "", "p q r s", "one two three four five six"]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = token_windows(batch, window=3, stride=2).to_pylist()
+    expect = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        starts = list(range(0, max(len(w) - 3 + 2, 1), 2))  # n - window + stride
+        for s in starts:
+            chunk = w[s : s + 3]
+            expect.append(
+                {"doc_id": i, "win_start": s, "chunk": " ".join(chunk), "n_tokens": len(chunk)}
+            )
+    assert out == expect
+
+
+def test_token_windows_sliced_input():
+    from ocr_ray.functions.text import token_windows
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([9, 10, 11], type=pa.int64()),
+            "text": pa.array(["skip me", "a b c d", "e f"]),
+        }
+    )
+    sliced = base.slice(1, 2)  # shares buffers with a nonzero offset
+    out = token_windows(sliced, window=2, stride=2).to_pylist()
+    assert [r["chunk"] for r in out] == ["a b", "c d", "e f"]
+    assert [r["doc_id"] for r in out] == [10, 10, 11]
+
+
+def test_minhash_signature_permutation_is_minwise():
+    # the per-permutation pass must equal the naive per-doc min
+    from ocr_ray.functions.dedup import _perm_params, minhash_signatures, shingle_hashes
+
+    texts = pa.array(["w1 w2 w3 w4 w5", "w2 w3 w4 w5 w6", "solo doc here now"])
+    sig, n_sh = minhash_signatures(texts, num_perm=8)
+    sh, n = shingle_hashes(texts)
+    a, b = _perm_params(8)
+    starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+    for d in range(len(texts)):
+        vals = sh[starts[d] : starts[d] + n[d]]
+        with np.errstate(over="ignore"):
+            naive = np.array([(vals * a[j] + b[j]).min() for j in range(8)], dtype=np.uint64)
+        assert (sig[d] == naive).all()
