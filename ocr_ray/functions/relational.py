@@ -275,12 +275,30 @@ def _key_hash(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _key_hash_cols(t: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray:
+    """Bucket id from a COMPOSITE key: per-column hashes combined with a
+    multiply-mix, so equal key tuples land in the same bucket on both
+    join sides regardless of column order differences in the table."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            col = t[c]
+            if pa.types.is_integer(col.type):
+                vals = col.to_numpy(zero_copy_only=False)
+            else:
+                vals = np.asarray(col.to_pylist(), dtype=object)
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                vals, categorize=False
+            ).astype(np.uint64)
+    return (acc % np.uint64(num_buckets)).astype(np.int32)
+
+
 def hash_join(
     left,
     right,
     *,
-    on: str,
-    right_on: str | None = None,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
     how: str = "inner",
     num_buckets: int = 32,
     suffix: str = "_r",
@@ -289,7 +307,7 @@ def hash_join(
     bucket_post=None,
     post_schema: pa.Schema | None = None,
 ):
-    """Distributed equality join on one key column, Ray-Data-first.
+    """Distributed equality join on one or more key columns, Ray-Data-first.
 
     Align schemas (null-fill the other side's columns — Arrow keeps exact
     types through nulls), tag ``_side``, ``union`` the two Datasets, add
@@ -310,19 +328,26 @@ def hash_join(
     """
     assert how in ("inner", "left", "right", "full"), how
     pd_how = "outer" if how == "full" else how
-    right_on = right_on or on
+    on_list = [on] if isinstance(on, str) else list(on)
+    if right_on is None:
+        ron_list = list(on_list)
+    else:
+        ron_list = [right_on] if isinstance(right_on, str) else list(right_on)
+    assert len(ron_list) == len(on_list), (on_list, ron_list)
     # ds.schema() EXECUTES the upstream plan for computed datasets — pass
     # explicit schemas whenever the side isn't a bare read.
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
     # rename EVERY right column that collides with a left name, except the
-    # shared-key case (right_on == on) where both sides write one field.
+    # shared-key case (a join key named the same on both sides), where
+    # both sides write one field.
+    shared_keys = {r for l, r in zip(on_list, ron_list) if l == r}
     rename = {
-        n: (n + suffix if n in lnames and not (n == right_on and right_on == on) else n)
+        n: (n + suffix if n in lnames and n not in shared_keys else n)
         for n in rschema.names
     }
-    right_key = rename[right_on]
+    right_key = [rename[c] for c in ron_list]
     rnames = [rename[n] for n in rschema.names]
     full_fields: list[tuple[str, pa.DataType]] = [
         (n, lschema.types[lschema.names.index(n)]) for n in lnames
@@ -332,7 +357,7 @@ def hash_join(
         if rename[n] not in lnames
     ]
 
-    def align(side: int, key_col: str, colmap: dict[str, str]):
+    def align(side: int, key_cols: list[str], colmap: dict[str, str]):
         inv = {v: k for k, v in colmap.items()}
 
         def fn(t: pa.Table) -> pa.Table:
@@ -347,13 +372,13 @@ def hash_join(
             out = pa.table(cols)
             out = out.append_column("_side", pa.array(np.full(n, side, dtype=np.int8)))
             return out.append_column(
-                "_bucket", pa.array(_key_hash(t[key_col], num_buckets))
+                "_bucket", pa.array(_key_hash_cols(t, key_cols, num_buckets))
             )
 
         return fn
 
-    la = left.map_batches(align(0, on, {n: n for n in lnames}), batch_format="pyarrow")
-    ra = right.map_batches(align(1, right_on, rename), batch_format="pyarrow")
+    la = left.map_batches(align(0, on_list, {n: n for n in lnames}), batch_format="pyarrow")
+    ra = right.map_batches(align(1, ron_list, rename), batch_format="pyarrow")
     both = la.union(ra)
 
     lcols = list(lnames)
@@ -365,7 +390,7 @@ def hash_join(
     def join_bucket(g: pa.Table) -> pa.Table:
         lt = g.filter(pc.equal(g["_side"], 0)).select(lcols)
         rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
-        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on, right_on=right_key, how=pd_how)
+        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on_list, right_on=right_key, how=pd_how)
         out = out[out_names]
         if bucket_post is not None:
             return pa.Table.from_pandas(

@@ -3375,3 +3375,61 @@ def orders_daily_with_gaps(sf_dir: str) -> pa.Table:
             "n_orders": pa.array(out["n_orders"].to_numpy(dtype=np.int64)),
         }
     )
+
+
+@query(
+    "error_purchase_same_day",
+    sql="""
+SELECT e.user_id, strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_error_purchase_pairs
+FROM events e JOIN events p
+  ON e.user_id = p.user_id AND CAST(e.ts AS DATE) = CAST(p.ts AS DATE)
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+GROUP BY e.user_id, CAST(e.ts AS DATE)
+""",
+)
+def error_purchase_same_day(sf_dir: str) -> ray.data.Dataset:
+    """COMPOSITE-KEY self join (user_id, day): errors x purchases on the
+    same user-day, counted inside the join bucket (``bucket_post`` — a
+    key tuple lives in exactly one bucket, so the per-key count is exact
+    with ONE shuffle)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def side(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["event_type"], kind)
+            ft = t.filter(keep)
+            return pa.table(
+                {
+                    "user_id": pc.cast(ft["user_id"], pa.int64()),
+                    "day": pc.cast(pc.cast(ft["ts"], pa.date32()), pa.string()),
+                }
+            )
+
+        return fn
+
+    errors = ev.map_batches(side("error"), batch_format="pyarrow")
+    purchases = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    key_schema = pa.schema({"user_id": pa.int64(), "day": pa.string()})
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_error_purchase_pairs"})
+        )
+        out["n_error_purchase_pairs"] = out["n_error_purchase_pairs"].astype(np.int64)
+        return out
+
+    return hash_join(
+        errors,
+        purchases,
+        on=["user_id", "day"],
+        num_buckets=16,
+        left_schema=key_schema,
+        right_schema=key_schema,
+        bucket_post=count_pairs,
+        post_schema=pa.schema(
+            {"user_id": pa.int64(), "day": pa.string(), "n_error_purchase_pairs": pa.int64()}
+        ),
+    )
