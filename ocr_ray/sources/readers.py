@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pyarrow as pa
 import ray.data
 
 try:  # pragma: no cover - not installed in this environment
@@ -90,6 +91,62 @@ def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.da
         return read_documents(path, columns=columns, **kwargs)
     if columns:
         ds = ds.select_columns(columns)
+    return ds
+
+
+def read_parquet_evolved(
+    paths: list[str] | str, *, columns: list[str] | None = None, **kwargs
+) -> ray.data.Dataset:
+    """Read parquet files whose schemas DRIFTED over time (columns added
+    or dropped between writes — the normal state of a long-lived corpus):
+    every batch is aligned to the UNION schema (by name, in first-seen
+    order), missing columns null-filled with their exact type.
+
+    Only footers are read to build the union schema (metadata-only, like
+    the engine's other sizing probes); the data scan itself stays a
+    parallel ``read_parquet`` per file, so column pruning still pushes
+    down for columns present in a file.
+    """
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        p = Path(paths)
+        paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [paths]
+    schemas = {f: pq.ParquetFile(f).schema_arrow for f in paths}
+    fields: dict[str, pa.DataType] = {}
+    for sch in schemas.values():
+        for name, typ in zip(sch.names, sch.types):
+            fields.setdefault(name, typ)
+    if columns is not None:
+        fields = {n: t for n, t in fields.items() if n in columns}
+    union = pa.schema(fields)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in zip(union.names, union.types):
+            if name in t.column_names:
+                cols[name] = t[name].cast(typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, type=typ)
+        return pa.table(cols)
+
+    # one read op per schema GENERATION (files grouped by identical
+    # schema), not per file — drifted corpora have a handful of
+    # generations but arbitrarily many files.
+    by_gen: dict[tuple, list[str]] = {}
+    for f, sch in schemas.items():
+        by_gen.setdefault(tuple(zip(sch.names, (str(t) for t in sch.types))), []).append(f)
+    parts = []
+    for gen, files in by_gen.items():
+        present = [c for c in union.names if c in {n for n, _ in gen}]
+        parts.append(
+            ray.data.read_parquet(files, columns=present or None, **kwargs).map_batches(
+                align, batch_format="pyarrow"
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
     return ds
 
 

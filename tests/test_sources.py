@@ -6,6 +6,7 @@ on the driver; only the fragment-id list does."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -69,3 +70,24 @@ def test_lance_missing_package_raises(monkeypatch, tmp_path):
 def test_read_any_dispatch_parquet(ray_session, sf_smoke):
     ds = readers.read_any(f"{sf_smoke}/nation.parquet", columns=["n_nationkey"])
     assert ds.count() == 25
+
+
+def test_read_parquet_evolved_aligns_schema_generations(tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.sources.readers import read_parquet_evolved
+
+    # generation 1: (id, a); generation 2: (id, b) — a dropped, b added
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "a": pa.array(["x", "y"])}),
+        tmp_path / "g1.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "b": pa.array([7.5], pa.float64())}),
+        tmp_path / "g2.parquet",
+    )
+    ds = read_parquet_evolved(str(tmp_path))
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "a", "b"]
+    assert df["a"].tolist()[:2] == ["x", "y"] and pd.isna(df["a"][2])
+    assert pd.isna(df["b"][0]) and df["b"][2] == 7.5
