@@ -217,6 +217,9 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     cutoff = datetime.datetime(1998, 9, 2)
 
     def prep(t: pa.Table) -> pa.Table:
+        # map-side COMBINE: reduce each batch to <= 6 (flag, status) rows
+        # before the shuffle — the groupby then sorts a few rows per
+        # batch, not the whole table (the q5 partial+final idiom).
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
         qty_c = to_units(t["l_quantity"])
         price_c = to_units(t["l_extendedprice"])
@@ -224,7 +227,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         tax_c = to_units(t["l_tax"])
         disc_price_u4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c))
         charge_u6 = pc.multiply(disc_price_u4, pc.add(pa.scalar(100, type=pa.int64()), tax_c))
-        return pa.table(
+        tbl = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -232,6 +235,26 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 "price_c": price_c,
                 "disc_price_u4": disc_price_u4,
                 "charge_u6": charge_u6,
+            }
+        )
+        part = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty_c", "sum"),
+                ("price_c", "sum"),
+                ("disc_price_u4", "sum"),
+                ("charge_u6", "sum"),
+                ("qty_c", "count"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "l_linestatus": part["l_linestatus"],
+                "qty_c": part["qty_c_sum"],
+                "price_c": part["price_c_sum"],
+                "disc_price_u4": part["disc_price_u4_sum"],
+                "charge_u6": part["charge_u6_sum"],
+                "n": part["qty_c_count"],
             }
         )
 
@@ -243,7 +266,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             Sum("price_c", alias_name="price_c"),
             Sum("disc_price_u4", alias_name="disc_price_u4"),
             Sum("charge_u6", alias_name="charge_u6"),
-            Count(alias_name="count_order"),
+            Sum("n", alias_name="count_order"),
         )
     )
 
