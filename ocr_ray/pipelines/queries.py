@@ -2076,10 +2076,25 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         both = pa.concat_tables([t, t.set_column(t.column_names.index("doc_id"), "doc_id", shifted)])
         return both
 
+    def pre(t: pa.Table) -> pa.Table:
+        # project text away and pre-dedup WITHIN the batch (min doc_id per
+        # hash) before the shuffle: global first-per-key is the min of
+        # batch mins, so the shuffle carries one row per distinct hash per
+        # batch instead of every row + its text payload.
+        part = (
+            t.select(["doc_id", "content_md5"])
+            .group_by(["content_md5"])
+            .aggregate([("doc_id", "min")])
+        )
+        return pa.table(
+            {"doc_id": part["doc_id_min"], "content_md5": part["content_md5"]}
+        )
+
     ds = (
         read_table(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(dup_union, batch_format="pyarrow")
         .map_batches(add_md5, batch_format="pyarrow")
+        .map_batches(pre, batch_format="pyarrow")
     )
     out = dedup_by_key(ds, key="content_md5", order="doc_id", num_buckets=8)
     return out.map_batches(
