@@ -145,3 +145,49 @@ def test_approx_quantiles_vs_exact(queries, sf_smoke):
     spread = max(exact) - min(exact)
     for q, x in zip([0.1, 0.5, 0.9, 0.99], exact):
         assert abs(got.loc[q, "value"] - x) < 0.01 * spread + 1e-9, (q, got.loc[q, "value"], x)
+
+
+def test_partitioned_rank_matches_pandas(ray_session):
+    import ray
+
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "part": rng.choice(["x", "y", "z"], size=n),
+            "val": rng.normal(size=n).round(3),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        partitioned_rank(
+            ds,
+            part_col="part",
+            value_col="val",
+            tiebreak_col="id",
+            out_cols=["part", "id"],
+            bins=16,
+            num_buckets=4,
+            ntile=4,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["part", "val", "id"]).copy()
+    exp["rn"] = exp.groupby("part").cumcount() + 1
+    npart = exp.groupby("part")["id"].transform("count")
+    base, extra = npart // 4, npart % 4
+    big = extra * (base + 1)
+    exp["tile"] = np.where(
+        exp["rn"] <= big,
+        (exp["rn"] - 1) // (base + 1) + 1,
+        extra + (exp["rn"] - big - 1) // base + 1,
+    )
+    exp = exp.sort_values("id").reset_index(drop=True)
+    got = out.set_index("id")
+    for c in ("rn", "tile"):
+        assert (got.loc[exp["id"], c].to_numpy() == exp[c].to_numpy()).all(), c
