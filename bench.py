@@ -47,6 +47,11 @@ QUERY_SET = [
     "embedding_topk",
     "ann_ivf_topk",
     "media_features",
+    # round-2 additions (absent from BENCH_r01's query dict)
+    "ngram_jaccard_pairs",
+    "order_price_quartile",
+    "funnel_view_click_purchase",
+    "doc_token_windows",
 ]
 
 
