@@ -136,3 +136,68 @@ def bloom_semi_join(
         return lt.filter(pc.is_in(lt[on], value_set=rkeys))
 
     return both.groupby("_bucket").map_groups(body, batch_format="pyarrow")
+
+
+def bloom_anti_join(
+    left,
+    keys_ds,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    num_buckets: int = 32,
+    left_schema: pa.Schema | None = None,
+):
+    """Exact ANTI join of ``left`` against a large (non-broadcastable) key
+    Dataset. The bloom filter works in reverse here: a bloom-NEGATIVE row
+    is *definitely* absent from the key set and passes the anti join with
+    no shuffle at all; only bloom-positive rows (true matches + the small
+    false-positive fraction) go through the exact bucketed co-group,
+    which keeps those whose key does NOT appear on the right side.
+    Output = negatives ∪ exact-anti(positives); rows shuffle only if the
+    bloom says they might match."""
+    right_on = right_on or on
+    bloom_ref = build_bloom(keys_ds, right_on, num_bits=num_bits, num_hashes=num_hashes)
+
+    def split(want_positive: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            words = _prepared(("bloom", bloom_ref.hex()), lambda: ray.get(bloom_ref))
+            hit = bloom_contains(words, t[on], num_bits, num_hashes)
+            return t.filter(pa.array(hit if want_positive else ~hit))
+
+        return fn
+
+    negatives = left.map_batches(split(False), batch_format="pyarrow")
+    positives = left.map_batches(split(True), batch_format="pyarrow")
+
+    lschema = left_schema if left_schema is not None else left.schema()
+    lnames = list(lschema.names)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        out = t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        return out.append_column("_bucket", pa.array(_key_hash(t[on], num_buckets)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name, typ in zip(lschema.names, lschema.types):
+            if name == on:
+                cols[name] = pc.cast(t[right_on], typ)
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        out = pa.table(cols)
+        out = out.append_column("_side", pa.array(np.ones(n, dtype=np.int8)))
+        return out.append_column("_bucket", pa.array(_key_hash(t[right_on], num_buckets)))
+
+    both = positives.map_batches(tag_left, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def body(g: pa.Table) -> pa.Table:
+        lt = g.filter(pc.equal(g["_side"], 0)).select(lnames)
+        rkeys = pc.unique(g.filter(pc.equal(g["_side"], 1))[on])
+        return lt.filter(pc.invert(pc.is_in(lt[on], value_set=rkeys)))
+
+    exact = both.groupby("_bucket").map_groups(body, batch_format="pyarrow")
+    return negatives.union(exact)

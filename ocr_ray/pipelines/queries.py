@@ -3471,3 +3471,28 @@ def error_purchase_same_day(sf_dir: str) -> ray.data.Dataset:
             {"user_id": pa.int64(), "day": pa.string(), "n_error_purchase_pairs": pa.int64()}
         ),
     )
+
+
+@query(
+    "anti_join_customers_bloom",
+    sql="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def anti_join_customers_bloom(sf_dir: str) -> ray.data.Dataset:
+    """ANTI join against a NON-broadcastable key side, bloom-accelerated:
+    bloom-negative customers pass with zero shuffle (definitely no
+    orders); only bloom-positives co-group with the order keys for the
+    exact not-in check."""
+    from ocr_ray.functions.bloom import bloom_anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return bloom_anti_join(
+        cust,
+        orders,
+        on="c_custkey",
+        right_on="o_custkey",
+        left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
+    )
