@@ -139,3 +139,108 @@ def partitioned_rank(
         .groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def partitioned_prefix_sum(
+    ds,
+    *,
+    part_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    weight_col: str,
+    out_cols: list[str],
+    bins: int = 1024,
+    num_buckets: int | None = None,
+):
+    """Distributed PREFIX SUM: append ``running_before`` = the sum of
+    ``weight_col`` over all rows of the same ``part_col`` that sort
+    strictly before this row in ``(value_col, tiebreak_col)`` order —
+    SQL's ``SUM(w) OVER (PARTITION BY p ORDER BY v, t ROWS UNBOUNDED
+    PRECEDING) - w``. Same three-pass range-bucket shape as
+    :func:`partitioned_rank` (histogram of per-bin weight sums, driver
+    exclusive scan, one coarse-bucket shuffle with in-cell cumsum), so no
+    task ever holds a whole partition. The scan primitive behind
+    training-sequence packing, byte-offset assignment, and quota splits.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.sizing import default_buckets
+
+    nb = num_buckets or default_buckets()
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"part": t[part_col].to_pylist(), "bin": bin_of(v), "w": w})
+        red = df.groupby(["part", "bin"], sort=False)["w"].sum().reset_index()
+        return pa.table(
+            {
+                "part": pa.array(red["part"], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "w": pa.array(red["w"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["part", "bin"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+
+    offsets: dict[tuple[str, int], int] = {}
+    for g, sub in merged.groupby("part"):
+        sub = sub.sort_values("bin")
+        cum = np.concatenate([[0], np.cumsum(sub["w"].to_numpy(dtype=np.int64))])
+        for b, off in zip(sub["bin"].to_numpy(dtype=np.int64), cum[:-1]):
+            offsets[(str(g), int(b))] = int(off)
+    state_ref = ray.put(offsets)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bin_of(v)
+        part_h = pd.util.hash_array(np.asarray(t[part_col].to_pylist(), dtype=object))
+        key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
+        t = t.append_column("_bin", pa.array(b))
+        return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ocr_ray.functions.relational import _prepared
+
+        offs = _prepared((state_ref.hex(), "scan_state"), lambda: __import__("ray").get(state_ref))
+        if len(g) == 0:
+            cols = {c: [] for c in out_cols}
+            cols["running_before"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        g = g.sort_values([part_col, "_bin", value_col, tiebreak_col], kind="mergesort")
+        parts = g[part_col].to_numpy()
+        bins_a = g["_bin"].to_numpy(dtype=np.int64)
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (parts[1:] != parts[:-1]) | (bins_a[1:] != bins_a[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(g)))
+        cell_off = np.array(
+            [offs[(str(parts[s]), int(bins_a[s]))] for s in starts], dtype=np.int64
+        )
+        cum = np.cumsum(w) - w  # inclusive-before within the whole frame
+        # subtract the running total at each cell start to make it cell-local
+        cum_local = cum - np.repeat(cum[starts], sizes)
+        out = g[out_cols].copy()
+        out["running_before"] = np.repeat(cell_off, sizes) + cum_local
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

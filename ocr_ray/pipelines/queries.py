@@ -3496,3 +3496,64 @@ def anti_join_customers_bloom(sf_dir: str) -> ray.data.Dataset:
         right_on="o_custkey",
         left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
     )
+
+
+@query(
+    "pack_token_windows",
+    sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, CAST(gs.n AS BIGINT) AS win_start,
+    CAST(least(32, len(w) - gs.n) AS BIGINT) AS n_tokens
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w)-16, 1), 16)) AS n) gs
+),
+ord AS (
+  SELECT doc_id, win_start, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id, win_start ROWS UNBOUNDED PRECEDING)
+      - n_tokens AS tokens_before
+  FROM wins
+)
+SELECT doc_id, win_start, n_tokens, CAST(tokens_before AS BIGINT) AS tokens_before,
+  CAST(tokens_before // 128 AS BIGINT) AS seq_id
+FROM ord
+""",
+)
+def pack_token_windows(sf_dir: str) -> ray.data.Dataset:
+    """Training-SEQUENCE PACKING: assign each chunk to a fixed-capacity
+    sequence by its global running token offset (seq_id =
+    tokens_before // 128 in (doc_id, win_start) order) — built on the
+    distributed prefix-sum primitive (``partitioned_prefix_sum``:
+    range-bucket weight histogram + broadcast exclusive scan + one
+    shuffle; no task ever holds the corpus)."""
+    from ocr_ray.functions.ranking import partitioned_prefix_sum
+    from ocr_ray.functions.text import token_windows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    wins = ds.map_batches(
+        lambda t: (lambda w: w.append_column("_all", pa.array(["all"] * w.num_rows)))(
+            token_windows(t, window=32, stride=16).select(["doc_id", "win_start", "n_tokens"])
+        ),
+        batch_format="pyarrow",
+    )
+    scanned = partitioned_prefix_sum(
+        wins,
+        part_col="_all",
+        value_col="doc_id",
+        tiebreak_col="win_start",
+        weight_col="n_tokens",
+        out_cols=["doc_id", "win_start", "n_tokens"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        before = t["running_before"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "win_start": pc.cast(t["win_start"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "tokens_before": pa.array(before),
+                "seq_id": pa.array(before // 128),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
