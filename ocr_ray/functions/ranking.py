@@ -38,11 +38,14 @@ def partitioned_rank(
     bins: int = 1024,
     num_buckets: int | None = None,
     ntile: int | None = None,
+    emit_count: bool = False,
 ):
     """Append ``rn`` (1-based row_number per ``part_col`` ordered by
     ``(value_col, tiebreak_col)``) — and ``tile`` when ``ntile`` is set,
     with SQL NTILE semantics (sizes differ by at most one, larger tiles
-    first). Returns a Dataset with ``out_cols + [rn (+ tile)]``.
+    first); ``emit_count`` adds ``n_part`` (the partition's row count,
+    for percent_rank / cume_dist arithmetic downstream). Returns a
+    Dataset with ``out_cols + [rn (+ tile) (+ n_part)]``.
     """
     import ray
     from ray.data.aggregate import Max, Min, Sum
@@ -105,6 +108,8 @@ def partitioned_rank(
             cols["rn"] = pd.Series([], dtype=np.int64)
             if ntile:
                 cols["tile"] = pd.Series([], dtype=np.int64)
+            if emit_count:
+                cols["n_part"] = pd.Series([], dtype=np.int64)
             return pd.DataFrame(cols)
         g = g.sort_values([part_col, "_bin", value_col, tiebreak_col], kind="mergesort")
         parts = g[part_col].to_numpy()
@@ -132,6 +137,8 @@ def partitioned_rank(
                 extra + np.where(base > 0, (rn - big_rows - 1) // np.maximum(base, 1), 0) + 1,
             )
             out["tile"] = tile.astype(np.int64)
+        if emit_count:
+            out["n_part"] = np.array([tots[str(p)] for p in parts], dtype=np.int64)
         return out
 
     return (

@@ -3557,3 +3557,73 @@ def pack_token_windows(sf_dir: str) -> ray.data.Dataset:
         )
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+@query(
+    "region_nation_cross",
+    sql="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def region_nation_cross(sf_dir: str) -> ray.data.Dataset:
+    """Cross join (small x small): the right side broadcasts via ray.put
+    and each left batch emits the cartesian expansion vectorized — the
+    only safe cross-join shape at scale is small-side broadcast."""
+    nat = load_small_table(sf_dir, "nation", ["n_name"]).to_pandas()
+    nat_ref = ray.put(nat["n_name"].to_numpy(dtype=object))
+    reg = read_table(sf_dir, "region", columns=["r_name"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.relational import _prepared
+
+        names = _prepared(("cross_nat", nat_ref.hex()), lambda: ray.get(nat_ref))
+        r = t["r_name"].to_numpy(zero_copy_only=False)
+        k = len(names)
+        return pa.table(
+            {
+                "r_name": pa.array(np.repeat(r, k), type=pa.string()),
+                "n_name": pa.array(np.tile(names, len(r)), type=pa.string()),
+            }
+        )
+
+    return reg.map_batches(expand, batch_format="pyarrow")
+
+
+@query(
+    "order_price_percent_rank",
+    sql="""
+SELECT o_orderkey, o_orderstatus,
+  percent_rank() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey) AS pct_rank
+FROM orders
+""",
+)
+def order_price_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """PERCENT_RANK via the distributed ranking primitive:
+    (rn - 1) / (n_part - 1) from the same range-bucket + prefix-offset
+    pass as NTILE — exact SQL semantics including the n=1 -> 0 edge."""
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = partitioned_rank(
+        ds,
+        part_col="o_orderstatus",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["o_orderkey", "o_orderstatus"],
+        emit_count=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "pct_rank": pa.array(pct, type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
