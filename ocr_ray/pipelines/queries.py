@@ -3627,3 +3627,62 @@ def order_price_percent_rank(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+@query("media_frame_samples", sql=None)
+def media_frame_samples(sf_dir: str) -> ray.data.Dataset:
+    """Video-path frame sampling: media spans -> payloads -> every 4th
+    64-byte frame as its own row with a u64 checksum (flat_map-shaped
+    buffer-level gather; tested against a pure-numpy reference)."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import attach_payloads, media_frame_sample
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    flat = read_documents(corpus).map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    frames = flat.map_batches(attach_payloads, batch_format="pyarrow", batch_size=512).map_batches(
+        media_frame_sample, batch_format="pyarrow", batch_size=512
+    )
+    return frames.map_batches(
+        lambda t: t.select(["doc_id", "media_ref", "frame_id", "frame_checksum"]),
+        batch_format="pyarrow",
+    )
+
+
+@query("media_resized_features", sql=None)
+def media_resized_features(sf_dir: str) -> ray.data.Dataset:
+    """Resize (factor-2 lane-row downsample) chained BEFORE feature
+    extraction — the decode -> resize -> featurize actor chain of a real
+    image pipeline with the codec stubbed; tested against a pure-numpy
+    reference of the same arithmetic."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import (
+        MEDIA_FEATURE_DIM,
+        MediaDecoder,
+        attach_payloads,
+        media_resize,
+    )
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    flat = read_documents(corpus).map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    resized = flat.map_batches(attach_payloads, batch_format="pyarrow", batch_size=512).map_batches(
+        media_resize, batch_format="pyarrow", batch_size=512
+    )
+    decoded = resized.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+        fn_constructor_kwargs={"fake_decode": True},
+    )
+    cols = ["doc_id", "media_ref", "media_kind", "n_bytes"] + [
+        f"f{j}" for j in range(MEDIA_FEATURE_DIM)
+    ]
+    return decoded.map_batches(lambda t: t.select(cols), batch_format="pyarrow")

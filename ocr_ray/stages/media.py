@@ -138,3 +138,101 @@ class MediaDecoder:
         for j in range(MEDIA_FEATURE_DIM):
             out = out.append_column(f"f{j}", pa.array(feats[:, j]))
         return out
+
+
+def _binary_parts(payload_col):
+    """(data_u8, offsets_rebased, lens) views over a binary column's
+    buffers — the zero-copy accessor every media op shares."""
+    arr = (
+        payload_col.combine_chunks()
+        if isinstance(payload_col, pa.ChunkedArray)
+        else payload_col
+    )
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    return data, offs, np.diff(offs)
+
+
+def media_resize(batch: pa.Table, *, factor: int = 2) -> pa.Table:
+    """'Resize' stage (stubbed codec, real plumbing): keep every
+    ``factor``-th lane-row of each payload's (rows x MEDIA_FEATURE_DIM)
+    byte matrix — the downsample shape a real image resize actor would
+    have (decode -> subsample -> re-encode), all buffer-level vectorized.
+    Output payloads are again ``large_binary`` with updated ``n_bytes``.
+    """
+    d = MEDIA_FEATURE_DIM
+    data, offs, lens = _binary_parts(batch["payload"])
+    n = len(lens)
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mat_rows = pos // d
+    keep = (pos < (lens[row] - lens[row] % d)) & (mat_rows % factor == 0)
+    out_bytes = data[keep]
+    out_lens = np.bincount(row[keep], minlength=n).astype(np.int64)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    payload = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "media_kind": batch["media_kind"],
+            "n_bytes": pa.array(out_lens),
+            "payload": payload,
+        }
+    )
+
+
+FRAME_BYTES = 64
+
+
+def media_frame_sample(batch: pa.Table, *, every: int = 4) -> pa.Table:
+    """Frame sampling (the video-path stage shape): treat each payload as
+    consecutive ``FRAME_BYTES`` frames and emit every ``every``-th frame
+    as its own row (flat_map expansion) with a u64 frame checksum —
+    buffer-level vectorized gather, no per-row Python. A real video
+    pipeline swaps the frame splitter for a demuxer in an actor pool;
+    the Ray-side shape (expansion, schema, checksums) is identical."""
+    data, offs, lens = _binary_parts(batch["payload"])
+    n = len(lens)
+    n_frames = lens // FRAME_BYTES
+    n_out = (n_frames + every - 1) // every
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_out)
+    first = np.concatenate([[0], np.cumsum(n_out)])[:-1]
+    fidx = (np.arange(int(n_out.sum()), dtype=np.int64) - np.repeat(first, n_out)) * every
+    byte_start = offs[:-1][doc_of] + fidx * FRAME_BYTES
+    total = int(n_out.sum()) * FRAME_BYTES
+    idx = (
+        np.repeat(byte_start, FRAME_BYTES)
+        + np.tile(np.arange(FRAME_BYTES, dtype=np.int64), int(n_out.sum()))
+    )
+    frames = data[idx] if total else np.empty(0, np.uint8)
+    out_offs = np.arange(int(n_out.sum()) + 1, dtype=np.int64) * FRAME_BYTES
+    payload = pa.Array.from_buffers(
+        pa.large_binary(),
+        int(n_out.sum()),
+        [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(frames.tobytes())],
+    )
+    fm = frames.reshape(-1, FRAME_BYTES).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        csum = np.zeros(len(fm), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(FRAME_BYTES):
+            csum = csum * mult + fm[:, j]
+    ids = pc.take(batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"], pa.array(doc_of))
+    refs = pc.take(batch["media_ref"].combine_chunks() if isinstance(batch["media_ref"], pa.ChunkedArray) else batch["media_ref"], pa.array(doc_of))
+    return pa.table(
+        {
+            "doc_id": ids,
+            "media_ref": refs,
+            "frame_id": pa.array(fidx),
+            "frame": payload,
+            "frame_checksum": pa.array(csum, type=pa.uint64()),
+        }
+    )

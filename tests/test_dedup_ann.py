@@ -4,6 +4,7 @@ vs brute force, ANN recall vs exact, simhash/media determinism."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -121,3 +122,66 @@ def test_lang_id_on_english_docs(queries, sf_smoke):
 def test_fingerprint_deterministic_and_distinct(queries, sf_smoke):
     df = _to_df(queries["doc_fingerprint"](sf_smoke))
     assert df["fingerprint"].nunique() == len(df)  # texts are unique
+
+
+def test_media_frame_sample_matches_numpy_reference():
+    from ocr_ray.stages.media import (
+        FRAME_BYTES,
+        attach_payloads,
+        media_frame_sample,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "media_ref": pa.array(["m-0007", "m-0012", "m-0001"]),
+        }
+    )
+    wp = attach_payloads(batch)
+    out = media_frame_sample(wp, every=4)
+    payloads = wp["payload"].to_pylist()
+    exp_rows = []
+    for i, p in enumerate(payloads):
+        nf = len(p) // FRAME_BYTES
+        for f in range(0, nf, 4):
+            frame = np.frombuffer(p[f * FRAME_BYTES : (f + 1) * FRAME_BYTES], dtype=np.uint8)
+            c = np.uint64(0)
+            for b in frame.astype(np.uint64):
+                c = np.uint64(c * np.uint64(0x9E3779B97F4A7C15) + b)
+            exp_rows.append((int(batch["doc_id"][i].as_py()), f, int(c)))
+    got = [
+        (r["doc_id"], r["frame_id"], r["frame_checksum"]) for r in out.to_pylist()
+    ]
+    assert got == exp_rows
+    assert all(len(f) == FRAME_BYTES for f in out["frame"].to_pylist())
+
+
+def test_media_resize_halves_lane_rows_and_keeps_features_consistent():
+    from ocr_ray.stages.media import (
+        MEDIA_FEATURE_DIM,
+        MediaDecoder,
+        attach_payloads,
+        media_resize,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "media_ref": pa.array(["m-0003", "m-0008"]),
+        }
+    )
+    wp = attach_payloads(batch)
+    rz = media_resize(wp, factor=2)
+    d = MEDIA_FEATURE_DIM
+    for orig, new in zip(wp["payload"].to_pylist(), rz["payload"].to_pylist()):
+        mat = np.frombuffer(orig, dtype=np.uint8)
+        mat = mat[: len(mat) - len(mat) % d].reshape(-1, d)
+        expected = mat[::2].reshape(-1)
+        assert np.array_equal(np.frombuffer(new, dtype=np.uint8), expected)
+    # features over resized payloads equal numpy means over even rows
+    feats = MediaDecoder(fake_decode=True)._feature_matrix(rz["payload"])
+    for i, orig in enumerate(wp["payload"].to_pylist()):
+        mat = np.frombuffer(orig, dtype=np.uint8)
+        mat = mat[: len(mat) - len(mat) % d].reshape(-1, d)[::2]
+        ref = mat.sum(axis=0, dtype=np.int64) / (len(mat) * 255.0)
+        assert np.allclose(feats[i], ref, rtol=0, atol=0)
