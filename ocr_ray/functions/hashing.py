@@ -85,8 +85,15 @@ def mix64(x: np.ndarray) -> np.ndarray:
 def doc_bucket(doc_ids, num_buckets: int) -> np.ndarray:
     """THE doc_id -> bucket/partition function (int32). Used by reassembly
     bucketing AND the resumable sink's partition filter — identical by
-    construction."""
+    construction. Accepts string OR integer id columns (raw tables carry
+    int64 doc ids; the extraction corpus carries 'doc-...' strings)."""
     if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
-        doc_ids = pa.array(list(doc_ids), type=pa.string())
-    h = mix64(hash_utf8_column(doc_ids))
+        doc_ids = pa.array(list(doc_ids))
+    typ = doc_ids.type
+    if pa.types.is_integer(typ):
+        h = mix64(
+            doc_ids.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+    else:
+        h = mix64(hash_utf8_column(doc_ids))
     return (h % np.uint64(num_buckets)).astype(np.int32)

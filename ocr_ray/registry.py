@@ -151,3 +151,17 @@ def _ensure_builtins() -> None:
     stage("reassemble_two_phase", kind="shuffle")(reassemble_two_phase)
     stage("attach_media_payloads")(attach_payloads)
     stage("media_decode", stateful=True, fake_decode=True)(MediaDecoder)
+
+    from ocr_ray.functions.dedup import add_content_hash, simhash, with_mutants
+    from ocr_ray.functions.text import lang_id, quality_score, token_stats, token_windows
+    from ocr_ray.stages.media import media_frame_sample, media_resize
+
+    stage("content_hash")(add_content_hash)
+    stage("simhash")(simhash)
+    stage("with_mutants")(with_mutants)
+    stage("token_stats")(token_stats)
+    stage("quality_score")(quality_score)
+    stage("lang_id")(lang_id)
+    stage("token_windows")(token_windows)
+    stage("media_resize")(media_resize)
+    stage("media_frame_sample")(media_frame_sample)

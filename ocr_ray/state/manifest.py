@@ -111,13 +111,21 @@ class ResumableSink:
         final = pdir / "data.parquet"
         os.replace(tmp, final)  # atomic commit of the fragment
 
-        n_spans = int(pa.compute.sum(pa.compute.list_value_length(tbl["spans"])).as_py() or 0)
+        # spans-typed fragments carry the span lineage checksum; other
+        # schemas (the sink is generic — any registry pipeline can end in
+        # it) record row counts only.
+        has_spans = "spans" in tbl.column_names
+        n_spans = (
+            int(pa.compute.sum(pa.compute.list_value_length(tbl["spans"])).as_py() or 0)
+            if has_spans
+            else 0
+        )
         rec = {
             "partition": part,
             "status": "complete",
             "row_count": tbl.num_rows,
             "span_count": n_spans,
-            "span_checksum": _span_checksum(tbl),
+            "span_checksum": _span_checksum(tbl) if has_spans else 0,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 2),
             "engine": ENGINE_VERSION,
             "file": str(final),
