@@ -3686,3 +3686,82 @@ def media_resized_features(sf_dir: str) -> ray.data.Dataset:
         f"f{j}" for j in range(MEDIA_FEATURE_DIM)
     ]
     return decoded.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+
+
+@query(
+    "decontaminate_docs",
+    sql="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[gs.i+1] || ' ' || toks[gs.i+2] || ' ' || toks[gs.i+3] AS s
+  FROM w, LATERAL (SELECT unnest(range(0, greatest(len(toks)-2, 0))) AS i) gs
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+cnt AS (
+  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0 GROUP BY sh.doc_id
+)
+SELECT d.doc_id, COALESCE(c.n_shared, 0) AS n_shared,
+  CAST(COALESCE(c.n_shared, 0) >= 3 AS INT) AS contaminated
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+WHERE d.doc_id % 97 <> 0
+""",
+)
+def decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark DECONTAMINATION — the training-corpus hygiene operator:
+    flag train docs sharing >= 3 distinct 3-gram shingles with the
+    benchmark set (stand-in: doc_id % 97 == 0). The benchmark shingle-
+    hash set is small by nature, so it broadcasts (ray.put + per-worker
+    sorted array); the train side is ONE map-only pass counting distinct
+    membership hits by searchsorted — no shuffle at all. For benchmark
+    sets too big to broadcast, chain the bloom prefilter
+    (``functions/bloom.py``) in front of the same counting pass. Shingle
+    hashes are u64 word-window mixes; a hash collision could in principle
+    perturb a count, which the bit-exact oracle comparison would catch."""
+    from ocr_ray.functions.dedup import shingle_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ft = t.filter(pa.array(ids % 97 == 0))
+        sh, _ = shingle_hashes(ft["text"])
+        return pa.table({"h": pa.array(np.unique(sh), type=pa.uint64())})
+
+    bench = np.unique(
+        docs.map_batches(bench_shingles, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy(dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def count_shared(t: pa.Table) -> pa.Table:
+        from ocr_ray.functions.relational import _prepared
+
+        bset = _prepared(("decon", bench_ref.hex()), lambda: ray.get(bench_ref))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ft = t.filter(pa.array(ids % 97 != 0))
+        ids = ids[ids % 97 != 0]
+        sh, n_sh = shingle_hashes(ft["text"])
+        doc_of = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        # distinct within doc, then membership count
+        order = np.lexsort((sh, doc_of))
+        d, s = doc_of[order], sh[order]
+        keep = np.empty(len(s), dtype=bool)
+        if len(s):
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[keep], s[keep]
+        pos = np.searchsorted(bench, s)
+        pos_c = np.minimum(pos, max(len(bench) - 1, 0))
+        hit = (bench[pos_c] == s) if len(bench) else np.zeros(len(s), dtype=bool)
+        n_shared = np.bincount(d[hit], minlength=len(n_sh)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_shared": pa.array(n_shared),
+                "contaminated": pa.array((n_shared >= 3).astype(np.int32)),
+            }
+        )
+
+    return docs.map_batches(count_shared, batch_format="pyarrow")
