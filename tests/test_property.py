@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the pure vectorized kernels —
+each against an obviously-correct pure-Python reference. No Ray session
+needed; these guard the buffer-level numpy rewrites against edge cases
+random examples find better than hand-picked fixtures (empty docs,
+single-char tokens, repeated shingles, all-equal keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORDS = st.text(alphabet="abcde", min_size=1, max_size=3)
+TEXTS = st.lists(WORDS, min_size=0, max_size=12).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_shingle_hashes_counts_match_reference(texts):
+    from ocr_ray.functions.dedup import shingle_hashes
+
+    sh, n_sh = shingle_hashes(pa.array(texts, type=pa.string()))
+    assert len(sh) == int(n_sh.sum())
+    for t, n in zip(texts, n_sh):
+        assert n == max(len(t.split(" ")) - 2, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=5))
+def test_doc_shingle_lists_equal_python_sets(texts):
+    from ocr_ray.functions.dedup import doc_shingle_lists, shingle_hashes
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = doc_shingle_lists(batch)
+    sh, n_sh = shingle_hashes(batch["text"])
+    start = 0
+    for i, n in enumerate(n_sh):
+        expect = sorted(set(sh[start : start + n].tolist()))
+        got = out["shingles"][i].as_py()
+        assert got == expect
+        start += n
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 30), min_size=0, max_size=8), min_size=1, max_size=6)
+)
+def test_pairwise_jaccard_matches_set_formula(raw):
+    from ocr_ray.functions.dedup import SHINGLES_TYPE, pairwise_jaccard_lists
+
+    n = len(raw) // 2 * 2
+    if n == 0:
+        return
+    sets = [sorted(set(r)) for r in raw[:n]]
+    a = pa.array(sets[: n // 2], type=SHINGLES_TYPE)
+    b = pa.array(sets[n // 2 :], type=SHINGLES_TYPE)
+    jac = pairwise_jaccard_lists(a, b)
+    for i, (sa, sb) in enumerate(zip(sets[: n // 2], sets[n // 2 :])):
+        A, B = set(sa), set(sb)
+        expect = 1.0 if not A and not B else len(A & B) / max(len(A | B), 1)
+        assert abs(jac[i] - expect) < 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=5), st.integers(1, 6), st.integers(1, 6))
+def test_token_windows_matches_naive(texts, window, stride):
+    from ocr_ray.functions.text import token_windows
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = token_windows(batch, window=window, stride=stride).to_pylist()
+    expect = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for s in range(0, max(len(w) - window + stride, 1), stride):
+            chunk = w[s : s + window]
+            expect.append(
+                {
+                    "doc_id": i,
+                    "win_start": s,
+                    "chunk": " ".join(chunk),
+                    "n_tokens": len(chunk),
+                }
+            )
+    assert out == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=0, max_size=40), st.integers(2, 8))
+def test_run_index_pairs_matches_itertools(keys, max_group):
+    from itertools import combinations
+
+    from ocr_ray.functions.dedup import run_index_pairs
+
+    arr = np.sort(np.asarray(keys, dtype=np.uint64))
+    ia, ib = run_index_pairs(arr, max_group=max_group, presorted=True)
+    expect = []
+    start = 0
+    while start < len(arr):
+        end = start
+        while end < len(arr) and arr[end] == arr[start]:
+            end += 1
+        idx = list(range(start, min(start + max_group, end)))
+        expect += list(combinations(idx, 2))
+        start = end
+    assert list(zip(ia.tolist(), ib.tolist())) == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=12), min_size=0, max_size=8))
+def test_hash_utf8_column_distinct_on_distinct_strings(strings):
+    from ocr_ray.functions.hashing import hash_utf8_column
+
+    arr = pa.array(strings, type=pa.string())
+    h = hash_utf8_column(arr)
+    assert len(h) == len(strings)
+    # equal strings must hash equal; distinct strings distinct (u64 space)
+    import collections
+
+    byval = collections.defaultdict(set)
+    for s, hv in zip(strings, h.tolist()):
+        byval[s].add(hv)
+    assert all(len(v) == 1 for v in byval.values())
+    assert len({next(iter(v)) for v in byval.values()}) == len(byval)
