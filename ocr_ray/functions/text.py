@@ -223,3 +223,126 @@ def token_windows(
             "n_tokens": pa.array(out_n_tokens),
         }
     )
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals, fully vectorized.
+
+    Per doc: ``n_tokens``, ``n_distinct`` (distinct whitespace tokens),
+    ``dup_word_frac`` (1 - distinct/total — high for boilerplate and
+    keyword-stuffed pages) and ``top_bigram_frac`` (count of the most
+    frequent bigram over the bigram total — high for templated spam).
+    Token identity runs over u64 content hashes (one lexsort + run
+    counting, no per-row Python); the SQL oracle computes the same
+    fractions on the token strings themselves.
+    """
+    from ocr_ray.functions.hashing import hash_utf8_column, mix64
+
+    parents, counts, flat = split_tokens(batch["text"])
+    n = batch.num_rows
+    nt = counts
+    h = hash_utf8_column(flat)
+    parents = parents.astype(np.int64)
+
+    # distinct tokens per doc: sort (parent, hash), count run starts per doc
+    order = np.lexsort((h, parents))
+    hs, ps = h[order], parents[order]
+    nd = np.zeros(n, dtype=np.int64)
+    if len(hs):
+        new = np.empty(len(hs), dtype=bool)
+        new[0] = True
+        new[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        nd = np.bincount(ps[new], minlength=n).astype(np.int64)
+
+    # most-frequent-bigram count per doc
+    maxbi = np.zeros(n, dtype=np.int64)
+    if len(parents) > 1:
+        same = parents[:-1] == parents[1:]
+        bp = parents[:-1][same]
+        with np.errstate(over="ignore"):
+            bh = mix64(h[:-1][same] * np.uint64(0x9E3779B97F4A7C15) + h[1:][same])
+        if len(bp):
+            o2 = np.lexsort((bh, bp))
+            bh, bp = bh[o2], bp[o2]
+            newr = np.empty(len(bh), dtype=bool)
+            newr[0] = True
+            newr[1:] = (bh[1:] != bh[:-1]) | (bp[1:] != bp[:-1])
+            run_start = np.flatnonzero(newr)
+            run_len = np.diff(np.append(run_start, len(bh)))
+            run_parent = bp[run_start]
+            doc_new = np.empty(len(run_parent), dtype=bool)
+            doc_new[0] = True
+            doc_new[1:] = run_parent[1:] != run_parent[:-1]
+            doc_start = np.flatnonzero(doc_new)
+            maxbi[run_parent[doc_start]] = np.maximum.reduceat(run_len, doc_start)
+
+    ntf = nt.astype(np.float64)
+    dup_frac = 1.0 - nd.astype(np.float64) / ntf
+    nbi = nt - 1
+    top_bi = np.where(nbi > 0, maxbi.astype(np.float64) / np.maximum(nbi, 1).astype(np.float64), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt),
+            "n_distinct": pa.array(nd),
+            "dup_word_frac": pa.array(dup_frac),
+            "top_bigram_frac": pa.array(top_bi),
+        }
+    )
+
+
+# PII patterns — shared by the Ray kernel and the DuckDB oracle (both RE2).
+PII_EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+PII_PHONE = r"555-[0-9]{4}"
+PII_IP = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+
+def pii_augment(batch: pa.Table) -> pa.Table:
+    """Deterministically seed PII into the synthetic corpus (arithmetic on
+    doc_id, mirrored verbatim by the oracle SQL): every 3rd doc gains an
+    email, every 5th a phone number, every 7th an IPv4 address."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dstr = pc.cast(batch["doc_id"], pa.string())
+    email = pc.binary_join_element_wise(
+        pa.scalar(" contact user"), dstr, pa.scalar("@example.com now"), ""
+    )
+    phone = pc.binary_join_element_wise(
+        pa.scalar(" call 555-"),
+        pc.utf8_lpad(pc.cast(pa.array(ids % 10000), pa.string()), width=4, padding="0"),
+        "",
+    )
+    ip = pc.binary_join_element_wise(
+        pa.scalar(" from 10."),
+        pc.cast(pa.array(ids % 256), pa.string()),
+        pa.scalar("."),
+        pc.cast(pa.array(ids * 7 % 256), pa.string()),
+        pa.scalar("."),
+        pc.cast(pa.array(ids * 13 % 256), pa.string()),
+        "",
+    )
+    empty = pa.scalar("")
+    aug = pc.binary_join_element_wise(
+        batch["text"],
+        pc.if_else(pa.array(ids % 3 == 0), email, empty),
+        pc.if_else(pa.array(ids % 5 == 0), phone, empty),
+        pc.if_else(pa.array(ids % 7 == 0), ip, empty),
+        "",
+    )
+    return batch.set_column(batch.column_names.index("text"), "text", aug)
+
+
+def pii_redact(batch: pa.Table) -> pa.Table:
+    """Scrub emails / phone numbers / IPv4 addresses (RE2, all
+    occurrences) and count what was removed."""
+    text = batch["text"]
+    counts = {
+        "n_emails": pc.cast(pc.count_substring_regex(text, PII_EMAIL), pa.int64()),
+        "n_phones": pc.cast(pc.count_substring_regex(text, PII_PHONE), pa.int64()),
+        "n_ips": pc.cast(pc.count_substring_regex(text, PII_IP), pa.int64()),
+    }
+    red = pc.replace_substring_regex(text, PII_EMAIL, replacement="<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_PHONE, replacement="<PHONE>")
+    red = pc.replace_substring_regex(red, PII_IP, replacement="<IP>")
+    return pa.table(
+        {"doc_id": batch["doc_id"], "redacted": red, **counts}
+    )

@@ -3765,3 +3765,155 @@ def decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(count_shared, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: PII scrub, repetition filters, splits, domain caps
+# ---------------------------------------------------------------------------
+
+
+_PII_AUG_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+            || '.' || CAST(doc_id * 13 % 256 AS VARCHAR)
+       ELSE '' END
+"""
+
+
+@query(
+    "pii_redact_docs",
+    sql=f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+      '555-[0-9]{{4}}', '<PHONE>', 'g'),
+    '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '555-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT) AS n_ips
+FROM aug
+""",
+)
+def pii_redact_docs(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction (emails / phone numbers / IPv4) over a corpus
+    deterministically seeded with PII — both engines run the same RE2
+    patterns, replace all occurrences, and count removals. The seeding
+    is arithmetic on doc_id so the oracle reproduces synthesis + scrub
+    end-to-end."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.pii_augment, batch_format="pyarrow").map_batches(
+        textfn.pii_redact, batch_format="pyarrow"
+    )
+
+
+@query(
+    "repetition_quality_docs",
+    sql="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM t),
+a AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+      FROM s GROUP BY doc_id),
+b AS (SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM s),
+g AS (SELECT doc_id, count(*) AS c FROM b WHERE nxt IS NOT NULL GROUP BY doc_id, tok, nxt),
+m AS (SELECT doc_id, max(c) AS max_bi FROM g GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.n_distinct,
+  1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS dup_word_frac,
+  CASE WHEN a.n_tokens > 1 THEN CAST(coalesce(m.max_bi, 0) AS DOUBLE) / (a.n_tokens - 1)
+       ELSE 0.0 END AS top_bigram_frac
+FROM a LEFT JOIN m USING (doc_id)
+""",
+)
+def repetition_quality_docs(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters (duplicate-word fraction, most-
+    frequent-bigram fraction) — the standard web-crawl quality gate for
+    boilerplate / keyword-stuffed / templated pages. One embarrassingly
+    parallel Arrow pass; identical IEEE op order to the SQL oracle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.repetition_stats, batch_format="pyarrow")
+
+
+@query(
+    "train_val_test_split",
+    sql="""
+SELECT doc_id,
+  (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 90/5/5 train/val/test assignment by Knuth
+    multiplicative hash of doc_id — stable across runs, machines and
+    repartitions (never sample-based), the property a training pipeline
+    needs so that re-runs and late-arriving shards land in the same
+    split. Embarrassingly parallel; no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % 4294967296 % 100
+        split = np.where(bucket < 90, "train", np.where(bucket < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bucket": pa.array(bucket),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+@query(
+    "source_cap_docs",
+    sql="""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 50
+""",
+)
+def source_cap_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-source document cap (keep the first 50 docs per source by
+    doc_id) — the C4-style per-domain cap that stops a single crawler
+    host from dominating the corpus. Uses the distributed histogram
+    ranking primitive, so no task ever holds a whole source's rows
+    (sources are few and huge — the canonical skew shape)."""
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    out = partitioned_rank(
+        ds,
+        part_col="source",
+        value_col="doc_id",
+        tiebreak_col="doc_id",
+        out_cols=["doc_id", "source"],
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.less_equal(t["rn"], pa.scalar(50))).select(
+            ["doc_id", "source", "rn"]
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "rn": pc.cast(t["rn"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
