@@ -52,6 +52,8 @@ QUERY_SET = [
     "order_price_quartile",
     "funnel_view_click_purchase",
     "doc_token_windows",
+    "pii_redact_docs",
+    "repetition_quality_docs",
 ]
 
 

@@ -127,3 +127,24 @@ def test_hash_utf8_column_distinct_on_distinct_strings(strings):
         byval[s].add(hv)
     assert all(len(v) == 1 for v in byval.values())
     assert len({next(iter(v)) for v in byval.values()}) == len(byval)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_repetition_stats_matches_counter_reference(texts):
+    from collections import Counter
+
+    from ocr_ray.functions.text import repetition_stats
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = repetition_stats(batch).to_pylist()
+    for row, t in zip(out, texts):
+        toks = t.split(" ")
+        bigrams = Counter(zip(toks, toks[1:]))
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct"] == len(set(toks))
+        assert abs(row["dup_word_frac"] - (1.0 - len(set(toks)) / len(toks))) < 1e-12
+        expect_bi = max(bigrams.values()) / (len(toks) - 1) if len(toks) > 1 else 0.0
+        assert abs(row["top_bigram_frac"] - expect_bi) < 1e-12
