@@ -3917,3 +3917,117 @@ def source_cap_docs(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+@query(
+    "curate_corpus",
+    sql=f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents),
+s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM u),
+v AS (SELECT doc_id, count(*) AS n_tokens,
+        count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS n_stop,
+        SUM(length(tok)) AS sum_len,
+        count(DISTINCT tok) AS n_distinct
+      FROM s GROUP BY doc_id),
+m AS (SELECT doc_id, n_tokens,
+        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio_en,
+        CAST(sum_len AS DOUBLE) / n_tokens AS mean_token_len,
+        1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac
+      FROM v),
+q AS (SELECT doc_id,
+        0.4 * LEAST(GREATEST(n_tokens / 64.0, 0.0), 1.0)
+        + 0.3 * LEAST(GREATEST(stop_ratio_en * 5, 0.0), 1.0)
+        + 0.3 * LEAST(GREATEST(1.0 - abs(mean_token_len - 5.0) / 5.0, 0.0), 1.0) AS quality,
+        dup_word_frac
+      FROM m),
+f AS (SELECT u.doc_id, u.text, q.quality FROM u JOIN q USING (doc_id)
+      WHERE q.quality >= 0.55 AND q.dup_word_frac <= 0.55),
+d AS (SELECT doc_id, text, quality FROM f
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+r AS (SELECT doc_id, quality, {_PII_AUG_SQL} AS atext FROM d),
+x AS (SELECT doc_id, quality,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(atext, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+      '555-[0-9]{{4}}', '<PHONE>', 'g'),
+    '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g') AS redacted
+  FROM r)
+SELECT doc_id, redacted, quality, 'train' AS split FROM x
+WHERE (doc_id * 2654435761) % 4294967296 % 100 < 90
+""",
+)
+def curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Flagship composite curation pipeline — what a training-data user
+    actually runs, as ONE streaming Dataset: seed exact duplicates
+    (doc_id + 2e6 copies), score quality + repetition, gate
+    (quality >= 0.55, dup_word_frac <= 0.55), exact-dedup on content md5
+    (ONE bucketed shuffle keeps min doc_id; per-batch pre-dedup shrinks
+    what the shuffle carries), scrub PII, assign the deterministic hash
+    split, and keep the train partition. Every stage is embarrassingly
+    parallel except the single dedup shuffle; the DuckDB oracle replays
+    the whole chain end-to-end, bit-exact including the float gates."""
+    from ocr_ray.functions.dedup import add_md5, dedup_by_key
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dup_union(t: pa.Table) -> pa.Table:
+        shifted = pc.add(t["doc_id"], pa.scalar(2_000_000, type=pa.int64()))
+        return pa.concat_tables(
+            [t, t.set_column(t.column_names.index("doc_id"), "doc_id", shifted)]
+        )
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        q = textfn.quality_score(t)["quality"]
+        dup = textfn.repetition_stats(t)["dup_word_frac"]
+        keep = pc.and_(
+            pc.greater_equal(q, pa.scalar(0.55)), pc.less_equal(dup, pa.scalar(0.55))
+        )
+        return t.append_column("quality", q).filter(keep)
+
+    def pre_dedup(t: pa.Table) -> pa.Table:
+        # batch-local first-per-md5 (text/quality are constant per md5, and
+        # global first == min of batch minima), so the shuffle moves one
+        # row per distinct hash per batch.
+        part = t.group_by(["content_md5"]).aggregate(
+            [("doc_id", "min"), ("text", "min"), ("quality", "min")]
+        )
+        return pa.table(
+            {
+                "doc_id": part["doc_id_min"],
+                "text": part["text_min"],
+                "quality": part["quality_min"],
+                "content_md5": part["content_md5"],
+            }
+        )
+
+    deduped = dedup_by_key(
+        ds.map_batches(dup_union, batch_format="pyarrow")
+        .map_batches(quality_gate, batch_format="pyarrow")
+        .map_batches(add_md5, batch_format="pyarrow")
+        .map_batches(pre_dedup, batch_format="pyarrow"),
+        key="content_md5",
+        order="doc_id",
+        num_buckets=8,
+    )
+
+    def redact_split(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"], "quality": t["quality"]}
+        )
+        red = textfn.pii_redact(textfn.pii_augment(t.select(["doc_id", "text"])))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % 4294967296 % 100
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": red["redacted"],
+                "quality": t["quality"],
+                "split": pa.array(np.full(len(ids), "train", dtype=object), type=pa.string()),
+            }
+        )
+        return out.filter(pa.array(bucket < 90))
+
+    return deduped.map_batches(redact_split, batch_format="pyarrow")
