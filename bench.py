@@ -54,6 +54,7 @@ QUERY_SET = [
     "doc_token_windows",
     "pii_redact_docs",
     "repetition_quality_docs",
+    "curate_corpus",
 ]
 
 
