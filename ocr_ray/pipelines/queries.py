@@ -4031,3 +4031,133 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
         return out.filter(pa.array(bucket < 90))
 
     return deduped.map_batches(redact_split, batch_format="pyarrow")
+
+
+@query(
+    "global_shuffle_docs",
+    sql="""
+SELECT doc_id,
+  CAST(row_number() OVER (
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def global_shuffle_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic global training shuffle: order docs by a Knuth
+    multiplicative hash of doc_id and emit each doc's global shuffle
+    position. Unlike ``random_shuffle`` this is reproducible across
+    runs, block layouts and cluster sizes (the property a resumable
+    training job needs), and the ORDER itself is oracle-checked because
+    the rank is a column. Runs on the distributed histogram-ranking
+    primitive — a range-bucket pass + broadcast prefix offsets, so no
+    task ever holds the whole corpus (a naive global sort-and-enumerate
+    would)."""
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "_p": pa.array(np.full(len(ids), "all", dtype=object), type=pa.string()),
+                "shuffle_key": pa.array((ids * 2654435761) % 4294967296),
+            }
+        )
+
+    out = partitioned_rank(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        part_col="_p",
+        value_col="shuffle_key",
+        tiebreak_col="doc_id",
+        out_cols=["doc_id"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "shuffle_rank": pc.cast(t["rn"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@query(
+    "extract_doc_quality",
+    sql="""
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind, s
+  FROM spans
+), doc AS (
+  SELECT d, string_agg(s, ' ' ORDER BY si) AS dtext
+  FROM tagged WHERE kind = 'text' GROUP BY d
+), s2 AS (
+  SELECT d, unnest(string_split(dtext, ' ')) AS tok FROM doc
+), v AS (
+  SELECT d, count(*) AS n_tokens,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS n_stop,
+    SUM(length(tok)) AS sum_len
+  FROM s2 GROUP BY d
+), m AS (
+  SELECT d, n_tokens,
+    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio_en,
+    CAST(sum_len AS DOUBLE) / n_tokens AS mean_token_len
+  FROM v)
+SELECT printf('doc-%08d', d) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  0.4 * LEAST(GREATEST(n_tokens / 64.0, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(stop_ratio_en * 5, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(1.0 - abs(mean_token_len - 5.0) / 5.0, 0.0), 1.0) AS quality
+FROM m
+""",
+)
+def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Extraction x curation composite over the INTERLEAVED corpus: run
+    the full glyph-decode extraction engine (segment + nearest-template
+    recognize + boilerplate strip + reading-order reassembly), join each
+    document's recognized text spans back into its main-content text,
+    and score quality on the EXTRACTED text — the recognizer output must
+    be byte-identical to the withheld source for the float quality terms
+    to match the oracle, which replays corpus synthesis + extraction +
+    scoring end-to-end in SQL."""
+    from ocr_ray.pipelines.extract import extract_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    nested = extract_documents(read_documents(corpus), num_buckets=16)
+
+    def doc_text(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        n = t.num_rows
+        counts = np.bincount(parents[idx], minlength=n)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        vals = pc.take(pc.struct_field(flat, "text"), pa.array(idx, type=pa.int64()))
+        la = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()), vals)
+        joined = pc.binary_join(la, " ")
+        return pa.table({"doc_id": t["doc_id"], "text": joined}).filter(
+            pa.array(counts > 0)
+        )
+
+    scored = nested.map_batches(doc_text, batch_format="pyarrow").map_batches(
+        textfn.quality_score, batch_format="pyarrow"
+    )
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "quality"]), batch_format="pyarrow"
+    )
