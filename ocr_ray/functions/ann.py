@@ -265,3 +265,97 @@ def with_perturbed(batch: pa.Table, *, scale: float = 0.05, offset: int = 1_000_
             "embedding": pa.array(list(out_vecs)),
         }
     )
+
+
+def kmeans_fit(ds, init_centroids: np.ndarray, *, col: str = "embedding", iters: int = 4):
+    """Distributed spherical k-means (Lloyd's) — the IVF centroid
+    training the scale path needs (reference recognizer analogue:
+    template refinement; seeding comes from ``sample_parquet_rows``).
+
+    Each iteration is ONE streaming pass: every batch assigns its
+    vectors to the nearest centroid by cosine (one (B,d)x(d,k) matmul)
+    and emits exactly k partial rows (per-centroid sum vector, member
+    count, similarity mass); a DISTRIBUTED ``groupby('cid').sum``
+    reduces the partials, and only the k reduced rows reach the driver
+    for the centroid update — no step holds the dataset, and driver
+    state is k x d regardless of input size.
+
+    Returns ``(centroids, objective_per_iter)`` where the objective is
+    total cosine similarity mass (non-decreasing under Lloyd updates).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = _normalize(np.asarray(init_centroids, dtype=np.float64))
+    k, d = cent.shape
+    history: list[float] = []
+
+    def partial(t: pa.Table, *, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_as_matrix(t[col]))
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(x)), assign]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, x)
+        cols = {
+            "cid": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(np.bincount(assign, minlength=k).astype(np.int64)),
+            "sim_sum": pa.array(np.bincount(assign, weights=best, minlength=k)),
+        }
+        for j in range(d):
+            cols[f"s{j}"] = pa.array(sums[:, j])
+        return pa.table(cols)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        reduced = (
+            ds.map_batches(partial, batch_format="pyarrow", fn_kwargs={"cent_ref": cent_ref})
+            .groupby("cid")
+            .aggregate(Sum("n"), Sum("sim_sum"), *[Sum(f"s{j}") for j in range(d)])
+            .to_pandas()
+            .sort_values("cid")
+        )
+        n = reduced["sum(n)"].to_numpy(dtype=np.float64)
+        sums = np.stack([reduced[f"sum(s{j})"].to_numpy(dtype=np.float64) for j in range(d)], axis=1)
+        newc = np.where(n[:, None] > 0, sums / np.maximum(n[:, None], 1.0), cent)
+        cent = _normalize(newc)
+        history.append(float(reduced["sum(sim_sum)"].sum()))
+    return cent, history
+
+
+def assign_clusters(ds, centroids_ref, *, col: str = "embedding", id_col: str = "vec_id"):
+    """Final cluster assignment pass: (id, cid, cos_sim) per vector."""
+    import ray
+
+    def fx(t: pa.Table, *, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_as_matrix(t[col]))
+        sims = x @ c.T
+        assign = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cid": pa.array(assign.astype(np.int64)),
+                "cos_sim": pa.array(sims[np.arange(len(x)), assign]),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow", fn_kwargs={"cent_ref": centroids_ref})
+
+
+def farthest_point_init(sample: np.ndarray, *, k: int) -> np.ndarray:
+    """Deterministic k-means++-style seeding on a (driver-sized) sample:
+    start from the max-norm row, then greedily take the row farthest (in
+    cosine distance) from all chosen centers. Avoids the merged-cluster
+    local optimum that uniform-sample seeding hits when two picks land
+    in one cluster; O(k * n_sample * d) on the driver sample only."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    first = int(np.argmax(np.linalg.norm(np.asarray(sample, dtype=np.float64), axis=1)))
+    chosen = [first]
+    best_sim = x @ x[first]
+    for _ in range(min(k, len(x)) - 1):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    return x[chosen]

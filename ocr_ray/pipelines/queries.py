@@ -4161,3 +4161,28 @@ def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
     return scored.map_batches(
         lambda t: t.select(["doc_id", "n_tokens", "quality"]), batch_format="pyarrow"
     )
+
+
+@query("kmeans_embeddings", sql=None)
+def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Distributed spherical k-means over the embeddings table (k=10,
+    3 Lloyd iterations, seeded from a row-group-pruned systematic
+    sample) followed by a final assignment pass — the IVF centroid
+    TRAINING step at scale: every iteration streams the table once,
+    reduces k partial rows per batch through a distributed groupby-sum,
+    and driver state stays k x d. Iterative, so no SQL oracle; Lloyd
+    monotonicity + planted-cluster recovery are asserted in tests."""
+    from ocr_ray.functions.ann import assign_clusters, farthest_point_init, kmeans_fit
+    from ocr_ray.sources.readers import sample_parquet_rows
+
+    sample = sample_parquet_rows(
+        f"{sf_dir}/embeddings.parquet", 256, columns=["embedding"]
+    ).to_pandas()
+    init = farthest_point_init(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), k=10
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _hist = kmeans_fit(ds, init, iters=3)
+    return assign_clusters(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), ray.put(cent)
+    )

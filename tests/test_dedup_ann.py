@@ -185,3 +185,43 @@ def test_media_resize_halves_lane_rows_and_keeps_features_consistent():
         mat = mat[: len(mat) - len(mat) % d].reshape(-1, d)[::2]
         ref = mat.sum(axis=0, dtype=np.int64) / (len(mat) * 255.0)
         assert np.allclose(feats[i], ref, rtol=0, atol=0)
+
+
+def _planted_clusters(n_per: int = 60, k: int = 8, d: int = 32, noise: float = 0.12):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, n_per, axis=0) + noise * rng.normal(size=(k * n_per, d))
+    labels = np.repeat(np.arange(k), n_per)
+    return X, labels
+
+
+def test_kmeans_monotone_objective_and_planted_recovery():
+    import ray
+    import ray.data
+
+    from ocr_ray.functions.ann import assign_clusters, farthest_point_init, kmeans_fit
+
+    X, labels = _planted_clusters()
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array([row.astype(np.float32) for row in X]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    init = farthest_point_init(X[::7], k=8)
+    cent, hist = kmeans_fit(ds, init, iters=4)
+    # Lloyd objective (cosine mass) must be non-decreasing
+    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:])), hist
+    out = assign_clusters(ray.data.from_arrow(t), ray.put(cent)).to_pandas()
+    m = pd.DataFrame({"cid": out["cid"].to_numpy(), "label": labels[out["vec_id"].to_numpy()]})
+    purity = m.groupby("cid")["label"].agg(lambda s: s.value_counts().iloc[0]).sum() / len(m)
+    assert purity >= 0.95, purity
+
+
+def test_kmeans_registry_entry_deterministic(queries, sf_smoke):
+    a = _to_df(queries["kmeans_embeddings"](sf_smoke)).sort_values("vec_id").reset_index(drop=True)
+    b = _to_df(queries["kmeans_embeddings"](sf_smoke)).sort_values("vec_id").reset_index(drop=True)
+    assert len(a) == 500
+    assert a.equals(b)
