@@ -4186,3 +4186,24 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     return assign_clusters(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), ray.put(cent)
     )
+
+
+@query("embedding_dedup_clusters", sql=None)
+def embedding_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Semantic (embedding-cosine) dedup clusters: the verified near-dup
+    pair set (``embedding_neardup_pairs``) is the edge list; alternating
+    large-star/small-star distributed connected components label every
+    involved vector with its cluster's smallest vec_id — the semantic
+    near-dedup a training corpus runs after MinHash-style lexical dedup.
+    Perturbed seeded copies must land in their original's cluster
+    (asserted in tests)."""
+    from ocr_ray.functions.graph import connected_components
+
+    pairs = embedding_neardup_pairs(sf_dir)
+    labels = connected_components(pairs, left_col="vec_a", right_col="vec_b")
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"], "cluster_id": pc.cast(t["component"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

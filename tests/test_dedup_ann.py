@@ -225,3 +225,16 @@ def test_kmeans_registry_entry_deterministic(queries, sf_smoke):
     b = _to_df(queries["kmeans_embeddings"](sf_smoke)).sort_values("vec_id").reset_index(drop=True)
     assert len(a) == 500
     assert a.equals(b)
+
+
+def test_embedding_clusters_group_perturbed_copies(queries, sf_smoke):
+    OFFSET = 1_000_000  # with_perturbed default
+    df = _to_df(queries["embedding_dedup_clusters"](sf_smoke))
+    comp = dict(zip(df["vec_id"].to_numpy(), df["cluster_id"].to_numpy()))
+    n_src = pq.ParquetFile(f"{sf_smoke}/embeddings.parquet").metadata.num_rows
+    # every perturbed copy that surfaced in a pair must share its
+    # original's component
+    paired = [v for v in range(n_src) if (v + OFFSET) in comp and v in comp]
+    assert len(paired) / n_src >= 0.9, f"only {len(paired)}/{n_src} pairs clustered"
+    bad = [v for v in paired if comp[v + OFFSET] != comp[v]]
+    assert not bad, bad[:5]
