@@ -4207,3 +4207,89 @@ def embedding_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+@query(
+    "bm25_search",
+    sql="""
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+t AS (SELECT doc_id, count(*) AS dl,
+        count(*) FILTER (WHERE tok = 'spark') AS tf0,
+        count(*) FILTER (WHERE tok = 'join') AS tf1,
+        count(*) FILTER (WHERE tok = 'window') AS tf2
+      FROM s GROUP BY doc_id),
+g AS (SELECT count(*) AS n, SUM(dl) AS sum_dl,
+        count(*) FILTER (WHERE tf0 > 0) AS df0,
+        count(*) FILTER (WHERE tf1 > 0) AS df1,
+        count(*) FILTER (WHERE tf2 > 0) AS df2 FROM t),
+sc AS (SELECT t.doc_id,
+    ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0)
+      * ((CAST(t.tf0 AS DOUBLE) * 2.2) / (t.tf0 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  + ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0)
+      * ((CAST(t.tf1 AS DOUBLE) * 2.2) / (t.tf1 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
+      * ((CAST(t.tf2 AS DOUBLE) * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  AS score
+  FROM t, g)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def bm25_search(sf_dir: str) -> ray.data.Dataset:
+    """BM25 keyword search (Lucene idf variant, k1=1.2, b=0.75) for the
+    fixed query terms (spark, join, window) — the lexical retrieval leg
+    of a training-data search stack. Two streaming passes: (1) per-doc
+    term frequencies + doc length reduce to FOUR corpus scalars
+    (N, sum_dl, df per term) via one aggregate; (2) scores computed per
+    batch against the broadcast scalars with per-batch partial top-20,
+    so the final sort moves ~20 rows per block. Float op order mirrors
+    the SQL oracle exactly (bit-exact scores)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    TERMS = ("spark", "join", "window")
+    K1, B = 1.2, 0.75
+
+    def tf_stats(t: pa.Table) -> pa.Table:
+        parents, counts, flat = textfn.split_tokens(t["text"])
+        cols: dict = {"doc_id": t["doc_id"], "dl": pa.array(counts)}
+        for i, term in enumerate(TERMS):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(parents, weights=hit, minlength=t.num_rows).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = ds.map_batches(tf_stats, batch_format="pyarrow")
+
+    def hits(t: pa.Table) -> pa.Table:
+        out = {"dl": t["dl"]}
+        for i in range(len(TERMS)):
+            out[f"hit{i}"] = pc.cast(pc.greater(t[f"tf{i}"], 0), pa.int64())
+        return pa.table(out)
+
+    g = stats.map_batches(hits, batch_format="pyarrow").aggregate(
+        Count(), Sum("dl"), *[Sum(f"hit{i}") for i in range(len(TERMS))]
+    )
+    n = g["count()"]
+    avgdl = float(g["sum(dl)"]) / n
+    idf = [
+        math.log((n - g[f"sum(hit{i})"] + 0.5) / (g[f"sum(hit{i})"] + 0.5) + 1.0)
+        for i in range(len(TERMS))
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_norm = K1 * (0.25 + B * (dl / avgdl))
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        for i in range(len(TERMS)):
+            tf = t[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = s + idf[i] * ((tf * 2.2) / (tf + denom_norm))
+        top = np.argsort(-s, kind="stable")[:20]
+        return pa.table(
+            {"doc_id": pc.take(t["doc_id"], pa.array(top)), "score": pa.array(s[top])}
+        )
+
+    scored = stats.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "doc_id"], descending=[True, False]).limit(20)
