@@ -165,3 +165,9 @@ def _ensure_builtins() -> None:
     stage("token_windows")(token_windows)
     stage("media_resize")(media_resize)
     stage("media_frame_sample")(media_frame_sample)
+
+    from ocr_ray.functions.text import pii_augment, pii_redact, repetition_stats
+
+    stage("repetition_stats")(repetition_stats)
+    stage("pii_augment")(pii_augment)
+    stage("pii_redact")(pii_redact)

@@ -111,3 +111,28 @@ def test_cli_run_and_resume(sf_smoke, tmp_path):
     assert rerun.returncode == 0, rerun.stderr[-2000:]
     s2 = json.loads(rerun.stdout.strip().splitlines()[-1])
     assert s2["fragments_skipped"] == 4 and s2["rows_written"] == 0
+
+
+def test_builder_curation_spec_matches_kernels(sf_smoke):
+    """The shipped curation spec (configs/curate_sf001.yaml shape) over the
+    FLAT documents table must equal composing the kernels directly."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.text import pii_augment, pii_redact
+
+    spec = {
+        "pipeline": {
+            "source": {
+                "path": f"{sf_smoke}/documents.parquet",
+                "columns": ["doc_id", "text"],
+            },
+            "stages": [{"name": "pii_augment"}, {"name": "pii_redact"}],
+        }
+    }
+    built = (
+        pa.concat_tables(build_pipeline(spec).iter_batches(batch_format="pyarrow"))
+        .sort_by("doc_id")
+    )
+    src = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    direct = pii_redact(pii_augment(src)).sort_by("doc_id")
+    assert built.equals(direct)
