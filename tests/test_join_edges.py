@@ -1,0 +1,103 @@
+"""hash_join edge probes vs a pandas-merge reference: key-name collisions,
+empty sides, full-outer null fill, composite keys."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_ray.functions.relational import hash_join
+
+
+def _ds(t: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(t)
+
+
+def _run(left, right, **kw) -> pd.DataFrame:
+    out = hash_join(_ds(left), _ds(right), num_buckets=4, **kw).to_pandas()
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+LEFT = pa.table(
+    {
+        "k": pa.array([1, 2, 3, 5], pa.int64()),
+        "val": pa.array(["a", "b", "c", "e"]),
+    }
+)
+RIGHT = pa.table(
+    {
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "val": pa.array(["x", "y", "z"]),  # collides with left's non-key 'val'
+    }
+)
+
+
+def test_right_column_collision_is_suffixed():
+    out = _run(LEFT, RIGHT, on="k", right_on="rk", how="inner")
+    assert set(out.columns) == {"k", "val", "rk", "val_r"}
+    assert out["k"].tolist() == [2, 3]
+    assert out["val"].tolist() == ["b", "c"]
+    assert out["val_r"].tolist() == ["x", "y"]
+
+
+def test_right_key_itself_colliding_with_left_nonkey():
+    right = pa.table(
+        {"val": pa.array([2, 3], pa.int64())}  # right KEY named like left's 'val'
+    )
+    out = _run(LEFT, right, on="k", right_on="val", how="inner")
+    assert out["k"].tolist() == [2, 3]
+    assert "val_r" in out.columns
+
+
+def test_empty_right_side_inner_and_left():
+    empty = pa.table({"rk": pa.array([], pa.int64()), "w": pa.array([], pa.float64())})
+    inner = _run(LEFT, empty, on="k", right_on="rk", how="inner")
+    assert len(inner) == 0
+    left = _run(LEFT, empty, on="k", right_on="rk", how="left")
+    assert len(left) == len(LEFT)
+    assert left["w"].isna().all()
+
+
+def test_full_outer_matches_pandas_reference():
+    out = _run(LEFT, RIGHT, on="k", right_on="rk", how="full")
+    ref = (
+        LEFT.to_pandas()
+        .merge(
+            RIGHT.to_pandas().rename(columns={"val": "val_r"}),
+            left_on="k",
+            right_on="rk",
+            how="outer",
+        )
+        .sort_values(["k", "rk"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref) == 5
+    # unmatched-left rows carry null right columns and vice versa
+    assert out["rk"].isna().sum() == 2
+    assert out["k"].isna().sum() == 1
+
+
+def test_composite_key_join():
+    left = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "y", "x", "y"]),
+            "lv": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array([1, 2, 2], pa.int64()),
+            "b": pa.array(["y", "x", "z"]),
+            "rv": pa.array([100, 200, 300], pa.int64()),
+        }
+    )
+    out = _run(left, right, on=["a", "b"], how="inner")
+    ref = left.to_pandas().merge(right.to_pandas(), on=["a", "b"], how="inner")
+    assert sorted(zip(out["a"], out["b"], out["lv"], out["rv"])) == sorted(
+        zip(ref["a"], ref["b"], ref["lv"], ref["rv"])
+    )
