@@ -4293,3 +4293,132 @@ def bm25_search(sf_dir: str) -> ray.data.Dataset:
 
     scored = stats.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(20)
+
+
+@query(
+    "order_price_dense_rank",
+    sql="""
+SELECT o_orderkey, o_orderstatus,
+  CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rank,
+  CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+""",
+)
+def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
+    """Tie-aware window functions — DENSE_RANK and CUME_DIST per status —
+    without any task holding a partition: (1) map-side combine +
+    groupby reduces rows to DISTINCT (status, price) pairs with counts;
+    (2) the distinct table runs the histogram ranking primitive (rank of
+    a distinct value == dense rank) and the distributed prefix-sum
+    primitive (running count strictly below == CUME_DIST numerator minus
+    peers); (3) one composite-key hash join attaches the two window
+    values back to the rows. Low-cardinality PARTITION BY with millions
+    of rows per partition is exactly the shape a naive map_groups window
+    gets wrong at scale."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.ranking import partitioned_prefix_sum, partitioned_rank
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        part = (
+            t.select(["o_orderstatus", "o_totalprice"])
+            .group_by(["o_orderstatus", "o_totalprice"])
+            .aggregate([("o_totalprice", "count")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": part["o_orderstatus"],
+                "o_totalprice": part["o_totalprice"],
+                "cnt": pc.cast(part["o_totalprice_count"], pa.int64()),
+            }
+        )
+
+    # materialize the DISTINCT pair set once (object store, spillable —
+    # not a driver materialization): downstream, the two primitives plus
+    # the totals aggregate would otherwise re-execute the read + combine
+    # + groupby chain ~6x (each primitive runs a min/max pass, a
+    # histogram pass and a shuffle over its input). Size is bounded by
+    # distinct (partition, value) pairs, not rows.
+    pairs = (
+        orders.map_batches(combine, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_totalprice"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).materialize()
+
+    ranked = partitioned_rank(
+        pairs,
+        part_col="o_orderstatus",
+        value_col="o_totalprice",
+        tiebreak_col="o_totalprice",
+        out_cols=["o_orderstatus", "o_totalprice", "cnt"],
+    )
+    ranked = ranked.materialize()  # same re-execution argument as pairs
+    scanned = partitioned_prefix_sum(
+        ranked,
+        part_col="o_orderstatus",
+        value_col="o_totalprice",
+        tiebreak_col="o_totalprice",
+        weight_col="cnt",
+        out_cols=["o_orderstatus", "o_totalprice", "cnt", "rn"],
+    )
+
+    # per-status TOTAL row counts (3 statuses) — broadcast denominator
+    totals = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in pairs.groupby("o_orderstatus").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    }
+    totals_ref = ray.put(totals)
+
+    def window_vals(t: pa.Table, *, tref) -> pa.Table:
+        tot = ray.get(tref)
+        n = np.array([tot[s] for s in t["o_orderstatus"].to_pylist()], dtype=np.int64)
+        rb = t["running_before"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_totalprice": t["o_totalprice"],
+                "dense_rank": pc.cast(t["rn"], pa.int64()),
+                "cume_dist": pa.array((rb + cnt).astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    winvals = scanned.map_batches(
+        window_vals, batch_format="pyarrow", fn_kwargs={"tref": totals_ref}
+    )
+
+    joined = hash_join(
+        orders,
+        winvals,
+        on=["o_orderstatus", "o_totalprice"],
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "o_orderstatus": pa.string(),
+                "o_totalprice": pa.float64(),
+            }
+        ),
+        right_schema=pa.schema(
+            {
+                "o_orderstatus": pa.string(),
+                "o_totalprice": pa.float64(),
+                "dense_rank": pa.int64(),
+                "cume_dist": pa.float64(),
+            }
+        ),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "dense_rank": pc.cast(t["dense_rank"], pa.int64()),
+                "cume_dist": t["cume_dist"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
