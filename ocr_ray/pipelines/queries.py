@@ -2128,6 +2128,94 @@ def prefix_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
+@query(
+    "substring_dedup_docs",
+    sql="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(w[gs.n+1 : gs.n+32], ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w)-16, 1), 16)) AS n) gs
+),
+c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS occ FROM wins)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS total_windows,
+  CAST(COUNT(*) FILTER (WHERE occ >= 2) AS BIGINT) AS dup_windows,
+  CAST(COUNT(*) FILTER (WHERE occ >= 2) AS DOUBLE) / COUNT(*) AS dup_fraction
+FROM c GROUP BY doc_id
+""",
+)
+def substring_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Substring-level exact-dedup signal (the training-data dedup of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better*): per document, the count and fraction of its 32-token
+    stride-16 windows whose text occurs at least twice anywhere in the
+    corpus — the gate a curation pipeline uses to drop or trim
+    boilerplate-heavy documents that exact/MinHash doc-level dedup
+    misses.
+
+    Distributed shape: chunk strings never leave the expansion worker —
+    each batch reduces to (doc_id, chunk-hash) rows, bucketed by hash so
+    every occurrence of a chunk lands in one bucket, counted per hash
+    within the bucket (vectorized ``np.unique``), pre-combined to
+    per-(bucket, doc) partials, then finished with one small
+    groupby-sum on doc_id. Two key-hash shuffles; shuffle payload is
+    ~16 bytes per window regardless of chunk length. Window equality is
+    by 64-bit content hash (collision-free at test scale; swap in a
+    128-bit mix at 10^12-doc scale)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.hashing import hash_utf8_column
+    from ocr_ray.functions.text import token_windows
+
+    B = 32  # scale note: derive from input bytes (sizing.buckets_for_input)
+
+    def win_hashes(t: pa.Table) -> pa.Table:
+        w = token_windows(t, window=32, stride=16)
+        h = hash_utf8_column(w["chunk"])
+        return pa.table(
+            {
+                "doc_id": w["doc_id"],
+                "h": pa.array(h),
+                "_bucket": pa.array((h % np.uint64(B)).astype(np.int32)),
+            }
+        )
+
+    def bucket_body(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        du, dinv = np.unique(g["doc_id"].to_numpy(), return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": du,
+                "dup": np.bincount(dinv, weights=dup).astype(np.int64),
+                "tot": np.bincount(dinv).astype(np.int64),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = (
+        ds.map_batches(win_hashes, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_body, batch_format="pandas")
+    )
+    agg = partials.groupby("doc_id").aggregate(Sum("dup"), Sum("tot"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = t["sum(dup)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["sum(tot)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "total_windows": pa.array(tot),
+                "dup_windows": pa.array(dup),
+                "dup_fraction": pa.array(dup.astype(np.float64) / tot),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _verified_pairs(ds_docs, cand_pairs, *, tau: float) -> ray.data.Dataset:
     """DISTRIBUTED exact-Jaccard verification of candidate pairs — no
     driver-side materialization of candidates anywhere (the round-1
@@ -2667,6 +2755,95 @@ def customer_order_history(sf_dir: str) -> ray.data.Dataset:
                 "prev_price": prev_price,
                 "delta": delta,
                 "running_spend": running / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
+    "customer_rolling_stats",
+    sql="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_d,
+    COUNT(*) OVER (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rn_w,
+    lead(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS next_d,
+    first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS first_d,
+    last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_d
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey,
+  CAST(rn_w AS BIGINT) AS roll_n,
+  CAST(roll_d AS DOUBLE) AS roll_sum,
+  CAST(roll_d AS DOUBLE) / rn_w AS roll_avg,
+  CAST(next_d AS DOUBLE) AS next_price,
+  CAST(first_d AS DOUBLE) AS first_price,
+  CAST(last_d AS DOUBLE) AS last_price
+FROM w
+""",
+)
+def customer_rolling_stats(sf_dir: str) -> ray.data.Dataset:
+    """Bounded window FRAMES per partition: rolling 3-row sum/avg
+    (``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``), LEAD, FIRST_VALUE
+    and full-frame LAST_VALUE per customer in order-date order — the
+    frame-clause complement to ``customer_order_history``'s unbounded
+    running sum.
+
+    Same distributed shape: ONE coarse-bucket shuffle on the partition
+    key, then a single vectorized pass per bucket. The rolling sum is
+    the prefix-sum difference ``cum[i] - excl[max(i-2, run_start)]``
+    computed on integer money units, so sums are exact and the avg is
+    two correctly-rounded float ops in the same order as the oracle's
+    ``CAST(decimal AS DOUBLE) / count``."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        units = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        run_start = np.repeat(starts, counts)
+        run_last = np.repeat(starts + counts - 1, counts)
+        idx = np.arange(n, dtype=np.int64)
+        cum = np.cumsum(units)
+        excl = cum - units  # exclusive prefix sum
+        back = np.maximum(idx - 2, run_start)
+        roll_units = cum - excl[back]
+        roll_n = idx - back + 1
+        roll_sum = roll_units / 100.0
+        nxt = np.empty(n, dtype=np.float64)
+        nxt[:-1] = units[1:] / 100.0
+        nxt[-1] = np.nan
+        nxt[idx == run_last] = np.nan
+        return pd.DataFrame(
+            {
+                "o_custkey": cust,
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "roll_n": roll_n,
+                "roll_sum": roll_sum,
+                "roll_avg": roll_sum / roll_n,
+                "next_price": nxt,
+                "first_price": units[run_start] / 100.0,
+                "last_price": units[run_last] / 100.0,
             }
         )
 
