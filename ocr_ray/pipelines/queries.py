@@ -3806,11 +3806,55 @@ def order_price_percent_rank(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-@query("media_frame_samples", sql=None)
+_FRAME_SQL = """
+WITH RECURSIVE
+src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * '11400714819323198485'::HUGEINT +
+     ((p // 4294967296) * '11400714819323198485'::HUGEINT % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw WHERE k < 63
+),
+b AS (SELECT unnest(generate_series(0, 63)) AS j),
+terms AS (
+  SELECT d, si, m,
+    CAST(CAST((m*37 + 11 + j*7) % 256 AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST((m*37 + 11 + j*7) % 256 AS HUGEINT) * pw.p
+         % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM media CROSS JOIN b JOIN pw ON pw.k = 63 - j
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(0 AS BIGINT) AS frame_id,
+  CAST((CAST(SUM(lo) AS HUGEINT) + CAST(SUM(hi) AS HUGEINT) * 4294967296)
+       % '18446744073709551616'::HUGEINT AS UBIGINT) AS frame_checksum
+FROM terms GROUP BY d, si, m
+"""
+
+
+@query("media_frame_samples", sql=_FRAME_SQL)
 def media_frame_samples(sf_dir: str) -> ray.data.Dataset:
     """Video-path frame sampling: media spans -> payloads -> every 4th
     64-byte frame as its own row with a u64 checksum (flat_map-shaped
-    buffer-level gather; tested against a pure-numpy reference)."""
+    buffer-level gather).
+
+    The u64 frame checksum is a Horner polynomial mod 2^64
+    (``csum = csum * 0x9E3779B97F4A7C15 + byte``), which the SQL oracle
+    reproduces exactly in HUGEINT: a recursive CTE builds the 64
+    multiplier powers with a split 32-bit multiply (keeping every
+    intermediate < 2^128), per-byte terms are summed as 32-bit halves
+    (BIGINT-exact), and the result reduces mod 2^64 into UBIGINT — so
+    even the wraparound arithmetic is oracle-checked bit for bit. With
+    256-byte payloads and 64-byte frames, every-4th sampling keeps
+    exactly frame 0 of each media item."""
     from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import attach_payloads, media_frame_sample
 
@@ -3829,12 +3873,46 @@ def media_frame_samples(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@query("media_resized_features", sql=None)
+_RESIZED_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+b AS (SELECT unnest(generate_series(0, 255)) AS i),
+bytes AS (
+  SELECT d, si, m, i % 8 AS lane, (m * 37 + 11 + i * 7) % 256 AS val
+  FROM media CROSS JOIN b WHERE (i // 8) % 2 = 0
+),
+feat AS (
+  SELECT d, si, m, lane, CAST(SUM(val) AS DOUBLE) / (16 * 255.0) AS f
+  FROM bytes GROUP BY d, si, m, lane
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  'image' AS media_kind, CAST(128 AS BIGINT) AS n_bytes,
+  MAX(CASE WHEN lane = 0 THEN f END) AS f0,
+  MAX(CASE WHEN lane = 1 THEN f END) AS f1,
+  MAX(CASE WHEN lane = 2 THEN f END) AS f2,
+  MAX(CASE WHEN lane = 3 THEN f END) AS f3,
+  MAX(CASE WHEN lane = 4 THEN f END) AS f4,
+  MAX(CASE WHEN lane = 5 THEN f END) AS f5,
+  MAX(CASE WHEN lane = 6 THEN f END) AS f6,
+  MAX(CASE WHEN lane = 7 THEN f END) AS f7
+FROM feat GROUP BY d, si, m
+"""
+
+
+@query("media_resized_features", sql=_RESIZED_SQL)
 def media_resized_features(sf_dir: str) -> ray.data.Dataset:
     """Resize (factor-2 lane-row downsample) chained BEFORE feature
     extraction — the decode -> resize -> featurize actor chain of a real
-    image pipeline with the codec stubbed; tested against a pure-numpy
-    reference of the same arithmetic."""
+    image pipeline with the codec stubbed. The downsample keeps even
+    lane-rows (byte index ``(i // 8) % 2 = 0``) of the 32x8 payload
+    matrix, so the whole chain stays integer arithmetic and the SQL
+    oracle reproduces the resized per-lane features bit for bit
+    (exact-int sums / one double division by ``16 * 255.0``)."""
     from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import (
         MEDIA_FEATURE_DIM,
