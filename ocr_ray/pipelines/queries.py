@@ -2043,8 +2043,44 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
 
 
-@query("doc_fingerprint", sql=None)
+_FINGERPRINT_SQL = """
+WITH RECURSIVE
+mx AS (SELECT greatest(max(length(text)), 1) AS m FROM documents),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * 1000003 +
+     ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw, mx WHERE k < mx.m - 1
+),
+chars AS (
+  SELECT doc_id, gs.i, unicode(substr(text, CAST(gs.i + 1 AS INT), 1)) AS b
+  FROM documents, LATERAL (SELECT unnest(range(0, CAST(length(text) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT doc_id,
+    CAST(CAST(b AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(b AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+)
+SELECT d.doc_id,
+  CAST(COALESCE((CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296)
+       % '18446744073709551616'::HUGEINT, 0) AS UBIGINT) AS fingerprint
+FROM documents d LEFT JOIN terms t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@query("doc_fingerprint", sql=_FINGERPRINT_SQL)
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rabin-style polynomial rolling-hash fingerprint per document
+    (``fp = sum(byte_i * 1000003^i) mod 2^64``), buffer-level vectorized
+    with a segmented reduceat. The SQL oracle reproduces the wraparound
+    arithmetic exactly in HUGEINT (split 32-bit multiply for the power
+    chain, per-byte terms summed as BIGINT halves, reduce mod 2^64 into
+    UBIGINT); byte == code point because the corpus is ASCII."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
 
