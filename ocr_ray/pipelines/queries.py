@@ -2272,11 +2272,227 @@ def _verified_pairs(ds_docs, cand_pairs, *, tau: float) -> ray.data.Dataset:
     return attach_verify_pairs(cand_pairs, sigs, tau=tau)
 
 
-@query("minhash_dedup_pairs", sql=None)
+def _minhash_perm_values() -> str:
+    """The 64 (a, b) permutation constants as SQL VALUES rows — generated
+    from the same seeded RNG as ``functions/dedup._perm_params`` so the
+    oracle's permutations are the implementation's by construction."""
+    rng = np.random.default_rng(0x5EED)
+    a = rng.integers(1, 1 << 61, size=64, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=64, dtype=np.uint64)
+    return ",\n".join(f"  ({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+
+
+# Shared shingle chain over the mutant-union corpus: tokens -> word
+# hashes (splitmix64 of a polynomial) -> 3-word shingle Horner combine
+# -> per-doc distinct shingle sets + set sizes. All mod-2^64 arithmetic
+# uses the HUGEINT split-multiply pattern (see media_frame_samples);
+# xor/shift run in UBIGINT. Used by the MinHash-LSH and n-gram-Jaccard
+# pair oracles.
+_SHINGLE_CHAIN = """
+toks0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+torig AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS i FROM toks0),
+tmut0 AS (SELECT doc_id + 1000000 AS doc_id, w, i FROM torig WHERE i % 10 <> 0),
+tmut AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i FROM tmut0),
+tok AS (SELECT * FROM torig UNION ALL SELECT * FROM tmut),
+dt AS (SELECT DISTINCT w FROM tok),
+mx AS (SELECT greatest(max(length(w)), 1) AS m FROM dt),
+pw AS (
+  WITH RECURSIVE pwr(k, p) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT k+1,
+      ((p % 4294967296) * 1000003 +
+       ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+      ) % '18446744073709551616'::HUGEINT
+    FROM pwr, mx WHERE k < mx.m - 1
+  ) SELECT * FROM pwr
+),
+chars AS (
+  SELECT w, gs.i, unicode(substr(w, CAST(gs.i + 1 AS INT), 1)) AS c
+  FROM dt, LATERAL (SELECT unnest(range(0, CAST(length(w) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT w,
+    CAST(CAST(c AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(c AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+),
+ph AS (
+  SELECT d.w,
+    CAST(('11400714819323198485'::HUGEINT
+      + COALESCE(CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296, 0))
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS h0
+  FROM dt d LEFT JOIN terms t ON d.w = t.w GROUP BY d.w
+),
+s1 AS (SELECT w, xor(h0, h0 >> 30) AS x FROM ph),
+s2 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM s1),
+s3 AS (SELECT w, xor(x, x >> 27) AS x FROM s2),
+s4 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM s3),
+mh AS (SELECT w, xor(x, x >> 31) AS h FROM s4),
+seq AS (SELECT t.doc_id, t.i, m.h FROM tok t JOIN mh m USING (w)),
+sh3 AS (
+  SELECT doc_id, i, h AS h1,
+    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h2,
+    lead(h, 2) OVER (PARTITION BY doc_id ORDER BY i) AS h3
+  FROM seq
+),
+shmul1 AS (
+  SELECT doc_id,
+    CAST((CAST(h1 % 4294967296 AS HUGEINT) * '11400714819323198485'::HUGEINT
+      + (CAST(h1 // 4294967296 AS HUGEINT) * '11400714819323198485'::HUGEINT % 4294967296) * 4294967296
+      + CAST(h2 AS HUGEINT)) % '18446744073709551616'::HUGEINT AS UBIGINT) AS acc, h3
+  FROM sh3 WHERE h3 IS NOT NULL
+),
+shingle AS (
+  SELECT doc_id,
+    CAST((CAST(acc % 4294967296 AS HUGEINT) * '11400714819323198485'::HUGEINT
+      + (CAST(acc // 4294967296 AS HUGEINT) * '11400714819323198485'::HUGEINT % 4294967296) * 4294967296
+      + CAST(h3 AS HUGEINT)) % '18446744073709551616'::HUGEINT AS UBIGINT) AS sh
+  FROM shmul1
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingle),
+scount AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id)
+"""
+
+# Shared exact set-Jaccard verification over `cand(doc_a, doc_b)` +
+# `dsh`/`scount` from the shingle chain; ends in a `verified` CTE so
+# callers can either select it or chain connected components onto it.
+_JACCARD_VERIFY = """
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN scount sa ON sa.doc_id = c.doc_a
+  JOIN scount sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE) / (sa.ns + sb.ns - COALESCE(i.ni, 0)) >= 0.5
+)
+"""
+
+# MinHash-LSH: 64 a*x+b (mod 2^64) permutation minima over the shingle
+# sets, 32-band signatures, band-collision candidate pairs, exact
+# set-Jaccard verify at tau=0.5 — reproduced EXACTLY in SQL.
+_MINHASH_SQL_TEMPLATE = """
+WITH
+perms(j, pa, pb) AS (VALUES
+{perms}
+),
+""" + _SHINGLE_CHAIN + """,
+sigs AS (
+  SELECT d.doc_id, p.j,
+    min(CAST((CAST(d.sh % 4294967296 AS HUGEINT) * p.pa
+      + (CAST(d.sh // 4294967296 AS HUGEINT) * p.pa % 4294967296) * 4294967296
+      + p.pb) % '18446744073709551616'::HUGEINT AS UBIGINT)) AS s
+  FROM dsh d CROSS JOIN perms p GROUP BY d.doc_id, p.j
+),
+bpair AS (
+  SELECT doc_id, j // 2 AS band_id,
+    max(CASE WHEN j % 2 = 0 THEN s END) AS s0,
+    max(CASE WHEN j % 2 = 1 THEN s END) AS s1
+  FROM sigs GROUP BY doc_id, j // 2
+),
+bh AS (
+  SELECT doc_id, band_id,
+    CAST((CAST(s0 % 4294967296 AS HUGEINT) * '14029467366897019727'::HUGEINT
+      + (CAST(s0 // 4294967296 AS HUGEINT) * '14029467366897019727'::HUGEINT % 4294967296) * 4294967296
+      + CAST(s1 AS HUGEINT)) % '18446744073709551616'::HUGEINT AS UBIGINT) AS bhash
+  FROM bpair
+),
+pkey AS (
+  SELECT doc_id,
+    xor(bhash, CAST(CAST(band_id AS HUGEINT) * '11400714819323198485'::HUGEINT
+        % '18446744073709551616'::HUGEINT AS UBIGINT)) AS pair_key
+  FROM bh
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pkey x JOIN pkey y ON x.pair_key = y.pair_key AND x.doc_id < y.doc_id
+),
+""" + _JACCARD_VERIFY
+
+_MINHASH_SQL = (
+    _MINHASH_SQL_TEMPLATE + "SELECT doc_a, doc_b FROM verified"
+).format(perms=_minhash_perm_values())
+
+# Connected components (transitive closure to the smallest doc_id) over
+# the verified MinHash pair set — the dedup-clustering oracle.
+_MINHASH_CLUSTERS_SQL = (
+    _MINHASH_SQL_TEMPLATE
+    + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM verified
+),
+reach(n, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n
+)
+SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY n
+"""
+).replace("WITH\nperms", "WITH RECURSIVE\nperms").format(perms=_minhash_perm_values())
+
+# n-gram Jaccard via the bottom-sketch inverted index: keep shingles
+# whose splitmix64 falls below the per-doc length-adaptive threshold
+# min(1, 32/n_shingles) * 2^64 (float compare, mirrored exactly),
+# candidates = pairs sharing >= 2 sampled shingles, same exact verify.
+_NGRAM_SQL = """
+WITH
+""" + _SHINGLE_CHAIN + """,
+nsh AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+msrc AS (SELECT DISTINCT sh FROM shingle),
+m1 AS (SELECT sh, xor(sh, sh >> 30) AS x FROM msrc),
+m2 AS (SELECT sh, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m1),
+m3 AS (SELECT sh, xor(x, x >> 27) AS x FROM m2),
+m4 AS (SELECT sh, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m3),
+mixed AS (SELECT sh, xor(x, x >> 31) AS mx FROM m4),
+kept AS (
+  SELECT DISTINCT s.doc_id, s.sh
+  FROM shingle s JOIN nsh USING (doc_id) JOIN mixed USING (sh)
+  WHERE CAST(mixed.mx AS DOUBLE)
+        < least(1.0, 32.0 / CAST(nsh.n AS DOUBLE)) * 18446744073709551616.0
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+),
+""" + _JACCARD_VERIFY + "SELECT doc_a, doc_b FROM verified"
+
+
+@query("minhash_dedup_pairs", sql=_MINHASH_SQL)
 def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
     """MinHash-LSH near-dup detection: shingle -> 64-perm minhash -> 32
     bands -> coarse-bucket run-pair candidates -> exact-Jaccard verify
-    (tau=0.5) over a corpus seeded with mutated copies."""
+    (tau=0.5) over a corpus seeded with mutated copies.
+
+    Oracle-checked BIT-EXACT end to end: every stage is deterministic
+    mod-2^64 arithmetic (word hash = splitmix64(seed + polynomial),
+    shingle = 3-step Horner, permutations = a*x+b with seeded odd a,
+    band hash = 2-step Horner, pair_key = xor with band_id * phi64),
+    so the SQL oracle reproduces candidate generation AND the exact
+    set-Jaccard tau-filter — not just the verified end state. The
+    implementation's 256-per-key hot-group cap is unreachable at test
+    scale (mutant families are pairs), so candidate sets coincide."""
     from ocr_ray.functions.dedup import (
         bucketed_pairs,
         minhash_bands,
@@ -2302,7 +2518,7 @@ def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
     return _verified_pairs(docs, cands, tau=0.5)
 
 
-@query("ngram_jaccard_pairs", sql=None)
+@query("ngram_jaccard_pairs", sql=_NGRAM_SQL)
 def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """n-gram Jaccard near-dup via a bottom-sketch shingle inverted
     index: each doc indexes only shingles whose hash falls below
@@ -2358,8 +2574,122 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return attach_verify_pairs(cands, sigs, tau=0.5, min_count=2)
 
 
-@query("simhash_docs", sql=None)
+# SimHash chain from a `tok(doc_id, w)` CTE to a `sig(doc_id, simhash)`
+# CTE — shared by the per-doc signature oracle and the near-dup-pairs
+# oracle (which runs it over the mutant-union corpus).
+_SIMHASH_CHAIN = """
+dt AS (SELECT DISTINCT w FROM tok),
+mx AS (SELECT greatest(max(length(w)), 1) AS m FROM dt),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * 1000003 +
+     ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw, mx WHERE k < mx.m - 1
+),
+chars AS (
+  SELECT w, gs.i, unicode(substr(w, CAST(gs.i + 1 AS INT), 1)) AS b
+  FROM dt, LATERAL (SELECT unnest(range(0, CAST(length(w) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT w,
+    CAST(CAST(b AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(b AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+),
+ph AS (
+  SELECT d.w,
+    CAST(('11400714819323198485'::HUGEINT
+      + COALESCE(CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296, 0))
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS h0
+  FROM dt d LEFT JOIN terms t ON d.w = t.w GROUP BY d.w
+),
+s1 AS (SELECT w, xor(h0, h0 >> 30) AS x FROM ph),
+s2 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM s1),
+s3 AS (SELECT w, xor(x, x >> 27) AS x FROM s2),
+s4 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM s3),
+mh AS (SELECT w, xor(x, x >> 31) AS h FROM s4),
+v AS (SELECT t.doc_id, m.h FROM tok t JOIN mh m USING (w)),
+cnt AS (SELECT doc_id, count(*) AS nw FROM v GROUP BY doc_id),
+jbits AS (SELECT unnest(generate_series(0, 63)) AS j),
+p2(j, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT j+1, p*2 FROM p2 WHERE j < 63),
+votes AS (
+  SELECT v.doc_id, jb.j,
+    SUM(CASE WHEN (v.h >> jb.j) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+  FROM v CROSS JOIN jbits jb GROUP BY v.doc_id, jb.j
+),
+bits AS (
+  SELECT vo.doc_id, vo.j, CASE WHEN 2*vo.ones > c.nw THEN 1 ELSE 0 END AS bit
+  FROM votes vo JOIN cnt c USING (doc_id)
+),
+sig_terms AS (
+  SELECT b.doc_id,
+    CAST(CAST(b.bit AS HUGEINT) * p2.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(b.bit AS HUGEINT) * p2.p // 4294967296 AS BIGINT) AS hi
+  FROM bits b JOIN p2 ON p2.j = b.j
+),
+sig AS (
+  SELECT doc_id,
+    CAST((CAST(SUM(lo) AS HUGEINT) + CAST(SUM(hi) AS HUGEINT) * 4294967296)
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS simhash
+  FROM sig_terms GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SQL = (
+    """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+"""
+    + _SIMHASH_CHAIN
+    + "SELECT doc_id, simhash FROM sig"
+)
+
+_SIMHASH_PAIRS_SQL = (
+    """
+WITH RECURSIVE
+toks0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+torig AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS i FROM toks0),
+tok AS (
+  SELECT doc_id, w FROM torig
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, w FROM torig WHERE i % 10 <> 0
+),
+"""
+    + _SIMHASH_CHAIN
+    + """,
+bands AS (
+  SELECT s.doc_id, s.simhash,
+    xor((s.simhash >> (16 * gb.b)) & 65535,
+        CAST(CAST(gb.b AS HUGEINT) * '11400714819323198485'::HUGEINT
+             % '18446744073709551616'::HUGEINT AS UBIGINT)) AS pair_key
+  FROM sig s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) gb
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM bands x JOIN bands y ON x.pair_key = y.pair_key AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+"""
+)
+
+
+@query("simhash_docs", sql=_SIMHASH_SQL)
 def simhash_docs(sf_dir: str) -> ray.data.Dataset:
+    """64-bit SimHash per document. Fully deterministic — per-token
+    hash is ``splitmix64(SEED + sum(byte_i * 1000003^i) mod 2^64)`` and
+    the signature is majority bit voting over the doc's tokens — so the
+    SQL oracle reproduces it bit for bit: HUGEINT split-multiply for
+    the polynomial powers and both splitmix64 multiplications, UBIGINT
+    xor/shift for the finalizer steps, per-bit vote counts, and a
+    powers-of-two reassembly summed as BIGINT halves."""
     from ocr_ray.functions.dedup import simhash
 
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -2367,12 +2697,19 @@ def simhash_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@query("simhash_neardup_pairs", sql=None)
+@query("simhash_neardup_pairs", sql=_SIMHASH_PAIRS_SQL)
 def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup: 64-bit signatures, 4x16-bit band blocking keyed
     through coarse buckets, vectorized Hamming<=8 verification over the
     mutated-copy corpus; cross-band pair dedup is a distributed bucketed
-    shuffle (no driver-side step)."""
+    shuffle (no driver-side step).
+
+    Oracle-checked bit-exact: the signature chain is the shared SimHash
+    SQL over the mutant-union corpus, band keys are
+    ``xor(16-bit chunk, band * phi64)`` in UBIGINT, and the Hamming
+    verify is ``bit_count(xor(sig_a, sig_b)) <= 8``. The 64-per-key
+    hot-group cap is unreachable at test scale (random 16-bit chunks
+    over ~1k docs)."""
     from ocr_ray.functions.dedup import (
         bucketed_pairs,
         hamming_u64,
@@ -2700,13 +3037,15 @@ def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
-@query("minhash_dedup_clusters", sql=None)
+@query("minhash_dedup_clusters", sql=_MINHASH_CLUSTERS_SQL)
 def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """MinHash near-dup pairs promoted to dedup clusters: the verified
     pair set (``minhash_dedup_pairs``) is the edge list; alternating
     large-star/small-star connected components label every involved doc
     with its cluster's smallest doc_id. Seeded mutated copies must land in
-    their original's cluster (asserted in tests/test_graph.py)."""
+    their original's cluster (asserted in tests/test_graph.py).
+    Oracle-checked: the bit-exact MinHash pair SQL extended with a
+    recursive-CTE transitive closure to the component minimum."""
     from ocr_ray.functions.graph import connected_components
 
     pairs = minhash_dedup_pairs(sf_dir)
