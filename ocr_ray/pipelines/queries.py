@@ -4550,6 +4550,62 @@ def source_cap_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "mixture_sample_docs",
+    sql="""
+WITH r AS (
+  SELECT doc_id, source,
+    1.0 / (1 + CAST(substr(source, 4) AS INT) % 4) AS rate
+  FROM documents
+),
+h0 AS (SELECT doc_id, source, rate, CAST(doc_id AS UBIGINT) AS x FROM r),
+h1 AS (SELECT doc_id, source, rate, xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT doc_id, source, rate, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT doc_id, source, rate, xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT doc_id, source, rate, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT doc_id, source, rate, xor(x, x >> 31) AS mx FROM h4)
+SELECT doc_id, source
+FROM h5 WHERE CAST(mx AS DOUBLE) < rate * 18446744073709551616.0
+""",
+)
+def mixture_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic source-mixture sampling (the DoReMi-style static
+    data-mixing stage): each source s is kept at rate
+    ``1 / (1 + src_num % 4)`` by thresholding ``splitmix64(doc_id)``
+    against ``rate * 2^64`` — reproducible across reruns and resumable
+    shards (membership depends only on doc_id), no shuffle, one
+    streaming filter pass. Oracle-checked bit-exact (the splitmix64
+    chain in HUGEINT SQL; the float threshold compare is mirrored
+    op-for-op)."""
+    from ocr_ray.functions.hashing import mix64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def body(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(
+                t["source"].combine_chunks()
+                if isinstance(t["source"], pa.ChunkedArray)
+                else t["source"],
+                3,
+                1 << 30,
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        rate = 1.0 / (1 + (src_num % 4))
+        keep = mix64(ids.astype(np.uint64)).astype(np.float64) < rate * float(2**64)
+        return t.select(["doc_id", "source"]).filter(pa.array(keep))
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+@query(
     "curate_corpus",
     sql=f"""
 WITH u AS (
