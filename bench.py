@@ -55,6 +55,10 @@ QUERY_SET = [
     "pii_redact_docs",
     "repetition_quality_docs",
     "curate_corpus",
+    # round-2e additions
+    "substring_dedup_docs",
+    "customer_rolling_stats",
+    "mixture_sample_docs",
 ]
 
 
