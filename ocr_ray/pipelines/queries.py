@@ -5108,3 +5108,106 @@ def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+@query(
+    "validate_lineitem",
+    sql="""
+SELECT 'qty_out_of_range' AS rule,
+  CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS BIGINT) AS n_violations,
+  CAST(count(*) AS BIGINT) AS n_checked FROM lineitem
+UNION ALL
+SELECT 'disc_out_of_range',
+  CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08) AS BIGINT),
+  CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'nonpositive_price',
+  CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+  CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'null_returnflag',
+  CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),
+  CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orphan_orderkey',
+  CAST(count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+  CAST(count(*) AS BIGINT) FROM lineitem
+""",
+)
+def validate_lineitem(sf_dir: str) -> pa.Table:
+    """Data-quality gate (expectations-style): per-rule violation counts
+    over lineitem — range rules, null rule, cross-table FK orphans — the
+    validation stage a pipeline runs before accepting a new partition.
+
+    Distributed shape: ONE streaming pass; each batch reduces to 5
+    partial-count rows (rule, violations, checked), the FK rule probes a
+    broadcast sorted key array (``ray.put`` once; swap in the bloom
+    filter from ``functions/bloom.py`` when the key side outgrows
+    broadcast), and a 5-group groupby-sum finishes. No shuffle of data
+    rows, only of 5-row partials."""
+    from ray.data.aggregate import Sum
+
+    okeys = np.sort(
+        load_small_table(sf_dir, "orders", ["o_orderkey"])["o_orderkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    okeys_ref = ray.put(okeys)
+
+    class RuleCounts:
+        def __init__(self, keys_ref):
+            self.keys = ray.get(keys_ref) if not isinstance(keys_ref, np.ndarray) else keys_ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            rflag = t["l_returnflag"]
+            ok_idx = np.searchsorted(self.keys, t["l_orderkey"].to_numpy(zero_copy_only=False))
+            ok_idx = np.minimum(ok_idx, len(self.keys) - 1)
+            orphan = self.keys[ok_idx] != t["l_orderkey"].to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            viol = [
+                int(((qty < 1) | (qty > 45)).sum()),
+                int(((disc < 0) | (disc > 0.08)).sum()),
+                int((price <= 0).sum()),
+                int(rflag.null_count),
+                int(orphan.sum()),
+            ]
+            return pa.table(
+                {
+                    "rule": pa.array(
+                        [
+                            "qty_out_of_range",
+                            "disc_out_of_range",
+                            "nonpositive_price",
+                            "null_returnflag",
+                            "orphan_orderkey",
+                        ]
+                    ),
+                    "viol": pa.array(viol, type=pa.int64()),
+                    "checked": pa.array([n] * 5, type=pa.int64()),
+                }
+            )
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+            "l_returnflag",
+        ],
+    )
+    partials = ds.map_batches(RuleCounts, fn_constructor_args=(okeys_ref,),
+                              batch_format="pyarrow", concurrency=pool_size())
+    agg = partials.groupby("rule").aggregate(Sum("viol"), Sum("checked")).to_pandas()
+    return pa.table(
+        {
+            "rule": pa.array(agg["rule"].tolist()),
+            "n_violations": pa.array(agg["sum(viol)"].astype(np.int64)),
+            "n_checked": pa.array(agg["sum(checked)"].astype(np.int64)),
+        }
+    )
