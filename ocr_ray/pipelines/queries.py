@@ -1803,12 +1803,43 @@ def orders_pivot_status_by_year(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-@query("approx_quantiles_totalprice", sql=None)
+@query(
+    "approx_quantiles_totalprice",
+    sql="""
+WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+            count(*) AS n FROM orders),
+bb AS (
+  SELECT least(greatest(CAST(trunc((o_totalprice - mm.lo) / (mm.hi - mm.lo) * 4096)
+               AS BIGINT), 0), 4095) AS bin
+  FROM orders, mm
+),
+hist AS (SELECT bin, count(*) AS c FROM bb GROUP BY bin),
+cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cm FROM hist),
+qs(q) AS (VALUES (0.1), (0.5), (0.9), (0.99)),
+tgt AS (SELECT q, q * (mm.n - 1) AS target, mm.lo, mm.hi FROM qs, mm),
+pick AS (
+  SELECT t.q, t.target, t.lo, t.hi, min(c.bin) AS bsel
+  FROM tgt t JOIN cum c ON CAST(c.cm AS DOUBLE) >= t.target + 1
+  GROUP BY t.q, t.target, t.lo, t.hi
+)
+SELECT p.q AS quantile,
+  p.lo + (p.bsel + (p.target - COALESCE(
+      (SELECT SUM(h.c) FROM hist h WHERE h.bin < p.bsel), 0)) / c.c)
+    * ((p.hi - p.lo) / 4096) AS value
+FROM pick p JOIN cum c ON c.bin = p.bsel
+""",
+)
 def approx_quantiles_totalprice(sf_dir: str) -> pa.Table:
     """Approximate quantiles (p10/p50/p90/p99) of o_totalprice via the
     mergeable fixed-range histogram sketch: one cheap min/max pass, one
     histogram-partial pass (combiner inside map_batches), tiny driver
-    merge. Error bounded by (max-min)/4096; asserted vs exact in tests."""
+    merge. Error bounded by (max-min)/4096; asserted vs exact in tests.
+
+    "Approximate" yet fully DETERMINISTIC — bin assignment, the cum-CDF
+    search and the in-bin interpolation are fixed float expressions of
+    (lo, hi, counts), so the SQL oracle reproduces the sketch's own
+    output bit for bit (same op order: (v-lo)/(hi-lo)*bins truncated;
+    lo + (b + (target-prev)/count) * (hi-lo)/bins)."""
     import functools
 
     from ray.data.aggregate import Max, Min
@@ -1841,13 +1872,26 @@ def approx_quantiles_totalprice(sf_dir: str) -> pa.Table:
     )
 
 
-@query("frequent_tokens", sql=None)
+@query(
+    "frequent_tokens",
+    sql="""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY count DESC, token LIMIT 32
+""",
+)
 def frequent_tokens(sf_dir: str) -> pa.Table:
     """Misra-Gries frequent-items sketch over the corpus token stream:
     per-batch bounded counter summaries (the combiner), merged driver-side,
     exact-recount verification of the surviving candidates via one
     broadcast semi-filtered aggregation. Guarantees: every token with
-    frequency > N/k survives; reported counts are exact (recounted)."""
+    frequency > N/k survives; reported counts are exact (recounted).
+
+    The exact-recount of a candidate superset of the true top-32 makes
+    the OUTPUT exact and deterministic (ties broken by token asc), so
+    the oracle is the plain exact top-k SQL — the sketch only bounds the
+    candidate set; it never changes the answer (the MG survival
+    guarantee holds with 2x margin: 64 candidates for a top-32)."""
     from ocr_ray.functions.sketch import misra_gries_partial
 
     from ray.data.aggregate import Sum
