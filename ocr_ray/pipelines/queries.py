@@ -3274,6 +3274,75 @@ def customer_rolling_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "customer_window_30d",
+    sql="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+    COUNT(*) OVER win AS w30_n,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win AS w30_d
+  FROM orders
+  WINDOW win AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey, CAST(w30_n AS BIGINT) AS w30_n,
+  CAST(w30_d AS DOUBLE) AS w30_sum,
+  CAST(w30_d AS DOUBLE) / w30_n AS w30_avg
+FROM w
+""",
+)
+def customer_window_30d(sf_dir: str) -> ray.data.Dataset:
+    """Value-based (RANGE) window frames: per customer, the count, sum
+    and mean of order totals within the trailing 30-day window of each
+    order's date — the time-decayed feature shape (trailing spend) that
+    ROWS frames can't express.
+
+    RANGE semantics (the frame spans VALUES, including date peers on
+    both bound sides) are reproduced with two vectorized searchsorted
+    calls over a composite (custkey << 32 | day) key per bucket — no
+    per-row loop, no task holding more than one coarse bucket. Money
+    stays integer cents through the prefix sums, so the window sum is
+    exact and the mean is the oracle's two correctly-rounded float
+    ops."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        day = (g["o_orderdate"].to_numpy().astype("datetime64[D]")).astype(np.int64)
+        units = np.round(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        key = cust * (1 << 32) + day
+        lo = np.searchsorted(key, cust * (1 << 32) + (day - 30), side="left")
+        hi = np.searchsorted(key, key, side="right") - 1
+        cum = np.cumsum(units)
+        excl = cum - units
+        w_units = cum[hi] - excl[lo]
+        w_n = hi - lo + 1
+        w_sum = w_units / 100.0
+        return pd.DataFrame(
+            {
+                "o_custkey": cust,
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "w30_n": w_n.astype(np.int64),
+                "w30_sum": w_sum,
+                "w30_avg": w_sum / w_n,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
     "orders_unpivot_year_status",
     sql="""
 WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
