@@ -644,6 +644,63 @@ def top_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query(
+    "custkey_skew_profile",
+    sql="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey LIMIT 10
+""",
+)
+def custkey_skew_profile(sf_dir: str) -> ray.data.Dataset:
+    """Key-skew profiling: the top-10 hottest join keys with their row
+    counts — the diagnostic a pipeline runs BEFORE picking salt factors
+    and hot-key caps for a 100 TB shuffle (see the salted-join and
+    hot-group-cap operators this feeds). Map-side per-batch combine
+    (Arrow group_by) -> one small distributed groupby-sum -> per-block
+    partial top-10 -> tiny final sort; the full key histogram never
+    lands on one task."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "n": pc.cast(g["o_custkey_count"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_orders", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n_orders", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 @query("distinct_segments", sql="SELECT DISTINCT c_mktsegment FROM customer")
 def distinct_segments(sf_dir: str) -> pa.Table:
     vals = read_table(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
