@@ -3138,6 +3138,108 @@ def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def _pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled integer-PageRank oracle: every iteration is exact int64
+    arithmetic (floor division on non-negative values, SUM(BIGINT) →
+    HUGEINT in DuckDB), so K chained CTEs reproduce the distributed
+    iteration bit-for-bit — the impl and the oracle share the recurrence
+    ``r' = 15%*scale + 85% * sum(r//deg)`` at scale = 1e9."""
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, SUM(r.pr // g.d) AS s
+  FROM edges e JOIN r{k-1} r ON r.node = e.src JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node, CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+)"""
+        )
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+"""
+        + ",\n".join(iters)
+        + f"\nSELECT node, pr AS pr_rank FROM r{iterations}"
+    )
+
+
+@query("purchase_graph_pagerank", sql=_pagerank_sql(3))
+def purchase_graph_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """PageRank over the customer↔supplier purchase graph — the engine's
+    iterative-algorithm showcase, oracle-checked bit-exact.
+
+    Graph: one undirected edge per distinct (customer, supplier) pair that
+    appears on an order's lineitems (node ids disambiguated as 2*custkey /
+    2*suppkey+1), symmetrized into directed edges both ways. Ranks are
+    FIXED-POINT int64 (scale 1e9, damping 85/100 with floor division), so
+    three distributed iterations and three unrolled SQL CTEs produce
+    identical integers — the trick that makes an iterative algorithm pass
+    the bit-exact gate (float PageRank can't: reduction order drifts ulps).
+
+    Distributed shape: orders⋈lineitem bucketed join with per-bucket pair
+    dedup, one global edge-distinct pass, then ``functions/graph.pagerank``
+    — per iteration ONE edges⋈ranks join (per-dst partial sums combined
+    inside the join bucket) + one small groupby over partials, with the
+    O(nodes) rank state materialized between rounds."""
+    from ocr_ray.functions import graph as graphfn
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": 2 * df["o_custkey"].to_numpy(dtype=np.int64),
+                "v": 2 * df["l_suppkey"].to_numpy(dtype=np.int64) + 1,
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    pairs = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64(), "l_suppkey": pa.int64()}),
+        bucket_post=local_pairs,
+        post_schema=pa.schema({"u": pa.int64(), "v": pa.int64()}),
+    )
+    distinct = graphfn._dedup_edges(pairs, 16)
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    edges = distinct.map_batches(sym, batch_format="pyarrow")
+    ranks = graphfn.pagerank(edges, iterations=3)
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_rank": t["rank"]}),
+        batch_format="pyarrow",
+    )
+
+
 @query("minhash_dedup_clusters", sql=_MINHASH_CLUSTERS_SQL)
 def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """MinHash near-dup pairs promoted to dedup clusters: the verified

@@ -86,3 +86,64 @@ def test_minhash_clusters_recover_seeded_mutants(sf_smoke):
     origs = [d for d in comp if d < MUTANT_OFFSET]
     assert origs, "expected seeded near-dup population"
     assert all(comp.get(d + MUTANT_OFFSET) == comp[d] for d in origs)
+
+
+def _pagerank_reference(edges: list[tuple[int, int]], iterations: int = 3) -> dict[int, int]:
+    """Plain-python mirror of the fixed-point recurrence."""
+    scale, teleport = 10**9, (15 * 10**9) // 100
+    nodes = sorted({n for e in edges for n in e})
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: teleport + (85 * s[n]) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_recurrence():
+    from ocr_ray.functions.graph import pagerank
+
+    # star (hub drains to leaves + back), chain with a dangling tail,
+    # one in-degree-0 source, duplicate (counted) edges
+    edges = (
+        [(1, k) for k in range(2, 7)]
+        + [(k, 1) for k in range(2, 7)]
+        + [(10, 11), (11, 12), (12, 10), (13, 10), (13, 10)]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.int64()),
+                "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+            }
+        )
+    )
+    got = pagerank(ds, iterations=3).to_pandas()
+    want = _pagerank_reference(edges, iterations=3)
+    assert dict(zip(got["node"], got["rank"])) == want
+    # node 13 has no in-edges: must survive with bare teleport rank
+    assert want[13] == (15 * 10**9) // 100
+
+
+def test_pagerank_rank_mass_and_determinism():
+    from ocr_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, size=200)
+    dst = rng.integers(0, 40, size=200)
+    keep = src != dst
+    t = pa.table(
+        {
+            "src": pa.array(src[keep], type=pa.int64()),
+            "dst": pa.array(dst[keep], type=pa.int64()),
+        }
+    )
+    a = pagerank(ray.data.from_arrow(t), iterations=2).to_pandas().sort_values("node")
+    b = pagerank(ray.data.from_arrow(t), iterations=2).to_pandas().sort_values("node")
+    assert (a.to_numpy() == b.to_numpy()).all()
+    ref = _pagerank_reference(list(zip(src[keep], dst[keep])), iterations=2)
+    assert dict(zip(a["node"], a["rank"])) == ref
