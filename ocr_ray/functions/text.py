@@ -102,6 +102,62 @@ def lang_id(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def classify_hashed(batch: pa.Table, *, num_classes: int = 8) -> pa.Table:
+    """Hashed-feature linear classifier — the engine's batched
+    model-scoring stage, with weights derived arithmetically so the whole
+    model is oracle-expressible (no weight table to ship or drift):
+
+        w_c(token) = mix64(hash(token) + (c+1) * 0x9E3779B97F4A7C15) % 1001 - 500
+        score(doc, c) = sum over token OCCURRENCES of w_c(token)
+        label(doc) = argmax_c score  (tie -> smallest class id)
+
+    All int64/uint64 wraparound arithmetic, so numpy and the DuckDB
+    HUGEINT split-multiply oracle agree bit-for-bit. Vectorized as one
+    pass per class over a single token-hash buffer (per-class passes, not
+    an (N, C) matrix — the host's fresh-large-allocation stalls make wide
+    temporaries pathological; see ``hashing.hash_utf8_column``).
+
+    Stand-in for a real classifier head: swap ``w_c`` for learned weights
+    broadcast via ``ray.put`` and the distributed shape (stateless
+    map_batches, zero shuffles) is unchanged.
+    """
+    from ocr_ray.functions.dedup import _word_hashes
+    from ocr_ray.functions.hashing import mix64
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.int64()),
+            }
+        )
+    _, counts, flat = split_tokens(batch["text"])
+    h = _word_hashes(flat)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    best_score = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    best_c = np.zeros(n, dtype=np.int64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for c in range(num_classes):
+            w = (mix64(h + np.uint64(c + 1) * gold) % np.uint64(1001)).astype(
+                np.int64
+            ) - 500
+            s = np.add.reduceat(w, starts)
+            better = s > best_score
+            best_score = np.where(better, s, best_score)
+            best_c = np.where(better, c, best_c)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "label": pa.array(best_c),
+            "score": pa.array(best_score),
+        }
+    )
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Polynomial rolling-hash (Rabin-style) fingerprint of each doc's text.
 

@@ -2144,6 +2144,100 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
 
 
+# Hashed-feature linear classifier: word hash = mix64(seed + poly),
+# per-class weight = mix64(h + (c+1)*golden) % 1001 - 500, score = sum
+# over token occurrences, argmax with smallest-class tiebreak. Both mix64
+# chains run in HUGEINT split-multiply; (c+1)*golden needs no split (the
+# product is < 2^68, well inside HUGEINT).
+_CLASSIFY_SQL = """
+WITH RECURSIVE
+toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dt AS (SELECT DISTINCT w FROM toks0),
+mx AS (SELECT greatest(max(length(w)), 1) AS m FROM dt),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * 1000003 +
+     ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw, mx WHERE k < mx.m - 1
+),
+chars AS (
+  SELECT w, gs.i, unicode(substr(w, CAST(gs.i + 1 AS INT), 1)) AS c
+  FROM dt, LATERAL (SELECT unnest(range(0, CAST(length(w) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT w,
+    CAST(CAST(c AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(c AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+),
+ph AS (
+  SELECT d.w,
+    CAST(('11400714819323198485'::HUGEINT
+      + COALESCE(CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296, 0))
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS h0
+  FROM dt d LEFT JOIN terms t ON d.w = t.w GROUP BY d.w
+),
+m1 AS (SELECT w, xor(h0, h0 >> 30) AS x FROM ph),
+m2 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m1),
+m3 AS (SELECT w, xor(x, x >> 27) AS x FROM m2),
+m4 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m3),
+wh AS (SELECT w, xor(x, x >> 31) AS h FROM m4),
+cls AS (SELECT unnest(range(0, 8)) AS c),
+wx AS (
+  SELECT wh.w, cls.c,
+    CAST((CAST(wh.h AS HUGEINT)
+      + (CAST(cls.c + 1 AS HUGEINT) * '11400714819323198485'::HUGEINT)
+        % '18446744073709551616'::HUGEINT)
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS x
+  FROM wh CROSS JOIN cls
+),
+c1 AS (SELECT w, c, xor(x, x >> 30) AS x FROM wx),
+c2 AS (SELECT w, c, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM c1),
+c3 AS (SELECT w, c, xor(x, x >> 27) AS x FROM c2),
+c4 AS (SELECT w, c, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM c3),
+wt AS (SELECT w, c, CAST(xor(x, x >> 31) % 1001 AS BIGINT) - 500 AS wgt FROM c4),
+scores AS (
+  SELECT t.doc_id, wt.c, CAST(SUM(wt.wgt) AS BIGINT) AS score
+  FROM toks0 t JOIN wt ON wt.w = t.w
+  GROUP BY t.doc_id, wt.c
+),
+ranked AS (
+  SELECT doc_id, c, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, c AS label, score FROM ranked WHERE rn = 1
+"""
+
+
+@query("classify_docs", sql=_CLASSIFY_SQL)
+def classify_docs(sf_dir: str) -> ray.data.Dataset:
+    """Batched model scoring over documents: an 8-class hashed-feature
+    linear classifier whose weights are derived arithmetically from the
+    token hash (``functions/text.classify_hashed``), so the entire model —
+    feature hashing, per-class dot products, argmax with deterministic
+    tiebreak — is reproduced bit-exact by the SQL oracle. Stateless
+    map_batches, zero shuffles; a learned weight matrix would broadcast
+    via ``ray.put`` with the identical distributed shape."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.classify_hashed, batch_format="pyarrow")
+
+
 _FINGERPRINT_SQL = """
 WITH RECURSIVE
 mx AS (SELECT greatest(max(length(text)), 1) AS m FROM documents),

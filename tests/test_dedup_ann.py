@@ -238,3 +238,39 @@ def test_embedding_clusters_group_perturbed_copies(queries, sf_smoke):
     assert len(paired) / n_src >= 0.9, f"only {len(paired)}/{n_src} pairs clustered"
     bad = [v for v in paired if comp[v + OFFSET] != comp[v]]
     assert not bad, bad[:5]
+
+
+def test_classify_hashed_matches_python_reference():
+    """The vectorized classifier must equal a per-token python mirror of
+    the weight recurrence (hash -> mix64(h + (c+1)*golden) % 1001 - 500,
+    argmax with smallest-class tiebreak)."""
+    from ocr_ray.functions.hashing import hash_utf8_column, mix64
+    from ocr_ray.functions.text import classify_hashed
+
+    texts = ["the cat sat", "a", "the the the", "x y z w", "sat cat the"]
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()), "text": pa.array(texts)})
+    out = classify_hashed(t).to_pandas()
+
+    gold = 0x9E3779B97F4A7C15
+    M = 1 << 64
+    for i, text in enumerate(texts):
+        scores = []
+        for c in range(8):
+            s = 0
+            for tok in text.split(" "):
+                h = int(mix64(hash_utf8_column(pa.array([tok]))).item())
+                w = int(mix64(np.array([(h + (c + 1) * gold) % M], dtype=np.uint64)).item()) % 1001 - 500
+                s += w
+            scores.append(s)
+        best = max(range(8), key=lambda c: (scores[c], -c))
+        assert out.loc[i, "label"] == best, (i, scores)
+        assert out.loc[i, "score"] == scores[best]
+
+
+def test_classify_hashed_empty_batch():
+    from ocr_ray.functions.text import classify_hashed
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    out = classify_hashed(t)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "label", "score"]
