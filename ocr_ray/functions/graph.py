@@ -205,7 +205,7 @@ def connected_components(
         df = pd.DataFrame({"node": node, "component": comp}).drop_duplicates(
             ignore_index=True
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     # final per-node dedup: a node can appear in several buckets' outputs
     # (as neighbor and as root) — one more coarse-bucket distinct-min pass

@@ -392,12 +392,80 @@ def hash_join(
         rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
         out = lt.to_pandas().merge(rt.to_pandas(), left_on=on_list, right_on=right_key, how=pd_how)
         out = out[out_names]
+        # replace_schema_metadata(None): from_pandas attaches a 'pandas'
+        # metadata dict that makes pyarrow Schemas UNHASHABLE — Ray's
+        # unify_schemas then logs "Failed to hash the schemas" and skips
+        # its cheap same-schema early exit on every shuffle concat.
         if bucket_post is not None:
             return pa.Table.from_pandas(
                 bucket_post(out), schema=post_schema, preserve_index=False
-            )
+            ).replace_schema_metadata(None)
         # explicit schema keeps per-bucket outputs identical (empty buckets,
         # NaN-induced dtype drift on outer rows)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def merge_upsert(
+    base,
+    changes,
+    *,
+    on: str,
+    op_col: str = "op",
+    num_buckets: int = 32,
+    base_schema: pa.Schema | None = None,
+    changes_schema: pa.Schema | None = None,
+):
+    """MERGE a changeset into a snapshot (warehouse ``MERGE INTO``):
+
+    ``changes`` carries the key, an ``op_col`` in {'U', 'D'}, and the full
+    payload (same non-key columns as ``base``). Per key: 'D' removes the
+    base row; 'U' replaces its payload if the key exists and inserts it
+    otherwise (upsert). Keys untouched by the changeset pass through. At
+    most one change row per key (the caller dedups — e.g. keep-latest by
+    timestamp via ``dedup_by_key`` first).
+
+    Distributed shape: ONE bucketed full-outer ``hash_join`` with the
+    resolution computed inside the join bucket (a key's base row and its
+    change row are guaranteed co-located there), so a 100 TB snapshot
+    merges with a single shuffle of snapshot + changeset and no
+    driver-side state.
+    """
+    bschema = base_schema if base_schema is not None else base.schema()
+    cschema = changes_schema if changes_schema is not None else changes.schema()
+    payload = [n for n in bschema.names if n != on]
+    for n in payload:
+        assert n in cschema.names, f"changeset missing payload column {n!r}"
+    suffix = "_chg"
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        op = df[op_col]
+        # rows with no change: keep base payload; 'U' rows: take change
+        # payload (covers both replace and insert); 'D' rows: drop.
+        keep_base = op.isna()
+        take_chg = (op == "U").to_numpy()
+        res = pd.DataFrame({on: df[on].to_numpy()})
+        for n in payload:
+            chg = df[n + suffix] if (n + suffix) in df.columns else df[n]
+            res[n] = df[n].where(~take_chg, chg).to_numpy()
+        return res[(keep_base.to_numpy() | take_chg)]
+
+    out_schema = pa.schema(
+        [(on, bschema.types[bschema.names.index(on)])]
+        + [(n, bschema.types[bschema.names.index(n)]) for n in payload]
+    )
+    return hash_join(
+        base,
+        changes,
+        on=on,
+        how="full",
+        num_buckets=num_buckets,
+        suffix=suffix,
+        left_schema=bschema,
+        right_schema=cschema,
+        bucket_post=resolve,
+        post_schema=out_schema,
+    )

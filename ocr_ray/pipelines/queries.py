@@ -635,7 +635,7 @@ def top_orders(sf_dir: str) -> ray.data.Dataset:
         df = t.to_pandas().sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
         ).head(20)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(local_top, batch_format="pyarrow")
@@ -683,7 +683,7 @@ def custkey_skew_profile(sf_dir: str) -> ray.data.Dataset:
         df = t.to_pandas().sort_values(
             ["n_orders", "o_custkey"], ascending=[False, True], kind="mergesort"
         ).head(10)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         counts.map_batches(local_top, batch_format="pyarrow")
@@ -974,6 +974,97 @@ def customer_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "merge_changeset_orders",
+    sql="""
+WITH chg AS (
+  SELECT o_orderkey, 'D' AS op, '' AS o_orderstatus, 0.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, 'U', 'U', CAST(o_orderkey % 1000 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'U', 'I', CAST(o_orderkey % 500 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM orders b LEFT JOIN chg c ON c.o_orderkey = b.o_orderkey
+WHERE c.op IS NULL
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op = 'U'
+""",
+)
+def merge_changeset_orders(sf_dir: str) -> ray.data.Dataset:
+    """Warehouse ``MERGE INTO``: apply a changeset (deletes for keys
+    ending in 7, payload updates for keys ending in 3, inserts of new
+    keys derived from keys ending in 0) to the orders snapshot —
+    ``functions/relational.merge_upsert``. One bucketed full-outer join
+    with per-key resolution inside the join bucket; the changeset here is
+    derived deterministically from the snapshot itself so the oracle can
+    rebuild it in SQL."""
+    from ocr_ray.functions.relational import merge_upsert
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = read_table(sf_dir, "orders", columns=cols)
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        status = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        del_m = k % 10 == 7
+        upd_m = k % 10 == 3
+        ins_m = k % 10 == 0
+        keys = np.concatenate([k[del_m], k[upd_m], k[ins_m] + 10_000_000])
+        ops = np.concatenate(
+            [
+                np.full(del_m.sum(), "D", dtype=object),
+                np.full(upd_m.sum(), "U", dtype=object),
+                np.full(ins_m.sum(), "U", dtype=object),
+            ]
+        )
+        st = np.concatenate(
+            [
+                np.full(del_m.sum(), "", dtype=object),
+                np.full(upd_m.sum(), "U", dtype=object),
+                np.full(ins_m.sum(), "I", dtype=object),
+            ]
+        )
+        pr = np.concatenate(
+            [
+                np.zeros(del_m.sum()),
+                (k[upd_m] % 1000).astype(np.float64),
+                (k[ins_m] % 500).astype(np.float64),
+            ]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "op": pa.array(ops, type=pa.string()),
+                "o_orderstatus": pa.array(st, type=pa.string()),
+                "o_totalprice": pa.array(pr, type=pa.float64()),
+            }
+        )
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+    return merge_upsert(
+        base,
+        changes,
+        on="o_orderkey",
+        num_buckets=16,
+        base_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "o_orderstatus": pa.string(), "o_totalprice": pa.float64()}
+        ),
+        changes_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "op": pa.string(),
+                "o_orderstatus": pa.string(),
+                "o_totalprice": pa.float64(),
+            }
+        ),
+    )
+
+
+@query(
     "range_join_followup_events",
     sql="""
 SELECT b.event_id AS event_id, b.user_id AS user_id, b.ts AS ts,
@@ -1065,7 +1156,7 @@ def stratified_sample_orders(sf_dir: str) -> ray.data.Dataset:
         df = df.sort_values(["o_orderstatus", "_h", "o_orderkey"], kind="mergesort")
         return pa.Table.from_pandas(
             df.groupby("o_orderstatus", sort=False).head(K), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["_h", "o_orderkey"], kind="mergesort").head(K)
@@ -3671,8 +3762,10 @@ def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
             .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
             .head(50)
         )
-        return pa.Table.from_pandas(df, preserve_index=False).set_column(
-            1, "n", pc.cast(pa.array(df["n"]), pa.int64())
+        return (
+            pa.Table.from_pandas(df, preserve_index=False)
+            .set_column(1, "n", pc.cast(pa.array(df["n"]), pa.int64()))
+            .replace_schema_metadata(None)
         )
 
     return (
@@ -3959,7 +4052,7 @@ def weighted_sample_orders(sf_dir: str) -> ray.data.Dataset:
             .sort_values(["priority", "o_orderkey"], kind="mergesort")
             .head(64)
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(prio, batch_format="pyarrow")
@@ -3992,7 +4085,7 @@ def quartiles_by_status(sf_dir: str) -> pa.Table:
         ds, group_col="o_orderstatus", value_col="o_totalprice", qs=(0.25, 0.5, 0.75)
     )
     df["n"] = df["n"].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 @query(
@@ -4212,7 +4305,9 @@ def percentile_cont_by_status(sf_dir: str) -> pa.Table:
         ds, group_col="o_orderstatus", value_col="o_totalprice", qs=(0.25, 0.90)
     )
     df["n"] = df["n"].astype(np.int64)
-    return pa.Table.from_pandas(df.rename(columns={"o_orderstatus": "o_orderstatus"}), preserve_index=False)
+    return pa.Table.from_pandas(
+        df.rename(columns={"o_orderstatus": "o_orderstatus"}), preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 @query(

@@ -101,3 +101,44 @@ def test_composite_key_join():
     assert sorted(zip(out["a"], out["b"], out["lv"], out["rv"])) == sorted(
         zip(ref["a"], ref["b"], ref["lv"], ref["rv"])
     )
+
+
+def test_merge_upsert_semantics():
+    """Delete existing + missing keys, update existing, upsert-insert new,
+    pass untouched rows through unchanged."""
+    import ray
+
+    from ocr_ray.functions.relational import merge_upsert
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array(["a", "b", "c", "d"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([2, 3, 5, 9], pa.int64()),
+            "op": pa.array(["D", "U", "U", "D"]),
+            "s": pa.array(["", "C", "E", ""]),
+            "v": pa.array([0.0, 33.0, 55.0, 0.0], pa.float64()),
+        }
+    )
+    out = (
+        merge_upsert(
+            ray.data.from_arrow(base),
+            ray.data.from_arrow(changes),
+            on="k",
+            num_buckets=4,
+            base_schema=base.schema,
+            changes_schema=changes.schema,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # 2 deleted (9 was never present - no-op), 3 replaced, 5 inserted
+    assert list(out["k"]) == [1, 3, 4, 5]
+    assert list(out["s"]) == ["a", "C", "d", "E"]
+    assert list(out["v"]) == [1.0, 33.0, 4.0, 55.0]
