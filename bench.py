@@ -59,6 +59,11 @@ QUERY_SET = [
     "substring_dedup_docs",
     "customer_rolling_stats",
     "mixture_sample_docs",
+    # round-2f additions
+    "purchase_graph_pagerank",
+    "classify_docs",
+    "merge_changeset_orders",
+    "incremental_agg_orders",
 ]
 
 

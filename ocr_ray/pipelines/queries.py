@@ -1065,6 +1065,187 @@ def merge_changeset_orders(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "incremental_agg_orders",
+    sql="""
+WITH chg AS (
+  SELECT o_orderkey, 'D' AS op, '' AS o_orderstatus, 0.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey, 'U', 'U', CAST(o_orderkey % 1000 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'U', 'I', CAST(o_orderkey % 500 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+  FROM orders b LEFT JOIN chg c ON c.o_orderkey = b.o_orderkey
+  WHERE c.op IS NULL
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op = 'U'
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def incremental_agg_orders(sf_dir: str) -> ray.data.Dataset:
+    """Materialized-view maintenance: keep a per-status (count, sum)
+    aggregate current under the same changeset as ``merge_changeset_orders``
+    WITHOUT re-aggregating the snapshot rows it doesn't touch.
+
+    View' = view + signed deltas: each delete/update retracts (-1, -old)
+    under the old status (old payload fetched by ONE bucketed left join of
+    the changeset to the snapshot) and each update/insert asserts
+    (+1, +new) under the new status; a tiny groupby folds base partials
+    and deltas. The oracle recomputes the view from the fully-merged
+    table — maintenance must equal recomputation exactly, which the
+    integer-unit money arithmetic makes bit-exact. At 100 TB the
+    maintenance path shuffles only the changeset (+ the join's bucketed
+    probe of the snapshot), never re-aggregates the snapshot."""
+    from ray.data.aggregate import Sum
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = read_table(sf_dir, "orders", columns=cols)
+
+    # -- base view partials: map-side combine to <= |status| rows/batch --
+    def base_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_c": to_units(t["o_totalprice"]),
+            }
+        )
+        part = tbl.group_by(["o_orderstatus"]).aggregate([("n", "sum"), ("sum_c", "sum")])
+        return pa.table(
+            {
+                "o_orderstatus": part["o_orderstatus"],
+                "n": part["n_sum"],
+                "sum_c": part["sum_c_sum"],
+            }
+        )
+
+    view_parts = base.map_batches(base_partial, batch_format="pyarrow")
+
+    # -- changeset with old payload attached (one bucketed left join) --
+    def mk_changes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        del_m = k % 10 == 7
+        upd_m = k % 10 == 3
+        ins_m = k % 10 == 0
+        keys = np.concatenate([k[del_m], k[upd_m], k[ins_m] + 10_000_000])
+        ops = np.concatenate(
+            [
+                np.full(del_m.sum(), "D", dtype=object),
+                np.full(upd_m.sum(), "U", dtype=object),
+                np.full(ins_m.sum(), "U", dtype=object),
+            ]
+        )
+        st = np.concatenate(
+            [
+                np.full(del_m.sum(), "", dtype=object),
+                np.full(upd_m.sum(), "U", dtype=object),
+                np.full(ins_m.sum(), "I", dtype=object),
+            ]
+        )
+        # new payload in integer cents (prices are integer-valued here)
+        pr = np.concatenate(
+            [
+                np.zeros(del_m.sum(), dtype=np.int64),
+                (k[upd_m] % 1000).astype(np.int64) * 100,
+                (k[ins_m] % 500).astype(np.int64) * 100,
+            ]
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "op": pa.array(ops, type=pa.string()),
+                "new_status": pa.array(st, type=pa.string()),
+                "new_c": pa.array(pr, type=pa.int64()),
+            }
+        )
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+
+    def old_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "old_status": t["o_orderstatus"],
+                "old_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        out_status = []
+        out_n = []
+        out_sum = []
+        matched = df["old_status"].notna().to_numpy()
+        # retraction under the OLD status for every change that hit a row
+        out_status.append(df["old_status"].to_numpy()[matched])
+        out_n.append(np.full(int(matched.sum()), -1, dtype=np.int64))
+        out_sum.append(-df["old_c"].to_numpy()[matched].astype(np.int64))
+        # assertion under the NEW status for every upsert
+        ups = (df["op"] == "U").to_numpy()
+        out_status.append(df["new_status"].to_numpy()[ups])
+        out_n.append(np.ones(int(ups.sum()), dtype=np.int64))
+        out_sum.append(df["new_c"].to_numpy()[ups].astype(np.int64))
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": np.concatenate(out_status),
+                "n": np.concatenate(out_n),
+                "sum_c": np.concatenate(out_sum),
+            }
+        )
+        # combine inside the bucket: <= |status| rows leave the task
+        return g.groupby("o_orderstatus", as_index=False)[["n", "sum_c"]].sum()
+
+    delta_parts = hash_join(
+        changes,
+        base.map_batches(old_payload, batch_format="pyarrow"),
+        on="o_orderkey",
+        how="left",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "o_orderkey": pa.int64(),
+                "op": pa.string(),
+                "new_status": pa.string(),
+                "new_c": pa.int64(),
+            }
+        ),
+        right_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "old_status": pa.string(), "old_c": pa.int64()}
+        ),
+        bucket_post=deltas,
+        post_schema=pa.schema(
+            {"o_orderstatus": pa.string(), "n": pa.int64(), "sum_c": pa.int64()}
+        ),
+    )
+
+    folded = (
+        view_parts.union(delta_parts)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("sum_c", alias_name="sum_all"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_orders"], pa.scalar(0, type=pa.int64())))
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "sum_price": pa.array(
+                    units_to_double(t["sum_all"].to_numpy(zero_copy_only=False), 2)
+                ),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+@query(
     "range_join_followup_events",
     sql="""
 SELECT b.event_id AS event_id, b.user_id AS user_id, b.ts AS ts,

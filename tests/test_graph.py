@@ -147,3 +147,25 @@ def test_pagerank_rank_mass_and_determinism():
     assert (a.to_numpy() == b.to_numpy()).all()
     ref = _pagerank_reference(list(zip(src[keep], dst[keep])), iterations=2)
     assert dict(zip(a["node"], a["rank"])) == ref
+
+
+def test_pagerank_state_block_count_stays_pinned():
+    """Regression: Ray's sort-shuffle makes one reduce partition per input
+    block, so without repartition the union in the iteration loop grows
+    the rank state's block count (and wall time) linearly per round. The
+    returned state must stay at <= num_buckets blocks regardless of
+    iteration count and of how fragmented the input edge set is."""
+    from ocr_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, size=120).astype(np.int64)
+    dst = rng.integers(0, 30, size=120).astype(np.int64)
+    keep = src != dst
+    t = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    # fragment the input into many tiny blocks
+    ds = ray.data.from_arrow([t.slice(i, 1) for i in range(t.num_rows)])
+    out = pagerank(ds, iterations=3, num_buckets=4)
+    assert out.num_blocks() <= 4
+    ref = _pagerank_reference(list(zip(src[keep], dst[keep])), iterations=3)
+    got = out.to_pandas()
+    assert dict(zip(got["node"], got["rank"])) == ref
