@@ -64,6 +64,7 @@ QUERY_SET = [
     "classify_docs",
     "merge_changeset_orders",
     "incremental_agg_orders",
+    "unigram_lm_score",
 ]
 
 

@@ -3957,6 +3957,115 @@ def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "unigram_lm_score",
+    sql="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+top AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 64),
+hits AS (
+  SELECT t.doc_id, CAST(SUM(p.c) AS BIGINT) AS hits
+  FROM tok t JOIN top p ON p.w = t.w GROUP BY t.doc_id
+),
+nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.hits, 0) AS hits, nt.n_tokens,
+  CAST(COALESCE(h.hits, 0) AS DOUBLE) / nt.n_tokens AS lm_score
+FROM documents d JOIN nt USING (doc_id) LEFT JOIN hits h USING (doc_id)
+""",
+)
+def unigram_lm_score(sf_dir: str) -> ray.data.Dataset:
+    """Unigram language-model quality score — the two-phase FIT +
+    TRANSFORM pattern: fit = exact corpus-wide token counts (map-side
+    per-batch combine, one groupby shuffle, per-block partial top-64 so
+    the final sort touches 64×blocks rows, not the vocabulary), the tiny
+    top-64 model broadcast once via ``ray.put``; transform = stateless
+    map_batches scoring every doc by the summed corpus frequency of its
+    in-vocabulary tokens over its token count. Integer arithmetic until
+    ONE final division, so the score is bit-exact vs SQL. At 100 TB the
+    broadcast side stays 64 rows regardless of vocabulary size (OOV
+    tokens contribute 0, as a fixed-size LM head would)."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.relational import _prepared, broadcast
+    from ocr_ray.functions.text import split_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        out = flat.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+            .head(64)
+        )
+        return pa.table(
+            {
+                "token": pa.array(df["token"], type=pa.string()),
+                "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    top = (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(64)
+        .to_pandas()
+    )
+    model_ref = broadcast(
+        (top["token"].tolist(), top["n"].to_numpy(dtype=np.int64))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "hits": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "lm_score": pa.array([], type=pa.float64()),
+                }
+            )
+        words, freqs = _prepared(
+            ("unigram_lm", model_ref.hex()),
+            lambda: (
+                lambda m: (pa.array(m[0], type=pa.string()), np.concatenate([m[1], [0]]))
+            )(ray.get(model_ref)),
+        )
+        _, counts_per_doc, flat = split_tokens(t["text"])
+        pos = pc.index_in(flat, value_set=words).to_numpy(zero_copy_only=False)
+        # null (OOV) -> the trailing 0 slot
+        idx = np.where(np.isnan(pos.astype(np.float64)), len(freqs) - 1, pos).astype(
+            np.int64
+        )
+        per_tok = freqs[idx]
+        starts = np.zeros(t.num_rows, dtype=np.int64)
+        np.cumsum(counts_per_doc[:-1], out=starts[1:])
+        hits = np.add.reduceat(per_tok, starts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "hits": pa.array(hits),
+                "n_tokens": pa.array(counts_per_doc),
+                "lm_score": pa.array(
+                    hits.astype(np.float64) / counts_per_doc.astype(np.float64)
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+@query(
     "mode_priority_by_status",
     sql="""
 WITH c AS (
