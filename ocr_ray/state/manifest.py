@@ -188,3 +188,48 @@ def write_extracted_resumable(
     if return_stats:
         return df, manifest_rows.stats()
     return df
+
+
+def compact_partitions(in_dir: str, out_dir: str, *, num_parts: int):
+    """Compact a committed fragment directory to a coarser layout — the
+    100 TB small-file remedy (a resumable run that checkpointed at fine
+    granularity, or many incremental runs, leaves more files than the
+    downstream reader wants).
+
+    Streams the COMMITTED fragments (enumerated from the manifest, so
+    half-written files are never compacted), re-partitions every row with
+    the same ``partition_of(doc_id, num_parts)`` law at the new coarser
+    count, and writes through the same atomic ``ResumableSink`` — the
+    output directory is itself resumable and readable by everything that
+    reads sink output.
+
+    Self-verifying without a second data pass: the per-fragment
+    ``span_checksum`` is an order-insensitive wrap-sum, so the SUM over
+    fragments is layout-invariant. Compaction asserts (total rows, total
+    spans, total checksum) match the source manifest and raises on any
+    discrepancy. Returns the new manifest DataFrame.
+    """
+    import ray as _ray
+
+    src = load_manifest(in_dir)
+    if not src:
+        raise ValueError(f"no committed fragments under {in_dir!r}")
+    files = [rec["file"] for _, rec in sorted(src.items())]
+    src_rows = sum(rec["row_count"] for rec in src.values())
+    src_spans = sum(rec["span_count"] for rec in src.values())
+    src_sum = sum(rec["span_checksum"] for rec in src.values()) % (1 << 64)
+
+    ds = _ray.data.read_parquet(files)
+    manifest_df = write_extracted_resumable(ds, out_dir, num_parts=num_parts)
+
+    new = load_manifest(out_dir)
+    new_rows = sum(rec["row_count"] for rec in new.values())
+    new_spans = sum(rec["span_count"] for rec in new.values())
+    new_sum = sum(rec["span_checksum"] for rec in new.values()) % (1 << 64)
+    if (new_rows, new_spans, new_sum) != (src_rows, src_spans, src_sum):
+        raise RuntimeError(
+            "compaction verification failed: "
+            f"rows {src_rows}->{new_rows}, spans {src_spans}->{new_spans}, "
+            f"checksum {src_sum:#x}->{new_sum:#x}"
+        )
+    return manifest_df

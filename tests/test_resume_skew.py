@@ -167,3 +167,40 @@ def test_fused_extract_and_write_matches_oracle(sf_smoke, tmp_path):
         num_buckets=8, two_phase=True, chunk_size=64,
     )
     assert skipped2 == 8 and len(m2) == 0
+
+
+def test_compact_partitions_preserves_content(sf_smoke, tmp_path):
+    """Compaction rewrites a fine-grained fragment directory at a coarser
+    partition count; the layout-invariant checksum must self-verify and
+    the row set (by doc_id and span sequence) must be identical."""
+    from ocr_ray.state.manifest import compact_partitions
+
+    src_dir = str(tmp_path / "fine")
+    dst_dir = str(tmp_path / "coarse")
+    corpus = ensure_corpus(sf_smoke, glyphs=False)
+    ds = read_documents(corpus)
+    write_extracted_resumable(
+        extract_documents(ds, num_buckets=8, recognizer_concurrency=2),
+        src_dir,
+        num_parts=16,
+    )
+    assert len(load_manifest(src_dir)) == 16
+
+    m = compact_partitions(src_dir, dst_dir, num_parts=4)
+    assert len(load_manifest(dst_dir)) == 4
+    assert set(m["partition"]) == {0, 1, 2, 3}
+
+    before = _read_all_fragments(src_dir)
+    after = _read_all_fragments(dst_dir)
+    assert after.num_rows == before.num_rows
+    bd, ad = docs_table_to_dict(before), docs_table_to_dict(after)
+    assert set(bd) == set(ad)
+    assert all(span_sequences_equal(bd[k], ad[k]) for k in bd)
+
+    # tampering with a fragment must make compaction fail loudly
+    bad_dir = str(tmp_path / "bad")
+    frag = sorted(Path(src_dir).glob("part=*/data.parquet"))[0]
+    t = pq.read_table(frag)
+    pq.write_table(t.slice(0, max(t.num_rows - 1, 0)), frag)
+    with pytest.raises(RuntimeError, match="compaction verification failed"):
+        compact_partitions(src_dir, bad_dir, num_parts=4)
