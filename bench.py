@@ -65,6 +65,7 @@ QUERY_SET = [
     "merge_changeset_orders",
     "incremental_agg_orders",
     "unigram_lm_score",
+    "analyze_orders_stats",
 ]
 
 

@@ -3957,6 +3957,151 @@ def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "analyze_orders_stats",
+    sql="""
+SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(o_custkey) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct,
+  CAST(MIN(o_custkey) AS DOUBLE) AS min_num, CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+  COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+  COUNT(DISTINCT o_orderstatus), NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+""",
+)
+def analyze_orders_stats(sf_dir: str) -> pa.Table:
+    """ANALYZE-style table statistics (the optimizer-stats pass every
+    warehouse runs): per column — row count, null count, EXACT distinct
+    count, min/max. One streaming pass computes the cheap stats as
+    per-batch partials; NDV uses the engine's exact-distinct discipline
+    (per-batch local dedup → ONE coarse-bucket shuffle on the value so
+    every occurrence meets in one bucket → per-bucket dedup + partial
+    counts → tiny sum). The driver only ever folds O(columns) rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    num_cols = ["o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus"]
+    cols = num_cols + str_cols
+    ds = read_table(sf_dir, "orders", columns=cols)
+
+    # -- cheap stats: per-batch partial rows, tiny driver fold --
+    def cheap_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            arr = t[c]
+            mm = pc.min_max(arr)
+            is_num = c in num_cols
+            rows.append(
+                {
+                    "col_name": c,
+                    "n_rows": t.num_rows,
+                    "n_nulls": arr.null_count,
+                    "min_num": float(mm["min"].as_py()) if is_num and t.num_rows else None,
+                    "max_num": float(mm["max"].as_py()) if is_num and t.num_rows else None,
+                    "min_str": (None if is_num else mm["min"].as_py()),
+                    "max_str": (None if is_num else mm["max"].as_py()),
+                }
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                {
+                    "col_name": pa.string(),
+                    "n_rows": pa.int64(),
+                    "n_nulls": pa.int64(),
+                    "min_num": pa.float64(),
+                    "max_num": pa.float64(),
+                    "min_str": pa.string(),
+                    "max_str": pa.string(),
+                }
+            ),
+        )
+
+    cheap = (
+        ds.map_batches(cheap_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_num", alias_name="min_num"),
+            Max("max_num", alias_name="max_num"),
+            Min("min_str", alias_name="min_str"),
+            Max("max_str", alias_name="max_str"),
+        )
+        .to_pandas()
+    )
+
+    # -- exact NDV: local dedup -> one value-bucket shuffle -> dedup+count --
+    def ndv_prep(t: pa.Table) -> pa.Table:
+        # exact-by-construction dedup keys: raw int64 for ints, IEEE-754
+        # bits for doubles (bijective — no string-formatting collisions),
+        # native strings for strings.
+        parts = []
+        for c in cols:
+            u = pc.unique(pc.drop_null(t[c]))
+            n = len(u)
+            if c in num_cols:
+                vals = u.to_numpy(zero_copy_only=False)
+                bits = (
+                    vals.view(np.int64)
+                    if vals.dtype == np.float64
+                    else vals.astype(np.int64)
+                )
+                vnum = pa.array(bits, type=pa.int64())
+                vstr = pa.nulls(n, type=pa.string())
+                h = pd.util.hash_array(bits)
+            else:
+                vnum = pa.nulls(n, type=pa.int64())
+                vstr = u
+                h = pd.util.hash_array(u.to_numpy(zero_copy_only=False).astype(object))
+            parts.append(
+                pa.table(
+                    {
+                        "col_name": pa.array(np.full(n, c, dtype=object), type=pa.string()),
+                        "val_num": vnum,
+                        "val_str": vstr,
+                        "_bucket": pa.array((h % np.uint64(32)).astype(np.int32)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def ndv_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["col_name", "val_num", "val_str"])
+        out = d.groupby("col_name", sort=True).size().reset_index(name="nd")
+        out["nd"] = out["nd"].astype(np.int64)
+        return out[["col_name", "nd"]]
+
+    ndv = (
+        ds.map_batches(ndv_prep, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(ndv_count, batch_format="pandas")
+        .groupby("col_name")
+        .aggregate(Sum("nd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+
+    merged = cheap.merge(ndv, on="col_name")
+    return pa.table(
+        {
+            "col_name": pa.array(merged["col_name"], type=pa.string()),
+            "n_rows": pa.array(merged["n_rows"].to_numpy(dtype=np.int64)),
+            "n_nulls": pa.array(merged["n_nulls"].to_numpy(dtype=np.int64)),
+            "n_distinct": pa.array(merged["n_distinct"].to_numpy(dtype=np.int64)),
+            "min_num": pa.array(merged["min_num"], type=pa.float64()),
+            "max_num": pa.array(merged["max_num"], type=pa.float64()),
+            "min_str": pa.array(merged["min_str"], type=pa.string()),
+            "max_str": pa.array(merged["max_str"], type=pa.string()),
+        }
+    )
+
+
+@query(
     "unigram_lm_score",
     sql="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
