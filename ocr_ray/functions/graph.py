@@ -346,7 +346,10 @@ def pagerank(
             }
         )
 
-    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    # lazy: init_ranks is a trivial map over the materialized node set and
+    # is consumed exactly once (by iteration 1's join) — materializing it
+    # would buy nothing and cost one more plan execution (~2 s floor).
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow")
 
     edge_schema = pa.schema({"src": pa.int64(), "dst": pa.int64(), "deg": pa.int64()})
     rank_schema = pa.schema({"node": pa.int64(), "rank": pa.int64()})
