@@ -85,7 +85,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from ocr_ray.corpus import ensure_corpus
-    from ocr_ray.pipelines.extract import extract_and_write
+    from ocr_ray.pipelines.extract import extract_and_write, extract_shard_aligned
     from ocr_ray.pipelines.queries import QUERY_FNS
     from ocr_ray.sources import read_documents
 
@@ -93,27 +93,36 @@ def run_bench() -> dict:
     corpus = ensure_corpus(SF_DIR, glyphs=True, reps=BENCH_REPS)
     n_docs = read_documents(corpus).count()
 
-    # Headline: single-phase reassembly with the sink fused into the final
-    # groupby (the benchmark corpus is skew-free; the two-phase chunked
-    # path is the option for skewed corpora and is correctness-tested).
-    # Best-of-N because this sandbox's CPU timing is noisy.
+    # Headline: the shard-aligned ZERO-SHUFFLE pipeline (input rows are
+    # whole documents, so reassembly is batch-local and fragment id ==
+    # input shard id — see pipelines/extract.py). OCR_RAY_HEADLINE=shuffle
+    # benches the hash-bucketed reassembly path instead (the plan for
+    # pre-exploded / multi-source inputs). Best-of-N because this
+    # sandbox's CPU timing is noisy.
+    headline_mode = os.environ.get("OCR_RAY_HEADLINE", "shard")
+    doc_batch = int(os.environ.get("OCR_RAY_DOC_BATCH", "4096"))
     reps_n = int(os.environ.get("OCR_RAY_BENCH_TRIALS", "3"))
     t_headline = None
     for _ in range(max(reps_n, 1)):
         shutil.rmtree(OUT_DIR, ignore_errors=True)
         t0 = time.perf_counter()
-        manifest, _ = extract_and_write(
-            read_documents(corpus),
-            OUT_DIR,
-            num_parts=max(NUM_CPUS * 2, 16),
-            # 4096 docs/task: fewer, larger tasks cut the data-proportional
-            # driver dispatch + per-task fixed costs (A/B'd at 5.12M docs:
-            # faster at BOTH 8 and 32 CPUs); per-task heap stays ~12 MB.
-            doc_batch_size=int(os.environ.get("OCR_RAY_DOC_BATCH", "4096")),
-            recognizer_concurrency=None,  # task pool + per-worker template cache
-            num_buckets=max(NUM_CPUS * 2, 16),
-            two_phase=False,
-        )
+        if headline_mode == "shard":
+            manifest, _ = extract_shard_aligned(
+                corpus, OUT_DIR, doc_batch_size=doc_batch
+            )
+        else:
+            manifest, _ = extract_and_write(
+                read_documents(corpus),
+                OUT_DIR,
+                num_parts=max(NUM_CPUS * 2, 16),
+                # 4096 docs/task: fewer, larger tasks cut the data-proportional
+                # driver dispatch + per-task fixed costs (A/B'd at 5.12M docs:
+                # faster at BOTH 8 and 32 CPUs); per-task heap stays ~12 MB.
+                doc_batch_size=doc_batch,
+                recognizer_concurrency=None,  # task pool + per-worker template cache
+                num_buckets=max(NUM_CPUS * 2, 16),
+                two_phase=False,
+            )
         trial = time.perf_counter() - t0
         assert int(manifest["row_count"].sum()) == n_docs, (
             f"bench output rows {manifest['row_count'].sum()} != corpus docs {n_docs}"
@@ -133,6 +142,7 @@ def run_bench() -> dict:
             "docs": int(n_docs),
             "docs_per_sec": round(n_docs / t_headline, 1),
             "bench_reps": BENCH_REPS,
+            "headline": headline_mode,
         }
     for name in QUERY_SET:
         fn = QUERY_FNS[name]
@@ -152,6 +162,7 @@ def run_bench() -> dict:
         "docs": int(n_docs),
         "docs_per_sec": round(n_docs / t_headline, 1),
         "bench_reps": BENCH_REPS,
+        "headline": headline_mode,
     }
     ray.shutdown()
     return result

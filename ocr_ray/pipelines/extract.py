@@ -20,6 +20,7 @@ stage's task count; ``recognizer_concurrency`` is the actor-pool size
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 from ocr_ray.stages.assemble import (
@@ -212,6 +213,217 @@ def extract_and_write(
         manifest = ds.groupby("bucket").map_groups(
             _with_sink(reassemble_bucket, sink), batch_format="pyarrow"
         )
+    return manifest.to_pandas(), skipped
+
+
+# ---------------------------------------------------------------------------
+# Shard-aligned (zero-shuffle) extraction
+# ---------------------------------------------------------------------------
+#
+# The corpus shape of BASELINE.json's input_hint stores WHOLE documents per
+# row (doc_id, spans list) — so after the in-task explode, every span of a
+# document already sits inside the document's own batch, and reading-order
+# restoration is a purely batch-local sort. The `groupby('bucket')` shuffle
+# in `extract_documents` exists to co-locate spans that arrive scattered
+# (pre-exploded / multi-source inputs); for whole-doc inputs it is pure
+# data movement. This path removes it: one map task per input shard
+# (parquet row group), local reassembly, fragment id == shard id for the
+# resumable sink. At 100 TB that means NO all-to-all anywhere in the
+# flagship pipeline — extraction is embarrassingly parallel per shard, and
+# resume skips completed shards before any byte is read. The assumption it
+# relies on (documented per the brief): input rows are whole documents and
+# the corpus writer bounds row-group size (~512 MB-1 GB), so one shard's
+# output fits a worker's heap; `max_docs_per_fragment` additionally splits
+# a pathological row group into several output fragments inside its task.
+
+
+class LocalExtractMapper:
+    """ExtractMapper plus in-task reassembly — the zero-shuffle fused stage."""
+
+    def __init__(self):
+        self.rec = Recognizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = explode_documents(batch)
+        t = normalize_spans(t)
+        t = self.rec(t)
+        t = strip_boilerplate(t)
+        return reassemble_bucket(t)
+
+
+_LOCAL_MAPPER_CACHE: list = []
+
+
+def _local_task_mapper(batch: pa.Table) -> pa.Table:
+    if not _LOCAL_MAPPER_CACHE:
+        _LOCAL_MAPPER_CACHE.append(LocalExtractMapper())
+    return _LOCAL_MAPPER_CACHE[0](batch)
+
+
+def extract_documents_local(
+    ds: ray.data.Dataset, *, doc_batch_size: int = 1024
+) -> ray.data.Dataset:
+    """Nested corpus Dataset -> nested extracted Dataset with NO shuffle.
+
+    Valid whenever input rows are whole documents (the input_hint shape);
+    output row order is batch-local but the per-document span order is the
+    same reading order `extract_documents` produces.
+    """
+    return ds.map_batches(
+        _local_task_mapper, batch_format="pyarrow", batch_size=doc_batch_size
+    )
+
+
+def list_parquet_shards(path: str) -> list[dict]:
+    """Deterministic shard inventory of a parquet directory: one shard per
+    (file, row_group), enumerated in sorted-filename order so shard ids are
+    stable across runs (the resume contract). Driver-side METADATA read
+    only — footers, never data."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    shards: list[dict] = []
+    for f in sorted(str(p) for p in Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            shards.append(
+                {
+                    "shard": len(shards),
+                    "path": f,
+                    "row_group": rg,
+                    "rows": md.row_group(rg).num_rows,
+                }
+            )
+    return shards
+
+
+def _shard_fragments(shards: list[dict], max_docs: int | None) -> list[dict]:
+    """Split shard rows into fragments of <= max_docs docs; fragment ids are
+    assigned sequentially over the (sorted) shard/slice enumeration, so they
+    are a pure function of the input layout — the resume invariant."""
+    frags: list[dict] = []
+    for s in shards:
+        n = s["rows"]
+        step = n if not max_docs else max_docs
+        for start in range(0, max(n, 1), max(step, 1)):
+            frags.append(
+                {
+                    "fragment": len(frags),
+                    "path": s["path"],
+                    "row_group": s["row_group"],
+                    "row_start": start,
+                    "row_len": min(step, n - start) if n else 0,
+                }
+            )
+    return frags
+
+
+class _ShardExtractor:
+    """Per-task body of the shard-aligned pipeline: read ONE row group,
+    extract, write its fragment(s). Recognizer templates cache per worker
+    process (same discipline as `_task_mapper`)."""
+
+    def __init__(self, out_dir: str, doc_batch_size: int):
+        from ocr_ray.state.manifest import ResumableSink
+
+        self.mapper = LocalExtractMapper()
+        self.sink = ResumableSink(out_dir)
+        self.doc_batch_size = doc_batch_size
+
+    def extract_nested(self, docs: pa.Table) -> pa.Table:
+        parts = []
+        for off in range(0, docs.num_rows, self.doc_batch_size):
+            parts.append(self.mapper(docs.slice(off, self.doc_batch_size)))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for spec_json in batch["spec"].to_pylist():
+            spec = _json.loads(spec_json)
+            pf = pq.ParquetFile(spec["path"])
+            rg = pf.read_row_group(spec["row_group"], columns=["doc_id", "spans"])
+            for frag in spec["fragments"]:
+                docs = rg.slice(frag["row_start"], frag["row_len"])
+                nested = self.extract_nested(docs)
+                out.append(
+                    self.sink.write(
+                        nested,
+                        frag["fragment"],
+                        extra={
+                            "source": spec["path"],
+                            "row_group": spec["row_group"],
+                            "row_start": frag["row_start"],
+                        },
+                    )
+                )
+        return pa.concat_tables(out)
+
+
+_SHARD_EXTRACTOR_CACHE: dict[tuple, _ShardExtractor] = {}
+
+
+def _shard_task(batch: pa.Table, *, out_dir: str, doc_batch_size: int) -> pa.Table:
+    key = (out_dir, doc_batch_size)
+    ex = _SHARD_EXTRACTOR_CACHE.get(key)
+    if ex is None:
+        ex = _SHARD_EXTRACTOR_CACHE[key] = _ShardExtractor(out_dir, doc_batch_size)
+    return ex(batch)
+
+
+def extract_shard_aligned(
+    corpus_path: str,
+    out_dir: str,
+    *,
+    doc_batch_size: int = 4096,
+    max_docs_per_fragment: int | None = 65536,
+    resume: bool = True,
+):
+    """Zero-shuffle resumable extraction: fragment id == input shard id.
+
+    read(one row group) -> fused extract + LOCAL reassembly -> atomic
+    fragment commit, all inside one map task per shard. Returns
+    ``(manifest_df, skipped_fragments)``; with ``resume=True``, fragments
+    already committed are dropped from the shard list BEFORE any read —
+    cheaper than `extract_and_write`'s hash filter, which still has to
+    scan every input row.
+    """
+    import json as _json
+
+    from ocr_ray.state.manifest import load_manifest
+
+    frags = _shard_fragments(list_parquet_shards(corpus_path), max_docs_per_fragment)
+    done = set(load_manifest(out_dir)) if resume else set()
+    pending = [f for f in frags if f["fragment"] not in done]
+    skipped = len(frags) - len(pending)
+    if not pending:
+        import pandas as pd
+
+        return pd.DataFrame(columns=["partition", "row_count", "span_count"]), skipped
+
+    # One work item per (file, row_group): the task reads its row group
+    # once and writes every pending fragment sliced from it.
+    by_rg: dict[tuple, dict] = {}
+    for f in pending:
+        key = (f["path"], f["row_group"])
+        spec = by_rg.setdefault(
+            key, {"path": f["path"], "row_group": f["row_group"], "fragments": []}
+        )
+        spec["fragments"].append(
+            {"fragment": f["fragment"], "row_start": f["row_start"], "row_len": f["row_len"]}
+        )
+    items = [{"spec": _json.dumps(spec)} for spec in by_rg.values()]
+    manifest = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        _shard_task,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"out_dir": out_dir, "doc_batch_size": doc_batch_size},
+    )
     return manifest.to_pandas(), skipped
 
 

@@ -127,6 +127,21 @@ def extract_glyphs(sf_dir: str) -> ray.data.Dataset:
     return extract_spans_flat(read_documents(corpus), num_buckets=16)
 
 
+@query("extract_spans_local", sql=_EXTRACT_SQL)
+def extract_spans_local_q(sf_dir: str) -> ray.data.Dataset:
+    """Zero-shuffle extraction (shard-aligned path): input rows are whole
+    documents, so reassembly is batch-local — no groupby anywhere. Same
+    output (and oracle) as ``extract_glyphs``, different physical plan."""
+    from ocr_ray.pipelines.extract import extract_documents_local
+    from ocr_ray.stages.explode import explode_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    nested = extract_documents_local(read_documents(corpus))
+    return nested.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    )
+
+
 @query(
     "extract_media_index",
     sql="""

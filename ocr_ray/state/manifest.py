@@ -96,12 +96,14 @@ class ResumableSink:
         part = int(group["_part"][0].as_py())
         return self.write(group.drop_columns(["_part"]), part)
 
-    def write(self, tbl: pa.Table, part: int) -> pa.Table:
+    def write(self, tbl: pa.Table, part: int, extra: dict | None = None) -> pa.Table:
         """Commit one fragment + its lineage record; returns manifest row.
 
         Callable directly from a reassembly group body (fused sink — no
         extra shuffle between reassembly and write) or via ``__call__``
-        on ``_part``-tagged nested tables.
+        on ``_part``-tagged nested tables. ``extra`` merges additional
+        lineage fields into the sidecar record (e.g. the input shard a
+        fragment was derived from, for shard-aligned layouts).
         """
         t0 = time.perf_counter()
         pdir = Path(self.out_dir) / f"part={part:05d}"
@@ -130,6 +132,8 @@ class ResumableSink:
             "engine": ENGINE_VERSION,
             "file": str(final),
         }
+        if extra:
+            rec.update(extra)
         mdir = Path(self.out_dir) / "_manifest"
         mdir.mkdir(parents=True, exist_ok=True)
         mtmp = mdir / f".tmp-{uuid.uuid4().hex}.json"

@@ -1,0 +1,118 @@
+"""Shard-aligned (zero-shuffle) extraction: equivalence with the shuffle
+path, resume semantics, and fragment-slicing invariants.
+
+The path's validity assumption — input rows are whole documents, so
+reassembly is batch-local (``pipelines/extract.py``) — is exactly the
+input_hint corpus shape; these tests pin the equivalence via the
+layout-invariant manifest checksums (order-insensitive wrap-sums, so any
+fragment layout of the same docs must agree).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.pipelines.extract import (
+    _shard_fragments,
+    extract_documents,
+    extract_documents_local,
+    extract_shard_aligned,
+    list_parquet_shards,
+)
+from ocr_ray.sources import read_documents
+from ocr_ray.state.manifest import load_manifest, write_extracted_resumable
+
+SF = "/root/testdata/sf0.001"
+
+
+def _totals(out_dir: str) -> tuple[int, int, int]:
+    m = load_manifest(out_dir)
+    return (
+        sum(r["row_count"] for r in m.values()),
+        sum(r["span_count"] for r in m.values()),
+        sum(r["span_checksum"] for r in m.values()) % (1 << 64),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return ensure_corpus(SF, glyphs=True)
+
+
+@pytest.fixture(scope="module")
+def shuffle_totals(corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("shuffle_sink"))
+    nested = extract_documents(read_documents(corpus), num_buckets=8)
+    write_extracted_resumable(nested, out, num_parts=8)
+    return _totals(out)
+
+
+def test_shard_aligned_matches_shuffle_path(corpus, shuffle_totals, tmp_path):
+    out = str(tmp_path / "shard")
+    df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    assert skipped == 0
+    assert _totals(out) == shuffle_totals
+    # manifest rows returned through the Dataset match the sidecars
+    assert int(df["row_count"].sum()) == shuffle_totals[0]
+
+
+def test_fragment_slicing_is_layout_invariant(corpus, shuffle_totals, tmp_path):
+    out = str(tmp_path / "coarse")
+    extract_shard_aligned(corpus, out, max_docs_per_fragment=None)
+    assert _totals(out) == shuffle_totals
+    n_coarse = len(load_manifest(out))
+    out2 = str(tmp_path / "fine")
+    extract_shard_aligned(corpus, out2, max_docs_per_fragment=7)
+    assert _totals(out2) == shuffle_totals
+    assert len(load_manifest(out2)) > n_coarse
+
+
+def test_resume_skips_committed_fragments(corpus, tmp_path):
+    out = str(tmp_path / "resume")
+    extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    before = _totals(out)
+    total = len(load_manifest(out))
+    victims = sorted(os.listdir(f"{out}/_manifest"))[:2]
+    for v in victims:
+        os.remove(f"{out}/_manifest/{v}")
+    df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    assert skipped == total - 2
+    assert len(df) == 2
+    assert _totals(out) == before
+    # fully-complete rerun does no work at all
+    df2, skipped2 = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    assert len(df2) == 0 and skipped2 == total
+
+
+def test_fragment_ids_are_deterministic(corpus):
+    shards = list_parquet_shards(corpus)
+    assert shards == list_parquet_shards(corpus)
+    frags = _shard_fragments(shards, 20)
+    assert [f["fragment"] for f in frags] == list(range(len(frags)))
+    # every source row is covered exactly once
+    by_shard: dict[tuple, int] = {}
+    for f in frags:
+        by_shard[(f["path"], f["row_group"])] = by_shard.get(
+            (f["path"], f["row_group"]), 0
+        ) + f["row_len"]
+    for s in shards:
+        assert by_shard[(s["path"], s["row_group"])] == s["rows"]
+
+
+def test_local_extraction_equals_shuffle_extraction(corpus):
+    local = extract_documents_local(read_documents(corpus)).to_pandas()
+    shuffled = extract_documents(read_documents(corpus), num_buckets=8).to_pandas()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["spans"] = df["spans"].map(
+            lambda spans: tuple(tuple(sorted(s.items())) for s in spans)
+        )
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(local), canon(shuffled))
