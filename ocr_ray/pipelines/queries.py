@@ -6122,3 +6122,326 @@ def validate_lineitem(sf_dir: str) -> pa.Table:
             "n_checked": pa.array(agg["sum(checked)"].astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H q10 / q18 / q14 / q2 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_revenue",
+    sql="""
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Four-table chain (TPC-H q10 shape): ONE bucketed lineitem x orders
+    join with in-bucket pre-aggregation to per-customer partials, one tiny
+    customer-key groupby, broadcast customer+nation dims, per-block partial
+    top-20 before the final merge — no global sort of the aggregate."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket partial: custkeys span buckets, so this is a partial
+        # (re-aggregated by the groupby below), unlike q3's per-order final.
+        return df.groupby("o_custkey", as_index=False)["rev_u4"].sum()
+
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders.map_batches(window, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        bucket_post=per_cust,
+        post_schema=pa.schema({"o_custkey": pa.int64(), "rev_u4": pa.int64()}),
+    )
+    agg = joined.groupby("o_custkey").aggregate(Sum("rev_u4", alias_name="rev_u4"))
+
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]).to_pandas()
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    ref = ray.put(
+        {
+            int(k): (nm, float(ab), nn)
+            for k, nm, ab, nn in zip(dim["c_custkey"], dim["c_name"], dim["c_acctbal"], dim["n_name"])
+        }
+    )
+    enriched = lookup(
+        agg, ref, "o_custkey",
+        [("c_name", pa.string()), ("c_acctbal", pa.float64()), ("n_name", pa.string())],
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["rev_u4", "o_custkey"], ascending=[False, True], kind="mergesort").head(20)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    top = (
+        enriched.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["rev_u4", "o_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "revenue": units_to_double(df["rev_u4"], 4),
+                "c_acctbal": df["c_acctbal"],
+                "n_name": df["n_name"],
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "q18_large_orders",
+    sql="""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(qty AS BIGINT) AS sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def q18_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """HAVING-on-aggregate join-back (TPC-H q18 shape): distributed
+    partial+final quantity sums, the (selectivity-bounded) qualifying key
+    set broadcast back over orders — the aggregate side never shuffles
+    orders, and customer names come from a broadcast dim."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                # quantities are integer-valued doubles; int64 units keep sums exact
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        red = df.groupby("l_orderkey", as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    sums = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+    )
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(180, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # selectivity-bounded (HAVING threshold), broadcast side
+    qty_ref = ray.put({int(k): (int(q),) for k, q in zip(big["l_orderkey"], big["sum_qty"])})
+
+    orders = lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        qty_ref,
+        "o_orderkey",
+        [("sum_qty", pa.int64())],
+    )
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put({int(k): (nm,) for k, nm in zip(cust["c_custkey"], cust["c_name"])})
+    enriched = lookup(orders, name_ref, "o_custkey", [("c_name", pa.string())])
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    top = (
+        enriched.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_orderdate": df["o_orderdate"],
+                "o_totalprice": df["o_totalprice"],
+                "sum_qty": df["sum_qty"].astype(np.int64),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "q14_promo_revenue",
+    sql="""
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE 0 END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+  CAST(100 AS DOUBLE)
+    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q14_promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Join + conditional aggregate (TPC-H q14 shape). part scales with the
+    corpus, so it is NOT broadcast: one bucketed join with the two
+    conditional sums computed inside each bucket — the shuffle carries
+    2 x num_buckets partial rows out, and the final fold is a map over
+    <= num_buckets rows. Integer units end-to-end; ONE float division at
+    the very end (same two exact doubles as the oracle's)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    lo, hi = datetime.datetime(1996, 3, 1), datetime.datetime(1996, 4, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)), pc.less(t["l_shipdate"], pa.scalar(hi))
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_u4"].to_numpy(dtype=np.int64)
+        promo = rev[(df["p_type"] == "PROMO").to_numpy()].sum()
+        return pd.DataFrame({"promo_u4": [int(promo)], "total_u4": [int(rev.sum())]})
+
+    partials = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_partkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema({"p_partkey": pa.int64(), "p_type": pa.string()}),
+        bucket_post=bucket_sums,
+        post_schema=pa.schema({"promo_u4": pa.int64(), "total_u4": pa.int64()}),
+    ).to_pandas()  # <= num_buckets rows
+    promo_d = units_to_double(np.array([partials["promo_u4"].sum()]), 4)[0]
+    total_d = units_to_double(np.array([partials["total_u4"].sum()]), 4)[0]
+    return pd.DataFrame(
+        {
+            "promo_revenue": [promo_d],
+            "total_revenue": [total_d],
+            "promo_pct": [100.0 * promo_d / total_d],
+        }
+    )
+
+
+@query(
+    "q2_min_acctbal_supplier",
+    sql="""
+WITH mins AS (
+  SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal FROM supplier GROUP BY s_nationkey
+)
+SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier JOIN mins ON s_nationkey = nk AND s_acctbal = min_bal
+  JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name, s_suppkey
+""",
+)
+def q2_min_acctbal_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Argmin join-back (TPC-H q2 shape): distributed per-group MIN
+    (map-side partial mins, tiny final groupby), the 25-row min table
+    broadcast back as a filter over the fact side — the fact table never
+    shuffles, and ties all survive (same as the SQL semi-join)."""
+    from ray.data.aggregate import Min
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s_nationkey": t["s_nationkey"].to_numpy(zero_copy_only=False),
+                "bal_u2": to_units(t["s_acctbal"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        red = df.groupby("s_nationkey", as_index=False)["bal_u2"].min()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    mins = (
+        sup.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Min("bal_u2", alias_name="min_u2"))
+        .to_pandas()
+    )  # one row per nation
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = mins.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    ref = ray.put(
+        {int(k): (int(m), nn) for k, m, nn in zip(dim["s_nationkey"], dim["min_u2"], dim["n_name"])}
+    )
+
+    enriched = lookup(sup, ref, "s_nationkey", [("min_u2", pa.int64()), ("n_name", pa.string())])
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(to_units(t["s_acctbal"]), pa.int64()), t["min_u2"]))
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "s_acctbal": t["s_acctbal"],
+            }
+        )
+
+    return enriched.map_batches(keep_min, batch_format="pyarrow").sort(["n_name", "s_suppkey"])
