@@ -318,7 +318,13 @@ def hash_join(
     per-key), and no extra actor pool is spun up per join call.
 
     ``how`` supports inner/left/right/full (outer fills are null-typed by
-    the explicit output schema, so per-bucket outputs stay identical).
+    the explicit output schema, so per-bucket outputs stay identical),
+    plus semi/anti (EXISTS / NOT EXISTS): left rows filtered by key
+    membership on the right, output columns = left columns only, no row
+    multiplication. This is the EXACT non-broadcast semi/anti — for right
+    sides too big to ``ray.put`` (``semi_filter``) and needing no
+    false-positive bound (``bloom.py``). Project the right side down to
+    its key columns first; only the keys shuffle.
 
     ``bucket_post(df) -> df`` (with ``post_schema``) runs INSIDE the
     per-bucket body on the complete joined bucket — the hook for
@@ -326,7 +332,7 @@ def hash_join(
     exactly one bucket, whereas downstream blocks may be dynamically
     split by the executor, so "one key = one batch" only holds here).
     """
-    assert how in ("inner", "left", "right", "full"), how
+    assert how in ("inner", "left", "right", "full", "semi", "anti"), how
     pd_how = "outer" if how == "full" else how
     on_list = [on] if isinstance(on, str) else list(on)
     if right_on is None:
@@ -383,15 +389,31 @@ def hash_join(
 
     lcols = list(lnames)
     rcols = list(rnames)
-    out_names = lcols + [c for c in rcols if c not in lcols]
+    if how in ("semi", "anti"):
+        out_names = lcols
+    else:
+        out_names = lcols + [c for c in rcols if c not in lcols]
     types = dict(full_fields)
     out_schema = pa.schema([(n, types[n]) for n in out_names])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lt = g.filter(pc.equal(g["_side"], 0)).select(lcols)
-        rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
-        out = lt.to_pandas().merge(rt.to_pandas(), left_on=on_list, right_on=right_key, how=pd_how)
-        out = out[out_names]
+        if how in ("semi", "anti"):
+            rt = g.filter(pc.equal(g["_side"], 1)).select(right_key)
+            ldf = lt.to_pandas()
+            if len(on_list) == 1:
+                hit = ldf[on_list[0]].isin(rt[right_key[0]].to_pandas().unique()).to_numpy()
+            else:
+                hit = pd.MultiIndex.from_frame(ldf[on_list]).isin(
+                    pd.MultiIndex.from_frame(rt.to_pandas()[right_key])
+                )
+            out = ldf[hit if how == "semi" else ~hit]
+        else:
+            rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
+            out = lt.to_pandas().merge(
+                rt.to_pandas(), left_on=on_list, right_on=right_key, how=pd_how
+            )
+            out = out[out_names]
         # replace_schema_metadata(None): from_pandas attaches a 'pandas'
         # metadata dict that makes pyarrow Schemas UNHASHABLE — Ray's
         # unify_schemas then logs "Failed to hash the schemas" and skips

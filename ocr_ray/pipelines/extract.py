@@ -20,6 +20,8 @@ stage's task count; ``recognizer_concurrency`` is the actor-pool size
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data
 
@@ -424,7 +426,29 @@ def extract_shard_aligned(
         batch_size=None,
         fn_kwargs={"out_dir": out_dir, "doc_batch_size": doc_batch_size},
     )
-    return manifest.to_pandas(), skipped
+    import time as _time
+
+    t0 = _time.perf_counter()
+    df = manifest.to_pandas()
+    # Per-run lineage + metrics next to the fragments (the statistics-
+    # framework analogue, same protocol as run_pipeline's dump).
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "run_summary.json"), "w") as f:
+        _json.dump(
+            {
+                "pipeline": "extract_shard_aligned",
+                "wall_sec": round(_time.perf_counter() - t0, 3),
+                "fragments_written": int(len(df)),
+                "fragments_skipped": int(skipped),
+                "rows": int(df["row_count"].sum()) if len(df) else 0,
+                "spans": int(df["span_count"].sum()) if len(df) else 0,
+            },
+            f,
+        )
+    with open(os.path.join(mdir, "stage_stats.txt"), "w") as f:
+        f.write(manifest.stats())
+    return df, skipped
 
 
 def extract_spans_flat(

@@ -6445,3 +6445,123 @@ def q2_min_acctbal_supplier(sf_dir: str) -> ray.data.Dataset:
         )
 
     return enriched.map_batches(keep_min, batch_format="pyarrow").sort(["n_name", "s_suppkey"])
+
+
+@query(
+    "q4_priority_count",
+    sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q4_priority_count(sf_dir: str) -> ray.data.Dataset:
+    """EXISTS as an EXACT distributed semi-join (TPC-H q4 shape): the
+    qualifying-lineitem key side is too large to broadcast at scale and a
+    bloom filter admits false positives — the bucketed ``hash_join``
+    (how='semi') shuffles only the right side's KEYS, then map-side
+    combine + tiny groupby for the priority counts."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        # per-batch local dedup: only distinct keys enter the shuffle
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    hits = hash_join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        li.map_batches(keys, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="semi",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64()}),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        red = df.groupby("o_orderpriority", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(red["o_orderpriority"], type=pa.string()),
+                "n": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = hits.map_batches(combine, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_orders")
+    )
+    return agg.sort("o_orderpriority")
+
+
+@query(
+    "orders_without_discounted_items",
+    sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def orders_without_discounted_items(sf_dir: str) -> ray.data.Dataset:
+    """NOT EXISTS as the exact distributed ANTI join — same plan as
+    ``q4_priority_count`` with how='anti' (bloom anti joins need a
+    verification pass to be exact; the bucketed form is exact by
+    construction)."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    misses = hash_join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        li.map_batches(keys, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="anti",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64()}),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        red = df.groupby("o_orderpriority", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(red["o_orderpriority"], type=pa.string()),
+                "n": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = misses.map_batches(combine, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_orders")
+    )
+    return agg.sort("o_orderpriority")

@@ -142,3 +142,82 @@ def test_merge_upsert_semantics():
     assert list(out["k"]) == [1, 3, 4, 5]
     assert list(out["s"]) == ["a", "C", "d", "E"]
     assert list(out["v"]) == [1.0, 33.0, 4.0, 55.0]
+
+
+def test_semi_anti_join_bucketed():
+    """Exact distributed semi/anti: membership-only output (left columns,
+    no row multiplication even with duplicate right keys), empty right
+    side, and composite keys."""
+    import ray
+
+    from ocr_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    # duplicate + irrelevant right keys
+    right = pa.table({"rk": pa.array([1, 1, 1, 3, 9], pa.int64())})
+
+    def run(how):
+        return (
+            hash_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                on="k",
+                right_on="rk",
+                how=how,
+                num_buckets=4,
+                left_schema=left.schema,
+                right_schema=right.schema,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+
+    semi = run("semi")
+    assert list(semi.columns) == ["k", "v"]
+    assert list(semi["v"]) == ["a", "b", "d"]  # no multiplication by dup rhs
+    anti = run("anti")
+    assert list(anti["v"]) == ["c", "e"]
+
+    # empty right side: semi empty, anti passes everything
+    empty = pa.table({"rk": pa.array([], pa.int64())})
+    for how, expect in (("semi", 0), ("anti", 5)):
+        out = hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(empty),
+            on="k",
+            right_on="rk",
+            how=how,
+            num_buckets=4,
+            left_schema=left.schema,
+            right_schema=empty.schema,
+        ).to_pandas()
+        assert len(out) == expect, how
+
+    # composite keys
+    l2 = pa.table(
+        {
+            "a": pa.array([1, 1, 2], pa.int64()),
+            "b": pa.array(["x", "y", "x"]),
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    r2 = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["y", "z"])})
+    out = (
+        hash_join(
+            ray.data.from_arrow(l2),
+            ray.data.from_arrow(r2),
+            on=["a", "b"],
+            how="semi",
+            num_buckets=4,
+            left_schema=l2.schema,
+            right_schema=r2.schema,
+        )
+        .to_pandas()
+    )
+    assert list(out["v"]) == [20]
