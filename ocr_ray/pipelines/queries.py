@@ -6565,3 +6565,132 @@ def orders_without_discounted_items(sf_dir: str) -> ray.data.Dataset:
         Sum("n", alias_name="n_orders")
     )
     return agg.sort("o_orderpriority")
+
+
+@query(
+    "q7_nation_volume",
+    sql="""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """Bi-nation trade volume (TPC-H q7 shape): the CHAINED-SHUFFLE pattern
+    — two bucketed joins on DIFFERENT keys (lineitem x orders on orderkey,
+    then x supplier on suppkey), each with in-bucket projection so only
+    surviving columns re-shuffle; nation names come from broadcast dims
+    and the nation-pair filter is pushed to the earliest stage that can
+    evaluate it (cust side after join 1, supp side after join 2)."""
+    from ray.data.aggregate import Sum
+
+    n_a, n_b = "NATION_3", "NATION_7"
+
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    c2n = c2n[c2n["n_name"].isin([n_a, n_b])]  # pair filter pushdown
+    cust_ref = ray.put({int(k): (nn,) for k, nn in zip(c2n["c_custkey"], c2n["n_name"])})
+
+    # lookup drops orders whose customer nation is outside the pair
+    orders = lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_ref,
+        "o_custkey",
+        [("cust_nation", pa.string())],
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int32()),
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    def combine1(df: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket projection+partial: one row per (suppkey, nation, year)
+        return df.groupby(["l_suppkey", "cust_nation", "l_year"], as_index=False)["rev_u4"].sum()
+
+    j1 = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+        right_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "o_custkey": pa.int64(), "cust_nation": pa.string()}
+        ),
+        bucket_post=combine1,
+        post_schema=pa.schema(
+            {"l_suppkey": pa.int64(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+    )
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_ref = ray.put({int(k): (nn,) for k, nn in zip(nation["n_nationkey"], nation["n_name"])})
+    sup_n = lookup(sup, n_ref, "s_nationkey", [("supp_nation", pa.string())])
+
+    def combine2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"].isin([n_a, n_b]) & (df["supp_nation"] != df["cust_nation"])]
+        return df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)["rev_u4"].sum()
+
+    j2 = hash_join(
+        j1,
+        sup_n,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"l_suppkey": pa.int64(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+        right_schema=pa.schema(
+            {"s_suppkey": pa.int64(), "s_nationkey": pa.int64(), "supp_nation": pa.string()}
+        ),
+        bucket_post=combine2,
+        post_schema=pa.schema(
+            {"supp_nation": pa.string(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+    )
+
+    agg = j2.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_u4", alias_name="rev_u4")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": df["supp_nation"],
+                "cust_nation": df["cust_nation"],
+                "l_year": df["l_year"].astype(np.int32),
+                "revenue": units_to_double(df["rev_u4"], 4),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
