@@ -359,3 +359,73 @@ def farthest_point_init(sample: np.ndarray, *, k: int) -> np.ndarray:
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, x @ x[nxt])
     return x[chosen]
+
+
+def pca_fit(ds, *, col: str = "embedding", k: int = 2):
+    """Distributed PCA fit in ONE streaming pass.
+
+    Each batch emits d fixed-size partial rows — row j carries the batch's
+    row count, the j-th column sum, and the j-th row of the batch Gram
+    matrix X^T X — and a distributed ``groupby(j).sum`` folds the
+    partials; only the (d, d+2) reduced table reaches the driver, where
+    the covariance eigendecomposition is O(d^3) regardless of input size
+    (same fixed-size-model discipline as ``kmeans_fit``).
+
+    Returns ``(components[k, d], explained_ratio[k], mean[d])`` with a
+    deterministic sign convention (largest-|entry| positive) so the fit is
+    reproducible across block layouts.
+    """
+    from ray.data.aggregate import Sum
+
+    d = len(ds.take(1)[0][col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t[col]).astype(np.float64)
+        g = x.T @ x
+        cols = {
+            "j": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, len(x), dtype=np.int64)),
+            "colsum": pa.array(x.sum(axis=0)),
+        }
+        for i in range(d):
+            cols[f"g{i}"] = pa.array(g[:, i])
+        return pa.table(cols)
+
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum("n"), Sum("colsum"), *[Sum(f"g{i}") for i in range(d)])
+        .to_pandas()
+        .sort_values("j")
+    )
+    n = int(red["sum(n)"].iloc[0])
+    s = red["sum(colsum)"].to_numpy(dtype=np.float64)
+    gram = np.stack([red[f"sum(g{i})"].to_numpy(dtype=np.float64) for i in range(d)], axis=1)
+    mean = s / n
+    cov = (gram - np.outer(s, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)), np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    total = float(np.clip(evals.sum(), 1e-300, None))
+    return comps, evals[order] / total, mean
+
+
+def pca_transform(ds, components: np.ndarray, mean: np.ndarray, *, col: str = "embedding", id_col: str = "vec_id"):
+    """Project embeddings onto fitted components — broadcast model,
+    map-side matmul, (id, pc0..pc{k-1}) per row."""
+    import ray
+
+    model_ref = ray.put((np.asarray(components, dtype=np.float64), np.asarray(mean, dtype=np.float64)))
+
+    def fx(t: pa.Table) -> pa.Table:
+        comps, mu = ray.get(model_ref)
+        x = _as_matrix(t[col]).astype(np.float64)
+        proj = (x - mu) @ comps.T
+        cols = {id_col: t[id_col]}
+        for i in range(comps.shape[0]):
+            cols[f"pc{i}"] = pa.array(proj[:, i])
+        return pa.table(cols)
+
+    return ds.map_batches(fx, batch_format="pyarrow")

@@ -6694,3 +6694,20 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pandas").sort(
         ["supp_nation", "cust_nation", "l_year"]
     )
+
+
+@query("pca_embeddings")  # float-geometry family: op-specific tests, no SQL oracle
+def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PCA over the embedding table: ONE streaming moment pass
+    (d fixed-size partial rows per batch -> distributed groupby-sum), an
+    O(d^3) driver eigendecomposition, then a broadcast map-side projection
+    onto the top-2 components. Tested against exact numpy PCA
+    (tests/test_dedup_ann.py) with a deterministic sign convention."""
+    from ocr_ray.functions.ann import pca_fit, pca_transform
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, ratio, mean = pca_fit(emb, k=2)
+    out = pca_transform(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), comps, mean
+    )
+    return out.sort("vec_id")

@@ -274,3 +274,36 @@ def test_classify_hashed_empty_batch():
     out = classify_hashed(t)
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "label", "score"]
+
+
+def test_pca_matches_exact_numpy(ray_session):
+    """Distributed moment-pass PCA == exact in-memory PCA (covariance
+    eigh) on the same data, independent of block layout."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ocr_ray.functions.ann import pca_fit, pca_transform
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = np.stack(tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+
+    ds = ray.data.from_arrow(tbl).repartition(7)  # layout-independence probe
+    comps, ratio, mean = pca_fit(ds, k=3)
+
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    ref = ref * np.sign(ref[np.arange(3), np.argmax(np.abs(ref), axis=1)])[:, None]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-7)
+    assert np.allclose(ratio, (evals[order] / evals.sum()), atol=1e-9)
+    assert ratio[0] >= ratio[1] >= ratio[2] >= 0
+
+    proj = pca_transform(ds, comps, mean).to_pandas().sort_values("vec_id")
+    ref_proj = (x - mu) @ ref.T
+    ref_sorted = ref_proj[np.argsort(tbl["vec_id"].to_numpy())]
+    assert np.allclose(proj[["pc0", "pc1", "pc2"]].to_numpy(), ref_sorted, atol=1e-7)
