@@ -66,6 +66,13 @@ QUERY_SET = [
     "incremental_agg_orders",
     "unigram_lm_score",
     "analyze_orders_stats",
+    # round-2g additions
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q14_promo_revenue",
+    "q7_nation_volume",
+    "q4_priority_count",
+    "pca_embeddings",
 ]
 
 
