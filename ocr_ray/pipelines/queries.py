@@ -6711,3 +6711,114 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), comps, mean
     )
     return out.sort("vec_id")
+
+
+@query(
+    "token_pmi_pairs",
+    sql="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS i FROM s),
+b AS (
+  SELECT w1.token AS tok_a, w2.token AS tok_b
+  FROM w w1 JOIN w w2 ON w1.doc_id = w2.doc_id AND w2.i = w1.i + 1
+),
+pcnt AS (SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM b GROUP BY tok_a, tok_b),
+uc AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM w),
+top AS (SELECT * FROM pcnt ORDER BY n_pair DESC, tok_a, tok_b LIMIT 50)
+SELECT tok_a, tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+  CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+  CAST(n_pair * total AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS pmi_ratio
+FROM top JOIN uc ua ON ua.token = top.tok_a
+  JOIN uc ub ON ub.token = top.tok_b CROSS JOIN tot
+ORDER BY n_pair DESC, tok_a, tok_b
+""",
+)
+def token_pmi_pairs(sf_dir: str) -> pa.Table:
+    """Collocation mining: distributed bigram counts (adjacent tokens
+    within a doc), exact global top-50 pairs (per-block partial top-k
+    after ONE pair-key shuffle), then PMI against distributed unigram
+    counts — the pair set is tiny by then, so the unigram side is
+    semi-filtered by a broadcast token set and only ~100 count rows reach
+    the driver. Exact integer counts; ONE float division at the end
+    (identical exact operands to the oracle's)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if len(flat) < 2:
+            return pa.table(
+                {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        same = pa.array(parents[1:] == parents[:-1])
+        pairs = pa.table(
+            {
+                "tok_a": pc.filter(flat.slice(0, len(flat) - 1), same),
+                "tok_b": pc.filter(flat.slice(1), same),
+            }
+        )
+        out = pairs.group_by(["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["tok_a", "tok_b", "n"])
+
+    pair_counts = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n_pair", "tok_a", "tok_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(50)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    top = (
+        pair_counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n_pair", "tok_a", "tok_b"], descending=[True, False, False])
+        .limit(50)
+        .to_pandas()
+    )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        out = flat.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    # vocabulary-bounded counts, materialized once: reused for the total-N
+    # fold AND the broadcast-filtered n_a/n_b lookup (no second doc pass)
+    uni = (
+        docs.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = int(uni.sum("n"))
+    need = pa.array(sorted(set(top["tok_a"]) | set(top["tok_b"])))
+    small = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t["token"], value_set=need)), batch_format="pyarrow"
+    ).to_pandas()
+    cnt = dict(zip(small["token"], small["n"].astype(np.int64)))
+
+    n_a = top["tok_a"].map(cnt).astype(np.int64)
+    n_b = top["tok_b"].map(cnt).astype(np.int64)
+    n_pair = top["n_pair"].astype(np.int64)
+    return pa.table(
+        {
+            "tok_a": pa.array(top["tok_a"], type=pa.string()),
+            "tok_b": pa.array(top["tok_b"], type=pa.string()),
+            "n_pair": pa.array(n_pair),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "pmi_ratio": pa.array(
+                (n_pair * total).astype(np.float64) / (n_a * n_b).astype(np.float64)
+            ),
+        }
+    )
