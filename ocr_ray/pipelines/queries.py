@@ -6822,3 +6822,69 @@ def token_pmi_pairs(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+@query(
+    "sorted_export_orders",
+    sql="""
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM r GROUP BY tile ORDER BY tile
+""",
+)
+def sorted_export_orders(sf_dir: str) -> ray.data.Dataset:
+    """Distributed ORDER BY fragmentation (the compute half of
+    ``state.manifest.sorted_export``): every row gets its exact global
+    rank/tile from the range-bucket + prefix-offset primitive — ONE coarse
+    shuffle, no task ever holds the whole table — and per-tile stats fold
+    map-side before a 16-row groupby. The tiles are the value-ordered,
+    non-overlapping output fragments of the sorted-export sink."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(["all"] * t.num_rows, type=pa.string()))
+
+    ranked = partitioned_rank(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        part_col="_g",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["o_orderkey", "o_totalprice"],
+        ntile=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        red = df.groupby("tile", as_index=False).agg(
+            n=("o_totalprice", "size"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        return red
+
+    agg = (
+        ranked.map_batches(partial, batch_format="pandas")
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n_rows"), Min("min_price"), Max("max_price"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tile": df["tile"].astype(np.int64),
+                "n_rows": df["n_rows"].astype(np.int64),
+                "min_price": df["min(min_price)"],
+                "max_price": df["max(max_price)"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort("tile")

@@ -237,3 +237,68 @@ def compact_partitions(in_dir: str, out_dir: str, *, num_parts: int):
             f"checksum {src_sum:#x}->{new_sum:#x}"
         )
     return manifest_df
+
+
+def sorted_export(
+    ds,
+    out_dir: str,
+    *,
+    value_col: str,
+    tiebreak_col: str,
+    out_cols: list[str],
+    num_fragments: int = 16,
+):
+    """Distributed ORDER BY export: write ``ds`` as ``num_fragments``
+    value-ordered, non-overlapping fragments (fragment i's values all sort
+    before fragment i+1's; rows inside each fragment are sorted) WITHOUT a
+    global sort — the range-bucket + prefix-offset ranking primitive
+    (``functions/ranking.partitioned_rank``) assigns every row its exact
+    global rank and NTILE in one coarse shuffle, and each tile is written
+    by its own group task through the atomic ``ResumableSink``. Fragment
+    lineage records carry ``min_value``/``max_value`` so readers (and the
+    self-check below) can verify the total order from the manifest alone.
+
+    Returns the manifest DataFrame; raises if fragment ranges overlap.
+    """
+    import pyarrow.compute as pc_
+
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    const = "__all__"
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array([const] * t.num_rows, type=pa.string()))
+
+    ranked = partitioned_rank(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        part_col="_g",
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
+        out_cols=out_cols,
+        ntile=num_fragments,
+    )
+    sink = ResumableSink(out_dir)
+
+    def write_tile(g: pd.DataFrame) -> pa.Table:
+        tile = int(g["tile"].iloc[0])
+        g = g.sort_values("rn", kind="mergesort").drop(columns=["tile"])
+        tbl = pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return sink.write(
+            tbl.drop_columns(["rn"]),
+            tile,
+            extra={
+                "min_value": float(g[value_col].iloc[0]),
+                "max_value": float(g[value_col].iloc[-1]),
+                "rank_start": int(g["rn"].iloc[0]),
+            },
+        )
+
+    df = ranked.groupby("tile").map_groups(write_tile, batch_format="pandas").to_pandas()
+    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition"])
+    for a, b in zip(recs, recs[1:]):
+        if a["max_value"] > b["min_value"]:
+            raise RuntimeError(
+                f"sorted_export: fragments {a['partition']} and {b['partition']} overlap "
+                f"({a['max_value']} > {b['min_value']})"
+            )
+    return df

@@ -204,3 +204,39 @@ def test_compact_partitions_preserves_content(sf_smoke, tmp_path):
     pq.write_table(t.slice(0, max(t.num_rows - 1, 0)), frag)
     with pytest.raises(RuntimeError, match="compaction verification failed"):
         compact_partitions(src_dir, bad_dir, num_parts=4)
+
+
+def test_sorted_export_fragments(ray_session, tmp_path):
+    """Range-partitioned sorted export: value-ordered non-overlapping
+    fragments, each internally sorted, covering every input row."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from ocr_ray.state.manifest import load_manifest, sorted_export
+
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = str(tmp_path / "sorted")
+    df = sorted_export(
+        ray.data.from_arrow(src).repartition(5),
+        out,
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["o_orderkey", "o_totalprice"],
+        num_fragments=8,
+    )
+    recs = sorted(load_manifest(out).values(), key=lambda r: r["partition"])
+    assert len(recs) == 8
+    assert sum(r["row_count"] for r in recs) == src.num_rows
+    prev_max = -np.inf
+    seen = []
+    for r in recs:
+        frag = pq.read_table(r["file"])
+        v = frag["o_totalprice"].to_numpy()
+        assert np.all(np.diff(v) >= 0), "fragment not internally sorted"
+        assert v[0] >= prev_max, "fragment ranges overlap"
+        assert (v[0], v[-1]) == (r["min_value"], r["max_value"])
+        prev_max = v[-1]
+        seen.append(frag["o_orderkey"].to_numpy())
+    # exact cover: same multiset of keys
+    assert sorted(np.concatenate(seen).tolist()) == sorted(src["o_orderkey"].to_numpy().tolist())
