@@ -116,3 +116,33 @@ def test_local_extraction_equals_shuffle_extraction(corpus):
         return df.sort_values("doc_id").reset_index(drop=True)
 
     pd.testing.assert_frame_equal(canon(local), canon(shuffled))
+
+
+def test_crash_artifacts_do_not_corrupt_resume(corpus, tmp_path):
+    """A killed writer leaves .tmp files and no manifest record; resume
+    must rewrite the fragment atomically and double-commits (task retry)
+    must be idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.state.manifest import ResumableSink, load_manifest
+
+    out = str(tmp_path / "crashy")
+    extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    before = _totals(out)
+    total = len(load_manifest(out))
+
+    # simulate a crash mid-write of fragment 0: stray tmp + lost manifest
+    os.remove(f"{out}/_manifest/part-00000.json")
+    stray = f"{out}/part=00000/.tmp-deadbeef.parquet"
+    pq.write_table(pa.table({"junk": pa.array([1])}), stray)
+
+    df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    assert skipped == total - 1 and len(df) == 1
+    assert _totals(out) == before
+    assert os.path.exists(stray)  # never picked up; data.parquet is the commit
+
+    # task-retry idempotence: re-committing the same fragment content is a no-op
+    frag = pq.read_table(f"{out}/part=00000/data.parquet")
+    ResumableSink(out).write(frag, 0)
+    assert _totals(out) == before
