@@ -227,14 +227,13 @@ def connected_components(
     )
 
 
-def pagerank(
+def _pagerank_engine(
     edges,
     *,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    iterations: int = 3,
-    scale: int = 10**9,
-    num_buckets: int = 16,
+    src_col: str,
+    dst_col: str,
+    scale: int,
+    num_buckets: int,
 ):
     """Fixed-point integer PageRank over a distributed edge set.
 
@@ -376,7 +375,7 @@ def pagerank(
         r = teleport + (85 * s["part"].to_numpy(dtype=np.int64)) // 100
         return pd.DataFrame({"node": s["node"].to_numpy(dtype=np.int64), "rank": r})
 
-    for _ in range(iterations):
+    def step(ranks):
         parts = hash_join(
             edges_deg,
             ranks,
@@ -395,7 +394,7 @@ def pagerank(
         # it the union feeds (join blocks + node blocks) into the next
         # sort, whose reduce-partition count tracks input block count —
         # per-iteration cost grows linearly in rounds (see note on ``e``).
-        ranks = (
+        return (
             allparts.map_batches(bucketize_node, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pandas")
@@ -403,7 +402,105 @@ def pagerank(
             .materialize()
         )
 
+    return ranks, step
+
+
+def pagerank(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**9,
+    num_buckets: int = 16,
+):
+    ranks, step = _pagerank_engine(
+        edges, src_col=src_col, dst_col=dst_col, scale=scale, num_buckets=num_buckets
+    )
+    for _ in range(iterations):
+        ranks = step(ranks)
     return ranks
+
+
+def pagerank_checkpointed(
+    edges,
+    ckpt_dir: str,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**9,
+    num_buckets: int = 16,
+):
+    """Resumable iterative PageRank: iteration k's O(nodes) rank state is
+    committed as ``ckpt_dir/iter=k`` fragments through the atomic
+    ``ResumableSink`` (fragment id = node bucket), with an ``_COMPLETE``
+    marker written only after every fragment's manifest is present; on
+    start the loop fast-forwards to the latest complete iteration, reads
+    the state back (no recompute of earlier rounds), and continues. The
+    fixed-point arithmetic is integer, so a resumed run's final ranks are
+    BIT-IDENTICAL to an uninterrupted one — the iterative-algorithm
+    analogue of the extraction sink's IDEM-resume semantics.
+
+    Returns ``(ranks_dataset, start_iteration)`` where start_iteration is
+    how many committed rounds were reused.
+    """
+    import os as _os
+
+    import ray as _ray
+
+    from ocr_ray.state.manifest import ResumableSink, load_manifest
+
+    ranks, step = _pagerank_engine(
+        edges, src_col=src_col, dst_col=dst_col, scale=scale, num_buckets=num_buckets
+    )
+
+    def _iter_dir(k: int) -> str:
+        return _os.path.join(ckpt_dir, f"iter={k:04d}")
+
+    start = 0
+    for k in range(iterations, 0, -1):
+        d = _iter_dir(k)
+        marker = _os.path.join(d, "_COMPLETE")
+        if _os.path.exists(marker):
+            expected = int(open(marker).read().strip())
+            if len(load_manifest(d)) == expected:
+                start = k
+                break
+    if start:
+        ranks = _ray.data.read_parquet(_iter_dir(start)).repartition(num_buckets).materialize()
+
+    for k in range(start + 1, iterations + 1):
+        ranks = step(ranks)
+        d = _iter_dir(k)
+        sink = ResumableSink(d)
+
+        # route every node bucket to one committing task; each group IS one
+        # bucket, so fragment id = the group's bucket tag.
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_bucket",
+                pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
+            )
+
+        def commit(g: pa.Table) -> pa.Table:
+            b = int(g["_bucket"][0].as_py())
+            return sink.write(g.drop_columns(["_bucket"]), b)
+
+        committed = (
+            ranks.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(commit, batch_format="pyarrow")
+        )
+        n_frags = len(committed.to_pandas())
+        if len(load_manifest(d)) != n_frags:
+            raise RuntimeError(f"checkpoint commit incomplete at iter {k}: {n_frags} fragments")
+        # marker records the fragment count (small graphs may not populate
+        # every bucket); written only after all fragments are committed.
+        with open(_os.path.join(d, "_COMPLETE"), "w") as f:
+            f.write(str(n_frags))
+
+    return ranks, start
 
 
 def star_edges_from_key(ds, *, key_col: str, node_col: str, num_buckets: int = 16):

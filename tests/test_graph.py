@@ -169,3 +169,51 @@ def test_pagerank_state_block_count_stays_pinned():
     ref = _pagerank_reference(list(zip(src[keep], dst[keep])), iterations=3)
     got = out.to_pandas()
     assert dict(zip(got["node"], got["rank"])) == ref
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Checkpointed PageRank resumes from the last complete iteration and
+    produces BIT-IDENTICAL ranks to an uninterrupted run; a torn
+    checkpoint (missing marker / fragment) falls back to the previous
+    complete one."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ocr_ray.functions.graph import pagerank, pagerank_checkpointed
+
+    rng_edges = pa.table(
+        {
+            "src": pa.array(np.arange(200, dtype=np.int64) % 37),
+            "dst": pa.array((np.arange(200, dtype=np.int64) * 7 + 3) % 41),
+        }
+    )
+    ds = lambda: ray.data.from_arrow(rng_edges)
+    want = (
+        pagerank(ds(), iterations=4, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    ck = str(tmp_path / "pr")
+    # phase 1: run 2 of 4 iterations, checkpointing each
+    _, start = pagerank_checkpointed(ds(), ck, iterations=2, num_buckets=4)
+    assert start == 0
+    # phase 2: ask for 4 — must fast-forward past the 2 committed rounds
+    ranks, start = pagerank_checkpointed(ds(), ck, iterations=4, num_buckets=4)
+    assert start == 2
+    got = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(got, want)
+
+    # torn checkpoint: drop iter=4's marker -> resume falls back to iter=3
+    import os as _os
+
+    _os.remove(f"{ck}/iter=0004/_COMPLETE")
+    ranks2, start2 = pagerank_checkpointed(ds(), ck, iterations=4, num_buckets=4)
+    assert start2 == 3
+    got2 = ranks2.to_pandas().sort_values("node").reset_index(drop=True)
+    pd_testing.assert_frame_equal(got2, want)
