@@ -347,23 +347,23 @@ class _ShardExtractor:
 
         out = []
         for spec_json in batch["spec"].to_pylist():
-            spec = _json.loads(spec_json)
-            pf = pq.ParquetFile(spec["path"])
-            rg = pf.read_row_group(spec["row_group"], columns=["doc_id", "spans"])
-            for frag in spec["fragments"]:
-                docs = rg.slice(frag["row_start"], frag["row_len"])
-                nested = self.extract_nested(docs)
-                out.append(
-                    self.sink.write(
-                        nested,
-                        frag["fragment"],
-                        extra={
-                            "source": spec["path"],
-                            "row_group": spec["row_group"],
-                            "row_start": frag["row_start"],
-                        },
+            for spec in _json.loads(spec_json):
+                pf = pq.ParquetFile(spec["path"])
+                rg = pf.read_row_group(spec["row_group"], columns=["doc_id", "spans"])
+                for frag in spec["fragments"]:
+                    docs = rg.slice(frag["row_start"], frag["row_len"])
+                    nested = self.extract_nested(docs)
+                    out.append(
+                        self.sink.write(
+                            nested,
+                            frag["fragment"],
+                            extra={
+                                "source": spec["path"],
+                                "row_group": spec["row_group"],
+                                "row_start": frag["row_start"],
+                            },
+                        )
                     )
-                )
         return pa.concat_tables(out)
 
 
@@ -385,6 +385,7 @@ def extract_shard_aligned(
     doc_batch_size: int = 4096,
     max_docs_per_fragment: int | None = 65536,
     resume: bool = True,
+    tasks_per_cpu: int = 8,
 ):
     """Zero-shuffle resumable extraction: fragment id == input shard id.
 
@@ -408,8 +409,8 @@ def extract_shard_aligned(
 
         return pd.DataFrame(columns=["partition", "row_count", "span_count"]), skipped
 
-    # One work item per (file, row_group): the task reads its row group
-    # once and writes every pending fragment sliced from it.
+    # One spec per (file, row_group): the task reads its row group once and
+    # writes every pending fragment sliced from it.
     by_rg: dict[tuple, dict] = {}
     for f in pending:
         key = (f["path"], f["row_group"])
@@ -419,7 +420,22 @@ def extract_shard_aligned(
         spec["fragments"].append(
             {"fragment": f["fragment"], "row_start": f["row_start"], "row_len": f["row_len"]}
         )
-    items = [{"spec": _json.dumps(spec)} for spec in by_rg.values()]
+    specs = list(by_rg.values())
+    # Pack row groups so the TASK count scales with the session's CPUs, not
+    # with data: per-task driver dispatch is a serial cost, so one task per
+    # row group makes the serial floor grow linearly with input size
+    # (measured: ~2.6k tasks cost several seconds of driver time at 82M
+    # docs). ``tasks_per_cpu`` waves keep dynamic load balance; fragment
+    # ids are untouched, so packing never affects resume.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    target_tasks = min(len(specs), max(1, cpus * tasks_per_cpu))
+    per_task = -(-len(specs) // target_tasks)
+    items = [
+        {"spec": _json.dumps(specs[i : i + per_task])}
+        for i in range(0, len(specs), per_task)
+    ]
     manifest = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
         _shard_task,
         batch_format="pyarrow",
