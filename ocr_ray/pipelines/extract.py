@@ -246,11 +246,13 @@ class LocalExtractMapper:
         self.rec = Recognizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_ray.stages.assemble import assemble_local
+
         t = explode_documents(batch)
         t = normalize_spans(t)
         t = self.rec(t)
         t = strip_boilerplate(t)
-        return reassemble_bucket(t)
+        return assemble_local(t)
 
 
 _LOCAL_MAPPER_CACHE: list = []

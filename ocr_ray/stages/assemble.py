@@ -55,6 +55,38 @@ def reassemble_bucket(group: pa.Table) -> pa.Table:
     tbl = tbl.sort_by(
         [("doc_id", "ascending"), ("offset", "ascending"), ("kind", "ascending"), ("media_ref", "ascending")]
     )
+    return _implode_sorted(tbl)
+
+
+def assemble_local(batch: pa.Table) -> pa.Table:
+    """Batch-local reassembly (the zero-shuffle path's kernel): sort by
+    (dictionary-encoded doc code, offset) — two INT keys instead of the
+    bucket path's string-led 4-key sort — then the same implode.
+    ``(doc, offset)`` ties (degenerate duplicate offsets) fall back to the
+    full-key sort so the deterministic tiebreak semantics are identical;
+    output doc order is first-occurrence rather than lexicographic, which
+    no downstream consumer depends on (nested rows; checksums are
+    order-insensitive)."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.string())})
+    codes = (
+        pc.dictionary_encode(batch["doc_id"]).combine_chunks().indices
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (codes << np.int64(32)) | (offs + np.int64(1 << 31))
+    order = np.argsort(key, kind="stable")
+    if len(np.unique(key)) != len(key):
+        return reassemble_bucket(batch)
+    tbl = batch.take(pa.array(order))
+    return _implode_sorted(tbl)
+
+
+def _implode_sorted(tbl: pa.Table) -> pa.Table:
+    """Sorted exploded spans (doc runs contiguous, reading order within
+    run) -> nested documents: run boundaries, sentinel drop, offset
+    re-index, implode."""
     doc_codes = pc.dictionary_encode(tbl["doc_id"]).combine_chunks()
     codes = doc_codes.indices.to_numpy(zero_copy_only=False)
     # Run boundaries over the sorted doc ids (runs are contiguous post-sort).
