@@ -247,11 +247,13 @@ class LocalExtractMapper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ocr_ray.stages.assemble import assemble_local
+        from ocr_ray.stages.normalize import normalize_and_strip
 
         t = explode_documents(batch)
-        t = normalize_spans(t)
+        # fused filter: normalize + boilerplate strip in one mask/copy
+        # (recognizer runs after — boilerplate never reaches the matmul)
+        t = normalize_and_strip(t)
         t = self.rec(t)
-        t = strip_boilerplate(t)
         return assemble_local(t)
 
 
