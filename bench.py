@@ -188,7 +188,11 @@ def run_scaling() -> dict:
     standard noise-floor estimate; a sequential A-then-B measurement
     conflates load drift with scaling."""
 
-    reps = int(os.environ.get("OCR_RAY_SCALING_REPS", "256"))
+    # 16384 reps = 81.92M docs at sf0.1: the job length where compute
+    # dominates the per-job serial floor (eff is floor-bound below ~20M
+    # docs; see BENCH/BASELINE.md round-2g). Corpus synthesis (~2.4 GB,
+    # cached under /tmp) happens once, untimed.
+    reps = int(os.environ.get("OCR_RAY_SCALING_REPS", "16384"))
     rounds = int(os.environ.get("OCR_RAY_SCALING_ROUNDS", "2"))
 
     def one(ncpu: int) -> dict:
