@@ -7243,3 +7243,326 @@ def q19_disjunctive_join_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"revenue": [units_to_double(np.array([partials["rev_u4"].sum()]), 4)[0]]}
     )
+
+
+@query(
+    "q16_supplier_count_by_part_attrs",
+    sql="""
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size
+""",
+)
+def q16_supplier_count_by_part_attrs(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H q16 shape (partsupp -> the lineitem supplier-part relation;
+    complaint-comment suppliers -> negative-balance suppliers): COUNT
+    DISTINCT over a join. Bucket join on partkey emits DISTINCT
+    (brand, size, suppkey) triples per bucket (bucket-local dedup — the
+    global triple can recur across partkeys in other buckets), then a
+    second groupby on (brand, size) counts distinct suppliers with a
+    group body bounded by supplier cardinality."""
+    sizes = [1, 9, 14, 19, 23, 36, 45, 49]
+    sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad_ref = ray.put(set(sup.loc[sup["s_acctbal"] < 0.0, "s_suppkey"].astype(int)))
+
+    li = semi_filter(
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        bad_ref,
+        "l_suppkey",
+        anti=True,
+    )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def part_prune(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], "Brand#1"), pc.not_equal(t["p_type"], "PROMO")
+            ),
+            pc.is_in(t["p_size"], value_set=pa.array(sizes, type=t["p_size"].type)),
+        )
+        return t.filter(m).select(["p_partkey", "p_brand", "p_size"])
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+
+    triples = hash_join(
+        li,
+        part.map_batches(part_prune, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_partkey": pa.int64(), "l_suppkey": pa.int64()}),
+        right_schema=pa.schema(
+            {"p_partkey": pa.int64(), "p_brand": pa.string(), "p_size": pa.int64()}
+        ),
+        bucket_post=local_distinct,
+        post_schema=pa.schema(
+            {"p_brand": pa.string(), "p_size": pa.int64(), "l_suppkey": pa.int64()}
+        ),
+    )
+
+    def nunique(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [df["p_brand"].iloc[0]],
+                "p_size": [np.int64(df["p_size"].iloc[0])],
+                "supplier_cnt": [np.int64(df["l_suppkey"].nunique())],
+            }
+        )
+
+    agg = triples.groupby(["p_brand", "p_size"]).map_groups(nunique, batch_format="pandas")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    # result cardinality = |brand| x |size| (tiny); sort on driver
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@query(
+    "q20_qualified_suppliers",
+    sql="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#2'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(l_quantity) AS BIGINT) > 120
+) ORDER BY s_suppkey
+""",
+)
+def q20_qualified_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q20 shape (available-quantity threshold over partsupp -> a
+    shipped-quantity threshold over the lineitem supplier-part relation):
+    nested IN over a HAVING aggregate. Brand partkeys broadcast-prune the
+    fact read, per-supplier quantity sums run map-side + one groupby to
+    supplier cardinality, and the HAVING filter + name join resolve on
+    the dimension-sized aggregate. Quantities are integer-valued, so the
+    threshold is integer-exact."""
+    from ray.data.aggregate import Sum
+
+    part = load_small_table(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keys_ref = ray.put(set(part.loc[part["p_brand"] == "Brand#2", "p_partkey"].astype(int)))
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+
+    li = semi_filter(
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        keys_ref,
+        "l_partkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)), pc.less(t["l_shipdate"], pa.scalar(hi))
+        )
+        t = t.filter(m)
+        df = pd.DataFrame(
+            {
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        red = df.groupby("l_suppkey", as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    sums = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .to_pandas()  # one row per supplier (dimension cardinality)
+    )
+    hit = set(sums.loc[sums["qty"] > 120, "l_suppkey"].astype(int))
+    sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = sup[sup["s_suppkey"].isin(hit)].sort_values("s_suppkey")
+    return pd.DataFrame(
+        {"s_suppkey": out["s_suppkey"].to_numpy(dtype=np.int64), "s_name": out["s_name"]}
+    ).reset_index(drop=True)
+
+
+@query(
+    "q21_waiting_suppliers",
+    sql="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+""",
+)
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q21 shape (receipt-after-commit -> returnflag 'R'): per-l1-row
+    EXISTS / NOT EXISTS over sibling lineitems of the same order. ONE
+    bucketed join on orderkey colocates every line of an order with its
+    order row; the bucket body computes, per order, the distinct-supplier
+    count (EXISTS) and the distinct count of suppliers with an 'R' line
+    (NOT EXISTS <=> that count == 1 and it is me), all with vectorized
+    pandas group transforms — no per-order Python. Partial per-supplier
+    counts leave the shuffle; the final top-10 folds a supplier-sized
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def ostat(t: pa.Table) -> pa.Table:
+        # keep only the F marker; other orders join as nulls (how='left')
+        return t.filter(pc.equal(t["o_orderstatus"], "F"))
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey")
+        nsupp = g["l_suppkey"].transform("nunique").to_numpy()
+        is_r = (df["l_returnflag"] == "R").to_numpy()
+        rsupp = df["l_suppkey"].where(pd.Series(is_r, index=df.index))
+        n_rsupp = rsupp.groupby(df["l_orderkey"]).transform("nunique").to_numpy()
+        # the only R supplier in the order is me <=> my line is R and the
+        # order's distinct R-supplier count is exactly 1
+        qual = (
+            df["o_orderstatus"].notna().to_numpy()
+            & is_r
+            & (nsupp >= 2)
+            & (n_rsupp == 1)
+        )
+        red = (
+            pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy()[qual]})
+            .groupby("l_suppkey", as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "l_suppkey": red["l_suppkey"].to_numpy(dtype=np.int64),
+                "n": red["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = hash_join(
+        li,
+        orders.map_batches(ostat, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="left",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_returnflag": pa.string()}
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderstatus": pa.string()}),
+        bucket_post=body,
+        post_schema=pa.schema({"l_suppkey": pa.int64(), "n": pa.int64()}),
+    )
+
+    counts = (
+        partials.groupby("l_suppkey").aggregate(Sum("n", alias_name="numwait")).to_pandas()
+    )  # one row per supplier
+    sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(sup, left_on="l_suppkey", right_on="s_suppkey").sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return pd.DataFrame(
+        {"s_name": out["s_name"], "numwait": out["numwait"].to_numpy(dtype=np.int64)}
+    ).reset_index(drop=True)
+
+
+@query(
+    "q22_idle_rich_customers",
+    sql="""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM pos) > (SELECT s FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+)
+def q22_idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H q22 shape (phone country code -> c_nationkey; "has no orders"
+    -> "has no urgent orders", which is non-degenerate on this corpus): a
+    global scalar-subquery threshold + NOT EXISTS anti join + aggregate. The
+    above-average test is integer-exact on both sides
+    (bal_units * count > sum_units — no float average), the positive-
+    balance moments come from one map-side partial pass, and the anti
+    join is the exact bucketed form over per-batch-deduped order keys."""
+    from ray.data.aggregate import Sum
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = read_table(sf_dir, "customer", columns=cust_cols)
+
+    def pos_moments(t: pa.Table) -> pa.Table:
+        bal = to_units(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        return pa.table(
+            {"s_u2": pa.array([int(pos.sum())]), "n": pa.array([int(len(pos))])}
+        )
+
+    mom = (
+        cust.map_batches(pos_moments, batch_format="pyarrow").to_pandas()
+    )  # one row per input block
+    s_u2, n_pos = int(mom["s_u2"].sum()), int(mom["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = to_units(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bal * n_pos > s_u2))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    idle = hash_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        orders.map_batches(keys, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"c_custkey": pa.int64(), "c_nationkey": pa.int64(), "c_acctbal": pa.float64()}
+        ),
+        right_schema=pa.schema({"o_custkey": pa.int64()}),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": t["c_nationkey"].to_numpy(zero_copy_only=False),
+                "bal_u2": to_units(t["c_acctbal"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        red = df.groupby("c_nationkey", as_index=False).agg(
+            n=("bal_u2", "size"), s=("bal_u2", "sum")
+        )
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        idle.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="numcust"), Sum("s", alias_name="s_u2"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"].to_numpy(dtype=np.int64),
+                "numcust": df["numcust"].to_numpy(dtype=np.int64),
+                "totacctbal": units_to_double(df["s_u2"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort("c_nationkey")
