@@ -7566,3 +7566,369 @@ def q22_idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pandas").sort("c_nationkey")
+
+
+@query(
+    "q8_nation_market_share",
+    sql="""
+SELECT o_year,
+  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+     / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+    n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'PROMO'
+) GROUP BY o_year ORDER BY o_year
+""",
+)
+def q8_nation_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H q8 shape: one supplier nation's share of region revenue per
+    year. Two shuffles total: an exact bucketed SEMI join prunes lineitem
+    to PROMO parts (the part side ships only keys), then the
+    lineitem x orders equality join carries the per-year conditional
+    partial sums out of its buckets. Customer-region membership and
+    supplier nation ride broadcast lookups; the share is ONE double
+    division over exact integer-unit sums, matching the oracle
+    bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = load_small_table(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_keys = set(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .query("r_name == 'ASIA'")["n_nationkey"]
+        .astype(int)
+    )
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_ref = ray.put(set(cust.loc[cust["c_nationkey"].isin(asia_keys), "c_custkey"].astype(int)))
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    orders = semi_filter(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        cust_ref,
+        "o_custkey",
+    )
+
+    def oyear(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def promo_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_partkey": t.filter(pc.equal(t["p_type"], "PROMO"))["p_partkey"]}
+        )
+
+    li_promo = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part.map_batches(promo_keys, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        how="semi",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "l_partkey": pa.int64(),
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "rev_u4": pa.int64(),
+            }
+        ),
+        right_schema=pa.schema({"p_partkey": pa.int64()}),
+    )
+
+    n_ref = ray.put(
+        {int(k): (nn,) for k, nn in zip(nation["n_nationkey"], nation["n_name"])}
+    )
+    sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_ref = ray.put({int(k): (int(nk),) for k, nk in zip(sup["s_suppkey"], sup["s_nationkey"])})
+
+    li_n = lookup(li_promo, s_ref, "l_suppkey", [("s_nationkey", pa.int64())])
+    li_n = lookup(li_n, n_ref, "s_nationkey", [("nation", pa.string())])
+
+    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_u4"].to_numpy(dtype=np.int64)
+        is3 = (df["nation"] == "NATION_3").to_numpy()
+        red = pd.DataFrame({"o_year": df["o_year"], "n3": np.where(is3, rev, 0), "tot": rev})
+        return red.groupby("o_year", as_index=False)[["n3", "tot"]].sum()
+
+    partials = hash_join(
+        li_n,
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "l_partkey": pa.int64(),
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "rev_u4": pa.int64(),
+                "s_nationkey": pa.int64(),
+                "nation": pa.string(),
+            }
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_year": pa.int64()}),
+        bucket_post=share_partial,
+        post_schema=pa.schema({"o_year": pa.int64(), "n3": pa.int64(), "tot": pa.int64()}),
+    )
+
+    agg = partials.groupby("o_year").aggregate(
+        Sum("n3", alias_name="n3"), Sum("tot", alias_name="tot")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_year": df["o_year"].to_numpy(dtype=np.int64),
+                "mkt_share": units_to_double(df["n3"], 4) / units_to_double(df["tot"], 4),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort("o_year")
+
+
+@query(
+    "q9_profit_by_nation_year",
+    sql="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+) GROUP BY nation, o_year ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H q9 shape (ps_supplycost -> p_retailprice as the cost basis;
+    '%green%' -> '%red%', present in this corpus's part names): profit per
+    (supplier nation, order year) with a name-pattern part filter. The
+    chained-shuffle plan of q7: bucketed join 1 on partkey computes the
+    per-line amount IN the bucket (price/discount/retail/quantity all
+    integer units, so the oracle's DECIMAL arithmetic matches exactly),
+    bucketed join 2 on orderkey attaches the year and folds partial
+    (nation, year) sums; supplier nation rides a broadcast lookup in
+    between."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def red_parts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], "red"))
+        return pa.table({"p_partkey": t["p_partkey"], "retail_u2": to_units(t["p_retailprice"])})
+
+    def amount(df: pd.DataFrame) -> pd.DataFrame:
+        amt = (
+            df["rev_u4"].to_numpy(dtype=np.int64)
+            - df["retail_u2"].to_numpy(dtype=np.int64) * df["qty"].to_numpy(dtype=np.int64) * 100
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(dtype=np.int64),
+                "amount_u4": amt,
+            }
+        )
+
+    j1 = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part.map_batches(red_parts, batch_format="pyarrow"),
+        on="l_partkey",
+        right_on="p_partkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "l_partkey": pa.int64(),
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "qty": pa.int64(),
+                "rev_u4": pa.int64(),
+            }
+        ),
+        right_schema=pa.schema({"p_partkey": pa.int64(), "retail_u2": pa.int64()}),
+        bucket_post=amount,
+        post_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "amount_u4": pa.int64()}
+        ),
+    )
+
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = sup.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    s_ref = ray.put({int(k): (nn,) for k, nn in zip(s2n["s_suppkey"], s2n["n_name"])})
+    j1n = lookup(j1, s_ref, "l_suppkey", [("nation", pa.string())])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def oyear(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["nation", "o_year"], as_index=False)["amount_u4"].sum()
+
+    partials = hash_join(
+        j1n,
+        orders.map_batches(oyear, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "amount_u4": pa.int64(),
+                "nation": pa.string(),
+            }
+        ),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_year": pa.int64()}),
+        bucket_post=profit_partial,
+        post_schema=pa.schema(
+            {"nation": pa.string(), "o_year": pa.int64(), "amount_u4": pa.int64()}
+        ),
+    )
+
+    agg = partials.groupby(["nation", "o_year"]).aggregate(Sum("amount_u4", alias_name="amount_u4"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["nation", "o_year"], ascending=[True, False], kind="mergesort"
+        )
+        return pa.table(
+            {
+                "nation": pa.array(df["nation"], type=pa.string()),
+                "o_year": pa.array(df["o_year"].to_numpy(dtype=np.int64)),
+                "sum_profit": pa.array(units_to_double(df["amount_u4"], 4)),
+            }
+        )
+
+    # |nation| x |year| rows: driver-side final sort
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@query(
+    "q11_part_value_share",
+    sql="""
+WITH pv AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(val) AS t FROM pv)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE CAST(val AS DOUBLE) > CAST(t AS DOUBLE) * 0.0005
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H q11 shape (partsupp inventory value -> lineitem traded value):
+    a grouped aggregate filtered by a FRACTION OF THE GLOBAL TOTAL. The
+    global total folds from the same map-side integer-unit partials in one
+    tiny pass (never materializing the per-part aggregate), the threshold
+    comparison uses the identical double expression as the oracle
+    (nearest-double of exact sums, one multiply), and the surviving rows
+    stay a distributed Dataset through the final sort."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "val_u2": to_units(t["l_extendedprice"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        red = df.groupby("l_partkey", as_index=False)["val_u2"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+
+    # global total: fold the SAME partials tiny (one row per input block)
+    tot_rows = partials.map_batches(
+        lambda t: pa.table({"s": pa.array([int(np.sum(t["val_u2"].to_numpy()))])}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    threshold = (float(int(tot_rows["s"].sum())) / 100.0) * 0.0005
+
+    pv = partials.groupby("l_partkey").aggregate(Sum("val_u2", alias_name="val_u2"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        val = units_to_double(t["val_u2"].to_numpy(zero_copy_only=False), 2)
+        t = t.filter(pa.array(val > threshold))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "part_value": pa.array(
+                    units_to_double(t["val_u2"].to_numpy(zero_copy_only=False), 2)
+                ),
+            }
+        )
+
+    return pv.map_batches(keep, batch_format="pyarrow").sort(
+        ["part_value", "l_partkey"], descending=[True, False]
+    )
