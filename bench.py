@@ -73,6 +73,13 @@ QUERY_SET = [
     "q7_nation_volume",
     "q4_priority_count",
     "pca_embeddings",
+    # round-2h additions (TPC-H shape completion)
+    "q8_nation_market_share",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q16_supplier_count_by_part_attrs",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

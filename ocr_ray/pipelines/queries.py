@@ -7590,13 +7590,14 @@ FROM (
 )
 def q8_nation_market_share(sf_dir: str) -> ray.data.Dataset:
     """TPC-H q8 shape: one supplier nation's share of region revenue per
-    year. Two shuffles total: an exact bucketed SEMI join prunes lineitem
-    to PROMO parts (the part side ships only keys), then the
-    lineitem x orders equality join carries the per-year conditional
-    partial sums out of its buckets. Customer-region membership and
-    supplier nation ride broadcast lookups; the share is ONE double
-    division over exact integer-unit sums, matching the oracle
-    bit-for-bit."""
+    year. ONE shuffle total: the PROMO-partkey set, customer-region
+    membership and supplier nation all ride broadcast semi-filters /
+    lookups (dimension pattern; swap the part prune to
+    ``hash_join(how='semi')`` — the q4/q8-at-scale form — when the part
+    dimension outgrows broadcast), then the lineitem x orders equality
+    join carries the per-year conditional partial sums out of its
+    buckets. The share is ONE double division over exact integer-unit
+    sums, matching the oracle bit-for-bit."""
     from ray.data.aggregate import Sum
 
     nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -7647,30 +7648,9 @@ def q8_nation_market_share(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
-
-    def promo_keys(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"p_partkey": t.filter(pc.equal(t["p_type"], "PROMO"))["p_partkey"]}
-        )
-
-    li_promo = hash_join(
-        li.map_batches(prep, batch_format="pyarrow"),
-        part.map_batches(promo_keys, batch_format="pyarrow"),
-        on="l_partkey",
-        right_on="p_partkey",
-        how="semi",
-        num_buckets=16,
-        left_schema=pa.schema(
-            {
-                "l_partkey": pa.int64(),
-                "l_orderkey": pa.int64(),
-                "l_suppkey": pa.int64(),
-                "rev_u4": pa.int64(),
-            }
-        ),
-        right_schema=pa.schema({"p_partkey": pa.int64()}),
-    )
+    part = load_small_table(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(set(part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(int)))
+    li_promo = semi_filter(li.map_batches(prep, batch_format="pyarrow"), promo_ref, "l_partkey")
 
     n_ref = ray.put(
         {int(k): (nn,) for k, nn in zip(nation["n_nationkey"], nation["n_name"])}
@@ -7740,13 +7720,14 @@ FROM (
 def q9_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
     """TPC-H q9 shape (ps_supplycost -> p_retailprice as the cost basis;
     '%green%' -> '%red%', present in this corpus's part names): profit per
-    (supplier nation, order year) with a name-pattern part filter. The
-    chained-shuffle plan of q7: bucketed join 1 on partkey computes the
-    per-line amount IN the bucket (price/discount/retail/quantity all
-    integer units, so the oracle's DECIMAL arithmetic matches exactly),
-    bucketed join 2 on orderkey attaches the year and folds partial
-    (nation, year) sums; supplier nation rides a broadcast lookup in
-    between."""
+    (supplier nation, order year) with a name-pattern part filter. ONE
+    shuffle: the red-part retail prices and supplier nations ride
+    broadcast lookups (the inner-lookup drop doubles as the name filter;
+    swap to the bucketed join — q14/q19's form — when part outgrows
+    broadcast), the per-line amount is computed map-side in integer units
+    (so the oracle's DECIMAL arithmetic matches exactly), and the
+    lineitem x orders join folds partial (nation, year) sums inside its
+    buckets."""
     from ray.data.aggregate import Sum
 
     li = read_table(
@@ -7771,46 +7752,38 @@ def q9_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
-
-    def red_parts(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.match_substring(t["p_name"], "red"))
-        return pa.table({"p_partkey": t["p_partkey"], "retail_u2": to_units(t["p_retailprice"])})
-
-    def amount(df: pd.DataFrame) -> pd.DataFrame:
-        amt = (
-            df["rev_u4"].to_numpy(dtype=np.int64)
-            - df["retail_u2"].to_numpy(dtype=np.int64) * df["qty"].to_numpy(dtype=np.int64) * 100
-        )
-        return pd.DataFrame(
-            {
-                "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
-                "l_suppkey": df["l_suppkey"].to_numpy(dtype=np.int64),
-                "amount_u4": amt,
-            }
-        )
-
-    j1 = hash_join(
-        li.map_batches(prep, batch_format="pyarrow"),
-        part.map_batches(red_parts, batch_format="pyarrow"),
-        on="l_partkey",
-        right_on="p_partkey",
-        num_buckets=16,
-        left_schema=pa.schema(
-            {
-                "l_partkey": pa.int64(),
-                "l_orderkey": pa.int64(),
-                "l_suppkey": pa.int64(),
-                "qty": pa.int64(),
-                "rev_u4": pa.int64(),
-            }
-        ),
-        right_schema=pa.schema({"p_partkey": pa.int64(), "retail_u2": pa.int64()}),
-        bucket_post=amount,
-        post_schema=pa.schema(
-            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "amount_u4": pa.int64()}
-        ),
+    part = load_small_table(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    red = part[part["p_name"].str.contains("red")]
+    retail_ref = ray.put(
+        {
+            int(k): (int(r),)
+            for k, r in zip(
+                red["p_partkey"], np.rint(red["p_retailprice"].to_numpy() * 100).astype(np.int64)
+            )
+        }
     )
+    # inner-lookup semantics: lines of non-red parts drop here
+    j0 = lookup(
+        li.map_batches(prep, batch_format="pyarrow"), retail_ref, "l_partkey",
+        [("retail_u2", pa.int64())],
+    )
+
+    def amount(t: pa.Table) -> pa.Table:
+        amt = (
+            t["rev_u4"].to_numpy(zero_copy_only=False)
+            - t["retail_u2"].to_numpy(zero_copy_only=False)
+            * t["qty"].to_numpy(zero_copy_only=False)
+            * 100
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "amount_u4": pa.array(amt, type=pa.int64()),
+            }
+        )
+
+    j1 = j0.map_batches(amount, batch_format="pyarrow")
 
     nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
@@ -7877,21 +7850,23 @@ WITH pv AS (
   SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
   FROM lineitem GROUP BY l_partkey
 ),
-tot AS (SELECT SUM(val) AS t FROM pv)
+tot AS (SELECT SUM(val) AS t, COUNT(*) AS np FROM pv)
 SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
 FROM pv, tot
-WHERE CAST(val AS DOUBLE) > CAST(t AS DOUBLE) * 0.0005
+WHERE CAST(val AS DOUBLE) > CAST(t AS DOUBLE) * (1.5 / np)
 ORDER BY part_value DESC, l_partkey
 """,
 )
 def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
-    """TPC-H q11 shape (partsupp inventory value -> lineitem traded value):
-    a grouped aggregate filtered by a FRACTION OF THE GLOBAL TOTAL. The
-    global total folds from the same map-side integer-unit partials in one
-    tiny pass (never materializing the per-part aggregate), the threshold
-    comparison uses the identical double expression as the oracle
-    (nearest-double of exact sums, one multiply), and the surviving rows
-    stay a distributed Dataset through the final sort."""
+    """TPC-H q11 shape (partsupp inventory value -> lineitem traded value;
+    TPC-H's scale-dependent 0.0001/SF fraction -> 1.5x the MEAN part value,
+    which is non-degenerate at every corpus size): a grouped aggregate
+    filtered by a fraction of the GLOBAL total. The per-part aggregate
+    materializes once (bounded by part cardinality — it IS the operator's
+    output domain), the global moments (total, part count) fold from it in
+    one tiny pass, and the threshold comparison uses the identical double
+    expression as the oracle (nearest-doubles of exact integer-unit sums,
+    one divide + one multiply)."""
     from ray.data.aggregate import Sum
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
@@ -7906,16 +7881,23 @@ def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
         red = df.groupby("l_partkey", as_index=False)["val_u2"].sum()
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
-    partials = li.map_batches(partial, batch_format="pyarrow")
+    pv = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("val_u2", alias_name="val_u2"))
+        .materialize()  # one row per part: the aggregate is the output domain
+    )
 
-    # global total: fold the SAME partials tiny (one row per input block)
-    tot_rows = partials.map_batches(
-        lambda t: pa.table({"s": pa.array([int(np.sum(t["val_u2"].to_numpy()))])}),
+    mom = pv.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array([int(np.sum(t["val_u2"].to_numpy()))]),
+                "n": pa.array([t.num_rows]),
+            }
+        ),
         batch_format="pyarrow",
-    ).to_pandas()
-    threshold = (float(int(tot_rows["s"].sum())) / 100.0) * 0.0005
-
-    pv = partials.groupby("l_partkey").aggregate(Sum("val_u2", alias_name="val_u2"))
+    ).to_pandas()  # one row per block
+    threshold = (float(int(mom["s"].sum())) / 100.0) * (1.5 / int(mom["n"].sum()))
 
     def keep(t: pa.Table) -> pa.Table:
         val = units_to_double(t["val_u2"].to_numpy(zero_copy_only=False), 2)
