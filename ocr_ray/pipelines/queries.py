@@ -7914,3 +7914,173 @@ def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
     return pv.map_batches(keep, batch_format="pyarrow").sort(
         ["part_value", "l_partkey"], descending=[True, False]
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2h: retrieval fusion + deterministic reservoir sampling
+# ---------------------------------------------------------------------------
+
+_SPLITMIX_CHAIN = """
+h0 AS (SELECT *, CAST(event_id AS UBIGINT) AS x FROM base),
+h1 AS (SELECT * EXCLUDE (x), xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT * EXCLUDE (x), xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT * EXCLUDE (x), xor(x, x >> 31) AS pri FROM h4)
+"""
+
+
+@query(
+    "reservoir_sample_events",
+    sql="WITH base AS (SELECT event_id, event_type FROM events),"
+    + _SPLITMIX_CHAIN
+    + """
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY pri, event_id) AS rn
+  FROM h5)
+WHERE rn <= 8 ORDER BY event_type, rn
+""",
+)
+def reservoir_sample_events(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-group RESERVOIR sample: keep the 8 rows with the
+    smallest ``splitmix64(event_id)`` per event_type — a uniform random
+    sample under a hash-random priority that is reproducible across
+    reruns, resumable shards, and insertions (a new row only displaces
+    the current max priority, never reshuffles the sample). Distributed
+    shape: per-batch LOCAL bottom-8 per group (map-side combine), then
+    one tiny groupby over <= 8 x blocks x |groups| partial rows — no task
+    ever holds a group's full row set. Oracle: the splitmix64 chain in
+    HUGEINT SQL + ROW_NUMBER, bit-exact."""
+    from ocr_ray.functions.hashing import mix64
+
+    K = 8
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = mix64(ids.astype(np.uint64))
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "event_id": ids, "pri": pri}
+        )
+        df = df.sort_values(["event_type", "pri", "event_id"], kind="mergesort")
+        df = df.groupby("event_type", as_index=False).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pri", "event_id"], kind="mergesort").head(K)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "rn": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(local_bottom, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort(["event_type", "rn"])
+
+
+@query(
+    "hybrid_rrf_search",
+    sql="""
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+t AS (SELECT doc_id, count(*) AS dl,
+        count(*) FILTER (WHERE tok = 'spark') AS tf0,
+        count(*) FILTER (WHERE tok = 'join') AS tf1,
+        count(*) FILTER (WHERE tok = 'window') AS tf2
+      FROM s GROUP BY doc_id),
+g AS (SELECT count(*) AS n, SUM(dl) AS sum_dl,
+        count(*) FILTER (WHERE tf0 > 0) AS df0,
+        count(*) FILTER (WHERE tf1 > 0) AS df1,
+        count(*) FILTER (WHERE tf2 > 0) AS df2 FROM t),
+sc AS (SELECT t.doc_id,
+    ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0)
+      * ((CAST(t.tf0 AS DOUBLE) * 2.2) / (t.tf0 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  + ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0)
+      * ((CAST(t.tf1 AS DOUBLE) * 2.2) / (t.tf1 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
+      * ((CAST(t.tf2 AS DOUBLE) * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
+  AS score
+  FROM t, g),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM sc QUALIFY r <= 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+kn AS (SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) AS r
+       FROM q, embeddings WHERE vec_id <> 0 QUALIFY r <= 20)
+SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+  CAST(COALESCE(bm.r, 0) AS BIGINT) AS bm25_rank,
+  CAST(COALESCE(kn.r, 0) AS BIGINT) AS knn_rank,
+  (CASE WHEN bm.r IS NULL THEN 0.0 ELSE 1.0 / (60 + bm.r) END)
+    + (CASE WHEN kn.r IS NULL THEN 0.0 ELSE 1.0 / (60 + kn.r) END) AS rrf_score
+FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id
+ORDER BY rrf_score DESC, doc_id
+""",
+)
+def hybrid_rrf_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the lexical leg is
+    the distributed BM25 top-20 (``bm25_search``'s plan), the semantic
+    leg is the distributed brute-cosine top-20 for query vector 0
+    (``embedding_topk``'s plan), and the two CONSTANT-SIZE rank lists
+    fuse on the driver with ``1/(60+r)`` — the k-bounded final step of a
+    retrieval stack (both legs stream; only 2k rows ever leave them).
+    RRF scores are sums of identical dyadic-rational terms on both
+    sides, so even the float column is oracle-exact."""
+    from ocr_ray.functions.ann import brute_topk
+
+    K = 20
+    bm = bm25_search(sf_dir).to_pandas().reset_index(drop=True)
+    bm["bm25_rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    t = load_small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = t.filter(pc.equal(t["vec_id"], pa.scalar(0, type=pa.int64()))).to_pandas()
+    qmat = np.stack(q0["embedding"].to_numpy()).astype(np.float64)
+    queries_ref = ray.put((np.array([0], dtype=np.int64), qmat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kn = brute_topk(ds, queries_ref, k=K).to_pandas()
+    kn = kn.rename(columns={"vec_id": "doc_id", "rank": "knn_rank"})[["doc_id", "knn_rank"]]
+
+    fused = bm[["doc_id", "bm25_rank"]].merge(kn, on="doc_id", how="outer")
+    br = fused["bm25_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    kr = fused["knn_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rrf = np.where(np.isnan(br), 0.0, 1.0 / (60.0 + br)) + np.where(
+        np.isnan(kr), 0.0, 1.0 / (60.0 + kr)
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": fused["doc_id"].to_numpy(dtype=np.int64),
+            "bm25_rank": np.nan_to_num(br, nan=0.0).astype(np.int64),
+            "knn_rank": np.nan_to_num(kr, nan=0.0).astype(np.int64),
+            "rrf_score": rrf,
+        }
+    ).sort_values(["rrf_score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+@query("ann_quantized_topk", sql=None)
+def ann_quantized_topk(sf_dir: str) -> ray.data.Dataset:
+    """int8-quantized cosine top-5 with exact rescoring — the memory-scale
+    ANN path (4x smaller than float32 vectors; fixed 1/127 grid since
+    inputs are unit-normalized, so no calibration pass). Candidate recall
+    vs brute force asserted in tests (float-geometry family: no SQL
+    oracle)."""
+    from ocr_ray.functions.ann import quantized_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantized_topk(ds, queries_ref, k=5, oversample=4)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )

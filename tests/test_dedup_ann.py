@@ -307,3 +307,22 @@ def test_pca_matches_exact_numpy(ray_session):
     ref_proj = (x - mu) @ ref.T
     ref_sorted = ref_proj[np.argsort(tbl["vec_id"].to_numpy())]
     assert np.allclose(proj[["pc0", "pc1", "pc2"]].to_numpy(), ref_sorted, atol=1e-7)
+
+
+def test_quantized_recall_vs_brute(queries, sf_smoke):
+    """int8-candidate + exact-rescore search: at 64 dims the 1/127 grid's
+    candidate sets should almost always contain the true top-5 — demand
+    high mean recall and determinism."""
+    brute = _to_df(queries["embedding_topk"](sf_smoke))
+    quant = _to_df(queries["ann_quantized_topk"](sf_smoke))
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute.query_id == q]["vec_id"])
+        a = set(quant[quant.query_id == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.9, f"quantized mean recall {np.mean(recalls):.2f} (per-q {recalls})"
+    again = _to_df(queries["ann_quantized_topk"](sf_smoke))
+    pd.testing.assert_frame_equal(
+        quant.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
