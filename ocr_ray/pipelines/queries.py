@@ -8084,3 +8084,18 @@ def ann_quantized_topk(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
     )
+
+
+@query("bpe_train_merges", sql=None)
+def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (12 merges) over the documents
+    corpus: ONE corpus-scale word-count pass, then merge learning on the
+    word-frequency table (bounded by vocabulary, not corpus — the HF-
+    tokenizers trick), each iteration one distributed pair-count + driver
+    argmax + broadcast rewrite. Iterative, so no SQL oracle; the learned
+    merge list is asserted EQUAL to an independent pure-Python reference
+    BPE on the same word counts (tests/test_dedup_ann.py)."""
+    from ocr_ray.functions.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, num_merges=12)

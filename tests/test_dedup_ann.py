@@ -326,3 +326,22 @@ def test_quantized_recall_vs_brute(queries, sf_smoke):
         quant.sort_values(["query_id", "rank"]).reset_index(drop=True),
         again.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_bpe_merges_match_reference(queries, sf_smoke):
+    """Distributed BPE must learn EXACTLY the merges of a pure-Python
+    Sennrich-style reference on the same word counts (same deterministic
+    tiebreak: count desc, then (left, right) asc)."""
+    from collections import Counter
+
+    from ocr_ray.functions.bpe import bpe_train_reference
+
+    out = _to_df(queries["bpe_train_merges"](sf_smoke))
+    docs = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for txt in docs["text"].to_pylist():
+        wc.update(txt.split())
+    ref = bpe_train_reference(dict(wc), 12)
+    assert len(out) == len(ref), (len(out), len(ref))
+    got = list(zip(out["left"], out["right"], out["pair_count"].astype(int)))
+    assert got == ref, f"first divergence: {next((a, b) for a, b in zip(got, ref) if a != b)}"
