@@ -447,12 +447,18 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
     def rev(t: pa.Table) -> pa.Table:
         price_c = to_units(t["l_extendedprice"])
         disc_c = to_units(t["l_discount"])
-        return pa.table(
+        # map-side combine: one partial row per orderkey per batch (~4x
+        # fewer rows enter the shuffle; the in-bucket fold re-sums)
+        df = pd.DataFrame(
             {
-                "l_orderkey": t["l_orderkey"],
-                "rev_u4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_u4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)
+                ).to_numpy(zero_copy_only=False),
             }
         )
+        red = df.groupby("l_orderkey", as_index=False)["rev_u4"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
     def per_order(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-bucket fold: one sort, run boundaries, reduceat
@@ -549,12 +555,17 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     def rev(t: pa.Table) -> pa.Table:
         price_c = to_units(t["l_extendedprice"])
         disc_c = to_units(t["l_discount"])
-        return pa.table(
+        # map-side combine to one partial row per orderkey per batch
+        df = pd.DataFrame(
             {
-                "l_orderkey": t["l_orderkey"],
-                "rev_u4": pc.multiply(price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)),
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_u4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)
+                ).to_numpy(zero_copy_only=False),
             }
         )
+        red = df.groupby("l_orderkey", as_index=False)["rev_u4"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
     joined = hash_join(
         li.map_batches(rev, batch_format="pyarrow"),
@@ -6593,7 +6604,10 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
     then x supplier on suppkey), each with in-bucket projection so only
     surviving columns re-shuffle; nation names come from broadcast dims
     and the nation-pair filter is pushed to the earliest stage that can
-    evaluate it (cust side after join 1, supp side after join 2)."""
+    evaluate EACH side: the cust side prunes orders before join 1, and the
+    supp side prunes LINEITEM before join 1 (suppliers are broadcastable,
+    so the pair's ~2/25 supplier-key set filters the fact read and both
+    shuffles shrink ~12x)."""
     from ray.data.aggregate import Sum
 
     n_a, n_b = "NATION_3", "NATION_7"
@@ -6603,6 +6617,12 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
     c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     c2n = c2n[c2n["n_name"].isin([n_a, n_b])]  # pair filter pushdown
     cust_ref = ray.put({int(k): (nn,) for k, nn in zip(c2n["c_custkey"], c2n["n_name"])})
+
+    sup_all = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = sup_all.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    pair_supp_ref = ray.put(
+        set(s2n.loc[s2n["n_name"].isin([n_a, n_b]), "s_suppkey"].astype(int))
+    )
 
     # lookup drops orders whose customer nation is outside the pair
     orders = lookup(
@@ -6634,7 +6654,7 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
         return df.groupby(["l_suppkey", "cust_nation", "l_year"], as_index=False)["rev_u4"].sum()
 
     j1 = hash_join(
-        li.map_batches(prep, batch_format="pyarrow"),
+        semi_filter(li, pair_supp_ref, "l_suppkey").map_batches(prep, batch_format="pyarrow"),
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
@@ -8099,3 +8119,61 @@ def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
 
     ds = read_table(sf_dir, "documents", columns=["text"])
     return bpe_train(ds, num_merges=12)
+
+
+_PPM_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 15)) AS x),
+py AS (SELECT unnest(generate_series(0, 7)) AS y),
+bytes AS (
+  SELECT d, m, c.ch AS ch, (m * 37 + 11 + 13 * py.y + 7 * px.x + 29 * c.ch) % 256 AS val
+  FROM media CROSS JOIN px CROSS JOIN py
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) c
+),
+feat AS (
+  SELECT d, m, ch, CAST(SUM(val) AS DOUBLE) / 128.0 AS mu
+  FROM bytes GROUP BY d, m, ch
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+  MAX(CASE WHEN ch = 0 THEN mu END) AS mean_r,
+  MAX(CASE WHEN ch = 1 THEN mu END) AS mean_g,
+  MAX(CASE WHEN ch = 2 THEN mu END) AS mean_b
+FROM feat GROUP BY d, m
+"""
+
+
+@query("media_ppm_features", sql=_PPM_SQL)
+def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL image decode path: media spans get genuine binary PPM (P6)
+    payloads (netpbm-encoded from a closed-form test image), and the
+    ``PpmDecoder`` actor stage PARSES the format — header tokenizer,
+    magic/maxval validation, zero-copy raster view — then computes
+    per-channel means. Because the test image is closed-form arithmetic,
+    the decoded statistics are oracle-checked bit-exact end to end: a
+    header-parsing bug, offset error, or channel swap fails the oracle.
+    Non-PPM codecs remain stubbed (no PIL/ffmpeg here); this proves the
+    decode plumbing on a real format with zero dependencies."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import PpmDecoder, attach_ppm_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_ppm_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        PpmDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )

@@ -236,3 +236,106 @@ def media_frame_sample(batch: pa.Table, *, every: int = 4) -> pa.Table:
             "frame_checksum": pa.array(csum, type=pa.uint64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: PPM (P6) — a genuine image format decodable with pure
+# numpy, so the "real decode" branch of the media pipeline is exercised
+# end-to-end (and oracle-checked) without PIL/ffmpeg. Other formats stay
+# stubbed behind NotImplementedError.
+# ---------------------------------------------------------------------------
+
+PPM_W, PPM_H = 16, 8
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8, (img.shape, img.dtype)
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. A real parser: tokenizes the
+    header (whitespace + '#' comments per the netpbm spec), validates
+    magic/maxval, and views the raster zero-copy."""
+    if buf[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {buf[:2]!r})")
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace; '#' starts a comment to end-of-line
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def ppm_image(m: int) -> np.ndarray:
+    """Deterministic (PPM_H, PPM_W, 3) test image for media_ref suffix m:
+    pixel = (37*m + 11 + 13*y + 7*x + 29*c) mod 256 — closed-form, so the
+    decoded channel means are SQL-expressible."""
+    y = np.arange(PPM_H, dtype=np.int64)[:, None, None]
+    x = np.arange(PPM_W, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((37 * m + 11 + 13 * y + 7 * x + 29 * c) % 256).astype(np.uint8)
+
+
+def attach_ppm_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage: attach real P6-encoded payloads to media rows."""
+    ms = _ref_numbers(batch["media_ref"])
+    payloads = [encode_ppm(ppm_image(int(m))) for m in ms]
+    batch = batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+    return batch.append_column(
+        "media_kind", pa.array(np.full(batch.num_rows, "image/ppm"), type=pa.string())
+    )
+
+
+class PpmDecoder:
+    """Actor-pool stage: REAL PPM decode + per-channel statistics.
+
+    Decoding is inherently per-item (each payload is its own file), which
+    is exactly the real-codec shape: small batches of wide binary rows,
+    one decode call per item inside the batch, vectorized stats on the
+    decoded array. ``__init__`` is where a heavier codec/model would load
+    once per actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        w_l, h_l, means = [], [], []
+        for buf in payloads:
+            img = decode_ppm(buf)
+            h_l.append(img.shape[0])
+            w_l.append(img.shape[1])
+            # SUM/(h*w) as DOUBLE — the oracle's expression verbatim
+            means.append(
+                img.reshape(-1, 3).sum(axis=0, dtype=np.int64).astype(np.float64)
+                / float(img.shape[0] * img.shape[1])
+            )
+        mm = np.stack(means) if means else np.empty((0, 3))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "width": pa.array(np.asarray(w_l, dtype=np.int64)),
+                "height": pa.array(np.asarray(h_l, dtype=np.int64)),
+                "mean_r": pa.array(mm[:, 0] if len(mm) else np.empty(0)),
+                "mean_g": pa.array(mm[:, 1] if len(mm) else np.empty(0)),
+                "mean_b": pa.array(mm[:, 2] if len(mm) else np.empty(0)),
+            }
+        )

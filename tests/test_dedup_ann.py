@@ -345,3 +345,19 @@ def test_bpe_merges_match_reference(queries, sf_smoke):
     assert len(out) == len(ref), (len(out), len(ref))
     got = list(zip(out["left"], out["right"], out["pair_count"].astype(int)))
     assert got == ref, f"first divergence: {next((a, b) for a, b in zip(got, ref) if a != b)}"
+
+
+def test_ppm_codec_roundtrip():
+    """encode_ppm/decode_ppm: exact roundtrip, comment/whitespace-tolerant
+    header parsing, and loud failures on bad magic/maxval."""
+    from ocr_ray.stages.media import decode_ppm, encode_ppm, ppm_image
+
+    img = ppm_image(1234)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # netpbm allows comments + arbitrary whitespace in the header
+    hdr = b"P6 # comment\n# another\n 16\t8\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(hdr), img)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n16 8\n255\n" + img.tobytes())
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n16 8\n65535\n" + img.tobytes())
