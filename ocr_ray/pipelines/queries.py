@@ -8177,3 +8177,165 @@ def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=512,
         concurrency=pool_size(),
     )
+
+
+@query(
+    "dataset_diff_orders",
+    sql="""
+WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS pr
+           FROM orders),
+n AS (
+  SELECT k, st, pr FROM b WHERE k % 10 NOT IN (7, 3, 0)
+  UNION ALL SELECT k, st, pr + 100 FROM b WHERE k % 10 = 3
+  UNION ALL SELECT k, st, pr FROM b WHERE k % 10 = 0
+  UNION ALL SELECT k + 10000000, st, pr FROM b WHERE k % 10 = 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+  SELECT CASE WHEN b.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN b.st <> n.st OR b.pr <> n.pr THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM b FULL OUTER JOIN n ON b.k = n.k
+) GROUP BY status ORDER BY status
+""",
+)
+def dataset_diff_orders(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot DIFF (the data-ops audit between two dataset versions):
+    classify every key as added / removed / changed / unchanged across
+    two corpus-scale snapshots with ONE bucketed full-outer join — class
+    counting happens inside the join bucket (a key's two versions are
+    co-located there), so the shuffle emits 4 x num_buckets partial rows.
+    Snapshot B is derived deterministically from A (delete keys %10==7,
+    +100 price on %10==3, duplicate %10==0 under new keys) so the oracle
+    rebuilds both sides in SQL. Payload equality compares integer cents —
+    exact."""
+    from ray.data.aggregate import Sum
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = read_table(sf_dir, "orders", columns=cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "st": t["o_orderstatus"],
+                "pr_u2": to_units(t["o_totalprice"]),
+            }
+        )
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        pr = to_units(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        keep = k % 10 != 7
+        upd = k % 10 == 3
+        dup = k % 10 == 0
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k[keep], k[dup] + 10_000_000])),
+                "st": pa.array(np.concatenate([st[keep], st[dup]]), type=pa.string()),
+                "pr_u2": pa.array(
+                    np.concatenate([pr[keep] + np.where(upd[keep], 10_000, 0), pr[dup]])
+                ),
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # presence by payload validity (payloads are never null in either
+        # snapshot; the shared key column `k` is non-null for both sides)
+        old_p = df["pr_u2"].notna().to_numpy()
+        new_p = df["pr_u2_new"].notna().to_numpy()
+        status = np.where(
+            ~old_p & new_p,
+            "added",
+            np.where(
+                old_p & ~new_p,
+                "removed",
+                np.where(
+                    (df["st"] != df["st_new"]) | (df["pr_u2"] != df["pr_u2_new"]),
+                    "changed",
+                    "unchanged",
+                ),
+            ),
+        )
+        red = pd.DataFrame({"status": status}).groupby("status", as_index=False).size()
+        return pd.DataFrame(
+            {"status": red["status"], "n": red["size"].astype(np.int64)}
+        )
+
+    partials = hash_join(
+        base.map_batches(prep, batch_format="pyarrow"),
+        base.map_batches(mk_new, batch_format="pyarrow"),
+        on="k",
+        how="full",
+        num_buckets=16,
+        suffix="_new",
+        left_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
+        right_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
+        bucket_post=classify,
+        post_schema=pa.schema({"status": pa.string(), "n": pa.int64()}),
+    )
+    agg = partials.groupby("status").aggregate(Sum("n", alias_name="n_keys"))
+    return agg.sort("status")
+
+
+@query(
+    "incremental_dedup_new_docs",
+    sql="""
+WITH new_docs AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT n.doc_id FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = n.text)
+ORDER BY n.doc_id
+""",
+)
+def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
+    """INCREMENTAL ingestion dedup: drop arriving documents whose text
+    already exists in the standing corpus WITHOUT re-deduping the corpus —
+    one bucketed ANTI join keyed on the text itself (exact semantics, no
+    hash-collision caveat; the corpus side ships only its key column).
+    The arriving batch is derived from the corpus (exact copies of
+    %3==0 docs must drop; '+extra' variants of %3==1 docs must survive)
+    so the oracle reproduces it."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup_m = ids % 3 == 0
+        new_m = ids % 3 == 1
+        dup = t.filter(pa.array(dup_m))
+        new = t.filter(pa.array(new_m))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [
+                            dup["doc_id"].to_numpy(zero_copy_only=False) + 2_000_000,
+                            new["doc_id"].to_numpy(zero_copy_only=False) + 2_000_000,
+                        ]
+                    )
+                ),
+                "text": pa.array(
+                    dup["text"].to_pylist()
+                    + [s + " extra" for s in new["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    fresh = hash_join(
+        docs.map_batches(mk_new, batch_format="pyarrow"),
+        docs.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow"),
+        on="text",
+        how="anti",
+        num_buckets=16,
+        left_schema=pa.schema({"doc_id": pa.int64(), "text": pa.string()}),
+        right_schema=pa.schema({"text": pa.string()}),
+    )
+    return fresh.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    ).sort("doc_id")
