@@ -8339,3 +8339,49 @@ def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
     return fresh.map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow"
     ).sort("doc_id")
+
+
+_WAV_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+amp AS (
+  SELECT d, m, ((m * 53 + 17 * i) % 4001) - 2000 AS a
+  FROM media CROSS JOIN idx
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(64 AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(SUM(a) AS BIGINT) AS sum_amp, CAST(SUM(a * a) AS BIGINT) AS sum_sq
+FROM amp GROUP BY d, m
+"""
+
+
+@query("media_wav_features", sql=_WAV_SQL)
+def media_wav_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL audio decode path (the WAV sibling of ``media_ppm_features``):
+    media spans carry genuine RIFF/PCM16 payloads, and ``WavDecoder``
+    walks the RIFF chunks (magic + fmt validation, pad-byte handling)
+    before computing integer-exact clip statistics — a chunk-offset or
+    endianness bug fails the oracle."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import WavDecoder, attach_wav_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        WavDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )

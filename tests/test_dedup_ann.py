@@ -361,3 +361,23 @@ def test_ppm_codec_roundtrip():
         decode_ppm(b"P5\n16 8\n255\n" + img.tobytes())
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n16 8\n65535\n" + img.tobytes())
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav/decode_wav: exact roundtrip, unknown-chunk skipping with
+    odd-size padding, and loud failures on bad magic/format."""
+    from ocr_ray.stages.media import decode_wav, encode_wav, wav_signal
+
+    x = wav_signal(777)
+    got, sr = decode_wav(encode_wav(x))
+    assert sr == 8000 and np.array_equal(got, x)
+    # unknown chunk (odd size -> pad byte) between fmt and data must be skipped
+    raw = encode_wav(x)
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    got2, _ = decode_wav(patched)
+    assert np.array_equal(got2, x)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + raw[4:])
