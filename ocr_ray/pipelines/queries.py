@@ -8385,3 +8385,55 @@ def media_wav_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=512,
         concurrency=pool_size(),
     )
+
+
+_Y4M_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 7)) AS x),
+py AS (SELECT unnest(generate_series(0, 3)) AS y),
+pf AS (SELECT unnest(generate_series(0, 4)) AS f),
+luma AS (
+  SELECT d, m, pf.f AS f, (m * 41 + 19 * pf.f + 13 * py.y + 7 * px.x) % 256 AS v
+  FROM media CROSS JOIN px CROSS JOIN py CROSS JOIN pf
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(5 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+  CAST(25 AS BIGINT) AS fps_num,
+  CAST(SUM(v) AS BIGINT) AS luma_sum,
+  CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS BIGINT) AS luma_sum_first,
+  CAST(SUM(CASE WHEN f = 4 THEN v ELSE 0 END) AS BIGINT) AS luma_sum_last
+FROM luma GROUP BY d, m
+"""
+
+
+@query("media_y4m_features", sql=_Y4M_SQL)
+def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL video decode path (the Y4M sibling of ``media_ppm_features`` /
+    ``media_wav_features``, completing the image/audio/video trio): media
+    spans carry genuine YUV4MPEG2 clips (5 frames, C420), and
+    ``Y4mDecoder`` parses the stream header tags + per-FRAME markers and
+    strides the 4:2:0 planes before computing integer-exact luma
+    statistics — a plane-offset or frame-stride bug fails the oracle."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import Y4mDecoder, attach_y4m_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_y4m_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        Y4mDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )

@@ -381,3 +381,21 @@ def test_wav_codec_roundtrip():
     assert np.array_equal(got2, x)
     with pytest.raises(ValueError):
         decode_wav(b"RIFX" + raw[4:])
+
+
+def test_y4m_codec_roundtrip():
+    """encode_y4m/decode_y4m: exact luma roundtrip, fps tag parsing, and
+    loud failures on bad magic / unsupported chroma / corrupt markers."""
+    from ocr_ray.stages.media import decode_y4m, encode_y4m, y4m_frames
+
+    fr = y4m_frames(42)
+    got, fps = decode_y4m(encode_y4m(fr, fps="30:1"))
+    assert fps == (30, 1) and np.array_equal(got, fr)
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG3 W8 H4 F25:1\nFRAME\n" + fr[0].tobytes())
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W8 H4 F25:1 C444\n")
+    raw = bytearray(encode_y4m(fr))
+    raw[raw.index(b"FRAME")] = ord(b"X")
+    with pytest.raises(ValueError):
+        decode_y4m(bytes(raw))
