@@ -74,6 +74,7 @@ QUERY_SET = [
     "q4_priority_count",
     "pca_embeddings",
     # round-2h additions (TPC-H shape completion)
+    "extract_training_set",
     "q8_nation_market_share",
     "q12_priority_by_linestatus",
     "q13_customer_distribution",

@@ -5730,6 +5730,29 @@ SELECT printf('doc-%08d', d) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM m
 """,
 )
+def _extracted_doc_text(t: pa.Table) -> pa.Table:
+    """Join each extracted document's ``kind=='text'`` spans (already in
+    reading order inside the nested ``spans`` list) into one main-content
+    string per doc — vectorized list-flatten + binary_join, no Python per
+    row. Docs whose extraction kept no text span are dropped (matching
+    the SQL GROUP BY over ``WHERE kind='text'``)."""
+    spans = t["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(keep)
+    n = t.num_rows
+    counts = np.bincount(parents[idx], minlength=n)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    vals = pc.take(pc.struct_field(flat, "text"), pa.array(idx, type=pa.int64()))
+    la = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()), vals)
+    joined = pc.binary_join(la, " ")
+    return pa.table({"doc_id": t["doc_id"], "text": joined}).filter(pa.array(counts > 0))
+
+
 def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
     """Extraction x curation composite over the INTERLEAVED corpus: run
     the full glyph-decode extraction engine (segment + nearest-template
@@ -5744,31 +5767,166 @@ def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
     corpus = ensure_corpus(sf_dir, glyphs=True)
     nested = extract_documents(read_documents(corpus), num_buckets=16)
 
-    def doc_text(t: pa.Table) -> pa.Table:
-        spans = t["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = pc.list_flatten(spans)
-        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = pc.equal(pc.struct_field(flat, "kind"), "text").to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(keep)
-        n = t.num_rows
-        counts = np.bincount(parents[idx], minlength=n)
-        off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=off[1:])
-        vals = pc.take(pc.struct_field(flat, "text"), pa.array(idx, type=pa.int64()))
-        la = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()), vals)
-        joined = pc.binary_join(la, " ")
-        return pa.table({"doc_id": t["doc_id"], "text": joined}).filter(
-            pa.array(counts > 0)
-        )
-
-    scored = nested.map_batches(doc_text, batch_format="pyarrow").map_batches(
+    scored = nested.map_batches(_extracted_doc_text, batch_format="pyarrow").map_batches(
         textfn.quality_score, batch_format="pyarrow"
     )
     return scored.map_batches(
         lambda t: t.select(["doc_id", "n_tokens", "quality"]), batch_format="pyarrow"
     )
+
+
+@query(
+    "extract_training_set",
+    sql="""
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind, s
+  FROM spans
+), doc AS (
+  SELECT d, string_agg(s, ' ' ORDER BY si) AS dtext
+  FROM tagged WHERE kind = 'text' GROUP BY d
+), u AS (
+  SELECT d, dtext FROM doc
+  UNION ALL
+  SELECT d + 2000000, dtext FROM doc
+), s2 AS (
+  SELECT d, unnest(string_split(dtext, ' ')) AS tok FROM u
+), v AS (
+  SELECT d, count(*) AS n_tokens,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS n_stop,
+    SUM(length(tok)) AS sum_len
+  FROM s2 GROUP BY d
+), q AS (
+  SELECT d,
+    0.4 * LEAST(GREATEST(n_tokens / 64.0, 0.0), 1.0)
+    + 0.3 * LEAST(GREATEST(CAST(n_stop AS DOUBLE) / n_tokens * 5, 0.0), 1.0)
+    + 0.3 * LEAST(GREATEST(
+        1.0 - abs(CAST(sum_len AS DOUBLE) / n_tokens - 5.0) / 5.0, 0.0), 1.0)
+      AS quality
+  FROM v
+), f AS (
+  SELECT u.d, u.dtext FROM u JOIN q USING (d) WHERE q.quality >= 0.55
+), dd AS (
+  SELECT d, dtext FROM f
+  QUALIFY row_number() OVER (PARTITION BY md5(dtext) ORDER BY d) = 1
+), toks AS (
+  SELECT d, string_split(dtext, ' ') AS tw FROM dd
+), wins AS (
+  SELECT d, CAST(gs.n AS BIGINT) AS win_start,
+    CAST(least(32, len(tw) - gs.n) AS BIGINT) AS n_tokens
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(tw)-16, 1), 16)) AS n) gs
+)
+SELECT printf('doc-%08d', d) AS doc_id, win_start, n_tokens,
+  CASE WHEN (d * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+       WHEN (d * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM wins
+""",
+)
+def extract_training_set(sf_dir: str) -> ray.data.Dataset:
+    """FLAGSHIP end-to-end training-data pipeline over the INTERLEAVED
+    corpus, every stage the real distributed operator: glyph-decode
+    extraction (segment + nearest-template recognize + boilerplate strip
+    + reading-order reassembly) → per-doc quality gate on the EXTRACTED
+    text → exact dedup (the corpus is seeded with byte-identical copies
+    at doc_id+2e6; batch-local first-per-md5 pre-dedup, then ONE bucketed
+    shuffle) → fixed-size token-window packing (32-token windows, stride
+    16, byte-slice gather) → deterministic hash train/val/test split.
+    One oracle covers the whole path: the SQL replays corpus synthesis,
+    extraction, scoring, dedup, windowing and splitting, so a single
+    recognition bit-flip or a dropped/duplicated window anywhere breaks
+    the hash. This is the pipeline a user points at raw interleaved
+    shards to get a training set out; scale shape is one actor-pool map
+    (extraction), one shuffle (dedup), and stateless maps elsewhere."""
+    from ocr_ray.functions.dedup import add_md5, dedup_by_key
+    from ocr_ray.functions.text import token_windows
+    from ocr_ray.pipelines.extract import extract_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    nested = extract_documents(read_documents(corpus), num_buckets=16)
+    texts = nested.map_batches(_extracted_doc_text, batch_format="pyarrow")
+
+    def dup_union(t: pa.Table) -> pa.Table:
+        # seed exact duplicates: same extracted text under doc_id + 2e6
+        # (numeric order == zero-padded string order, so dedup's
+        # first-per-key winner matches the SQL's ORDER BY d)
+        ids = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 12), pa.int64())
+        shifted = pc.binary_join_element_wise(
+            pa.array(np.full(t.num_rows, "doc", dtype=object), type=pa.string()),
+            pc.utf8_lpad(
+                pc.cast(pc.add(ids, pa.scalar(2_000_000, type=pa.int64())), pa.string()),
+                8,
+                "0",
+            ),
+            "-",
+        )
+        return pa.concat_tables(
+            [t, t.set_column(t.column_names.index("doc_id"), "doc_id", shifted)]
+        )
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        q = textfn.quality_score(t)["quality"]
+        return t.filter(pc.greater_equal(q, pa.scalar(0.55)))
+
+    def pre_dedup(t: pa.Table) -> pa.Table:
+        # batch-local first-per-md5 (text constant per md5; global first
+        # == min of batch minima) so the shuffle moves one row per
+        # distinct hash per batch
+        part = t.group_by(["content_md5"]).aggregate(
+            [("doc_id", "min"), ("text", "min")]
+        )
+        return pa.table(
+            {
+                "doc_id": part["doc_id_min"],
+                "text": part["text_min"],
+                "content_md5": part["content_md5"],
+            }
+        )
+
+    deduped = dedup_by_key(
+        texts.map_batches(dup_union, batch_format="pyarrow")
+        .map_batches(quality_gate, batch_format="pyarrow")
+        .map_batches(add_md5, batch_format="pyarrow")
+        .map_batches(pre_dedup, batch_format="pyarrow"),
+        key="content_md5",
+        order="doc_id",
+        num_buckets=8,
+    )
+
+    def windows_split(t: pa.Table) -> pa.Table:
+        w = token_windows(
+            pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
+            window=32,
+            stride=16,
+        )
+        ids = (
+            pc.cast(pc.utf8_slice_codeunits(w["doc_id"], 4, 12), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bucket = (ids * 2654435761) % 4294967296 % 100
+        split = np.where(
+            bucket < 90, "train", np.where(bucket < 95, "val", "test")
+        ).astype(object)
+        return pa.table(
+            {
+                "doc_id": w["doc_id"],
+                "win_start": pc.cast(w["win_start"], pa.int64()),
+                "n_tokens": pc.cast(w["n_tokens"], pa.int64()),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return deduped.map_batches(windows_split, batch_format="pyarrow")
 
 
 @query("kmeans_embeddings", sql=None)
