@@ -255,18 +255,31 @@ def grouped_exact_median(ds, *, group_col: str, value_col: str, bins: int = 4096
 
 
 def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
-    """(event_type, register, rho) merged rows -> per-group estimates."""
+    """(event_type, register, rho) merged rows -> per-group estimates.
+
+    The harmonic denominator sum(2^-rho_j) is computed in EXACT integer
+    arithmetic (S = sum of 2^(57-rho) over all 256 registers, absent
+    registers rho=0): every term is a dyadic rational, so S is
+    order-independent — which makes the whole estimate reproducible in
+    SQL (one HUGEINT sum) and bit-exact vs the DuckDB oracle regardless
+    of register iteration order. floor(est + 0.5) avoids Python's
+    round-half-to-even vs SQL's round-half-away divergence."""
+    import math
+
+    width1 = 64 - P_BITS + 1  # rho range is 1..width+1; 2^(width1-rho) exact
     out_groups: list[str] = []
     out_est: list[int] = []
     for g, sub in merged.groupby("event_type"):
-        regs = np.zeros(NUM_REGISTERS, dtype=np.float64)
-        regs[sub["register"].to_numpy(dtype=np.int64)] = sub["rho"].to_numpy(dtype=np.float64)
-        est = _ALPHA * NUM_REGISTERS**2 / np.sum(2.0 ** (-regs))
-        zeros = int(np.sum(regs == 0))
+        rho = sub["rho"].to_numpy(dtype=np.int64)
+        present = len(rho)  # registers unique after the groupby-max merge
+        s = sum(1 << (width1 - int(r)) for r in rho)
+        s += (NUM_REGISTERS - present) << width1
+        est = _ALPHA * NUM_REGISTERS**2 * float(1 << width1) / float(s)
+        zeros = NUM_REGISTERS - present
         if est <= 2.5 * NUM_REGISTERS and zeros > 0:
-            est = NUM_REGISTERS * np.log(NUM_REGISTERS / zeros)  # linear counting
+            est = NUM_REGISTERS * math.log(NUM_REGISTERS / zeros)  # linear counting
         out_groups.append(g)
-        out_est.append(int(round(est)))
+        out_est.append(int(math.floor(est + 0.5)))
     return pd.DataFrame({"event_type": out_groups, "approx_users": out_est})
 
 

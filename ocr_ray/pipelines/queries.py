@@ -2299,12 +2299,58 @@ def frequent_tokens(sf_dir: str) -> pa.Table:
     )
 
 
-@query("approx_distinct_users", sql=None)
+@query(
+    "approx_distinct_users",
+    sql="""
+WITH base AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (SELECT event_type, CAST(user_id AS UBIGINT) AS x FROM base),
+h1 AS (SELECT * EXCLUDE (x), xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT * EXCLUDE (x), xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT * EXCLUDE (x), xor(x, x >> 31) AS h FROM h4),
+rr AS (SELECT event_type,
+         CAST(h >> 56 AS BIGINT) AS register,
+         CASE WHEN CAST(h % 72057594037927936 AS BIGINT) = 0 THEN 57
+              ELSE 1 + CAST(floor(log2(CAST(
+                 CAST(h % 72057594037927936 AS BIGINT)
+                 & (-CAST(h % 72057594037927936 AS BIGINT)) AS DOUBLE))) AS BIGINT)
+         END AS rho
+       FROM h5),
+m AS (SELECT event_type, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+agg AS (SELECT event_type,
+          CAST(SUM(1::BIGINT << (57 - rho)) AS HUGEINT) AS s_present,
+          COUNT(*) AS n_present
+        FROM m GROUP BY 1),
+e2 AS (SELECT event_type,
+   256 - n_present AS zeros,
+   0.7213 / (1 + 1.079 / 256) * 65536 * 144115188075855872
+     / CAST(s_present + CAST(256 - n_present AS HUGEINT)
+            * '144115188075855872'::HUGEINT AS DOUBLE) AS raw
+ FROM agg)
+SELECT event_type,
+  CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+                  THEN 256 * ln(256.0 / zeros) ELSE raw END + 0.5) AS BIGINT)
+    AS approx_users
+FROM e2
+""",
+)
 def approx_distinct_users(sf_dir: str) -> pa.Table:
-    """HyperLogLog-style approximate COUNT(DISTINCT user_id) per event_type:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type:
     per-batch partial registers (the combiner), one tiny groupby on
-    (event_type, register), numpy merge + linear-counting correction.
-    Accuracy vs exact asserted in tests (sketch ops have no SQL oracle)."""
+    (event_type, register), integer-exact register merge + linear-counting
+    correction. ORACLE-CHECKED BIT-EXACT: the estimator itself is
+    deterministic arithmetic — splitmix64 (HUGEINT split-multiply SQL),
+    register = top-8 bits, rho = first set bit of the low 56, and the
+    harmonic denominator as ONE exact integer sum of 2^(57-rho), so the
+    DuckDB oracle reproduces the estimate to the last bit, not just
+    within error bounds (accuracy vs exact is asserted in tests too)."""
     from ocr_ray.functions.sketch import hll_estimate, hll_partial_registers
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
