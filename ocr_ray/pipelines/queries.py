@@ -727,6 +727,79 @@ def custkey_skew_profile(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query(
+    "join_size_estimate",
+    sql="""
+WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+j AS (SELECT a.k, a.n * b.n AS nn FROM a JOIN b USING (k))
+SELECT CAST(SUM(nn) AS BIGINT) AS join_rows,
+  CAST(COUNT(*) AS BIGINT) AS matched_keys,
+  CAST(MAX(nn) AS BIGINT) AS max_key_rows
+FROM j
+""",
+)
+def join_size_estimate(sf_dir: str) -> pa.Table:
+    """Join-size PRE-FLIGHT (exact, without running the join): the output
+    cardinality of lineitem ⋈ orders is Σ_k a_k·b_k over per-key counts,
+    so it is computable from the two count tables alone — the planner
+    diagnostic to run before committing to a join strategy (broadcast vs
+    bucketed, salt factor, bucket count) at 100 TB, alongside
+    ``custkey_skew_profile``. Map-side per-batch key counts shrink each
+    side to its distinct keys before the ONE count-table shuffle; inside
+    the bucket, the partial-count cross product collapses per key
+    (Σ_i Σ_j a_i b_j = (Σa)(Σb)) to one partial row per bucket; the
+    driver folds ≤ num_buckets rows. ``max_key_rows`` is the hottest
+    key's output size — the skew red flag."""
+
+    def partial(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by([col]).aggregate([([], "count_all")])
+            return pa.table(
+                {"k": pc.cast(g[col], pa.int64()), "n": pc.cast(g["count_all"], pa.int64())}
+            )
+
+        return f
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        partial("l_orderkey"), batch_format="pyarrow"
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        partial("o_orderkey"), batch_format="pyarrow"
+    )
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        nn = df["n"].to_numpy(np.int64) * df["n_r"].to_numpy(np.int64)
+        g = pd.DataFrame({"k": df["k"], "nn": nn}).groupby("k")["nn"].sum()
+        return pd.DataFrame(
+            {
+                "join_rows": [int(g.sum())],
+                "matched_keys": [len(g)],
+                "max_key_rows": [int(g.max()) if len(g) else 0],
+            }
+        )
+
+    partials = hash_join(
+        li,
+        orders,
+        on="k",
+        num_buckets=16,
+        left_schema=pa.schema({"k": pa.int64(), "n": pa.int64()}),
+        right_schema=pa.schema({"k": pa.int64(), "n": pa.int64()}),
+        bucket_post=body,
+        post_schema=pa.schema(
+            {"join_rows": pa.int64(), "matched_keys": pa.int64(), "max_key_rows": pa.int64()}
+        ),
+    ).to_pandas()  # ≤ num_buckets single-row partials
+    return pa.table(
+        {
+            "join_rows": pa.array([int(partials["join_rows"].sum())], type=pa.int64()),
+            "matched_keys": pa.array([int(partials["matched_keys"].sum())], type=pa.int64()),
+            "max_key_rows": pa.array([int(partials["max_key_rows"].max())], type=pa.int64()),
+        }
+    )
+
+
 @query("distinct_segments", sql="SELECT DISTINCT c_mktsegment FROM customer")
 def distinct_segments(sf_dir: str) -> pa.Table:
     vals = read_table(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
