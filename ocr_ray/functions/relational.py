@@ -431,6 +431,92 @@ def hash_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def auto_join(
+    left,
+    right,
+    *,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+    broadcast_max_bytes: int = 256 << 20,
+):
+    """Cost-based join-strategy pick — the planner decision a user
+    shouldn't have to make by hand. The decision input is free:
+    ``right.size_bytes()`` comes from file/block metadata for reads and
+    already-computed datasets (wrapped in try so a side that would need
+    execution to size just falls through to the shuffle path).
+
+    - Right side fits a worker heap share (``broadcast_max_bytes``) and
+      ``how`` is inner/left → BROADCAST hash join: collect the build side
+      once, ``ray.put`` once, pandas-merge every probe batch map-side.
+      ZERO shuffle; duplicate build keys expand correctly (this is the
+      general broadcast join, not the unique-key ``lookup``).
+    - Otherwise → ONE bucketed shuffle via ``hash_join``.
+
+    Output contract (column names, collision suffixing, null-typed outer
+    fills) is identical to ``hash_join``, so the choice is invisible to
+    the caller — asserted by tests that run both paths on the same input.
+    """
+    est = None
+    if how in ("inner", "left"):
+        try:
+            est = right.size_bytes()
+        except Exception:
+            est = None
+    if est is None or est > broadcast_max_bytes:
+        return hash_join(
+            left,
+            right,
+            on=on,
+            right_on=right_on,
+            how=how,
+            num_buckets=num_buckets,
+            suffix=suffix,
+            left_schema=left_schema,
+            right_schema=right_schema,
+        )
+
+    # broadcast path — mirror hash_join's naming/typing contract exactly
+    on_list = [on] if isinstance(on, str) else list(on)
+    ron_list = (
+        list(on_list)
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    lnames = list(lschema.names)
+    shared_keys = {r for l, r in zip(on_list, ron_list) if l == r}
+    rename = {
+        n: (n + suffix if n in lnames and n not in shared_keys else n)
+        for n in rschema.names
+    }
+    right_key = [rename[c] for c in ron_list]
+    out_names = lnames + [rename[n] for n in rschema.names if rename[n] not in lnames]
+    types: dict[str, pa.DataType] = {
+        n: lschema.types[lschema.names.index(n)] for n in lnames
+    }
+    for n in rschema.names:
+        types.setdefault(rename[n], rschema.types[rschema.names.index(n)])
+    out_schema = pa.schema([(n, types[n]) for n in out_names])
+
+    rdf = right.to_pandas().rename(columns=rename)
+    rref = ray.put(rdf)
+
+    def probe(t: pa.Table) -> pa.Table:
+        build = _prepared(("auto_join", rref.hex()), lambda: ray.get(rref))
+        out = t.to_pandas().merge(build, left_on=on_list, right_on=right_key, how=how)
+        return pa.Table.from_pandas(
+            out[out_names], schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def merge_upsert(
     base,
     changes,

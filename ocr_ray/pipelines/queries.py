@@ -8664,6 +8664,56 @@ def media_wav_features(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_WALSH_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+amp AS (
+  SELECT d, m, i, ((m * 53 + 17 * i) % 4001) - 2000 AS a
+  FROM media CROSS JOIN idx
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(SUM(a * (1 - 2 * ((i >> 0) & 1))) AS BIGINT) AS walsh_b0,
+  CAST(SUM(a * (1 - 2 * ((i >> 1) & 1))) AS BIGINT) AS walsh_b1,
+  CAST(SUM(a * (1 - 2 * ((i >> 2) & 1))) AS BIGINT) AS walsh_b2
+FROM amp GROUP BY d, m
+"""
+
+
+@query("media_walsh_features", sql=_WALSH_SQL)
+def media_walsh_features(sf_dir: str) -> ray.data.Dataset:
+    """Frequency-domain audio features over REAL decoded WAV clips:
+    Walsh–Hadamard sequency correlates (square-wave basis, sign flip
+    every 2^k samples) computed from the RIFF-parsed PCM — the
+    integer-exact analogue of DFT-bin energies, which makes a SPECTRAL
+    feature oracle-checkable bit-exact (a float FFT never is, from
+    summation-order ulp drift alone). Decode is the same actor-pool
+    chunk-walking parser as ``media_wav_features``; the correlates are
+    one (n, 64) x (64, 3) integer matmul per batch."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import WalshDecoder, attach_wav_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        WalshDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
 _Y4M_SQL = """
 WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
 w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),

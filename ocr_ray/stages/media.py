@@ -445,6 +445,40 @@ class WavDecoder:
         )
 
 
+class WalshDecoder:
+    """Actor-pool stage: REAL WAV decode + Walsh–Hadamard sequency
+    correlates over the decoded PCM — frequency-domain features through
+    an integer-exact transform. The square-wave (±1) basis plays the
+    role of DFT sinusoids: correlate k alternates sign every 2^k
+    samples, so low k picks up high "sequency" (frequency-like) content.
+    Because every term is integer arithmetic, the whole spectral feature
+    is SQL-expressible and oracle-checked BIT-EXACT — which a float FFT
+    could never be (summation-order ulp drift).
+
+    The ±1 basis is built once per actor in ``__init__``; per batch the
+    decoded fixed-length clips stack into one (n, 64) int64 matrix and
+    all correlates are ONE matmul."""
+
+    _BITS = (0, 1, 2)
+
+    def __init__(self):
+        i = np.arange(WAV_N, dtype=np.int64)
+        self._basis = np.stack(
+            [1 - 2 * ((i >> k) & 1) for k in self._BITS], axis=1
+        )  # (WAV_N, len(_BITS)), entries ±1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        clips = np.empty((batch.num_rows, WAV_N), dtype=np.int64)
+        for j, buf in enumerate(batch["payload"].to_pylist()):
+            x, _sr = decode_wav(buf)  # the RIFF walk is inherently per-clip
+            clips[j] = x.astype(np.int64)
+        e = clips @ self._basis
+        cols = {"doc_id": batch["doc_id"], "media_ref": batch["media_ref"]}
+        for col, k in enumerate(self._BITS):
+            cols[f"walsh_b{k}"] = pa.array(e[:, col])
+        return pa.table(cols)
+
+
 # ---------------------------------------------------------------------------
 # REAL codec path #3: Y4M (YUV4MPEG2) — the video leg. An actual video
 # container (text header + uncompressed 4:2:0 frames) parseable with pure

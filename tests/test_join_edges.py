@@ -221,3 +221,48 @@ def test_semi_anti_join_bucketed():
         .to_pandas()
     )
     assert list(out["v"]) == [20]
+
+
+# ---------------------------------------------------------------------------
+# auto_join: strategy pick must be invisible — broadcast and bucketed paths
+# produce identical frames (names, dtypes, rows) on the same input.
+# ---------------------------------------------------------------------------
+
+
+def _run_auto(left, right, *, broadcast_max_bytes, **kw) -> pd.DataFrame:
+    from ocr_ray.functions.relational import auto_join
+
+    out = auto_join(
+        _ds(left), _ds(right), num_buckets=4,
+        broadcast_max_bytes=broadcast_max_bytes, **kw
+    ).to_pandas()
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+DUP_RIGHT = pa.table(
+    {
+        "rk": pa.array([2, 2, 3, 4], pa.int64()),  # duplicate build keys expand
+        "val": pa.array(["x", "x2", "y", "z"]),
+    }
+)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_auto_join_broadcast_equals_bucketed(how):
+    shuffled = _run(LEFT, DUP_RIGHT, on="k", right_on="rk", how=how)
+    broadcast = _run_auto(
+        LEFT, DUP_RIGHT, on="k", right_on="rk", how=how, broadcast_max_bytes=1 << 30
+    )
+    pd.testing.assert_frame_equal(broadcast, shuffled)
+
+
+def test_auto_join_falls_back_to_shuffle():
+    # size cap 0 forces the bucketed path; right/full always shuffle
+    out = _run_auto(
+        LEFT, DUP_RIGHT, on="k", right_on="rk", how="inner", broadcast_max_bytes=0
+    )
+    pd.testing.assert_frame_equal(out, _run(LEFT, DUP_RIGHT, on="k", right_on="rk", how="inner"))
+    full = _run_auto(
+        LEFT, DUP_RIGHT, on="k", right_on="rk", how="full", broadcast_max_bytes=1 << 30
+    )
+    pd.testing.assert_frame_equal(full, _run(LEFT, DUP_RIGHT, on="k", right_on="rk", how="full"))
