@@ -5964,8 +5964,18 @@ def extract_training_set(sf_dir: str) -> ray.data.Dataset:
     extraction, scoring, dedup, windowing and splitting, so a single
     recognition bit-flip or a dropped/duplicated window anywhere breaks
     the hash. This is the pipeline a user points at raw interleaved
-    shards to get a training set out; scale shape is one actor-pool map
-    (extraction), one shuffle (dedup), and stateless maps elsewhere."""
+    shards to get a training set out (``pipelines/training.py`` lands it
+    as a resumable split-partitioned artifact); scale shape is one
+    actor-pool map (extraction), one shuffle (dedup), and stateless maps
+    elsewhere."""
+    return training_windows(sf_dir)
+
+
+def training_windows(sf_dir: str, *, keep_chunk: bool = False) -> ray.data.Dataset:
+    """The ``extract_training_set`` pipeline body (see that docstring).
+    ``keep_chunk=True`` also carries each window's token text — the
+    payload the on-disk training artifact needs but the oracle row
+    (value-hashed) does not."""
     from ocr_ray.functions.dedup import add_md5, dedup_by_key
     from ocr_ray.functions.text import token_windows
     from ocr_ray.pipelines.extract import extract_documents
@@ -6036,14 +6046,15 @@ def extract_training_set(sf_dir: str) -> ray.data.Dataset:
         split = np.where(
             bucket < 90, "train", np.where(bucket < 95, "val", "test")
         ).astype(object)
-        return pa.table(
-            {
-                "doc_id": w["doc_id"],
-                "win_start": pc.cast(w["win_start"], pa.int64()),
-                "n_tokens": pc.cast(w["n_tokens"], pa.int64()),
-                "split": pa.array(split, type=pa.string()),
-            }
-        )
+        cols = {
+            "doc_id": w["doc_id"],
+            "win_start": pc.cast(w["win_start"], pa.int64()),
+            "n_tokens": pc.cast(w["n_tokens"], pa.int64()),
+            "split": pa.array(split, type=pa.string()),
+        }
+        if keep_chunk:
+            cols["chunk"] = w["chunk"]
+        return pa.table(cols)
 
     return deduped.map_batches(windows_split, batch_format="pyarrow")
 
