@@ -5849,6 +5849,28 @@ SELECT printf('doc-%08d', d) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM m
 """,
 )
+def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Extraction x curation composite over the INTERLEAVED corpus: run
+    the full glyph-decode extraction engine (segment + nearest-template
+    recognize + boilerplate strip + reading-order reassembly), join each
+    document's recognized text spans back into its main-content text,
+    and score quality on the EXTRACTED text — the recognizer output must
+    be byte-identical to the withheld source for the float quality terms
+    to match the oracle, which replays corpus synthesis + extraction +
+    scoring end-to-end in SQL."""
+    from ocr_ray.pipelines.extract import extract_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    nested = extract_documents(read_documents(corpus), num_buckets=16)
+
+    scored = nested.map_batches(_extracted_doc_text, batch_format="pyarrow").map_batches(
+        textfn.quality_score, batch_format="pyarrow"
+    )
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "quality"]), batch_format="pyarrow"
+    )
+
+
 def _extracted_doc_text(t: pa.Table) -> pa.Table:
     """Join each extracted document's ``kind=='text'`` spans (already in
     reading order inside the nested ``spans`` list) into one main-content
@@ -5870,28 +5892,6 @@ def _extracted_doc_text(t: pa.Table) -> pa.Table:
     la = pa.LargeListArray.from_arrays(pa.array(off, type=pa.int64()), vals)
     joined = pc.binary_join(la, " ")
     return pa.table({"doc_id": t["doc_id"], "text": joined}).filter(pa.array(counts > 0))
-
-
-def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
-    """Extraction x curation composite over the INTERLEAVED corpus: run
-    the full glyph-decode extraction engine (segment + nearest-template
-    recognize + boilerplate strip + reading-order reassembly), join each
-    document's recognized text spans back into its main-content text,
-    and score quality on the EXTRACTED text — the recognizer output must
-    be byte-identical to the withheld source for the float quality terms
-    to match the oracle, which replays corpus synthesis + extraction +
-    scoring end-to-end in SQL."""
-    from ocr_ray.pipelines.extract import extract_documents
-
-    corpus = ensure_corpus(sf_dir, glyphs=True)
-    nested = extract_documents(read_documents(corpus), num_buckets=16)
-
-    scored = nested.map_batches(_extracted_doc_text, batch_format="pyarrow").map_batches(
-        textfn.quality_score, batch_format="pyarrow"
-    )
-    return scored.map_batches(
-        lambda t: t.select(["doc_id", "n_tokens", "quality"]), batch_format="pyarrow"
-    )
 
 
 @query(
