@@ -8775,3 +8775,251 @@ def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
         batch_size=512,
         concurrency=pool_size(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2i: skyline / regression / cohort retention / Markov transitions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_parts",
+    sql="""
+SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size, a.p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""",
+)
+def skyline_parts(sf_dir: str) -> ray.data.Dataset:
+    """Distributed skyline (Pareto frontier: minimize price, maximize size).
+
+    Local-prune pattern: each block computes its own skyline (the global
+    skyline is a subset of the union of local skylines), so the data that
+    reaches the final merge is tiny regardless of input size — the oracle's
+    NOT EXISTS dominance scan is O(n^2); this is O(n log n) per block plus
+    one small-merge. Ties kept: equal (price, size) points do not dominate
+    each other.
+    """
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("p_partkey", pa.int64()), ("p_size", pa.int64()), ("p_retailprice", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        price = t["p_retailprice"].to_numpy()
+        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
+        key = pc.cast(t["p_partkey"], pa.int64()).to_numpy()
+        order = np.lexsort((key, -size, price))  # price asc, size desc, key asc
+        p, s = price[order], size[order]
+        new_price = np.empty(len(p), dtype=bool)
+        new_price[0] = True
+        new_price[1:] = p[1:] != p[:-1]
+        grp = np.cumsum(new_price) - 1
+        gmax = s[new_price]  # first row of each price group = that group's max size
+        prev_best = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
+        survive = gmax > prev_best
+        keep = survive[grp] & (s == gmax[grp])
+        idx = np.sort(order[keep])
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[idx], pa.int64()),
+                "p_size": pa.array(size[idx], pa.int64()),
+                "p_retailprice": pa.array(price[idx], pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(local_skyline, batch_format="pyarrow")
+    # local skylines are tiny; one block -> exact global skyline
+    return local.repartition(1).map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "regr_price_by_qty",
+    sql="""
+WITH u AS (
+  SELECT l_returnflag AS returnflag,
+    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+  FROM lineitem
+), s AS (
+  SELECT returnflag, COUNT(*) AS n, SUM(xc) AS sx, SUM(yc) AS sy,
+         SUM(CAST(xc AS HUGEINT) * xc) AS sxx, SUM(CAST(xc AS HUGEINT) * yc) AS sxy
+  FROM u GROUP BY returnflag
+)
+SELECT returnflag, CAST(n AS BIGINT) AS n_rows,
+  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+     - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+       * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE) / 100.0 AS intercept
+FROM s
+""",
+)
+def regr_price_by_qty(sf_dir: str) -> ray.data.Dataset:
+    """Per-group exact OLS regression (extendedprice ~ quantity per returnflag).
+
+    Distributed as four integer partial sums (x, y, x^2, x*y in cent units)
+    through ONE tiny groupby; the driver-side finalize does the closed-form
+    slope/intercept on exact Python ints, then ONE float division each —
+    mirrored operation-for-operation in the HUGEINT SQL so the doubles are
+    bit-exact. Partial sums stay in int64: x<=5000c, y<=~1e7c per row, so
+    sum(x*y) reaches int64 range only past ~10^8 rows per returnflag — at
+    that scale split the sum into more groups (salt) or widen to float128.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        xc = to_units(t["l_quantity"])
+        yc = to_units(t["l_extendedprice"])
+        return pa.table(
+            {
+                "returnflag": t["l_returnflag"],
+                "xc": xc,
+                "yc": yc,
+                "xx": pc.multiply_checked(xc, xc),
+                "xy": pc.multiply_checked(xc, yc),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("returnflag")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("xc", alias_name="sx"),
+            Sum("yc", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, sx, sy, sxx, sxy = (int(r.n_rows), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy))
+            slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+            intercept = (float(sy) - slope * float(sx)) / float(n) / 100.0
+            rows.append((r.returnflag, n, slope, intercept))
+        return pd.DataFrame(rows, columns=["returnflag", "n_rows", "slope", "intercept"])
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "cohort_retention",
+    sql="""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS order_month FROM orders
+), coh AS (
+  SELECT o_custkey, MIN(order_month) AS cohort_month FROM pairs GROUP BY o_custkey
+)
+SELECT cohort_month, order_month, COUNT(*) AS n_custs
+FROM pairs JOIN coh USING (o_custkey)
+GROUP BY cohort_month, order_month
+""",
+)
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: customers active in month M by first-order
+    cohort month. ONE custkey-bucketed shuffle — each bucket holds all of a
+    customer's rows, so the in-bucket body does dedup + per-customer min +
+    partial cell counts fully vectorized; the final groupby folds
+    O(months^2) cells per bucket, independent of customer count.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        h = pd.util.hash_array(ck.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "custkey": ck,
+                "order_month": m,
+                "_bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+            }
+        )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cohort_month": pd.Series([], dtype=object), "order_month": pd.Series([], dtype=object), "n_custs": pd.Series([], dtype=np.int64)})
+        g2 = g.drop_duplicates(["custkey", "order_month"])
+        cm = g2.groupby("custkey")["order_month"].transform("min")
+        part = (
+            g2.assign(cohort_month=cm)
+            .groupby(["cohort_month", "order_month"], sort=False)
+            .size()
+            .reset_index(name="n_custs")
+        )
+        return part
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+    return partials.groupby(["cohort_month", "order_month"]).aggregate(
+        Sum("n_custs", alias_name="n_custs")
+    )
+
+
+@query(
+    "event_transitions",
+    sql="""
+WITH s AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n_pairs
+FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+""",
+)
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition-edge counts over per-user event sequences.
+
+    Same one-shuffle sequence idiom as ``user_sessions``: bucket by user so
+    each user's timeline is complete inside a bucket, sort once per bucket,
+    vectorized shift to pair consecutive events, partial (from, to) counts,
+    then a final groupby over the tiny |event_type|^2 cell space.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object), "to_type": pd.Series([], dtype=object), "n_pairs": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object), "to_type": pd.Series([], dtype=object), "n_pairs": pd.Series([], dtype=np.int64)})
+        return (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n_pairs")
+        )
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(Sum("n_pairs", alias_name="n_pairs"))
