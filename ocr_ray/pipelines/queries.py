@@ -9023,3 +9023,142 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         .map_groups(body, batch_format="pandas")
     )
     return partials.groupby(["from_type", "to_type"]).aggregate(Sum("n_pairs", alias_name="n_pairs"))
+
+
+@query(
+    "event_pattern_users",
+    sql="""
+WITH s AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v[cv]*p')) AS BIGINT) AS n_matches
+FROM s WHERE regexp_matches(seq, 'v[cv]*p')
+""",
+)
+def event_pattern_users(sf_dir: str) -> ray.data.Dataset:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-style CEP) over per-user
+    event streams: users whose ordered event-type sequence contains
+    view (clicks/views)* purchase — i.e. a purchase reached from a view
+    without leaving the browse funnel.
+
+    One user-bucketed shuffle; each bucket encodes every user's timeline as
+    a one-char-per-event string (event types have distinct initials) and
+    runs ONE compiled regex per user. Non-overlapping leftmost match counts
+    are identical between Python ``re`` and DuckDB's RE2 for this pattern
+    class. Per-user sequences are the unit of work — the regex cost is the
+    payload, not Python overhead.
+    """
+    import re as _re
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "c": pc.utf8_slice_codeunits(t["event_type"], 0, 1),
+                "_bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+            }
+        )
+
+    pat = _re.compile(r"v[cv]*p")
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "seq_len": pd.Series([], dtype=np.int64),
+                    "n_matches": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        seqs = g.groupby("user_id", sort=False)["c"].agg("".join)
+        n = seqs.map(lambda s: len(pat.findall(s)))
+        hit = n > 0
+        return pd.DataFrame(
+            {
+                "user_id": seqs.index.to_numpy()[hit],
+                "seq_len": seqs.str.len().to_numpy(dtype=np.int64)[hit],
+                "n_matches": n.to_numpy(dtype=np.int64)[hit],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
+@query(
+    "copurchase_part_pairs",
+    sql="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+c AS (SELECT part_a, part_b, COUNT(*) AS n_orders FROM p GROUP BY part_a, part_b)
+SELECT part_a, part_b, n_orders FROM c
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+""",
+)
+def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket mining: top co-purchased part pairs across orders.
+
+    Pair expansion happens inside order-bucketed groups via a vectorized
+    self-merge on orderkey, so blow-up is bounded by (items/order)^2 — a
+    per-basket constant, never corpus-quadratic (baskets here cap at ~13
+    items). Partial pair counts fold through one groupby; the global top-20
+    uses the local-top-k + tiny-merge pattern (no global sort). Tiebreak is
+    (count desc, part_a, part_b) for determinism.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def pairs_body(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series([], dtype=np.int64),
+                    "part_b": pd.Series([], dtype=np.int64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+            .rename(columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"})
+        )
+
+    counts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_body, batch_format="pandas")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(20)
+
+    local = counts.map_batches(local_topk, batch_format="pandas")
+    return local.repartition(1).map_batches(local_topk, batch_format="pandas", batch_size=None)
