@@ -81,6 +81,12 @@ QUERY_SET = [
     "q16_supplier_count_by_part_attrs",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    # round-2i additions
+    "skyline_parts",
+    "regr_price_by_qty",
+    "cohort_retention",
+    "event_pattern_users",
+    "copurchase_part_pairs",
 ]
 
 
