@@ -524,3 +524,113 @@ def star_edges_from_key(ds, *, key_col: str, node_col: str, num_buckets: int = 1
         .groupby("_bucket")
         .map_groups(body, batch_format="pandas")
     )
+
+
+def bfs_levels(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    source: int | None = None,
+    iterations: int = 3,
+    num_buckets: int = 16,
+    unreached: int = 999,
+):
+    """Bounded-round distributed BFS distances over a directed edge set.
+
+    All-integer recurrence — bit-reproducible across engines, so K
+    distributed rounds equal K unrolled SQL CTEs (same trick as the
+    fixed-point PageRank)::
+
+        dist_0(v)     = 0 if v == source else `unreached`
+        dist_{k+1}(v) = min(dist_k(v), 1 + min_{u->v} dist_k(u))
+
+    ``source=None`` picks MIN(node) (deterministic, derivable by the
+    oracle). Per-iteration shape matches ``_pagerank_engine``: ONE
+    bucketed edges⋈state join with the per-dst min(dist+1) partial
+    combined inside the join bucket, one small groupby fold over
+    (partials ∪ prior state), O(nodes) state pinned at ``num_buckets``
+    blocks between rounds. Unreached nodes keep the sentinel: a candidate
+    through an unreached src is ``unreached+1`` and always loses the min.
+    """
+    from ocr_ray.functions.relational import hash_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.int64()),
+                "dst": pc.cast(t[dst_col], pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(norm, batch_format="pyarrow").repartition(num_buckets).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        u = t["src"].to_numpy(zero_copy_only=False)
+        v = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([u, v])), type=pa.int64())})
+
+    def bucketize_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
+        )
+
+    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node"]].drop_duplicates(ignore_index=True)
+
+    nodes = (
+        e.map_batches(both_ends, batch_format="pyarrow")
+        .map_batches(bucketize_node, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(distinct_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    if source is None:
+        source = int(nodes.min("node"))
+    src_id = int(source)
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        d = np.where(n == src_id, 0, unreached).astype(np.int64)
+        return pa.table({"node": t["node"], "dist": pa.array(d)})
+
+    state = nodes.map_batches(init_dist, batch_format="pyarrow")
+
+    edge_schema = pa.schema({"src": pa.int64(), "dst": pa.int64()})
+    state_schema = pa.schema({"node": pa.int64(), "dist": pa.int64()})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": df["dst"].to_numpy(dtype=np.int64),
+                "dist": df["dist"].to_numpy(dtype=np.int64) + 1,
+            }
+        )
+        return out.groupby("node", as_index=False)["dist"].min()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["dist"].min()
+
+    for _ in range(iterations):
+        cand = hash_join(
+            e,
+            state,
+            on="src",
+            right_on="node",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=state_schema,
+            bucket_post=combine,
+            post_schema=state_schema,
+        )
+        state = (
+            cand.union(state)
+            .map_batches(bucketize_node, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas")
+            .repartition(num_buckets)
+            .materialize()
+        )
+    return state

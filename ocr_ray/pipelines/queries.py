@@ -9162,3 +9162,91 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
 
     local = counts.map_batches(local_topk, batch_format="pandas")
     return local.repartition(1).map_batches(local_topk, batch_format="pandas", batch_size=None)
+
+
+def _bfs_sql(iterations: int = 3) -> str:
+    """Unrolled BFS oracle: the all-integer min-distance recurrence means K
+    chained CTEs reproduce K distributed rounds bit-for-bit (the same
+    unrolling trick as ``_pagerank_sql``). Source = MIN(node)."""
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, MIN(d.dist + 1) AS nd
+  FROM edges e JOIN d{k-1} d ON d.node = e.src GROUP BY e.dst
+),
+d{k} AS (
+  SELECT d.node, LEAST(d.dist, COALESCE(s.nd, 999)) AS dist
+  FROM d{k-1} d LEFT JOIN s{k} s ON s.node = d.node
+)"""
+        )
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+d0 AS (
+  SELECT node,
+    CASE WHEN node = (SELECT MIN(node) FROM nodes) THEN 0 ELSE 999 END AS dist
+  FROM nodes
+),
+"""
+        + ",\n".join(iters)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{iterations}"
+    )
+
+
+@query("purchase_graph_bfs", sql=_bfs_sql(3))
+def purchase_graph_bfs(sf_dir: str) -> ray.data.Dataset:
+    """BFS hop distances from the smallest node of the purchase graph —
+    the graph-traversal sibling of ``purchase_graph_pagerank`` (same
+    customer↔supplier edge construction, same one-join-per-round
+    iterative shape via ``functions/graph.bfs_levels``), oracle-checked
+    bit-exact against 3 unrolled SQL CTEs. Nodes beyond 3 hops keep the
+    999 sentinel."""
+    from ocr_ray.functions import graph as graphfn
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": 2 * df["o_custkey"].to_numpy(dtype=np.int64),
+                "v": 2 * df["l_suppkey"].to_numpy(dtype=np.int64) + 1,
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    pairs = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64(), "l_suppkey": pa.int64()}),
+        bucket_post=local_pairs,
+        post_schema=pa.schema({"u": pa.int64(), "v": pa.int64()}),
+    )
+    distinct = graphfn._dedup_edges(pairs, 16)
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    edges = distinct.map_batches(sym, batch_format="pyarrow")
+    return graphfn.bfs_levels(edges, iterations=3)
