@@ -9250,3 +9250,71 @@ def purchase_graph_bfs(sf_dir: str) -> ray.data.Dataset:
 
     edges = distinct.map_batches(sym, batch_format="pyarrow")
     return graphfn.bfs_levels(edges, iterations=3)
+
+
+@query(
+    "span_kind_stats",
+    sql="""
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3 THEN '' ELSE s END AS text
+  FROM spans
+)
+SELECT printf('doc-%08d', d) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+  CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+  CAST(SUM(CASE WHEN kind = 'boilerplate' THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+  CAST(SUM(length(text)) AS BIGINT) AS text_chars
+FROM tagged GROUP BY d
+""",
+)
+def span_kind_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document span statistics computed DIRECTLY on the nested
+    ``spans: large_list<struct<...>>`` column — no explode, no shuffle.
+
+    The zero-copy nested path for the north-rule input shape: Arrow list
+    kernels (``flatten`` + ``list_parent_indices`` + ``utf8_length``) and
+    one ``np.add.at`` scatter per stat give per-doc counts inside each
+    batch; every row is independent, so the whole operator is a single
+    embarrassingly-parallel ``map_batches`` regardless of corpus size.
+    Oracle reproduces corpus synthesis (span order is irrelevant to the
+    counts, so the shuffled storage order doesn't matter)."""
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+
+    def stats(t: pa.Table) -> pa.Table:
+        sp = t["spans"].combine_chunks()
+        nr = len(sp)
+        flat = sp.flatten()
+        parent = pc.list_parent_indices(sp).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def per_doc(mask: np.ndarray) -> np.ndarray:
+            return np.bincount(parent[mask], minlength=nr).astype(np.int64)
+
+        chars = np.zeros(nr, dtype=np.int64)
+        np.add.at(chars, parent, tlen)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pa.array(pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)),
+                "n_text": pa.array(per_doc(kind == "text")),
+                "n_media": pa.array(per_doc(kind == "media")),
+                "n_boilerplate": pa.array(per_doc(kind == "boilerplate")),
+                "text_chars": pa.array(chars),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
