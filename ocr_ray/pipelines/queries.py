@@ -8782,6 +8782,40 @@ def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def local_skyline(t: pa.Table) -> pa.Table:
+    """Block-local 2D skyline kernel (minimize p_retailprice, maximize
+    p_size): sort by (price asc, size desc), keep each price group's
+    max-size rows when that max strictly beats every cheaper group's best.
+    Equal (price, size) ties don't dominate each other and are all kept.
+    Module-level so the property test can drive it without a Ray session."""
+    out_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("p_size", pa.int64()), ("p_retailprice", pa.float64())]
+    )
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    price = t["p_retailprice"].to_numpy()
+    size = pc.cast(t["p_size"], pa.int64()).to_numpy()
+    key = pc.cast(t["p_partkey"], pa.int64()).to_numpy()
+    order = np.lexsort((key, -size, price))  # price asc, size desc, key asc
+    p, s = price[order], size[order]
+    new_price = np.empty(len(p), dtype=bool)
+    new_price[0] = True
+    new_price[1:] = p[1:] != p[:-1]
+    grp = np.cumsum(new_price) - 1
+    gmax = s[new_price]  # first row of each price group = that group's max size
+    prev_best = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
+    survive = gmax > prev_best
+    keep = survive[grp] & (s == gmax[grp])
+    idx = np.sort(order[keep])
+    return pa.table(
+        {
+            "p_partkey": pa.array(key[idx], pa.int64()),
+            "p_size": pa.array(size[idx], pa.int64()),
+            "p_retailprice": pa.array(price[idx], pa.float64()),
+        }
+    )
+
+
 @query(
     "skyline_parts",
     sql="""
@@ -8804,34 +8838,6 @@ def skyline_parts(sf_dir: str) -> ray.data.Dataset:
     each other.
     """
     ds = read_table(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
-
-    def local_skyline(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [("p_partkey", pa.int64()), ("p_size", pa.int64()), ("p_retailprice", pa.float64())]
-        )
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        price = t["p_retailprice"].to_numpy()
-        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
-        key = pc.cast(t["p_partkey"], pa.int64()).to_numpy()
-        order = np.lexsort((key, -size, price))  # price asc, size desc, key asc
-        p, s = price[order], size[order]
-        new_price = np.empty(len(p), dtype=bool)
-        new_price[0] = True
-        new_price[1:] = p[1:] != p[:-1]
-        grp = np.cumsum(new_price) - 1
-        gmax = s[new_price]  # first row of each price group = that group's max size
-        prev_best = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
-        survive = gmax > prev_best
-        keep = survive[grp] & (s == gmax[grp])
-        idx = np.sort(order[keep])
-        return pa.table(
-            {
-                "p_partkey": pa.array(key[idx], pa.int64()),
-                "p_size": pa.array(size[idx], pa.int64()),
-                "p_retailprice": pa.array(price[idx], pa.float64()),
-            }
-        )
 
     local = ds.map_batches(local_skyline, batch_format="pyarrow")
     # local skylines are tiny; one block -> exact global skyline

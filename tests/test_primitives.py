@@ -131,3 +131,74 @@ def test_minhash_signature_permutation_is_minwise():
         with np.errstate(over="ignore"):
             naive = np.array([(vals * a[j] + b[j]).min() for j in range(8)], dtype=np.uint64)
         assert (sig[d] == naive).all()
+
+
+class TestSkylineKernel:
+    """Property test for the block-local skyline kernel: sorted-scan result
+    must equal the O(n^2) dominance definition, including (price, size)
+    ties and the two-level local-then-merge composition."""
+
+    @staticmethod
+    def _brute(price, size):
+        import numpy as np
+
+        n = len(price)
+        keep = []
+        for i in range(n):
+            dominated = False
+            for j in range(n):
+                if (
+                    price[j] <= price[i]
+                    and size[j] >= size[i]
+                    and (price[j] < price[i] or size[j] > size[i])
+                ):
+                    dominated = True
+                    break
+            if not dominated:
+                keep.append(i)
+        return set(keep)
+
+    def test_matches_brute_force_with_ties(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_ray.pipelines.queries import local_skyline
+
+        rng = np.random.default_rng(7)
+        for trial in range(25):
+            n = int(rng.integers(1, 60))
+            # tiny value domains force heavy (price, size) ties
+            price = rng.integers(0, 6, n).astype(np.float64)
+            size = rng.integers(0, 6, n).astype(np.int64)
+            t = pa.table(
+                {
+                    "p_partkey": pa.array(np.arange(n), pa.int64()),
+                    "p_size": pa.array(size),
+                    "p_retailprice": pa.array(price),
+                }
+            )
+            got = set(local_skyline(t)["p_partkey"].to_pylist())
+            want = self._brute(price, size)
+            assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
+
+    def test_local_then_merge_equals_global(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_ray.pipelines.queries import local_skyline
+
+        rng = np.random.default_rng(11)
+        n = 200
+        price = rng.integers(0, 20, n).astype(np.float64)
+        size = rng.integers(0, 20, n).astype(np.int64)
+        t = pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n), pa.int64()),
+                "p_size": pa.array(size),
+                "p_retailprice": pa.array(price),
+            }
+        )
+        whole = set(local_skyline(t)["p_partkey"].to_pylist())
+        parts = [local_skyline(t.slice(off, 50)) for off in range(0, n, 50)]
+        merged = set(local_skyline(pa.concat_tables(parts))["p_partkey"].to_pylist())
+        assert merged == whole
