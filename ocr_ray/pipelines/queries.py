@@ -39,7 +39,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import pool_size
+from ocr_ray.sizing import buckets_for_input, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 QUERY_FNS: dict[str, Callable[[str], Any]] = {}
@@ -8943,6 +8943,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    nb = np.uint64(buckets_for_input(ds))
 
     def bucketize(t: pa.Table) -> pa.Table:
         ck = pc.cast(t["o_custkey"], pa.int64())
@@ -8952,7 +8953,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
             {
                 "custkey": ck,
                 "order_month": m,
-                "_bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+                "_bucket": pa.array((h % nb).astype(np.int32)),
             }
         )
 
@@ -9002,10 +9003,11 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    nb = np.uint64(buckets_for_input(ds))
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -9060,6 +9062,7 @@ def event_pattern_users(sf_dir: str) -> ray.data.Dataset:
     import re as _re
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    nb = np.uint64(buckets_for_input(ds))
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
@@ -9069,7 +9072,7 @@ def event_pattern_users(sf_dir: str) -> ray.data.Dataset:
                 "ts": t["ts"],
                 "event_id": t["event_id"],
                 "c": pc.utf8_slice_codeunits(t["event_type"], 0, 1),
-                "_bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+                "_bucket": pa.array((h % nb).astype(np.int32)),
             }
         )
 
@@ -9129,10 +9132,11 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nb = np.uint64(buckets_for_input(ds))
 
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["l_orderkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(64)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def pairs_body(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
