@@ -9328,3 +9328,61 @@ def span_kind_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+@query(
+    "decile_bucket_orders",
+    sql="""
+WITH b AS (
+  SELECT [
+    quantile_disc(o_totalprice, 0.1), quantile_disc(o_totalprice, 0.2),
+    quantile_disc(o_totalprice, 0.3), quantile_disc(o_totalprice, 0.4),
+    quantile_disc(o_totalprice, 0.5), quantile_disc(o_totalprice, 0.6),
+    quantile_disc(o_totalprice, 0.7), quantile_disc(o_totalprice, 0.8),
+    quantile_disc(o_totalprice, 0.9)
+  ] AS bs FROM orders
+)
+SELECT o.o_orderkey,
+  CAST(1 + len(list_filter(b.bs, x -> o.o_totalprice > x)) AS BIGINT) AS decile
+FROM orders o, b
+""",
+)
+def decile_bucket_orders(sf_dir: str) -> ray.data.Dataset:
+    """Feature discretization (fit-then-transform): bin every order's
+    totalprice into global deciles.
+
+    FIT: the nine decile boundaries come from the distributed-selection
+    exact-quantile machinery (min/max pass + binned histogram pass; no
+    task holds the sorted column; ``quantile_disc`` order-statistic
+    semantics, so boundaries are actual data values and double
+    comparisons are exact on both sides). TRANSFORM: the 9-value
+    boundary vector broadcasts in the closure and bin assignment is one
+    ``np.searchsorted`` per batch — the standard small-model
+    fit/broadcast/apply shape (same as ``unigram_lm_score``)."""
+    from ocr_ray.functions.sketch import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    fit_in = ds.map_batches(
+        lambda t: pa.table(
+            {"_g": pa.array(["all"] * t.num_rows), "o_totalprice": t["o_totalprice"]}
+        ),
+        batch_format="pyarrow",
+    )
+    qs = tuple((i + 1) / 10 for i in range(9))
+    fitted = grouped_exact_quantiles(fit_in, group_col="_g", value_col="o_totalprice", qs=qs)
+    bounds = np.sort(
+        np.array([fitted.iloc[0][f"q_{int(q * 100)}"] for q in qs], dtype=np.float64)
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        decile = 1 + np.searchsorted(bounds, v, side="left")
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "decile": pa.array(decile.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
