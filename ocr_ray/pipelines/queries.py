@@ -9386,3 +9386,91 @@ def decile_bucket_orders(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+@query(
+    "zscore_outliers_events",
+    sql="""
+WITH u AS (
+  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(vc) AS sy, SUM(CAST(vc AS HUGEINT) * vc) AS syy
+  FROM u GROUP BY event_type
+), p AS (
+  SELECT event_type,
+    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    9.0 * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS thr
+  FROM s
+)
+SELECT u.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN (CAST(u.vc AS DOUBLE) - p.mean) * (CAST(u.vc AS DOUBLE) - p.mean) > p.thr
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM u JOIN p USING (event_type) GROUP BY u.event_type
+""",
+)
+def zscore_outliers_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-group 3-sigma anomaly counts, bit-exact without ever taking a
+    square root: the test |v-mu| > 3*sigma is evaluated as
+    (v-mu)^2 > 9*var with mu/var derived from EXACT integer sums
+    (n, sum, sum-of-squares in cents) and the handful of float ops
+    mirrored expression-for-expression in the SQL.
+
+    Two streaming passes: a tiny fit groupby (3 int aggregates), then a
+    broadcast of the per-group (mean, threshold) pairs into a map-side
+    counting pass with per-batch combine — the same fit/broadcast/apply
+    shape as ``decile_bucket_orders``. Sum-of-squares partial sums hold
+    in int64 to ~1e9 rows per group at this value scale; beyond that,
+    salt the fit groupby and merge on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = to_units(t["value"])
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "vc": vc,
+                "vv": pc.multiply_checked(vc, vc),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    fit = (
+        prepped.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("vc", alias_name="sy"), Sum("vv", alias_name="syy"))
+        .to_pandas()
+    )
+    stats = {}
+    for r in fit.itertuples(index=False):
+        n, sy, syy = int(r.n), int(r.sy), int(r.syy)
+        mean = float(sy) / float(n)
+        thr = 9.0 * float(n * syy - sy * sy) / (float(n) * float(n))
+        stats[r.event_type] = (mean, thr)
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["vc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        types, counts, outs = [], [], []
+        for typ, (mean, thr) in stats.items():
+            m = et == typ
+            if not m.any():
+                continue
+            d = v[m] - mean
+            types.append(typ)
+            counts.append(int(m.sum()))
+            outs.append(int((d * d > thr).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_rows": pa.array(np.array(counts, dtype=np.int64)),
+                "n_outliers": pa.array(np.array(outs, dtype=np.int64)),
+            }
+        )
+
+    return (
+        prepped.map_batches(count_outliers, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_outliers", alias_name="n_outliers"))
+    )
