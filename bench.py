@@ -87,6 +87,10 @@ QUERY_SET = [
     "cohort_retention",
     "event_pattern_users",
     "copurchase_part_pairs",
+    "span_kind_stats",
+    "decile_bucket_orders",
+    "zscore_outliers_events",
+    "purchase_graph_bfs",
 ]
 
 
