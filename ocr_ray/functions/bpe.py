@@ -243,3 +243,64 @@ def bpe_train_reference(word_counts: dict[str, int], num_merges: int) -> list[tu
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+class BpeEncoder:
+    """Stateful actor-pool encode stage: apply a learned merge list to text.
+
+    The transform half of the tokenizer (``bpe_train`` is the fit half):
+    construct with the small merge table (broadcast once per actor via the
+    actor-pool ``fn_constructor_kwargs`` — never re-shipped per batch), and
+    ``__call__`` tokenizes each word by replaying the merges in rank order
+    with the same greedy leftmost-non-overlapping rule used in training.
+    A per-actor word→token-count cache makes the cost proportional to the
+    batch's UNIQUE word types, not its tokens — the same
+    vocabulary-not-corpus bound as training."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = [(str(left), str(right)) for left, right in merges]
+        self.cache: dict[str, int] = {}
+
+    def _n_tokens(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word[:-1]) + [word[-1] + EOW]
+        for left, right in self.merges:
+            if len(syms) < 2:
+                break
+            syms = merge_pair_rows([syms], left, right)[0]
+        n = len(syms)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            total = 0
+            for w in (txt or "").split(" "):
+                if w:
+                    total += self._n_tokens(w)
+            out[i] = total
+        cols = {name: t[name] for name in t.schema.names if name != "text"}
+        cols["n_bpe_tokens"] = pa.array(out)
+        return pa.table(cols)
+
+
+def bpe_encode_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent pure-Python single-word encoder for tests (same greedy
+    leftmost-non-overlapping semantics, written without merge_pair_rows)."""
+    syms = list(word[:-1]) + [word[-1] + EOW]
+    for left, right in merges:
+        res: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms

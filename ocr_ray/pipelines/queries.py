@@ -9474,3 +9474,27 @@ def zscore_outliers_events(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_outliers", alias_name="n_outliers"))
     )
+
+
+@query("bpe_encode_docs", sql=None)
+def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
+    """BPE tokenizer APPLICATION (the transform half of ``bpe_train_merges``):
+    fit 12 merges on the corpus word-frequency table, then tokenize every
+    document with a stateful actor-pool encode stage — the learned merge
+    list ships once per actor (constructor arg), and a per-actor
+    word→count cache bounds work by unique word types per batch. No SQL
+    oracle (data-dependent iterative fit); per-doc token counts are
+    asserted equal to an independent pure-Python encoder in
+    tests/test_dedup_ann.py."""
+    from ocr_ray.functions.bpe import BpeEncoder, bpe_train
+
+    fit = bpe_train(read_table(sf_dir, "documents", columns=["text"]), num_merges=12)
+    merges = list(zip(fit["left"], fit["right"]))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeEncoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+        fn_constructor_kwargs={"merges": merges},
+    )

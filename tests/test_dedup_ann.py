@@ -399,3 +399,20 @@ def test_y4m_codec_roundtrip():
     raw[raw.index(b"FRAME")] = ord(b"X")
     with pytest.raises(ValueError):
         decode_y4m(bytes(raw))
+
+
+def test_bpe_encoder_matches_reference(queries, sf_smoke):
+    """The actor-pool BPE encode stage must tokenize every document to the
+    same token count as an independent per-word reference encoder replaying
+    the same learned merges."""
+    from ocr_ray.functions.bpe import bpe_encode_reference
+
+    enc = _to_df(queries["bpe_encode_docs"](sf_smoke))
+    fit = _to_df(queries["bpe_train_merges"](sf_smoke))
+    merges = list(zip(fit["left"], fit["right"]))
+    docs = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
+    ref = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        ref[d] = sum(len(bpe_encode_reference(w, merges)) for w in txt.split(" ") if w)
+    got = dict(zip(enc["doc_id"], enc["n_bpe_tokens"].astype(int)))
+    assert got == ref
