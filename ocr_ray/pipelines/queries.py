@@ -9125,12 +9125,13 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
     Pair expansion happens inside order-bucketed groups via a vectorized
     self-merge on orderkey, so blow-up is bounded by (items/order)^2 — a
     per-basket constant, never corpus-quadratic (baskets here cap at ~13
-    items). Partial pair counts fold through one groupby; the global top-20
-    uses the local-top-k + tiny-merge pattern (no global sort). Tiebreak is
+    items). Pair counts then fold inside PAIR-hash buckets with a pandas
+    groupby-sum — NOT a Ray composite-key Aggregate, which at ~1M
+    near-unique pair groups pays per-group fold overhead (measured 166 s
+    vs 3 s for the bucketed fold at sf0.1). The global top-20 uses the
+    local-top-k + tiny-merge pattern (no global sort). Tiebreak is
     (count desc, part_a, part_b) for determinism.
     """
-    from ray.data.aggregate import Sum
-
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     nb = np.uint64(buckets_for_input(ds))
 
@@ -9157,21 +9158,37 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
             .rename(columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"})
         )
 
-    counts = (
+    partials = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(pairs_body, batch_format="pandas")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(a * np.int64(1_000_003) + b)
+        return t.append_column("_pb", pa.array((h % nb).astype(np.int32)))
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
         ).head(20)
 
-    local = counts.map_batches(local_topk, batch_format="pandas")
-    return local.repartition(1).map_batches(local_topk, batch_format="pandas", batch_size=None)
+    def count_body(g: pd.DataFrame) -> pd.DataFrame:
+        # a pair's rows all share its hash bucket, so the in-bucket sum is
+        # the exact global count and the bucket top-20 is a valid partial
+        red = (
+            g.groupby(["part_a", "part_b"], sort=False)["n_orders"].sum().reset_index()
+        )
+        return local_topk(red)
+
+    counts = (
+        partials.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(count_body, batch_format="pandas")
+    )
+    return counts.repartition(1).map_batches(local_topk, batch_format="pandas", batch_size=None)
 
 
 def _bfs_sql(iterations: int = 3) -> str:
