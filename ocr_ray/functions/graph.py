@@ -587,6 +587,11 @@ def bfs_levels(
         .materialize()
     )
 
+    if nodes.count() == 0:
+        # degenerate: no edges -> no nodes -> typed empty state
+        return ray.data.from_arrow(
+            pa.schema({"node": pa.int64(), "dist": pa.int64()}).empty_table()
+        )
     if source is None:
         source = int(nodes.min("node"))
     src_id = int(source)

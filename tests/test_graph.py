@@ -217,3 +217,49 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
     assert start2 == 3
     got2 = ranks2.to_pandas().sort_values("node").reset_index(drop=True)
     pd_testing.assert_frame_equal(got2, want)
+
+
+def test_bfs_levels_matches_python_reference():
+    """Distributed BFS distances equal a plain-Python BFS capped at the
+    iteration budget, including the unreached sentinel; empty edge sets
+    return a typed empty state instead of crashing."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.graph import bfs_levels
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 7), (7, 8), (10, 11)]
+    sym = edges + [(b, a) for a, b in edges]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in sym], pa.int64()),
+                "dst": pa.array([b for _, b in sym], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(ds, iterations=3, num_buckets=4).take_all()
+    }
+
+    adj = collections.defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    want = {n: 999 for n in adj}
+    want[1] = 0
+    frontier = {1}
+    for depth in range(1, 4):
+        frontier = {v for u in frontier for v in adj[u] if want[v] == 999}
+        for v in frontier:
+            want[v] = depth
+    assert got == want
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    out = bfs_levels(empty, iterations=2, num_buckets=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "dist"}
