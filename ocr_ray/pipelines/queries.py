@@ -9515,3 +9515,106 @@ def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         fn_constructor_kwargs={"merges": merges},
     )
+
+
+@query(
+    "rfm_segments",
+    sql="""
+WITH per AS (
+  SELECT o_custkey,
+    date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS r_days,
+    COUNT(*) AS n_orders,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT
+    [quantile_disc(r_days, 0.2), quantile_disc(r_days, 0.4),
+     quantile_disc(r_days, 0.6), quantile_disc(r_days, 0.8)] AS rb,
+    [quantile_disc(n_orders, 0.2), quantile_disc(n_orders, 0.4),
+     quantile_disc(n_orders, 0.6), quantile_disc(n_orders, 0.8)] AS fb,
+    [quantile_disc(m_cents, 0.2), quantile_disc(m_cents, 0.4),
+     quantile_disc(m_cents, 0.6), quantile_disc(m_cents, 0.8)] AS mb
+  FROM per
+)
+SELECT p.o_custkey, CAST(p.r_days AS BIGINT) AS r_days, p.n_orders,
+  CAST(p.m_cents AS BIGINT) AS m_cents,
+  CAST(1 + len(list_filter(b.rb, x -> p.r_days > x)) AS BIGINT) AS r_q,
+  CAST(1 + len(list_filter(b.fb, x -> p.n_orders > x)) AS BIGINT) AS f_q,
+  CAST(1 + len(list_filter(b.mb, x -> p.m_cents > x)) AS BIGINT) AS m_q
+FROM per p, b
+""",
+)
+def rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation (recency / frequency / monetary quintiles)
+    — the classic customer-analytics composite, fully integer-exact.
+
+    One per-customer aggregate (days-since-last-order vs the global max
+    date, order count, lifetime cents), materialized ONCE; then three
+    quintile fits reuse the distributed-selection quantile machinery over
+    that table (per-customer, so it scales with customers, and no task
+    holds the sorted column); the three 4-value boundary vectors broadcast
+    into a single searchsorted transform. Every metric and boundary is an
+    integer — no float enters the comparison on either side."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ocr_ray.functions.sketch import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "ts_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    per_raw = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("ts_us", alias_name="last_us"),
+            Count(alias_name="n_orders"),
+            Sum("price_c", alias_name="m_cents"),
+        )
+        .materialize()
+    )
+    anchor_us = int(per_raw.max("last_us"))
+    day_us = 86_400_000_000
+
+    def metrics(t: pa.Table) -> pa.Table:
+        last = t["last_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "r_days": pa.array((anchor_us - last) // day_us, pa.int64()),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "m_cents": pc.cast(t["m_cents"], pa.int64()),
+            }
+        )
+
+    per = per_raw.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    qs = (0.2, 0.4, 0.6, 0.8)
+    bounds = {}
+    for col in ("r_days", "n_orders", "m_cents"):
+        fit_in = per.map_batches(
+            lambda t, c=col: pa.table({"_g": pa.array(["all"] * t.num_rows), c: t[c]}),
+            batch_format="pyarrow",
+        )
+        fitted = grouped_exact_quantiles(fit_in, group_col="_g", value_col=col, qs=qs)
+        bounds[col] = np.sort(
+            np.array([fitted.iloc[0][f"q_{int(q * 100)}"] for q in qs], dtype=np.float64)
+        )
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = {n: t[n] for n in ("o_custkey", "r_days", "n_orders", "m_cents")}
+        for col, short in (("r_days", "r_q"), ("n_orders", "f_q"), ("m_cents", "m_q")):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[short] = pa.array(
+                (1 + np.searchsorted(bounds[col], v, side="left")).astype(np.int64)
+            )
+        return pa.table(out)
+
+    return per.map_batches(assign, batch_format="pyarrow")
