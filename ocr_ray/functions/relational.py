@@ -577,3 +577,45 @@ def merge_upsert(
         bucket_post=resolve,
         post_schema=out_schema,
     )
+
+
+def bucketed_aggregate(
+    ds,
+    *,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_buckets: int | None = None,
+):
+    """High-cardinality groupby-aggregate: ONE key-hash bucket shuffle,
+    then a vectorized pandas named-agg per bucket.
+
+    ``Dataset.groupby().aggregate()`` pays a per-group Python fold —
+    measured ~0.14 ms/group (166 s for 1.2 M near-unique pair groups at
+    sf0.1, BENCH/BASELINE.md round-2i) — so it is reserved for
+    low-cardinality keys. This helper is the engine's path for keys whose
+    cardinality scales with the data (per-customer, per-pair, per-doc):
+    group count adds only the pandas hash-agg cost inside each bucket.
+
+    ``aggs`` maps output column -> (input column, op) with op one of
+    ``sum | count | min | max | mean-free ops only`` (anything pandas
+    ``DataFrameGroupBy.agg`` accepts as a named aggregation). Exactness:
+    sum/count/min/max over int64 stay int64 end to end.
+    """
+    from ocr_ray.sizing import default_buckets
+
+    nb = int(num_buckets or default_buckets())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(_key_hash_cols(t, keys, nb)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, sort=False).agg(
+            **{name: (src, op) for name, (src, op) in aggs.items()}
+        )
+        return out.reset_index()
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )

@@ -9555,8 +9555,7 @@ def rfm_segments(sf_dir: str) -> ray.data.Dataset:
     holds the sorted column); the three 4-value boundary vectors broadcast
     into a single searchsorted transform. Every metric and boundary is an
     integer — no float enters the comparison on either side."""
-    from ray.data.aggregate import Count, Max, Sum
-
+    from ocr_ray.functions.relational import bucketed_aggregate
     from ocr_ray.functions.sketch import grouped_exact_quantiles
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
@@ -9570,16 +9569,17 @@ def rfm_segments(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    per_raw = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Max("ts_us", alias_name="last_us"),
-            Count(alias_name="n_orders"),
-            Sum("price_c", alias_name="m_cents"),
-        )
-        .materialize()
-    )
+    # per-customer: key cardinality scales with the data, so this is a
+    # bucketed fold, not a Dataset.aggregate (see bucketed_aggregate doc)
+    per_raw = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={
+            "last_us": ("ts_us", "max"),
+            "n_orders": ("ts_us", "count"),
+            "m_cents": ("price_c", "sum"),
+        },
+    ).materialize()
     anchor_us = int(per_raw.max("last_us"))
     day_us = 86_400_000_000
 

@@ -266,3 +266,53 @@ def test_auto_join_falls_back_to_shuffle():
         LEFT, DUP_RIGHT, on="k", right_on="rk", how="full", broadcast_max_bytes=1 << 30
     )
     pd.testing.assert_frame_equal(full, _run(LEFT, DUP_RIGHT, on="k", right_on="rk", how="full"))
+
+
+def test_bucketed_aggregate_matches_dataset_aggregate():
+    """bucketed_aggregate (the high-cardinality groupby path) must produce
+    exactly the rows of Dataset.groupby().aggregate() — int dtypes
+    preserved, composite keys included."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table(
+        {
+            "k1": pa.array(rng.integers(0, 400, n), pa.int64()),
+            "k2": pa.array([f"g{v}" for v in rng.integers(0, 3, n)]),
+            "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    got = (
+        bucketed_aggregate(
+            ds,
+            keys=["k1", "k2"],
+            aggs={"s": ("v", "sum"), "c": ("v", "count"), "lo": ("v", "min"), "hi": ("v", "max")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["k1", "k2"])
+        .aggregate(
+            Sum("v", alias_name="s"),
+            Count(alias_name="c"),
+            Min("v", alias_name="lo"),
+            Max("v", alias_name="hi"),
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k1", "k2", "s", "c", "lo", "hi"]].astype({"c": "int64"}),
+                                  want[["k1", "k2", "s", "c", "lo", "hi"]].astype({"c": "int64"}))
