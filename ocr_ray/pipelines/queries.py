@@ -686,7 +686,7 @@ def custkey_skew_profile(sf_dir: str) -> ray.data.Dataset:
     (Arrow group_by) -> one small distributed groupby-sum -> per-block
     partial top-10 -> tiny final sort; the full key histogram never
     lands on one task."""
-    from ray.data.aggregate import Sum
+    from ocr_ray.functions.relational import bucketed_aggregate
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey"])
 
@@ -699,10 +699,11 @@ def custkey_skew_profile(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n_orders"))
+    # per-custkey: key cardinality scales with the data -> bucketed fold
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"n_orders": ("n", "sum")},
     )
 
     def local_top(t: pa.Table) -> pa.Table:
@@ -1047,16 +1048,18 @@ def customer_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Count
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    counts = (
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    counts = bucketed_aggregate(
         read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(
             lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(
                 ["o_custkey"]
             ),
             batch_format="pyarrow",
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
+        ),
+        keys=["o_custkey"],
+        aggs={"n_orders": ("o_custkey", "count")},
     )
     return hash_join(
         cust,
@@ -2847,11 +2850,16 @@ def substring_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         .groupby("_bucket")
         .map_groups(bucket_body, batch_format="pandas")
     )
-    agg = partials.groupby("doc_id").aggregate(Sum("dup"), Sum("tot"))
+    # per-doc: key cardinality scales with the corpus -> bucketed fold
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(
+        partials, keys=["doc_id"], aggs={"dup": ("dup", "sum"), "tot": ("tot", "sum")}
+    )
 
     def finish(t: pa.Table) -> pa.Table:
-        dup = t["sum(dup)"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = t["sum(tot)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t["dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
