@@ -1547,8 +1547,11 @@ def tfidf_doc_tokens(sf_dir: str) -> ray.data.Dataset:
             2, "tf", pc.cast(out["count_all"], pa.int64())
         )
 
+    from ocr_ray.functions.relational import bucketed_aggregate
+
     tf = ds.map_batches(term_counts, batch_format="pyarrow")
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    # per-token: vocabulary scales with the corpus -> bucketed fold
+    df = bucketed_aggregate(tf, keys=["token"], aggs={"df": ("doc_id", "count")})
     joined = hash_join(
         tf,
         df.map_batches(
@@ -2330,12 +2333,13 @@ def frequent_tokens(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "documents", columns=["text"])
     # distributed partial merge: driver input bounded by surviving-candidate
     # cardinality (tokens that appear in ANY batch summary), not batch count.
-    merged = (
-        ds.map_batches(misra_gries_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(misra_gries_partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()
     cand = merged.set_index("token")["count"].nlargest(64)
     cand_ref = ray.put(sorted(cand.index))
 
@@ -4084,10 +4088,12 @@ def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
         out = flat.group_by("token").aggregate([([], "count_all")])
         return out.rename_columns(["token", "n"])
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("n", "sum")},
     )
 
     def local_top(t: pa.Table) -> pa.Table:
@@ -4294,10 +4300,12 @@ def unigram_lm_score(sf_dir: str) -> ray.data.Dataset:
         out = flat.group_by("token").aggregate([([], "count_all")])
         return out.rename_columns(["token", "n"])
 
-    counts = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    counts = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["token"],
+        aggs={"n": ("n", "sum")},
     )
 
     def local_top(t: pa.Table) -> pa.Table:
