@@ -58,10 +58,13 @@ def word_counts(ds, *, text_col: str = "text"):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("n", alias_name="n"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    # per-word: vocabulary scales with the corpus -> bucketed fold
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["word"],
+        aggs={"n": ("n", "sum")},
     )
 
 
@@ -118,10 +121,12 @@ def best_pair(sym_ds) -> tuple[str, str, int] | None:
     deterministic tiebreak (count desc, left asc, right asc)."""
     from ray.data.aggregate import Sum
 
-    counts = (
-        sym_ds.map_batches(_pair_partial, batch_format="pyarrow")
-        .groupby(["left", "right"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    counts = bucketed_aggregate(
+        sym_ds.map_batches(_pair_partial, batch_format="pyarrow"),
+        keys=["left", "right"],
+        aggs={"cnt": ("cnt", "sum")},
     )
 
     def local_best(t: pa.Table) -> pa.Table:

@@ -335,9 +335,12 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
     base = prepped.groupby("event_type").aggregate(
         Count(alias_name="n_events"), Sum("value_c", alias_name="value_c")
     )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
     uniq = (
-        prepped.groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
+        bucketed_aggregate(
+            prepped, keys=["event_type", "user_id"], aggs={"_c": ("user_id", "count")}
+        )
         .groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
     )
@@ -6507,7 +6510,9 @@ def q10_returned_revenue(sf_dir: str) -> ray.data.Dataset:
         bucket_post=per_cust,
         post_schema=pa.schema({"o_custkey": pa.int64(), "rev_u4": pa.int64()}),
     )
-    agg = joined.groupby("o_custkey").aggregate(Sum("rev_u4", alias_name="rev_u4"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(joined, keys=["o_custkey"], aggs={"rev_u4": ("rev_u4", "sum")})
 
     cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]).to_pandas()
     nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -7404,12 +7409,13 @@ def q15_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
         red = df.groupby("l_suppkey", as_index=False)["rev_u4"].sum()
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
-    rev = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("rev_u4", alias_name="rev_u4"))
-        .to_pandas()  # one row per supplier (dimension cardinality)
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    rev = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_suppkey"],
+        aggs={"rev_u4": ("rev_u4", "sum")},
+    ).to_pandas()  # one row per supplier (dimension cardinality)
     best = rev[rev["rev_u4"] == rev["rev_u4"].max()]
     sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey").sort_values("s_suppkey")
@@ -7697,12 +7703,13 @@ def q20_qualified_suppliers(sf_dir: str) -> pd.DataFrame:
         red = df.groupby("l_suppkey", as_index=False)["qty"].sum()
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
-    sums = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("qty", alias_name="qty"))
-        .to_pandas()  # one row per supplier (dimension cardinality)
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    sums = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_suppkey"],
+        aggs={"qty": ("qty", "sum")},
+    ).to_pandas()  # one row per supplier (dimension cardinality)
     hit = set(sums.loc[sums["qty"] > 120, "l_suppkey"].astype(int))
     sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     out = sup[sup["s_suppkey"].isin(hit)].sort_values("s_suppkey")
@@ -7786,9 +7793,11 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         post_schema=pa.schema({"l_suppkey": pa.int64(), "n": pa.int64()}),
     )
 
-    counts = (
-        partials.groupby("l_suppkey").aggregate(Sum("n", alias_name="numwait")).to_pandas()
-    )  # one row per supplier
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    counts = bucketed_aggregate(
+        partials, keys=["l_suppkey"], aggs={"numwait": ("n", "sum")}
+    ).to_pandas()  # one row per supplier
     sup = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     out = counts.merge(sup, left_on="l_suppkey", right_on="s_suppkey").sort_values(
         ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
