@@ -171,3 +171,7 @@ def _ensure_builtins() -> None:
     stage("repetition_stats")(repetition_stats)
     stage("pii_augment")(pii_augment)
     stage("pii_redact")(pii_redact)
+
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    stage("bucketed_aggregate", kind="shuffle")(bucketed_aggregate)
