@@ -609,7 +609,8 @@ def bucketed_aggregate(
         return t.append_column("_bucket", pa.array(_key_hash_cols(t, keys, nb)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, sort=False).agg(
+        # dropna=False: null keys form a group, matching Dataset.aggregate
+        out = g.groupby(keys, sort=False, dropna=False).agg(
             **{name: (src, op) for name, (src, op) in aggs.items()}
         )
         return out.reset_index()

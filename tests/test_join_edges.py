@@ -316,3 +316,22 @@ def test_bucketed_aggregate_matches_dataset_aggregate():
     )
     pd.testing.assert_frame_equal(got[["k1", "k2", "s", "c", "lo", "hi"]].astype({"c": "int64"}),
                                   want[["k1", "k2", "s", "c", "lo", "hi"]].astype({"c": "int64"}))
+
+
+def test_bucketed_aggregate_keeps_null_key_group():
+    """Null keys must form a group (dropna=False), matching
+    Dataset.aggregate semantics — a silent row drop here would corrupt
+    any aggregate over a column with missing keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    t = pa.table(
+        {"k": pa.array(["a", None, "a", None, "b"]), "v": pa.array([1, 2, 3, 4, 5], pa.int64())}
+    )
+    out = bucketed_aggregate(
+        ray.data.from_arrow(t), keys=["k"], aggs={"s": ("v", "sum")}, num_buckets=2
+    ).to_pandas()
+    got = {(None if pd.isnull(r.k) else r.k): int(r.s) for r in out.itertuples(index=False)}
+    assert got == {"a": 4, "b": 5, None: 6}
