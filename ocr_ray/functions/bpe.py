@@ -43,8 +43,6 @@ EOW = "</w>"
 
 def word_counts(ds, *, text_col: str = "text"):
     """Corpus pass: whitespace-token counts as a Dataset (word, n)."""
-    from ray.data.aggregate import Sum
-
     from ocr_ray.functions import text as textfn
 
     def partial(t: pa.Table) -> pa.Table:
@@ -119,8 +117,6 @@ def _pair_partial(t: pa.Table) -> pa.Table:
 def best_pair(sym_ds) -> tuple[str, str, int] | None:
     """Distributed pair count -> (left, right, count) argmax with the
     deterministic tiebreak (count desc, left asc, right asc)."""
-    from ray.data.aggregate import Sum
-
     from ocr_ray.functions.relational import bucketed_aggregate
 
     counts = bucketed_aggregate(

@@ -596,10 +596,14 @@ def bucketed_aggregate(
     cardinality scales with the data (per-customer, per-pair, per-doc):
     group count adds only the pandas hash-agg cost inside each bucket.
 
-    ``aggs`` maps output column -> (input column, op) with op one of
-    ``sum | count | min | max | mean-free ops only`` (anything pandas
-    ``DataFrameGroupBy.agg`` accepts as a named aggregation). Exactness:
-    sum/count/min/max over int64 stay int64 end to end.
+    ``aggs`` maps output column -> (input column, op) with op anything
+    pandas ``DataFrameGroupBy.agg`` accepts as a named aggregation.
+    Op semantics are PANDAS semantics: ``count`` counts NON-NULL values
+    of the source column; use ``size`` for a row count (the analogue of
+    Ray's ``Count()`` / SQL ``COUNT(*)``). Exactness: the in-bucket frame
+    uses Arrow-backed dtypes, so int64 keys/values with nulls stay int64
+    (no silent float64 round-trip) and sum/count/min/max over int64 stay
+    int64 end to end.
     """
     from ocr_ray.sizing import default_buckets
 
@@ -608,15 +612,19 @@ def bucketed_aggregate(
     def bucketize(t: pa.Table) -> pa.Table:
         return t.append_column("_bucket", pa.array(_key_hash_cols(t, keys, nb)))
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
+    def body(g: pa.Table) -> pa.Table:
+        # ArrowDtype keeps nullable int64 columns int64 through the pandas
+        # round-trip (plain to_pandas would coerce them to float64/NaN,
+        # corrupting keys above 2^53 and changing the output schema)
+        df = g.to_pandas(types_mapper=pd.ArrowDtype)
         # dropna=False: null keys form a group, matching Dataset.aggregate
-        out = g.groupby(keys, sort=False, dropna=False).agg(
+        out = df.groupby(keys, sort=False, dropna=False).agg(
             **{name: (src, op) for name, (src, op) in aggs.items()}
         )
-        return out.reset_index()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(body, batch_format="pandas")
+        .map_groups(body, batch_format="pyarrow")
     )

@@ -339,7 +339,7 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
 
     uniq = (
         bucketed_aggregate(
-            prepped, keys=["event_type", "user_id"], aggs={"_c": ("user_id", "count")}
+            prepped, keys=["event_type", "user_id"], aggs={"_c": ("user_id", "size")}
         )
         .groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
@@ -1062,7 +1062,7 @@ def customer_orders_full_outer(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         ),
         keys=["o_custkey"],
-        aggs={"n_orders": ("o_custkey", "count")},
+        aggs={"n_orders": ("o_custkey", "size")},
     )
     return hash_join(
         cust,
@@ -1554,7 +1554,7 @@ def tfidf_doc_tokens(sf_dir: str) -> ray.data.Dataset:
 
     tf = ds.map_batches(term_counts, batch_format="pyarrow")
     # per-token: vocabulary scales with the corpus -> bucketed fold
-    df = bucketed_aggregate(tf, keys=["token"], aggs={"df": ("doc_id", "count")})
+    df = bucketed_aggregate(tf, keys=["token"], aggs={"df": ("doc_id", "size")})
     joined = hash_join(
         tf,
         df.map_batches(
@@ -8937,7 +8937,13 @@ def regr_price_by_qty(sf_dir: str) -> ray.data.Dataset:
         rows = []
         for r in df.itertuples(index=False):
             n, sx, sy, sxx, sxy = (int(r.n_rows), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy))
-            slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+            den = n * sxx - sx * sx
+            if den == 0:
+                # degenerate group (single row / constant x): DuckDB's
+                # 0/0 double division yields NULL — mirror with NaN
+                rows.append((r.returnflag, n, np.nan, np.nan))
+                continue
+            slope = float(n * sxy - sx * sy) / float(den)
             intercept = (float(sy) - slope * float(sx)) / float(n) / 100.0
             rows.append((r.returnflag, n, slope, intercept))
         return pd.DataFrame(rows, columns=["returnflag", "n_rows", "slope", "intercept"])
@@ -9478,7 +9484,9 @@ def zscore_outliers_events(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    # materialized: the prep scan feeds BOTH the fit aggregate and the
+    # counting pass — without this the events read + cents math runs twice
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
     fit = (
         prepped.groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("vc", alias_name="sy"), Sum("vv", alias_name="syy"))
@@ -9601,7 +9609,7 @@ def rfm_segments(sf_dir: str) -> ray.data.Dataset:
         keys=["o_custkey"],
         aggs={
             "last_us": ("ts_us", "max"),
-            "n_orders": ("ts_us", "count"),
+            "n_orders": ("ts_us", "size"),
             "m_cents": ("price_c", "sum"),
         },
     ).materialize()

@@ -335,3 +335,34 @@ def test_bucketed_aggregate_keeps_null_key_group():
     ).to_pandas()
     got = {(None if pd.isnull(r.k) else r.k): int(r.s) for r in out.itertuples(index=False)}
     assert got == {"a": 4, "b": 5, None: 6}
+
+
+def test_bucketed_aggregate_preserves_int64_with_nulls():
+    """Nullable int64 keys must stay int64 through the in-bucket pandas
+    round-trip (a float64 coercion would corrupt keys above 2^53 and
+    change the output schema), and pandas 'count' (non-null) vs 'size'
+    (rows) semantics must both be available."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    big = 2**60 + 7
+    t = pa.table(
+        {"k": pa.array([1, None, 1, None, big], pa.int64()), "v": pa.array([1, 2, 3, 4, 5], pa.int64())}
+    )
+    out = bucketed_aggregate(
+        ray.data.from_arrow(t), keys=["k"], aggs={"s": ("v", "sum"), "n": ("v", "size")}, num_buckets=2
+    )
+    assert out.schema().base_schema.field("k").type == pa.int64()
+    # read through Arrow: pandas would coerce the nullable int64 column to
+    # float64 on ITS side and corrupt the 2^60 key in the comparison
+    got = {r["k"]: (int(r["s"]), int(r["n"])) for r in out.take_all()}
+    assert got == {1: (4, 2), None: (6, 2), big: (5, 1)}
+
+    nul = pa.table({"k": pa.array(["a", "a"]), "v": pa.array([1, None], pa.int64())})
+    out2 = bucketed_aggregate(
+        ray.data.from_arrow(nul), keys=["k"], aggs={"c": ("v", "count"), "n": ("v", "size")}, num_buckets=1
+    ).to_pandas()
+    assert out2["c"].tolist() == [1] and out2["n"].tolist() == [2]
