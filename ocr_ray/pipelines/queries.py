@@ -9651,3 +9651,102 @@ def rfm_segments(sf_dir: str) -> ray.data.Dataset:
         return pa.table(out)
 
     return per.map_batches(assign, batch_format="pyarrow")
+
+
+@query(
+    "corr_matrix_lineitem",
+    sql="""
+WITH u AS (
+  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS quantity,
+         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS discount,
+         CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax,
+         CAST(l_linenumber AS BIGINT) AS linenumber
+  FROM lineitem
+), s AS (
+  SELECT COUNT(*) AS n,
+    SUM(quantity) AS s0, SUM(discount) AS s1, SUM(tax) AS s2, SUM(linenumber) AS s3,
+    SUM(CAST(quantity AS HUGEINT) * quantity) AS s00,
+    SUM(CAST(quantity AS HUGEINT) * discount) AS s01,
+    SUM(CAST(quantity AS HUGEINT) * tax) AS s02,
+    SUM(CAST(quantity AS HUGEINT) * linenumber) AS s03,
+    SUM(CAST(discount AS HUGEINT) * discount) AS s11,
+    SUM(CAST(discount AS HUGEINT) * tax) AS s12,
+    SUM(CAST(discount AS HUGEINT) * linenumber) AS s13,
+    SUM(CAST(tax AS HUGEINT) * tax) AS s22,
+    SUM(CAST(tax AS HUGEINT) * linenumber) AS s23,
+    SUM(CAST(linenumber AS HUGEINT) * linenumber) AS s33
+  FROM u
+)
+SELECT p.col_a, p.col_b, CAST(s.n AS BIGINT) AS n_rows,
+  CAST(CAST(s.n AS HUGEINT) * p.sab - p.sa * p.sb AS DOUBLE)
+    / (sqrt(CAST(CAST(s.n AS HUGEINT) * p.saa - p.sa * p.sa AS DOUBLE))
+       * sqrt(CAST(CAST(s.n AS HUGEINT) * p.sbb - p.sb * p.sb AS DOUBLE))) AS corr
+FROM s, LATERAL (VALUES
+  ('quantity', 'discount', s.s0, s.s1, s.s01, s.s00, s.s11),
+  ('quantity', 'tax', s.s0, s.s2, s.s02, s.s00, s.s22),
+  ('quantity', 'linenumber', s.s0, s.s3, s.s03, s.s00, s.s33),
+  ('discount', 'tax', s.s1, s.s2, s.s12, s.s11, s.s22),
+  ('discount', 'linenumber', s.s1, s.s3, s.s13, s.s11, s.s33),
+  ('tax', 'linenumber', s.s2, s.s3, s.s23, s.s22, s.s33)
+) AS p(col_a, col_b, sa, sb, sab, saa, sbb)
+""",
+)
+def corr_matrix_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise Pearson correlation matrix over four lineitem columns in
+    ONE streaming pass — the multi-moment completion of the ANALYZE-style
+    profiling suite (`analyze_orders_stats`).
+
+    Per batch: a fixed-size vector of integer moments (n, 4 sums, 10
+    products — all in cent units, int64-safe for these small-valued
+    columns to ~1e9 rows; wider values need split sums). One global
+    keyless aggregate folds the partials; the driver computes the six
+    correlations with the exact-int-to-double casts and two sqrt calls
+    mirrored expression-for-expression in the HUGEINT SQL, so the floats
+    are bit-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_discount", "l_tax", "l_linenumber"])
+    cols = ["quantity", "discount", "tax", "linenumber"]
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = {
+            "quantity": to_units(t["l_quantity"]).to_numpy(zero_copy_only=False),
+            "discount": to_units(t["l_discount"]).to_numpy(zero_copy_only=False),
+            "tax": to_units(t["l_tax"]).to_numpy(zero_copy_only=False),
+            "linenumber": pc.cast(t["l_linenumber"], pa.int64()).to_numpy(zero_copy_only=False),
+        }
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, a in enumerate(cols):
+            out[f"s{i}"] = pa.array([int(v[a].sum())], pa.int64())
+            for j, b in enumerate(cols):
+                if j >= i:
+                    out[f"s{i}{j}"] = pa.array([int((v[a] * v[b]).sum())], pa.int64())
+        return pa.table(out)
+
+    names = ["n"] + [f"s{i}" for i in range(4)] + [f"s{i}{j}" for i in range(4) for j in range(4) if j >= i]
+    total = ds.map_batches(moments, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in names]
+    )
+
+    n = int(total["n"])
+    S = {c: int(total[c]) for c in names}
+    rows = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, 4):
+            b = cols[j]
+            sa, sb = S[f"s{i}"], S[f"s{j}"]
+            sab, saa, sbb = S[f"s{i}{j}"], S[f"s{i}{i}"], S[f"s{j}{j}"]
+            corr = float(n * sab - sa * sb) / (
+                np.sqrt(float(n * saa - sa * sa)) * np.sqrt(float(n * sbb - sb * sb))
+            )
+            rows.append((a, b, n, corr))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "col_a": pa.array([r[0] for r in rows]),
+                "col_b": pa.array([r[1] for r in rows]),
+                "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+                "corr": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
