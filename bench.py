@@ -91,6 +91,8 @@ QUERY_SET = [
     "decile_bucket_orders",
     "zscore_outliers_events",
     "purchase_graph_bfs",
+    "rfm_segments",
+    "corr_matrix_lineitem",
 ]
 
 
