@@ -341,7 +341,11 @@ class _ShardExtractor:
         for off in range(0, docs.num_rows, self.doc_batch_size):
             parts.append(self.mapper(docs.slice(off, self.doc_batch_size)))
         if not parts:
-            return pa.table({"doc_id": pa.array([], type=pa.string())})
+            # typed empty: a zero-row fragment must still carry the full
+            # output schema or the committed dataset becomes mixed-schema
+            from ocr_ray.schema import DOCUMENTS_SCHEMA
+
+            return DOCUMENTS_SCHEMA.empty_table()
         return pa.concat_tables(parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -400,17 +404,76 @@ def extract_shard_aligned(
     cheaper than `extract_and_write`'s hash filter, which still has to
     scan every input row.
     """
+    import hashlib as _hashlib
     import json as _json
+    import time as _time
 
     from ocr_ray.state.manifest import load_manifest
 
+    t0 = _time.perf_counter()  # includes the serial listing/packing phases
     frags = _shard_fragments(list_parquet_shards(corpus_path), max_docs_per_fragment)
+
+    # Layout guard: fragment ids are POSITIONAL, so resuming against a
+    # manifest written under a different fragment layout (changed
+    # max_docs_per_fragment, or corpus files added/removed/reordered)
+    # would silently skip slices that were never extracted. Record the
+    # layout signature next to the manifest and refuse a mismatched resume.
+    sig = _hashlib.sha256(
+        _json.dumps(
+            [[f["fragment"], f["path"], f["row_group"], f["row_start"], f["row_len"]] for f in frags]
+        ).encode()
+    ).hexdigest()
+    mdir0 = os.path.join(out_dir, "_manifest")
+    layout_path = os.path.join(mdir0, "layout.json")
     done = set(load_manifest(out_dir)) if resume else set()
+    if resume and os.path.exists(layout_path):
+        prev = _json.load(open(layout_path))
+        if prev.get("signature") != sig:
+            raise ValueError(
+                "extract_shard_aligned: output manifest was written under a "
+                "different fragment layout (corpus files or "
+                "max_docs_per_fragment changed) — resuming would silently "
+                "skip unprocessed slices. Use a fresh out_dir or resume=False."
+            )
+    elif resume and done:
+        raise ValueError(
+            "extract_shard_aligned: manifest exists but has no layout "
+            "record; cannot prove resume safety. Use a fresh out_dir or "
+            "resume=False."
+        )
+    os.makedirs(mdir0, exist_ok=True)
+    if not os.path.exists(layout_path):
+        tmp = layout_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"signature": sig, "max_docs_per_fragment": max_docs_per_fragment,
+                 "n_fragments": len(frags)},
+                f,
+            )
+        os.replace(tmp, layout_path)
+
     pending = [f for f in frags if f["fragment"] not in done]
     skipped = len(frags) - len(pending)
+    mdir = os.path.join(out_dir, "_metrics")
     if not pending:
         import pandas as pd
 
+        # refresh the summary so a fully-resumed no-op never leaves a
+        # stale record describing an earlier execution
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, "run_summary.json"), "w") as f:
+            _json.dump(
+                {
+                    "pipeline": "extract_shard_aligned",
+                    "wall_sec": round(_time.perf_counter() - t0, 3),
+                    "fragments_written": 0,
+                    "fragments_skipped": int(skipped),
+                    "rows": 0,
+                    "spans": 0,
+                    "resumed_noop": True,
+                },
+                f,
+            )
         return pd.DataFrame(columns=["partition", "row_count", "span_count"]), skipped
 
     # One spec per (file, row_group): the task reads its row group once and
@@ -431,9 +494,9 @@ def extract_shard_aligned(
     # (measured: ~2.6k tasks cost several seconds of driver time at 82M
     # docs). ``tasks_per_cpu`` waves keep dynamic load balance; fragment
     # ids are untouched, so packing never affects resume.
-    import ray as _ray
+    from ocr_ray.sizing import session_cpus
 
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    cpus = session_cpus()  # cluster CPUs, or the host's before ray.init
     target_tasks = min(len(specs), max(1, cpus * tasks_per_cpu))
     per_task = -(-len(specs) // target_tasks)
     items = [
@@ -446,13 +509,9 @@ def extract_shard_aligned(
         batch_size=None,
         fn_kwargs={"out_dir": out_dir, "doc_batch_size": doc_batch_size},
     )
-    import time as _time
-
-    t0 = _time.perf_counter()
     df = manifest.to_pandas()
     # Per-run lineage + metrics next to the fragments (the statistics-
     # framework analogue, same protocol as run_pipeline's dump).
-    mdir = os.path.join(out_dir, "_metrics")
     os.makedirs(mdir, exist_ok=True)
     with open(os.path.join(mdir, "run_summary.json"), "w") as f:
         _json.dump(

@@ -17,21 +17,23 @@ import pyarrow.compute as pc
 from ocr_ray.schema import KIND_DOC_SENTINEL, KIND_GLYPHS
 
 
-def normalize_spans(batch: pa.Table) -> pa.Table:
-    if batch.num_rows == 0:
-        return batch
+def _trimmed_keep(batch: pa.Table) -> tuple[pa.Table, pa.ChunkedArray]:
+    """Shared core of both normalizers: trim text in place and return the
+    keep-mask (non-degenerate, or glyph/sentinel special) — ONE definition
+    so the fused and unfused paths cannot silently diverge."""
     text = pc.utf8_trim_whitespace(batch["text"])
-    batch = batch.set_column(
-        batch.column_names.index("text"), "text", text
-    )
-    empty = pc.and_(
-        pc.equal(text, ""),
-        pc.equal(batch["media_ref"], ""),
-    )
+    batch = batch.set_column(batch.column_names.index("text"), "text", text)
+    empty = pc.and_(pc.equal(text, ""), pc.equal(batch["media_ref"], ""))
     special = pc.is_in(
         batch["kind"], value_set=pa.array([KIND_GLYPHS, KIND_DOC_SENTINEL])
     )
-    keep = pc.or_(pc.invert(empty), special)
+    return batch, pc.or_(pc.invert(empty), special)
+
+
+def normalize_spans(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    batch, keep = _trimmed_keep(batch)
     return batch.filter(keep)
 
 
@@ -47,14 +49,6 @@ def normalize_and_strip(batch: pa.Table) -> pa.Table:
 
     if batch.num_rows == 0:
         return batch
-    text = pc.utf8_trim_whitespace(batch["text"])
-    batch = batch.set_column(batch.column_names.index("text"), "text", text)
-    empty = pc.and_(pc.equal(text, ""), pc.equal(batch["media_ref"], ""))
-    special = pc.is_in(
-        batch["kind"], value_set=pa.array([KIND_GLYPHS, KIND_DOC_SENTINEL])
-    )
-    keep = pc.and_(
-        pc.or_(pc.invert(empty), special),
-        pc.not_equal(batch["kind"], KIND_BOILERPLATE),
-    )
+    batch, keep = _trimmed_keep(batch)
+    keep = pc.and_(keep, pc.not_equal(batch["kind"], KIND_BOILERPLATE))
     return batch.filter(keep)

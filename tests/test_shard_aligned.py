@@ -77,7 +77,7 @@ def test_resume_skips_committed_fragments(corpus, tmp_path):
     extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
     before = _totals(out)
     total = len(load_manifest(out))
-    victims = sorted(os.listdir(f"{out}/_manifest"))[:2]
+    victims = sorted(f for f in os.listdir(f"{out}/_manifest") if f.startswith("part-"))[:2]
     for v in victims:
         os.remove(f"{out}/_manifest/{v}")
     df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
@@ -146,3 +146,18 @@ def test_crash_artifacts_do_not_corrupt_resume(corpus, tmp_path):
     frag = pq.read_table(f"{out}/part=00000/data.parquet")
     ResumableSink(out).write(frag, 0)
     assert _totals(out) == before
+
+
+def test_resume_rejects_changed_fragment_layout(corpus, tmp_path):
+    """Fragment ids are positional: resuming a manifest written under a
+    different layout (changed max_docs_per_fragment) must fail loudly
+    instead of silently skipping unprocessed row slices."""
+    import pytest
+
+    out = str(tmp_path / "layout")
+    extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    with pytest.raises(ValueError, match="different fragment layout"):
+        extract_shard_aligned(corpus, out, max_docs_per_fragment=7)
+    # unchanged layout still resumes as a no-op
+    df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
+    assert len(df) == 0 and skipped == len(load_manifest(out))
