@@ -181,7 +181,11 @@ def extract_and_write(
     fragments already committed are filtered out at the READ (no decode /
     recognition / shuffle is spent on them).
     """
-    from ocr_ray.state.manifest import ResumableSink, skip_completed_partitions
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        _check_layout,
+        skip_completed_partitions,
+    )
 
     if num_parts is None or num_buckets is None:
         from ocr_ray.sizing import buckets_for_input
@@ -189,6 +193,9 @@ def extract_and_write(
         derived = buckets_for_input(ds)
         num_parts = num_parts if num_parts is not None else derived
         num_buckets = num_buckets if num_buckets is not None else derived
+    # the fused sink bypasses write_extracted_resumable, so record the
+    # partition law here (and refuse a mismatched resume)
+    _check_layout(out_dir, num_parts, write=True)
     skipped = 0
     if resume:
         ds, skipped = skip_completed_partitions(ds, out_dir, num_parts)

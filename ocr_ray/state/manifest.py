@@ -64,7 +64,14 @@ def _span_checksum(tbl: pa.Table) -> int:
         h ^= hash_utf8_column(pc.struct_field(flat, "kind")) * np.uint64(0x9FB21C651E98DF25)
         h ^= hash_utf8_column(pc.struct_field(flat, "text")) * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= hash_utf8_column(pc.struct_field(flat, "media_ref")) * np.uint64(0x165667B19E3779F9)
-        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill_null first: NaN->uint64 is undefined in numpy and would make
+        # the checksum nondeterministic on tables with null offsets
+        offs = (
+            pc.fill_null(pc.struct_field(flat, "offset"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .astype(np.uint64)
+        )
         h ^= (offs + np.uint64(1)) * np.uint64(0x27D4EB2F165667C5)
         return int(h.sum(dtype=np.uint64))
 
@@ -148,18 +155,55 @@ class ResumableSink:
         )
 
 
+def _check_layout(out_dir: str, num_parts: int, *, write: bool) -> None:
+    """Record/validate the partition law parameters next to the manifest.
+
+    Fragment membership is ``partition_of(doc_id, num_parts)`` — POSITIONAL
+    in ``num_parts`` — so resuming a manifest written under a different
+    partition count would silently drop or duplicate documents. The layout
+    sidecar makes that a loud error instead.
+    """
+    mdir = Path(out_dir) / "_manifest"
+    lp = mdir / "layout.json"
+    if lp.exists():
+        prev = json.loads(lp.read_text())
+        if prev.get("num_parts") != num_parts:
+            raise ValueError(
+                f"resumable sink at {out_dir!r} was written with "
+                f"num_parts={prev.get('num_parts')}; resuming with "
+                f"num_parts={num_parts} would silently corrupt the output. "
+                "Use a fresh out_dir or the original partition count."
+            )
+        return
+    if load_manifest(out_dir):
+        raise ValueError(
+            f"manifest at {out_dir!r} has no layout record; cannot prove "
+            "resume safety. Use a fresh out_dir."
+        )
+    if write:
+        mdir.mkdir(parents=True, exist_ok=True)
+        tmp = Path(str(lp) + ".tmp")
+        tmp.write_text(json.dumps({"num_parts": num_parts}))
+        os.replace(tmp, lp)
+
+
 def skip_completed_partitions(ds, out_dir: str, num_parts: int):
     """Filter the *input* corpus down to docs in unfinished partitions.
 
     Returns (filtered_ds, completed_count). Vectorized hash filter; no
     work (decode/recognize/shuffle) is spent on completed fragments.
+    Validates that the manifest being resumed was written under the same
+    ``num_parts`` (see ``_check_layout``).
     """
+    _check_layout(out_dir, num_parts, write=False)
     done = set(load_manifest(out_dir))
+    if not done:
+        return ds, 0  # fresh run: no filter stage, no per-batch hashing
+    done_arr = np.fromiter(done, dtype=np.int64)
 
     def drop_done(t: pa.Table) -> pa.Table:
         parts = partition_of(t["doc_id"], num_parts)
-        keep = ~np.isin(parts, list(done)) if done else np.ones(len(parts), dtype=bool)
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(~np.isin(parts, done_arr)))
 
     return ds.map_batches(drop_done, batch_format="pyarrow"), len(done)
 
@@ -176,18 +220,20 @@ def write_extracted_resumable(
     ``skip_completed_partitions`` on the input for end-to-end resume.
     """
 
-    import functools
+    _check_layout(out_dir, num_parts, write=True)
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(partition_of(t["doc_id"], num_parts)))
 
-    def write_group(group: pa.Table, out_dir: str) -> pa.Table:
-        return ResumableSink(out_dir)(group)
+    sink = ResumableSink(out_dir)
+
+    def write_part(group: pa.Table) -> pa.Table:
+        # named wrapper: Ray's map_groups needs fn.__name__; the sink's
+        # __call__ carries the actual semantics (no duplicate logic here)
+        return sink(group)
 
     tagged = extracted_ds.map_batches(tag, batch_format="pyarrow")
-    manifest_rows = tagged.groupby("_part").map_groups(
-        functools.partial(write_group, out_dir=out_dir), batch_format="pyarrow"
-    )
+    manifest_rows = tagged.groupby("_part").map_groups(write_part, batch_format="pyarrow")
     df = manifest_rows.to_pandas()
     if return_stats:
         return df, manifest_rows.stats()
@@ -215,6 +261,17 @@ def compact_partitions(in_dir: str, out_dir: str, *, num_parts: int):
     """
     import ray as _ray
 
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "compact_partitions: in-place compaction would overwrite source "
+            "fragments while they are still being read; use a distinct out_dir."
+        )
+    if load_manifest(out_dir):
+        raise ValueError(
+            f"compact_partitions: {out_dir!r} already holds a manifest — "
+            "stale records would poison the self-verification. Use a fresh "
+            "out_dir."
+        )
     src = load_manifest(in_dir)
     if not src:
         raise ValueError(f"no committed fragments under {in_dir!r}")
@@ -263,6 +320,18 @@ def sorted_export(
     import pyarrow.compute as pc_
 
     from ocr_ray.functions.ranking import partitioned_rank
+
+    if value_col not in out_cols:
+        raise ValueError(
+            f"sorted_export: value_col {value_col!r} must be in out_cols "
+            "(the write body and the lineage min/max need it)"
+        )
+    if load_manifest(out_dir):
+        raise ValueError(
+            f"sorted_export: {out_dir!r} already holds a manifest — a "
+            "different-fragment-count rerun would mix stale and new records. "
+            "Use a fresh out_dir."
+        )
 
     const = "__all__"
 

@@ -240,3 +240,25 @@ def test_sorted_export_fragments(ray_session, tmp_path):
         seen.append(frag["o_orderkey"].to_numpy())
     # exact cover: same multiset of keys
     assert sorted(np.concatenate(seen).tolist()) == sorted(src["o_orderkey"].to_numpy().tolist())
+
+
+def test_sink_rejects_changed_num_parts(sf_smoke, tmp_path):
+    """partition_of membership is positional in num_parts: resuming (or
+    re-writing) a sink directory under a different partition count must
+    fail loudly instead of silently dropping/duplicating documents."""
+    import pytest as _pytest
+
+    from ocr_ray.pipelines.extract import extract_documents_local
+    from ocr_ray.state.manifest import skip_completed_partitions, write_extracted_resumable
+
+    corpus = ensure_corpus(sf_smoke, glyphs=False)
+    out = str(tmp_path / "law")
+    nested = extract_documents_local(read_documents(corpus))
+    write_extracted_resumable(nested, out, num_parts=8)
+    with _pytest.raises(ValueError, match="num_parts=8"):
+        skip_completed_partitions(read_documents(corpus), out, 16)
+    with _pytest.raises(ValueError, match="num_parts=8"):
+        write_extracted_resumable(nested, out, num_parts=4)
+    # matching law still resumes
+    _, n_done = skip_completed_partitions(read_documents(corpus), out, 8)
+    assert n_done == 8
