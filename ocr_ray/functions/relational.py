@@ -59,9 +59,15 @@ _BROADCAST_STATE: dict = {}
 _BROADCAST_STATE_CAP = 64  # long-lived workers serve many queries; evict FIFO
 
 
-def _prepared(key, build):
+def _prepared(key, build, *, category_cap: int | None = None):
     state = _BROADCAST_STATE.get(key)
     if state is None:
+        if category_cap is not None and isinstance(key, tuple):
+            # heavy entries (e.g. auto_join build frames) get their own
+            # small cap so long-lived workers can't pin dozens of them
+            same = [k for k in _BROADCAST_STATE if isinstance(k, tuple) and k[0] == key[0]]
+            while len(same) >= category_cap:
+                _BROADCAST_STATE.pop(same.pop(0))
         if len(_BROADCAST_STATE) >= _BROADCAST_STATE_CAP:
             _BROADCAST_STATE.pop(next(iter(_BROADCAST_STATE)))
         state = _BROADCAST_STATE[key] = build()
@@ -100,7 +106,9 @@ class BroadcastSemiFilter:
     actor/task instance, not per batch."""
 
     def __init__(self, keys_ref, key_col: str, *, anti: bool = False):
-        self.keys = pa.array(sorted(ray.get(keys_ref)))
+        # no sort (pc.is_in doesn't need one, and None keys made sorted()
+        # raise); drop None — a NULL never equality-matches in SQL
+        self.keys = pa.array([k for k in ray.get(keys_ref) if k is not None])
         self.key_col = key_col
         self.anti = anti
 
@@ -172,24 +180,20 @@ def range_join(
     numbers or numpy timedeltas, matching the value columns' dtype
     difference."""
 
+    out_schema = None
+    if left_schema is not None and right_schema is not None:
+        on_list = [on]
+        ron_list = [right_on or on]
+        rename, _, full_fields = _join_naming(on_list, ron_list, left_schema, right_schema, "_r")
+        # accept the right table's NATURAL column name: if the value column
+        # was suffix-renamed by the contract, resolve it (a caller passing
+        # the post-rename name is untouched)
+        right_val = rename.get(right_val, right_val)
+        out_schema = pa.schema(full_fields)
+
     def in_range(df: pd.DataFrame) -> pd.DataFrame:
         delta = df[left_val] - df[right_val]
         return df[(delta >= lo) & (delta <= hi)]
-
-    out_schema = None
-    if left_schema is not None and right_schema is not None:
-        lnames = list(left_schema.names)
-        rename = {
-            n: (n + "_r" if n in lnames and n != (right_on or on) else n)
-            for n in right_schema.names
-        }
-        fields = [(n, left_schema.types[left_schema.names.index(n)]) for n in lnames]
-        fields += [
-            (rename[n], right_schema.types[right_schema.names.index(n)])
-            for n in right_schema.names
-            if rename[n] not in lnames
-        ]
-        out_schema = pa.schema(fields)
 
     return hash_join(
         left,
@@ -275,6 +279,28 @@ def _key_hash(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _key_hash_cols_typed(
+    t: pa.Table, cols: list[str], types: list[pa.DataType], num_buckets: int
+) -> np.ndarray:
+    """Bucket id from a composite key CAST to the join's unified key types
+    first: ``pd.util.hash_array`` is width- and kind-sensitive (int32 -5,
+    int64 -5 and float64 -5.0 all hash differently), so hashing the raw
+    columns would scatter value-equal keys of different physical types
+    into different buckets and silently drop matches."""
+    acc = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c, typ in zip(cols, types):
+            col = pc.cast(t[c], typ)
+            if pa.types.is_integer(typ):
+                vals = col.to_numpy(zero_copy_only=False)
+            else:
+                vals = np.asarray(col.to_pylist(), dtype=object)
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                vals, categorize=False
+            ).astype(np.uint64)
+    return (acc % np.uint64(num_buckets)).astype(np.int32)
+
+
 def _key_hash_cols(t: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray:
     """Bucket id from a COMPOSITE key: per-column hashes combined with a
     multiply-mix, so equal key tuples land in the same bucket on both
@@ -291,6 +317,41 @@ def _key_hash_cols(t: pa.Table, cols: list[str], num_buckets: int) -> np.ndarray
                 vals, categorize=False
             ).astype(np.uint64)
     return (acc % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _join_naming(on_list, ron_list, lschema: pa.Schema, rschema: pa.Schema, suffix: str):
+    """The ONE definition of the join naming contract (shared by
+    ``hash_join``, ``auto_join`` and ``range_join`` so the three paths
+    cannot drift): rename every right column that collides with a left
+    name — except a shared join key (same name both sides), which both
+    sides write as one field — and build the unified field list.
+
+    Raises if a suffixed name collides with an existing left column (the
+    bucket merge would otherwise die with a KeyError deep in a task).
+    Returns ``(rename, right_key, full_fields)``.
+    """
+    lnames = list(lschema.names)
+    shared_keys = {r for l, r in zip(on_list, ron_list) if l == r}
+    rename = {
+        n: (n + suffix if n in lnames and n not in shared_keys else n)
+        for n in rschema.names
+    }
+    collisions = sorted(n for n in rschema.names if rename[n] != n and rename[n] in lnames)
+    if collisions:
+        raise ValueError(
+            f"join suffix collision: right column(s) {collisions} rename to "
+            f"names already present on the left with suffix {suffix!r}; "
+            "pass a different suffix or project the left side"
+        )
+    right_key = [rename[c] for c in ron_list]
+    full_fields: list[tuple[str, pa.DataType]] = [
+        (n, lschema.types[lschema.names.index(n)]) for n in lnames
+    ] + [
+        (rename[n], rschema.types[rschema.names.index(n)])
+        for n in rschema.names
+        if rename[n] not in lnames
+    ]
+    return rename, right_key, full_fields
 
 
 def hash_join(
@@ -345,23 +406,11 @@ def hash_join(
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
-    # rename EVERY right column that collides with a left name, except the
-    # shared-key case (a join key named the same on both sides), where
-    # both sides write one field.
-    shared_keys = {r for l, r in zip(on_list, ron_list) if l == r}
-    rename = {
-        n: (n + suffix if n in lnames and n not in shared_keys else n)
-        for n in rschema.names
-    }
-    right_key = [rename[c] for c in ron_list]
+    rename, right_key, full_fields = _join_naming(on_list, ron_list, lschema, rschema, suffix)
     rnames = [rename[n] for n in rschema.names]
-    full_fields: list[tuple[str, pa.DataType]] = [
-        (n, lschema.types[lschema.names.index(n)]) for n in lnames
-    ] + [
-        (rename[n], rschema.types[rschema.names.index(n)])
-        for n in rschema.names
-        if rename[n] not in lnames
-    ]
+    # both sides bucket on the LEFT side's key types — value-equal keys of
+    # different physical widths must land in the same bucket
+    key_types = [lschema.types[lschema.names.index(c)] for c in on_list]
 
     def align(side: int, key_cols: list[str], colmap: dict[str, str]):
         inv = {v: k for k, v in colmap.items()}
@@ -378,7 +427,8 @@ def hash_join(
             out = pa.table(cols)
             out = out.append_column("_side", pa.array(np.full(n, side, dtype=np.int8)))
             return out.append_column(
-                "_bucket", pa.array(_key_hash_cols(t, key_cols, num_buckets))
+                "_bucket",
+                pa.array(_key_hash_cols_typed(t, key_cols, key_types, num_buckets)),
             )
 
         return fn
@@ -401,19 +451,43 @@ def hash_join(
         if how in ("semi", "anti"):
             rt = g.filter(pc.equal(g["_side"], 1)).select(right_key)
             ldf = lt.to_pandas()
+            lnull = ldf[on_list].isnull().any(axis=1).to_numpy()
             if len(on_list) == 1:
-                hit = ldf[on_list[0]].isin(rt[right_key[0]].to_pandas().unique()).to_numpy()
+                rkeys = rt[right_key[0]].to_pandas().dropna().unique()
+                hit = ldf[on_list[0]].isin(rkeys).to_numpy()
             else:
+                rdf = rt.to_pandas().dropna(subset=right_key)
                 hit = pd.MultiIndex.from_frame(ldf[on_list]).isin(
-                    pd.MultiIndex.from_frame(rt.to_pandas()[right_key])
+                    pd.MultiIndex.from_frame(rdf[right_key])
                 )
-            out = ldf[hit if how == "semi" else ~hit]
+            # SQL equality: a NULL key matches nothing — excluded from
+            # EXISTS (semi) and therefore KEPT by NOT EXISTS (anti)
+            hit = hit & ~lnull
+            out = ldf[hit] if how == "semi" else ldf[~hit]
         else:
             rt = g.filter(pc.equal(g["_side"], 1)).select(rcols)
-            out = lt.to_pandas().merge(
-                rt.to_pandas(), left_on=on_list, right_on=right_key, how=pd_how
+            # ArrowDtype keeps nullable int64 columns int64 through the
+            # merge (outer fills would otherwise coerce to float64 and
+            # corrupt values above 2^53 on the cast back). bucket_post
+            # bodies predate this and expect numpy-backed frames.
+            mapper = None if bucket_post is not None else pd.ArrowDtype
+            ldf = lt.to_pandas(types_mapper=mapper)
+            rdf = rt.to_pandas(types_mapper=mapper)
+            lnull = ldf[on_list].isnull().any(axis=1).to_numpy()
+            rnull = rdf[right_key].isnull().any(axis=1).to_numpy()
+            out = ldf[~lnull].merge(
+                rdf[~rnull], left_on=on_list, right_on=right_key, how=pd_how
             )
-            out = out[out_names]
+            # SQL: NULL keys never match, but outer sides still emit their
+            # null-key rows as unmatched (pandas would match NaN == NaN)
+            extra = []
+            if how in ("left", "full") and lnull.any():
+                extra.append(ldf[lnull])
+            if how in ("right", "full") and rnull.any():
+                extra.append(rdf[rnull])
+            if extra:
+                out = pd.concat([out, *extra], ignore_index=True)
+            out = out.reindex(columns=out_names)
         # replace_schema_metadata(None): from_pandas attaches a 'pandas'
         # metadata dict that makes pyarrow Schemas UNHASHABLE — Ray's
         # unify_schemas then logs "Failed to hash the schemas" and skips
@@ -464,6 +538,11 @@ def auto_join(
     est = None
     if how in ("inner", "left"):
         try:
+            # materialize once: size_bytes on a computed dataset would
+            # otherwise EXECUTE the right-side plan just to size it and the
+            # chosen join path would execute it again — one bounded
+            # materialization replaces a silent double execution
+            right = right.materialize()
             est = right.size_bytes()
         except Exception:
             est = None
@@ -490,25 +569,16 @@ def auto_join(
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lnames = list(lschema.names)
-    shared_keys = {r for l, r in zip(on_list, ron_list) if l == r}
-    rename = {
-        n: (n + suffix if n in lnames and n not in shared_keys else n)
-        for n in rschema.names
-    }
-    right_key = [rename[c] for c in ron_list]
+    rename, right_key, full_fields = _join_naming(on_list, ron_list, lschema, rschema, suffix)
+    types = dict(full_fields)
     out_names = lnames + [rename[n] for n in rschema.names if rename[n] not in lnames]
-    types: dict[str, pa.DataType] = {
-        n: lschema.types[lschema.names.index(n)] for n in lnames
-    }
-    for n in rschema.names:
-        types.setdefault(rename[n], rschema.types[rschema.names.index(n)])
     out_schema = pa.schema([(n, types[n]) for n in out_names])
 
     rdf = right.to_pandas().rename(columns=rename)
     rref = ray.put(rdf)
 
     def probe(t: pa.Table) -> pa.Table:
-        build = _prepared(("auto_join", rref.hex()), lambda: ray.get(rref))
+        build = _prepared(("auto_join", rref.hex()), lambda: ray.get(rref), category_cap=4)
         out = t.to_pandas().merge(build, left_on=on_list, right_on=right_key, how=how)
         return pa.Table.from_pandas(
             out[out_names], schema=out_schema, preserve_index=False

@@ -366,3 +366,97 @@ def test_bucketed_aggregate_preserves_int64_with_nulls():
         ray.data.from_arrow(nul), keys=["k"], aggs={"c": ("v", "count"), "n": ("v", "size")}, num_buckets=1
     ).to_pandas()
     assert out2["c"].tolist() == [1] and out2["n"].tolist() == [2]
+
+
+def _ds(t):
+    import ray.data
+
+    return ray.data.from_arrow(t)
+
+
+def test_hash_join_matches_across_physical_key_types():
+    """Value-equal keys of different physical widths (int32 vs int64) must
+    land in the same bucket — hashes are computed on the unified key type,
+    not the raw columns."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.relational import hash_join
+
+    left = pa.table({"k": pa.array([-5, 3, 7], pa.int64()), "lv": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([-5, 7], pa.int32()), "rv": pa.array([10, 20], pa.int64())})
+    out = hash_join(
+        _ds(left), _ds(right), on="k", num_buckets=8,
+        left_schema=left.schema, right_schema=right.schema,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [-5, 7]
+    assert out["rv"].tolist() == [10, 20]
+
+
+def test_hash_join_null_keys_follow_sql_semantics():
+    """NULL keys never equality-match: inner drops them, semi excludes
+    them, anti (NOT EXISTS) keeps them, and outer sides emit them as
+    unmatched rows instead of pairing NaN with NaN."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2], pa.int64()), "lv": pa.array([10, 11, 12], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([1, None], pa.int64()), "rv": pa.array([100, 101], pa.int64())}
+    )
+    kw = dict(on="k", num_buckets=4, left_schema=left.schema, right_schema=right.schema)
+
+    inner = hash_join(_ds(left), _ds(right), how="inner", **kw).to_pandas()
+    assert inner["k"].tolist() == [1] and inner["rv"].tolist() == [100]
+
+    semi = hash_join(_ds(left), _ds(right), how="semi", **kw).to_pandas()
+    assert semi["lv"].tolist() == [10]
+
+    anti = hash_join(_ds(left), _ds(right), how="anti", **kw).to_pandas()
+    assert sorted(anti["lv"].tolist()) == [11, 12]  # null-key left row kept
+
+    full = hash_join(_ds(left), _ds(right), how="full", **kw).to_pandas()
+    assert len(full) == 4  # match(1), left-null, left 2, right-null
+    assert sorted(v for v in full["lv"].dropna().astype(int)) == [10, 11, 12]
+    assert sorted(v for v in full["rv"].dropna().astype(int)) == [100, 101]
+
+
+def test_hash_join_outer_preserves_large_int64():
+    """Outer null-fills must not round int64 values above 2^53 through a
+    float64 detour."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.relational import hash_join
+
+    big = 2**53 + 1
+    left = pa.table({"k": pa.array([1, 2], pa.int64()), "lv": pa.array([big, 7], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3], pa.int64()), "rv": pa.array([big + 2, 9], pa.int64())})
+    out = hash_join(
+        _ds(left), _ds(right), on="k", how="full", num_buckets=4,
+        left_schema=left.schema, right_schema=right.schema,
+    )
+    vals = {r["k"]: (r["lv"], r["rv"]) for r in out.take_all()}
+    assert vals[1] == (big, None)
+    assert vals[2] == (7, big + 2)
+    assert vals[3] == (None, 9)
+
+
+def test_join_suffix_collision_raises():
+    """left has both 'x' and 'x_r'; right has 'x' — the suffixed name
+    collides and must fail loudly up front, not as a KeyError in a task."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from ocr_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64()), "x_r": pa.array([2], pa.int64())}
+    )
+    right = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([3], pa.int64())})
+    with _pytest.raises(ValueError, match="suffix collision"):
+        hash_join(
+            _ds(left), _ds(right), on="k", num_buckets=2,
+            left_schema=left.schema, right_schema=right.schema,
+        )
