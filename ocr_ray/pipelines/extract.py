@@ -31,9 +31,7 @@ from ocr_ray.stages.assemble import (
     add_chunk_bucket,
     merge_chunks_bucket,
     partial_assemble_bucket,
-    reassemble,
     reassemble_bucket,
-    reassemble_two_phase,
 )
 from ocr_ray.stages.boilerplate import strip_boilerplate
 from ocr_ray.stages.explode import explode_documents

@@ -31,7 +31,9 @@ import pyarrow.compute as pc
 from ocr_ray.schema import KIND_DOC_SENTINEL, SPAN_STRUCT
 from ocr_ray.stages.explode import implode_spans
 
-if True:  # typing-only import kept lazy for ray worker pickling
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # typing-only: annotations are strings, no runtime need
     import ray.data
 
 
@@ -47,13 +49,30 @@ def add_bucket(batch: pa.Table, *, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(hash_bucket(batch["doc_id"], num_buckets)))
 
 
+def _empty_docs() -> pa.Table:
+    """Typed empty output: a zero-row group must still carry the spans
+    column or the block stream (and any committed fragment) goes
+    mixed-schema."""
+    from ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    return DOCUMENTS_SCHEMA.empty_table()
+
+
 def reassemble_bucket(group: pa.Table) -> pa.Table:
     """Vectorized reassembly of every document in one hash bucket."""
     if group.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], type=pa.string())})
+        return _empty_docs()
     tbl = group.drop_columns([c for c in ("bucket",) if c in group.column_names])
+    # text included: without it, spans equal in the first four keys would
+    # keep nondeterministic shuffle arrival order (stable sort)
     tbl = tbl.sort_by(
-        [("doc_id", "ascending"), ("offset", "ascending"), ("kind", "ascending"), ("media_ref", "ascending")]
+        [
+            ("doc_id", "ascending"),
+            ("offset", "ascending"),
+            ("kind", "ascending"),
+            ("media_ref", "ascending"),
+            ("text", "ascending"),
+        ]
     )
     return _implode_sorted(tbl)
 
@@ -68,7 +87,7 @@ def assemble_local(batch: pa.Table) -> pa.Table:
     no downstream consumer depends on (nested rows; checksums are
     order-insensitive)."""
     if batch.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], type=pa.string())})
+        return _empty_docs()
     codes = (
         pc.dictionary_encode(batch["doc_id"]).combine_chunks().indices
         .to_numpy(zero_copy_only=False)
@@ -77,8 +96,9 @@ def assemble_local(batch: pa.Table) -> pa.Table:
     offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     key = (codes << np.int64(32)) | (offs + np.int64(1 << 31))
     order = np.argsort(key, kind="stable")
-    if len(np.unique(key)) != len(key):
-        return reassemble_bucket(batch)
+    sk = key[order]
+    if len(sk) > 1 and (sk[1:] == sk[:-1]).any():  # dup (doc, offset):
+        return reassemble_bucket(batch)  # full-key deterministic tiebreak
     tbl = batch.take(pa.array(order))
     return _implode_sorted(tbl)
 
@@ -92,7 +112,6 @@ def _implode_sorted(tbl: pa.Table) -> pa.Table:
     # Run boundaries over the sorted doc ids (runs are contiguous post-sort).
     change = np.flatnonzero(np.diff(codes)) + 1
     starts = np.concatenate([[0], change])
-    counts = np.diff(np.concatenate([starts, [len(codes)]]))
 
     nonsent = pc.not_equal(tbl["kind"], KIND_DOC_SENTINEL).combine_chunks().to_numpy(
         zero_copy_only=False
@@ -124,6 +143,14 @@ def _with_sink(body, sink):
         return body
 
     def fused(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "partition": pa.array([], type=pa.int32()),
+                    "row_count": pa.array([], type=pa.int64()),
+                    "span_count": pa.array([], type=pa.int64()),
+                }
+            )
         part = int(group["bucket"][0].as_py())
         return sink.write(body(group), part)
 
@@ -138,6 +165,10 @@ def reassemble(
     With ``sink`` (a ``ResumableSink``), each bucket is also written as
     output fragment ``bucket`` in the same task and the returned Dataset
     carries the manifest rows instead of the documents."""
+    if sink is not None:
+        from ocr_ray.state.manifest import _check_layout
+
+        _check_layout(sink.out_dir, num_buckets, write=True)
     ds = ds.map_batches(
         add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
     )
@@ -167,7 +198,11 @@ def add_chunk_bucket(batch: pa.Table, *, num_buckets: int, chunk_size: int) -> p
 
     offs = batch["offset"].combine_chunks().to_numpy(zero_copy_only=False)
     chunk = (offs.astype(np.int64) // chunk_size).astype(np.int32)
-    h = mix64(hash_utf8_column(batch["doc_id"]))
+    ids = batch["doc_id"].combine_chunks()
+    if pa.types.is_integer(ids.type):  # raw tables carry int64 doc ids
+        h = mix64(ids.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+    else:
+        h = mix64(hash_utf8_column(ids))
     with np.errstate(over="ignore"):
         salted = h ^ (chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     out = batch.append_column("chunk_id", pa.array(chunk))
@@ -195,6 +230,7 @@ def partial_assemble_bucket(group: pa.Table) -> pa.Table:
             ("offset", "ascending"),
             ("kind", "ascending"),
             ("media_ref", "ascending"),
+            ("text", "ascending"),
         ]
     )
     doc_codes = pc.dictionary_encode(tbl["doc_id"]).combine_chunks().indices.to_numpy(
@@ -230,7 +266,7 @@ def merge_chunks_bucket(group: pa.Table) -> pa.Table:
     """Phase 2: merge a doc's chunk rows (sorted by chunk_id) into the final
     nested row — drop sentinels, re-index offsets 0..k-1."""
     if group.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], type=pa.string())})
+        return _empty_docs()
     tbl = group.drop_columns([c for c in ("bucket",) if c in group.column_names])
     tbl = tbl.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
     doc_codes = pc.dictionary_encode(tbl["doc_id"]).combine_chunks().indices.to_numpy(
@@ -251,8 +287,7 @@ def merge_chunks_bucket(group: pa.Table) -> pa.Table:
     row_doc = np.cumsum(row_doc)
     flat_doc = np.repeat(row_doc, row_lens)
     n_docs = len(doc_starts)
-    span_counts = np.zeros(n_docs, dtype=np.int64)
-    np.add.at(span_counts, flat_doc[nonsent], 1)
+    span_counts = np.bincount(flat_doc[nonsent], minlength=n_docs).astype(np.int64)
     list_offsets = np.concatenate([[0], np.cumsum(span_counts)])
 
     keep_flat = pa.array(nonsent)
@@ -302,6 +337,10 @@ def reassemble_two_phase(
     )
     partial = ds.groupby("bucket").map_groups(partial_assemble_bucket, batch_format="pyarrow")
     nb2 = final_buckets if final_buckets is not None else max(num_buckets // 4, 1)
+    if sink is not None:
+        from ocr_ray.state.manifest import _check_layout
+
+        _check_layout(sink.out_dir, nb2, write=True)
     partial = partial.map_batches(
         add_bucket, batch_format="pyarrow", fn_kwargs={"num_buckets": nb2}
     )

@@ -189,3 +189,71 @@ def test_schema_fail_exploded_offset_type():
     )
     with pytest.raises(SchemaError, match="offset"):
         validate_spans_schema(t)
+
+
+def test_add_chunk_bucket_accepts_integer_doc_ids():
+    """The two-phase salt must support int64 doc ids like the single-phase
+    doc_bucket path does (raw tables carry integer ids)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.assemble import add_chunk_bucket
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2], pa.int64()),
+            "offset": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    out = add_chunk_bucket(t, num_buckets=8, chunk_size=2)
+    assert out["bucket"].to_pylist()[0] is not None
+    assert set(out.column_names) >= {"chunk_id", "bucket"}
+
+
+def test_reassemble_bucket_text_tiebreak_is_deterministic():
+    """Two spans equal in (doc_id, offset, kind, media_ref) but different
+    text must order by text, not by shuffle arrival order."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.assemble import reassemble_bucket
+
+    def run(texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array(["d"] * 2),
+                "kind": pa.array(["text"] * 2),
+                "text": pa.array(texts),
+                "media_ref": pa.array([""] * 2),
+                "offset": pa.array([0, 0], pa.int32()),
+            }
+        )
+        out = reassemble_bucket(t)
+        return [s["text"] for s in out["spans"][0].as_py()]
+
+    assert run(["b", "a"]) == ["a", "b"]
+    assert run(["a", "b"]) == ["a", "b"]
+
+
+def test_empty_group_outputs_carry_full_schema():
+    """Zero-row groups must emit the full documents schema (doc_id AND
+    spans), never a doc_id-only table."""
+    import pyarrow as pa
+
+    from ocr_ray.schema import DOCUMENTS_SCHEMA
+    from ocr_ray.stages.assemble import (
+        assemble_local,
+        merge_chunks_bucket,
+        reassemble_bucket,
+    )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "kind": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "media_ref": pa.array([], pa.string()),
+            "offset": pa.array([], pa.int32()),
+        }
+    )
+    for fn in (reassemble_bucket, assemble_local, merge_chunks_bucket):
+        out = fn(empty.select(["doc_id"]).append_column("spans", pa.array([], pa.large_list(pa.struct([("kind", pa.string())])))) if fn is merge_chunks_bucket else empty)
+        assert out.schema.equals(DOCUMENTS_SCHEMA), fn.__name__
