@@ -51,6 +51,11 @@ def _rho(tail: np.ndarray, width: int) -> np.ndarray:
 
 def hll_partial_registers(batch: pa.Table, *, group_col: str = "event_type", key_col: str = "user_id") -> pa.Table:
     """One batch -> per-(group, register) max rho rows (the combiner)."""
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(batch[key_col])
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)  # SQL COUNT(DISTINCT) ignores NULL keys
     keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
     h = _mix64(keys.astype(np.uint64))
     reg = (h >> np.uint64(64 - P_BITS)).astype(np.int64)
@@ -58,7 +63,8 @@ def hll_partial_registers(batch: pa.Table, *, group_col: str = "event_type", key
     groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
 
     df = pd.DataFrame({"event_type": groups, "register": reg, "rho": rho})
-    red = df.groupby(["event_type", "register"], sort=False)["rho"].max().reset_index()
+    # dropna=False: a NULL group is a group in SQL GROUP BY
+    red = df.groupby(["event_type", "register"], sort=False, dropna=False)["rho"].max().reset_index()
     return pa.table(
         {
             "event_type": pa.array(red["event_type"], type=pa.string()),
@@ -82,8 +88,11 @@ def misra_gries_partial(batch: pa.Table, *, col: str = "text", k: int = MG_CAPAC
     toks = pc.split_pattern(batch[col], " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    flat = pd.Series(pc.list_flatten(toks).to_pylist())
-    counts = flat.value_counts()
+    vc = pc.value_counts(pc.list_flatten(toks))  # Arrow kernel, no Python strs
+    counts = pd.Series(
+        pc.struct_field(vc, "counts").to_numpy(zero_copy_only=False),
+        index=pc.struct_field(vc, "values").to_pylist(),
+    ).sort_values(ascending=False, kind="mergesort")
     if len(counts) > k:
         # decrement-by-threshold: subtract the (k+1)-th largest count from
         # all, keep positives — the batched equivalent of MG decrements.
@@ -105,8 +114,11 @@ def histogram_partial(
     histograms merge by addition). Range [lo, hi] comes from a cheap
     min/max pre-pass; values outside clamp to the edge bins."""
     v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-    idx = np.clip(((v - lo) / max(hi - lo, 1e-300) * bins).astype(np.int64), 0, bins - 1)
-    counts = np.bincount(idx, minlength=bins)
+    v = v[np.isfinite(v)]  # NULL/NaN contributes to no bin (SQL ignores it)
+    # clamp the FLOAT first: a value far outside [lo, hi] would overflow
+    # the int64 cast and wrap to the bottom bin instead of the edge bin
+    pos = np.clip((v - lo) / max(hi - lo, 1e-300) * bins, 0, bins - 1)
+    counts = np.bincount(pos.astype(np.int64), minlength=bins)
     nz = np.flatnonzero(counts)
     return pa.table(
         {
@@ -165,10 +177,16 @@ def grouped_exact_median(ds, *, group_col: str, value_col: str, bins: int = 4096
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+        # clamp the FLOAT before the int cast (out-of-range would overflow
+        # and wrap to bin 0); callers filter NaN first
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)  # NULL/NaN values contribute to no quantile (SQL)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            v = v[ok]
         df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
         red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
         return pa.table(
@@ -272,6 +290,12 @@ def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
     for g, sub in merged.groupby("event_type"):
         rho = sub["rho"].to_numpy(dtype=np.int64)
         present = len(rho)  # registers unique after the groupby-max merge
+        if present > NUM_REGISTERS:
+            raise ValueError(
+                f"hll_estimate: group {g!r} has {present} register rows > "
+                f"{NUM_REGISTERS}; merge partials (groupby-max per register) "
+                "before estimating"
+            )
         s = sum(1 << (width1 - int(r)) for r in rho)
         s += (NUM_REGISTERS - present) << width1
         est = _ALPHA * NUM_REGISTERS**2 * float(1 << width1) / float(s)
@@ -310,10 +334,16 @@ def grouped_exact_quantiles(
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+        # clamp the FLOAT before the int cast (out-of-range would overflow
+        # and wrap to bin 0); callers filter NaN first
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)  # NULL/NaN values contribute to no quantile (SQL)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            v = v[ok]
         df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
         red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
         return pa.table(
@@ -405,10 +435,16 @@ def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+        # clamp the FLOAT before the int cast (out-of-range would overflow
+        # and wrap to bin 0); callers filter NaN first
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)  # NULL/NaN values contribute to no quantile (SQL)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            v = v[ok]
         df = pd.DataFrame({group_col: t[group_col].to_pylist(), "bin": bin_of(v)})
         red = df.groupby([group_col, "bin"], sort=False).size().reset_index(name="count")
         return pa.table(

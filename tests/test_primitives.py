@@ -202,3 +202,18 @@ class TestSkylineKernel:
         parts = [local_skyline(t.slice(off, 50)) for off in range(0, n, 50)]
         merged = set(local_skyline(pa.concat_tables(parts))["p_partkey"].to_pylist())
         assert merged == whole
+
+
+def test_histogram_partial_handles_nan_and_extreme_values():
+    """NaN rows contribute to no bin (SQL NULL semantics) and values far
+    outside [lo, hi] clamp to the EDGE bin instead of wrapping through an
+    int64 overflow to bin 0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_ray.functions.sketch import histogram_partial
+
+    t = pa.table({"v": pa.array([0.5, float("nan"), 1e300, -1e300], pa.float64())})
+    out = histogram_partial(t, col="v", lo=0.0, hi=1.0, bins=16)
+    got = dict(zip(out["bin"].to_pylist(), out["count"].to_pylist()))
+    assert got == {8: 1, 15: 1, 0: 1}  # 0.5 -> mid, 1e300 -> top edge, -1e300 -> bottom
