@@ -91,7 +91,6 @@ def dedup_by_key(ds, *, key: str, order: str, num_buckets: int = 16):
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 _HASH_SEED = 0x5EED
 
 
@@ -366,15 +365,16 @@ def attach_verify_pairs(
     *,
     tau: float,
     num_buckets: int | None = None,
-    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
     min_count: int = 1,
 ):
     """Candidate pairs + per-doc signatures -> verified pairs with exact
     set-Jaccard >= ``tau``, in exactly TWO bucketed shuffles with
     all-Arrow bucket bodies.
 
-    ``pairs`` has columns ``doc_a, doc_b`` (duplicates fine — multiple LSH
-    bands emitting the same pair collapse for free below); ``sigs`` has
+    ``cols`` names the pair id columns on BOTH the input ``pairs`` and the
+    verified output (duplicates fine — multiple LSH bands emitting the
+    same pair collapse for free below); ``sigs`` has
     ``doc_id`` + ``shingles`` (unique-sorted ``list<uint64>``, one row per
     doc, from :func:`doc_shingle_lists`).
 
@@ -390,9 +390,13 @@ def attach_verify_pairs(
     ``min_count`` keeps only pairs emitted at least that many times — the
     PPJoin-style candidate filter for inverted-index generators: a pair
     with Jaccard >= tau must share >= tau/(1+tau) * (|A|+|B|) features,
-    so requiring >= 2 shared (sampled) features costs essentially no
-    recall while discarding the long tail of single-feature collisions
-    before signatures are attached.
+    so ``min_count=2`` discards the long tail of single-feature
+    collisions before signatures attach. It is NOT free: pairs that
+    legitimately share only one feature are dropped — exactly when
+    |A|+|B| < 2*(1+tau)/tau (very short docs), plus a small sampled-
+    overlap tail when the generator bottom-samples shingles. Callers
+    whose corpus has tiny documents should pass ``min_count=1``; oracles
+    must mirror the same threshold (HAVING count >= min_count).
     """
     from ocr_ray.functions.hashing import mix64
     from ocr_ray.sizing import default_buckets
@@ -418,8 +422,8 @@ def attach_verify_pairs(
     )
 
     def emit_pair_sides(t: pa.Table) -> pa.Table:
-        a = t[out_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t[out_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t[cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(a)
         key = np.concatenate([a, b])
         aa = np.concatenate([a, a])
@@ -435,7 +439,8 @@ def attach_verify_pairs(
                 "_bucket": pa.array(
                     (key.astype(np.uint64) % np.uint64(nb)).astype(np.int32)
                 ),
-            }
+            },
+            schema=union_schema,  # both union branches MUST agree exactly
         )
 
     def emit_sigs(t: pa.Table) -> pa.Table:
@@ -451,7 +456,8 @@ def attach_verify_pairs(
                 "_bucket": pa.array(
                     (key.astype(np.uint64) % np.uint64(nb)).astype(np.int32)
                 ),
-            }
+            },
+            schema=union_schema,
         )
 
     both = pairs.map_batches(emit_pair_sides, batch_format="pyarrow").union(
@@ -517,7 +523,7 @@ def attach_verify_pairs(
 
     attached = both.groupby("_bucket").map_groups(attach_bucket, batch_format="pyarrow")
 
-    out_schema = pa.schema({out_cols[0]: pa.int64(), out_cols[1]: pa.int64()})
+    out_schema = pa.schema({cols[0]: pa.int64(), cols[1]: pa.int64()})
 
     def verify_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -543,7 +549,7 @@ def attach_verify_pairs(
         jac = pairwise_jaccard_lists(sh_a, sh_b)
         ok = jac >= tau
         return pa.table(
-            {out_cols[0]: pa.array(a[lead][ok]), out_cols[1]: pa.array(b[lead][ok])},
+            {cols[0]: pa.array(a[lead][ok]), cols[1]: pa.array(b[lead][ok])},
             schema=out_schema,
         )
 
