@@ -11,6 +11,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 try:  # pragma: no cover - not installed in this environment
@@ -34,8 +35,6 @@ def _read_lance_fragments(path: str, *, columns: list[str] | None = None) -> ray
     with backpressure). Replaces the round-1 whole-dataset
     ``pa.Table.from_batches`` driver materialization — a driver OOM at any
     real corpus size."""
-    import pyarrow as pa
-
     lance_mod = lance
     frag_ids = [int(f.fragment_id) for f in lance_mod.dataset(path).get_fragments()]
     ids = ray.data.from_items([{"fragment_id": i} for i in frag_ids])
@@ -107,19 +106,43 @@ def read_parquet_evolved(
     parallel ``read_parquet`` per file, so column pruning still pushes
     down for columns present in a file.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
         p = Path(paths)
-        paths = sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [paths]
-    schemas = {f: pq.ParquetFile(f).schema_arrow for f in paths}
-    fields: dict[str, pa.DataType] = {}
-    for sch in schemas.values():
-        for name, typ in zip(sch.names, sch.types):
-            fields.setdefault(name, typ)
+        # recursive: partitioned layouts (part=NNN/data.parquet) are the
+        # sink's own output shape (local paths; remote URIs go through the
+        # native read_parquet)
+        paths = sorted(str(f) for f in p.rglob("*.parquet")) if p.is_dir() else [paths]
+    if not paths:
+        raise ValueError("read_parquet_evolved: no parquet files found")
+
+    def _footer(f: str):
+        pf = pq.ParquetFile(f)
+        return f, pf.schema_arrow, pf.metadata.num_rows
+
+    # footer probes are independent I/O — do them concurrently, not as a
+    # serial driver loop over arbitrarily many files
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        footers = list(ex.map(_footer, paths))
+    schemas = {f: sch for f, sch, _ in footers}
+    nrows = {f: n for f, _, n in footers}
+    # permissive unification PROMOTES drifted types (int32 -> int64, ...)
+    # instead of keeping the first-seen type and crashing on a narrowing
+    # cast mid-scan
+    union_all = pa.unify_schemas(
+        list({tuple(zip(s.names, (str(t) for t in s.types))): s for s in schemas.values()}.values()),
+        promote_options="permissive",
+    )
     if columns is not None:
-        fields = {n: t for n, t in fields.items() if n in columns}
-    union = pa.schema(fields)
+        missing = [c for c in columns if c not in union_all.names]
+        if missing:
+            raise ValueError(f"read_parquet_evolved: column(s) {missing} exist in no file")
+        union = pa.schema([(c, union_all.field(c).type) for c in columns])  # caller's order
+    else:
+        union = union_all
 
     def align(t: pa.Table) -> pa.Table:
         cols = {}
@@ -139,8 +162,24 @@ def read_parquet_evolved(
     parts = []
     for gen, files in by_gen.items():
         present = [c for c in union.names if c in {n for n, _ in gen}]
+        if not present:
+            # no requested column exists in this generation: emit pure-null
+            # blocks from the footer row counts — zero data bytes read
+            # (columns=None here would scan EVERY byte just to discard it)
+            counts = [nrows[f] for f in files]
+
+            def null_blocks(t: pa.Table, _u=union) -> pa.Table:
+                n = int(pc.sum(t["_rows"]).as_py() or 0)
+                return pa.table({c: pa.nulls(n, type=typ) for c, typ in zip(_u.names, _u.types)})
+
+            parts.append(
+                ray.data.from_items([{"_rows": c} for c in counts]).map_batches(
+                    null_blocks, batch_format="pyarrow"
+                )
+            )
+            continue
         parts.append(
-            ray.data.read_parquet(files, columns=present or None, **kwargs).map_batches(
+            ray.data.read_parquet(files, columns=present, **kwargs).map_batches(
                 align, batch_format="pyarrow"
             )
         )

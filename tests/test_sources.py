@@ -91,3 +91,45 @@ def test_read_parquet_evolved_aligns_schema_generations(tmp_path):
     assert list(df.columns) == ["id", "a", "b"]
     assert df["a"].tolist()[:2] == ["x", "y"] and pd.isna(df["a"][2])
     assert pd.isna(df["b"][0]) and df["b"][2] == 7.5
+
+
+def test_read_parquet_evolved_promotes_and_null_fills(tmp_path, ray_session):
+    """Schema drift handling: int32->int64 promotion (narrowing casts used
+    to crash mid-scan), null blocks for generations lacking every requested
+    column, caller's column order, recursive partitioned layout, and loud
+    errors for empty dirs / unknown columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ocr_ray.sources.readers import read_parquet_evolved
+
+    d = tmp_path / "corpus" / "part=0"
+    d.mkdir(parents=True)
+    big = 2**40
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int32()), "a": pa.array(["x", "y"])}),
+        d / "gen1.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([big], pa.int64()), "b": pa.array([7], pa.int64())}),
+        d / "gen2.parquet",
+    )
+
+    out = read_parquet_evolved(str(tmp_path / "corpus")).to_pandas()
+    assert sorted(int(v) for v in out["id"]) == [1, 2, big]  # promoted, not crashed
+    assert out["b"].notna().sum() == 1 and out["a"].notna().sum() == 2
+
+    # caller's column order wins; a gen with NO requested column yields nulls
+    cols = read_parquet_evolved(str(tmp_path / "corpus"), columns=["b", "a"])
+    assert cols.schema().names == ["b", "a"]
+    df = cols.to_pandas()
+    assert len(df) == 3 and df["b"].notna().sum() == 1
+
+    with pytest.raises(FileNotFoundError):  # non-dir path = single file
+        read_parquet_evolved(str(tmp_path / "nothing_here"))
+    (tmp_path / "nothing_here").mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        read_parquet_evolved(str(tmp_path / "nothing_here"))
+    with pytest.raises(ValueError, match="exist in no file"):
+        read_parquet_evolved(str(tmp_path / "corpus"), columns=["typo"])
