@@ -455,6 +455,14 @@ class QuantizedTopK:
         qids, qmat = ray.get(queries_ref)
         self.qids = np.asarray(qids, dtype=np.int64)
         self.q = _normalize(qmat)  # (Q, d) float64, exact-rescore side
+        # the f32 int8-dot exactness bound: |sum| <= d * 127^2 must stay
+        # below 2^24 or the matmul rounds and candidate ranking drifts
+        if self.q.shape[1] * 127 * 127 >= 1 << 24:
+            raise ValueError(
+                f"QuantizedTopK: dim {self.q.shape[1]} breaks the float32 "
+                "int-exact dot-product bound (d <= 1040); accumulate in "
+                "float64 for wider embeddings"
+            )
         self.q8 = np.rint(self.q * 127.0).astype(np.float32)  # int8-valued
         self.k = k
         self.oversample = oversample
@@ -470,7 +478,10 @@ class QuantizedTopK:
         if self.exclude_self:
             approx[self.qids[:, None] == vids[None, :]] = -np.inf
         c = min(self.k * self.oversample, approx.shape[1])
-        cand = np.argpartition(-approx, c - 1, axis=1)[:, :c]  # (Q, c)
+        # int-valued approx scores tie often; order (-score, vec_id) so the
+        # candidate cut is deterministic across block layouts
+        order = np.lexsort((vids[None, :].repeat(len(self.qids), 0), -approx), axis=1)
+        cand = order[:, :c]  # (Q, c)
         # exact float64 rescore of the candidates only
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(len(self.qids)):

@@ -6124,10 +6124,10 @@ def embedding_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@query(
-    "bm25_search",
-    sql="""
-WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+# ONE definition of the BM25 scoring CTEs (Lucene idf, k1=1.2, b=0.75,
+# fixed query terms) shared by the bm25_search and hybrid_rrf_search
+# oracles — a formula change edits exactly one string.
+_BM25_SC_SQL = """WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 t AS (SELECT doc_id, count(*) AS dl,
         count(*) FILTER (WHERE tok = 'spark') AS tf0,
         count(*) FILTER (WHERE tok = 'join') AS tf1,
@@ -6145,7 +6145,13 @@ sc AS (SELECT t.doc_id,
   + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
       * ((CAST(t.tf2 AS DOUBLE) * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
   AS score
-  FROM t, g)
+  FROM t, g)"""
+
+
+@query(
+    "bm25_search",
+    sql=_BM25_SC_SQL
+    + """
 SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
 """,
 )
@@ -8303,7 +8309,7 @@ def reservoir_sample_events(sf_dir: str) -> ray.data.Dataset:
             {"event_type": t["event_type"].to_pylist(), "event_id": ids, "pri": pri}
         )
         df = df.sort_values(["event_type", "pri", "event_id"], kind="mergesort")
-        df = df.groupby("event_type", as_index=False).head(K)
+        df = df.groupby("event_type", as_index=False, dropna=False).head(K)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -8326,26 +8332,8 @@ def reservoir_sample_events(sf_dir: str) -> ray.data.Dataset:
 
 @query(
     "hybrid_rrf_search",
-    sql="""
-WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-t AS (SELECT doc_id, count(*) AS dl,
-        count(*) FILTER (WHERE tok = 'spark') AS tf0,
-        count(*) FILTER (WHERE tok = 'join') AS tf1,
-        count(*) FILTER (WHERE tok = 'window') AS tf2
-      FROM s GROUP BY doc_id),
-g AS (SELECT count(*) AS n, SUM(dl) AS sum_dl,
-        count(*) FILTER (WHERE tf0 > 0) AS df0,
-        count(*) FILTER (WHERE tf1 > 0) AS df1,
-        count(*) FILTER (WHERE tf2 > 0) AS df2 FROM t),
-sc AS (SELECT t.doc_id,
-    ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0)
-      * ((CAST(t.tf0 AS DOUBLE) * 2.2) / (t.tf0 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
-  + ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0)
-      * ((CAST(t.tf1 AS DOUBLE) * 2.2) / (t.tf1 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
-  + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
-      * ((CAST(t.tf2 AS DOUBLE) * 2.2) / (t.tf2 + 1.2 * (0.25 + 0.75 * (t.dl / (CAST(g.sum_dl AS DOUBLE) / g.n)))))
-  AS score
-  FROM t, g),
+    sql=_BM25_SC_SQL
+    + """,
 bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
        FROM sc QUALIFY r <= 20),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -8368,18 +8356,18 @@ def hybrid_rrf_search(sf_dir: str) -> pd.DataFrame:
     (``embedding_topk``'s plan), and the two CONSTANT-SIZE rank lists
     fuse on the driver with ``1/(60+r)`` — the k-bounded final step of a
     retrieval stack (both legs stream; only 2k rows ever leave them).
-    RRF scores are sums of identical dyadic-rational terms on both
-    sides, so even the float column is oracle-exact."""
+    RRF scores are bit-exact vs the oracle because BOTH sides perform
+    the identical IEEE-754 op sequence (same 1/(60+r) divisions, same
+    addition order) — NOT because the terms are dyadic (1/61 is not);
+    reordering either side's additions would break the exact gate."""
     from ocr_ray.functions.ann import brute_topk
 
     K = 20
     bm = bm25_search(sf_dir).to_pandas().reset_index(drop=True)
     bm["bm25_rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
 
-    t = load_small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = t.filter(pc.equal(t["vec_id"], pa.scalar(0, type=pa.int64()))).to_pandas()
-    qmat = np.stack(q0["embedding"].to_numpy()).astype(np.float64)
-    queries_ref = ray.put((np.array([0], dtype=np.int64), qmat))
+    qids, qmat = _query_vectors(sf_dir, n=1)  # query vector 0, same helper as embedding_topk
+    queries_ref = ray.put((np.asarray(qids, dtype=np.int64), qmat))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     kn = brute_topk(ds, queries_ref, k=K).to_pandas()
     kn = kn.rename(columns={"vec_id": "doc_id", "rank": "knn_rank"})[["doc_id", "knn_rank"]]
