@@ -75,6 +75,13 @@ def segment_payloads(payloads: list[bytes | None]) -> tuple[np.ndarray, np.ndarr
     The whole batch segments with one ``frombuffer``+``reshape`` — no
     per-glyph Python.
     """
+    for p in payloads:
+        if p is not None and len(p) % GLYPH_DIM:
+            raise ValueError(
+                f"glyph payload length {len(p)} is not a multiple of "
+                f"{GLYPH_DIM}; a truncated payload would silently shift "
+                "every following cell"
+            )
     lengths = np.fromiter(
         (0 if p is None else len(p) // GLYPH_DIM for p in payloads),
         dtype=np.int64,
@@ -99,9 +106,7 @@ class Recognizer:
         self.chars = np.frombuffer(
             bytes(range(ALPHABET_LO, ALPHABET_HI + 1)), dtype=np.uint8
         )
-        # byte-fold key for the dedup-before-matmul fast path (GLYPH_DIM
-        # bytes -> one uint64; exact since GLYPH_DIM <= 8)
-        self._pow = (np.uint64(256) ** np.arange(GLYPH_DIM, dtype=np.uint64)).astype(np.uint64)
+
 
     # glyphs per matmul chunk: caps the score-matrix temp at ~12 MB so the
     # buffers are allocated once and reused — a single full-batch matmul
@@ -122,14 +127,21 @@ class Recognizer:
         n = len(cells)
         if n == 0:
             return np.empty(0, dtype=np.uint8)
-        key = cells.astype(np.uint64) @ self._pow
+        # zero-copy byte-fold: each 8-byte cell IS a uint64 (no temp, no
+        # matmul — the previous astype+matmul key allocated 8x the cells)
+        key = np.ascontiguousarray(cells).view(np.uint64).ravel()
         uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-        if len(uniq) < n:
+        # only dedup when it actually shrinks the matmul: near-unique
+        # batches (noisy payloads) would pay gather+scatter on top of the
+        # full matmul for nothing
+        if len(uniq) <= n // 2:
             return self._recognize_dense(cells[first])[inv]
         return self._recognize_dense(cells)
 
     def _recognize_dense(self, cells: np.ndarray) -> np.ndarray:
         n = len(cells)
+        if n == 0:
+            return np.empty(0, dtype=np.uint8)
         out = np.empty(n, dtype=np.uint8)
         ch = min(self._CHUNK, n)
         xbuf = np.empty((ch, cells.shape[1]), dtype=np.float32)
@@ -161,6 +173,12 @@ class Recognizer:
         recognized bytes ARE the utf8 data; offsets are payload offsets/8)."""
         if len(pay) == 0:
             return pa.array([], type=pa.large_string())
+        if pay.null_count:
+            raise ValueError(
+                "glyph span with NULL payload: the zero-copy decode would "
+                "silently rewrite it to empty text; fix the producer or "
+                "filter the row"
+            )
         off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
         offs = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
             pay.offset : pay.offset + len(pay) + 1
