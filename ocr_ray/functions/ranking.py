@@ -18,6 +18,12 @@ partitioners) is range-bucket + prefix offsets:
 
 Ties are broken by ``tiebreak_col`` (must be unique within a partition)
 so ranks are deterministic and match SQL's ``ORDER BY v, tiebreak``.
+
+Skew caveat: the shape bounds tasks by (partition, value-range bin), so a
+partition whose ORDER key is (near-)constant collapses into one bin and
+one bucket — for such keys pre-salt the value or accept the single-task
+partition. NaN order keys and NULL weights are rejected loudly (their
+silent int casts are undefined and would diverge from the SQL oracles).
 """
 
 from __future__ import annotations
@@ -26,6 +32,29 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_NULL_KEY = "\x00NULL"  # canonical partition key for NULL (collision-safe prefix)
+
+
+def _part_keys(vals) -> np.ndarray:
+    """Canonical string keys for partition values: supports non-string
+    partition columns and keeps NULL as its own partition (pandas groupby
+    would silently drop it; ``str(None)`` would collide with 'None')."""
+    out = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        out[i] = _NULL_KEY if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)
+    return out
+
+
+def _checked_values(t: pa.Table, value_col: str) -> np.ndarray:
+    v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.isnan(v).any():
+        raise ValueError(
+            f"partitioned ranking: NULL/NaN in order column {value_col!r} — "
+            "the range-bin cast is undefined for NaN and SQL NULL ordering "
+            "is not implemented; filter or fill first"
+        )
+    return v
 
 
 def partitioned_rank(
@@ -55,15 +84,17 @@ def partitioned_rank(
     nb = num_buckets or default_buckets()
 
     mm = ds.aggregate(Min(value_col), Max(value_col))
+    if mm is None:
+        raise ValueError("partitioned_rank: empty input dataset")
     lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        df = pd.DataFrame({"part": t[part_col].to_pylist(), "bin": bin_of(v)})
+        v = _checked_values(t, value_col)
+        df = pd.DataFrame({"part": _part_keys(t[part_col].to_pylist()), "bin": bin_of(v)})
         red = df.groupby(["part", "bin"], sort=False).size().reset_index(name="count")
         return pa.table(
             {
@@ -87,14 +118,14 @@ def partitioned_rank(
         sub = sub.sort_values("bin")
         cum = np.concatenate([[0], np.cumsum(sub["count"].to_numpy(dtype=np.int64))])
         for b, off in zip(sub["bin"].to_numpy(dtype=np.int64), cum[:-1]):
-            offsets[(str(g), int(b))] = int(off)
-        totals[str(g)] = int(cum[-1])
+            offsets[(g, int(b))] = int(off)
+        totals[g] = int(cum[-1])
     state_ref = ray.put((offsets, totals))
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = _checked_values(t, value_col)
         b = bin_of(v)
-        part_h = pd.util.hash_array(np.asarray(t[part_col].to_pylist(), dtype=object))
+        part_h = pd.util.hash_array(_part_keys(t[part_col].to_pylist()))
         key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
         t = t.append_column("_bin", pa.array(b))
         return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
@@ -111,34 +142,40 @@ def partitioned_rank(
             if emit_count:
                 cols["n_part"] = pd.Series([], dtype=np.int64)
             return pd.DataFrame(cols)
-        g = g.sort_values([part_col, "_bin", value_col, tiebreak_col], kind="mergesort")
-        parts = g[part_col].to_numpy()
+        g = g.assign(_pk=_part_keys(g[part_col].tolist()))
+        g = g.sort_values(["_pk", "_bin", value_col, tiebreak_col], kind="mergesort")
+        parts = g["_pk"].to_numpy()
         bins_a = g["_bin"].to_numpy(dtype=np.int64)
         # cell boundaries: consecutive rows of the same (part, bin)
         new = np.empty(len(g), dtype=bool)
         new[0] = True
         new[1:] = (parts[1:] != parts[:-1]) | (bins_a[1:] != bins_a[:-1])
         starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(g)))
         cell_off = np.array(
-            [offs[(str(parts[s]), int(bins_a[s]))] for s in starts], dtype=np.int64
+            [offs[(parts[s], int(bins_a[s]))] for s in starts], dtype=np.int64
         )
-        within = np.arange(len(g), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(g))))
-        rn = np.repeat(cell_off, np.diff(np.append(starts, len(g)))) + within + 1
+        within = np.arange(len(g), dtype=np.int64) - np.repeat(starts, sizes)
+        rn = np.repeat(cell_off, sizes) + within + 1
         out = g[out_cols].copy()
         out["rn"] = rn
+        if ntile or emit_count:
+            # one dict lookup per CELL, repeated — not one per row
+            n_part = np.repeat(
+                np.array([tots[parts[s]] for s in starts], dtype=np.int64), sizes
+            )
         if ntile:
-            n_part = np.array([tots[str(p)] for p in parts], dtype=np.int64)
             base, extra = n_part // ntile, n_part % ntile
             big_rows = extra * (base + 1)  # rows covered by the larger tiles
             in_big = rn <= big_rows
             tile = np.where(
                 in_big,
-                (rn - 1) // np.maximum(base + 1, 1) + 1,
+                (rn - 1) // (base + 1) + 1,
                 extra + np.where(base > 0, (rn - big_rows - 1) // np.maximum(base, 1), 0) + 1,
             )
             out["tile"] = tile.astype(np.int64)
         if emit_count:
-            out["n_part"] = np.array([tots[str(p)] for p in parts], dtype=np.int64)
+            out["n_part"] = n_part
         return out
 
     return (
@@ -177,22 +214,42 @@ def partitioned_prefix_sum(
     nb = num_buckets or default_buckets()
 
     mm = ds.aggregate(Min(value_col), Max(value_col))
+    if mm is None:
+        raise ValueError("partitioned_prefix_sum: empty input dataset")
     lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / span * bins).astype(np.int64), 0, bins - 1)
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
+
+    def _weights(t_or_g, col):
+        # float weight columns sum in float64 (the previous int64 cast
+        # silently truncated fractional weights); integer weights stay
+        # int64-exact. Dtype comes from the batch itself (ds.schema() may
+        # execute the plan or return a pandas block schema).
+        w = (
+            t_or_g[col].to_numpy(zero_copy_only=False)
+            if isinstance(t_or_g, pa.Table)
+            else t_or_g[col].to_numpy()
+        )
+        if w.dtype.kind == "f":
+            if np.isnan(w).any():
+                raise ValueError(
+                    f"partitioned_prefix_sum: NULL/NaN in weight column {col!r}"
+                )
+            return w.astype(np.float64)
+        return w.astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({"part": t[part_col].to_pylist(), "bin": bin_of(v), "w": w})
+        v = _checked_values(t, value_col)
+        w = _weights(t, weight_col)
+        df = pd.DataFrame({"part": _part_keys(t[part_col].to_pylist()), "bin": bin_of(v), "w": w})
         red = df.groupby(["part", "bin"], sort=False)["w"].sum().reset_index()
         return pa.table(
             {
                 "part": pa.array(red["part"], type=pa.string()),
                 "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
-                "w": pa.array(red["w"].to_numpy(dtype=np.int64)),
+                "w": pa.array(red["w"].to_numpy(dtype=w.dtype)),
             }
         )
 
@@ -203,18 +260,19 @@ def partitioned_prefix_sum(
         .to_pandas()
     )
 
-    offsets: dict[tuple[str, int], int] = {}
+    wdtype = np.float64 if merged["w"].dtype.kind == "f" else np.int64
+    offsets: dict = {}
     for g, sub in merged.groupby("part"):
         sub = sub.sort_values("bin")
-        cum = np.concatenate([[0], np.cumsum(sub["w"].to_numpy(dtype=np.int64))])
+        cum = np.concatenate([[0], np.cumsum(sub["w"].to_numpy(dtype=wdtype))])
         for b, off in zip(sub["bin"].to_numpy(dtype=np.int64), cum[:-1]):
-            offsets[(str(g), int(b))] = int(off)
+            offsets[(g, int(b))] = off.item()
     state_ref = ray.put(offsets)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = _checked_values(t, value_col)
         b = bin_of(v)
-        part_h = pd.util.hash_array(np.asarray(t[part_col].to_pylist(), dtype=object))
+        part_h = pd.util.hash_array(_part_keys(t[part_col].to_pylist()))
         key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
         t = t.append_column("_bin", pa.array(b))
         return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
@@ -225,19 +283,20 @@ def partitioned_prefix_sum(
         offs = _prepared((state_ref.hex(), "scan_state"), lambda: __import__("ray").get(state_ref))
         if len(g) == 0:
             cols = {c: [] for c in out_cols}
-            cols["running_before"] = pd.Series([], dtype=np.int64)
+            cols["running_before"] = pd.Series([], dtype=wdtype)
             return pd.DataFrame(cols)
-        g = g.sort_values([part_col, "_bin", value_col, tiebreak_col], kind="mergesort")
-        parts = g[part_col].to_numpy()
+        g = g.assign(_pk=_part_keys(g[part_col].tolist()))
+        g = g.sort_values(["_pk", "_bin", value_col, tiebreak_col], kind="mergesort")
+        parts = g["_pk"].to_numpy()
         bins_a = g["_bin"].to_numpy(dtype=np.int64)
-        w = g[weight_col].to_numpy(dtype=np.int64)
+        w = _weights(g, weight_col)
         new = np.empty(len(g), dtype=bool)
         new[0] = True
         new[1:] = (parts[1:] != parts[:-1]) | (bins_a[1:] != bins_a[:-1])
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(g)))
         cell_off = np.array(
-            [offs[(str(parts[s]), int(bins_a[s]))] for s in starts], dtype=np.int64
+            [offs[(parts[s], int(bins_a[s]))] for s in starts], dtype=wdtype
         )
         cum = np.cumsum(w) - w  # inclusive-before within the whole frame
         # subtract the running total at each cell start to make it cell-local

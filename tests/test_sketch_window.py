@@ -191,3 +191,55 @@ def test_partitioned_rank_matches_pandas(ray_session):
     got = out.set_index("id")
     for c in ("rn", "tile"):
         assert (got.loc[exp["id"], c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_partitioned_primitives_handle_int_parts_null_parts_float_weights(ray_session):
+    """partitioned_rank accepts non-string partition columns and keeps a
+    NULL partition (previously: ArrowTypeError / KeyError crash);
+    partitioned_prefix_sum sums float weights exactly instead of
+    truncating them to int."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.ranking import partitioned_prefix_sum, partitioned_rank
+
+    t = pa.table(
+        {
+            "p": pa.array([1, 1, 2, None, None], pa.int64()),
+            "v": pa.array([3.0, 1.0, 2.0, 5.0, 4.0], pa.float64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = (
+        partitioned_rank(
+            ray.data.from_arrow(t), part_col="p", value_col="v", tiebreak_col="id",
+            out_cols=["p", "v", "id"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["id"])
+        .reset_index(drop=True)
+    )
+    # per-partition ranks: p=1 -> v=1.0 rn1, v=3.0 rn2; p=2 -> rn1; NULL -> v=4.0 rn1, v=5.0 rn2
+    got = dict(zip(out["id"], out["rn"]))
+    assert got == {1: 2, 2: 1, 3: 1, 4: 2, 5: 1}
+
+    w = pa.table(
+        {
+            "p": pa.array(["a", "a", "a"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "w": pa.array([0.9, 1.7, 0.4], pa.float64()),
+        }
+    )
+    ps = (
+        partitioned_prefix_sum(
+            ray.data.from_arrow(w), part_col="p", value_col="v", tiebreak_col="id",
+            weight_col="w", out_cols=["id", "w"], num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(ps["running_before"].to_numpy(), [0.0, 0.9, 2.6])
