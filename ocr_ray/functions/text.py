@@ -112,9 +112,14 @@ def classify_hashed(batch: pa.Table, *, num_classes: int = 8) -> pa.Table:
         label(doc) = argmax_c score  (tie -> smallest class id)
 
     All int64/uint64 wraparound arithmetic, so numpy and the DuckDB
-    HUGEINT split-multiply oracle agree bit-for-bit. Vectorized as one
-    pass per class over a single token-hash buffer (per-class passes, not
-    an (N, C) matrix — the host's fresh-large-allocation stalls make wide
+    HUGEINT split-multiply oracle agree bit-for-bit — FOR ASCII text and
+    the default ``num_classes=8`` only: the Python side hashes UTF-8
+    BYTES while the SQL chars CTE hashes code points (same caveat as
+    ``doc_fingerprint``), and the registered oracle hard-codes 8 classes.
+    NULL-text rows are dropped, matching the oracle's unnest behavior.
+    Vectorized as one pass per class over the DISTINCT token hashes
+    (weights gathered back by inverse index — per-class passes, not an
+    (N, C) matrix; the host's fresh-large-allocation stalls make wide
     temporaries pathological; see ``hashing.hash_utf8_column``).
 
     Stand-in for a real classifier head: swap ``w_c`` for learned weights
@@ -124,17 +129,24 @@ def classify_hashed(batch: pa.Table, *, num_classes: int = 8) -> pa.Table:
     from ocr_ray.functions.dedup import _word_hashes
     from ocr_ray.functions.hashing import mix64
 
+    valid = pc.is_valid(batch["text"])
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)  # NULL text vanishes from the oracle's unnest
     n = batch.num_rows
+    id_type = batch.schema.field("doc_id").type
     if n == 0:
         return pa.table(
             {
-                "doc_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=id_type),
                 "label": pa.array([], type=pa.int64()),
                 "score": pa.array([], type=pa.int64()),
             }
         )
     _, counts, flat = split_tokens(batch["text"])
     h = _word_hashes(flat)
+    # weights per DISTINCT token hash, gathered back — token occurrences
+    # repeat heavily, so the mix64 chains run on the vocabulary only
+    h_u, inv = np.unique(h, return_inverse=True)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     best_score = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
@@ -142,10 +154,10 @@ def classify_hashed(batch: pa.Table, *, num_classes: int = 8) -> pa.Table:
     gold = np.uint64(0x9E3779B97F4A7C15)
     with np.errstate(over="ignore"):
         for c in range(num_classes):
-            w = (mix64(h + np.uint64(c + 1) * gold) % np.uint64(1001)).astype(
+            w_u = (mix64(h_u + np.uint64(c + 1) * gold) % np.uint64(1001)).astype(
                 np.int64
             ) - 500
-            s = np.add.reduceat(w, starts)
+            s = np.add.reduceat(w_u[inv], starts)
             better = s > best_score
             best_score = np.where(better, s, best_score)
             best_c = np.where(better, c, best_c)
