@@ -42,7 +42,11 @@ from ocr_ray.sources import read_documents
 
 
 def _normalize_spec(spec: dict[str, Any]) -> dict[str, Any]:
+    if not isinstance(spec, dict):
+        raise ValueError(f"pipeline spec must be a mapping, got {type(spec).__name__}")
     spec = spec.get("pipeline", spec)
+    if not isinstance(spec, dict):
+        raise ValueError("'pipeline' key must hold a mapping")
     for key in ("source", "stages"):
         if key not in spec:
             raise ValueError(f"pipeline spec missing {key!r}")
@@ -104,10 +108,35 @@ def run_pipeline(spec: dict[str, Any]) -> dict[str, Any]:
     num_parts = int(sink.get("num_parts", 16))
     skipped = 0
     src = spec["source"]
+    stages = [dict(s) for s in spec["stages"]]
+    for s in stages:
+        get_stage(s["name"])  # fail fast on unknown names / typos
+    # resume-safety: the partition filter reasons about SOURCE doc ids, so a
+    # stage that mints new ids could re-emit rows into already-committed
+    # fragments and clobber them — refuse instead of silently losing data
+    if sink.get("resume", True) and any(
+        get_stage(s["name"]).creates_ids for s in stages
+    ):
+        raise ValueError(
+            "resume=true with an id-creating stage "
+            f"({[s['name'] for s in stages if get_stage(s['name']).creates_ids]}): "
+            "the partition filter cannot prove committed fragments are "
+            "complete. Set sink.resume: false or use a fresh out_dir."
+        )
+    # the layout record also pins the SPEC: resuming a directory written by
+    # a different stage list would silently mix two pipelines' outputs
+    import hashlib
+
+    spec_sha = hashlib.sha256(
+        json.dumps({"source": src, "stages": stages}, sort_keys=True).encode()
+    ).hexdigest()
     ds = read_documents(src["path"], columns=src.get("columns"))
     if sink.get("resume", True):
-        ds, skipped = skip_completed_partitions(ds, out_dir, num_parts)
-    for s in [dict(s) for s in spec["stages"]]:
+        ds, skipped = skip_completed_partitions(
+            ds, out_dir, num_parts, extra_layout={"spec_sha": spec_sha}
+        )
+    for s in stages:
+        s = dict(s)
         name = s.pop("name")
         ds = apply_stage(ds, name, **s)
     manifest, stage_stats = write_extracted_resumable(

@@ -35,6 +35,7 @@ class StageSpec:
     kind: str = "map"  # 'map' (per-batch) | 'shuffle' (takes/returns Dataset)
     stateful: bool = False  # actor pool when True (fn is a callable class)
     batch_format: str = "pyarrow"
+    creates_ids: bool = False  # emits rows with NEW doc_ids (resume-unsafe)
     defaults: dict[str, Any] = field(default_factory=dict)
 
     def describe(self) -> str:
@@ -56,6 +57,7 @@ def stage(
     kind: str = "map",
     stateful: bool = False,
     batch_format: str = "pyarrow",
+    creates_ids: bool = False,
     **defaults: Any,
 ):
     """Decorator: register a transform under ``name``. Re-registration
@@ -68,6 +70,7 @@ def stage(
             kind=kind,
             stateful=stateful,
             batch_format=batch_format,
+            creates_ids=creates_ids,
             defaults=dict(defaults),
         )
         return fn
@@ -158,7 +161,7 @@ def _ensure_builtins() -> None:
 
     stage("content_hash")(add_content_hash)
     stage("simhash")(simhash)
-    stage("with_mutants")(with_mutants)
+    stage("with_mutants", creates_ids=True)(with_mutants)
     stage("token_stats")(token_stats)
     stage("quality_score")(quality_score)
     stage("lang_id")(lang_id)

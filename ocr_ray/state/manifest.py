@@ -155,7 +155,7 @@ class ResumableSink:
         )
 
 
-def _check_layout(out_dir: str, num_parts: int, *, write: bool) -> None:
+def _check_layout(out_dir: str, num_parts: int, *, write: bool, extra: dict | None = None) -> None:
     """Record/validate the partition law parameters next to the manifest.
 
     Fragment membership is ``partition_of(doc_id, num_parts)`` — POSITIONAL
@@ -174,6 +174,13 @@ def _check_layout(out_dir: str, num_parts: int, *, write: bool) -> None:
                 f"num_parts={num_parts} would silently corrupt the output. "
                 "Use a fresh out_dir or the original partition count."
             )
+        for k, v in (extra or {}).items():
+            if k in prev and prev[k] != v:
+                raise ValueError(
+                    f"resumable sink at {out_dir!r}: layout field {k!r} "
+                    f"changed ({prev[k]!r} -> {v!r}); resuming would mix "
+                    "outputs of different pipelines. Use a fresh out_dir."
+                )
         return
     if load_manifest(out_dir):
         raise ValueError(
@@ -183,11 +190,11 @@ def _check_layout(out_dir: str, num_parts: int, *, write: bool) -> None:
     if write:
         mdir.mkdir(parents=True, exist_ok=True)
         tmp = Path(str(lp) + ".tmp")
-        tmp.write_text(json.dumps({"num_parts": num_parts}))
+        tmp.write_text(json.dumps({"num_parts": num_parts, **(extra or {})}))
         os.replace(tmp, lp)
 
 
-def skip_completed_partitions(ds, out_dir: str, num_parts: int):
+def skip_completed_partitions(ds, out_dir: str, num_parts: int, *, extra_layout: dict | None = None):
     """Filter the *input* corpus down to docs in unfinished partitions.
 
     Returns (filtered_ds, completed_count). Vectorized hash filter; no
@@ -195,7 +202,7 @@ def skip_completed_partitions(ds, out_dir: str, num_parts: int):
     Validates that the manifest being resumed was written under the same
     ``num_parts`` (see ``_check_layout``).
     """
-    _check_layout(out_dir, num_parts, write=False)
+    _check_layout(out_dir, num_parts, write=True, extra=extra_layout)
     done = set(load_manifest(out_dir))
     if not done:
         return ds, 0  # fresh run: no filter stage, no per-batch hashing
@@ -223,6 +230,11 @@ def write_extracted_resumable(
     _check_layout(out_dir, num_parts, write=True)
 
     def tag(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names:
+            raise ValueError(
+                "resumable sink requires a 'doc_id' column to derive the "
+                f"fragment partition; got columns {t.column_names}"
+            )
         return t.append_column("_part", pa.array(partition_of(t["doc_id"], num_parts)))
 
     sink = ResumableSink(out_dir)

@@ -136,3 +136,59 @@ def test_builder_curation_spec_matches_kernels(sf_smoke):
     src = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["doc_id", "text"])
     direct = pii_redact(pii_augment(src)).sort_by("doc_id")
     assert built.equals(direct)
+
+
+def test_run_pipeline_resume_guards(tmp_path, ray_session):
+    """The sink-spec layout record makes two silent-corruption paths loud:
+    resuming with a CHANGED stage list, and resuming a pipeline whose
+    stages mint new doc ids (the partition filter reasons about source
+    ids only)."""
+    import pytest as _pytest
+
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.pipelines.builder import run_pipeline
+
+    corpus = ensure_corpus("/root/testdata/sf0.001", glyphs=False)
+    out = str(tmp_path / "guard")
+    spec = {
+        "pipeline": {
+            "source": {"path": corpus},
+            "stages": [{"name": "explode"}, {"name": "normalize"}],
+            "sink": {"out_dir": out, "num_parts": 4},
+        }
+    }
+    s1 = run_pipeline(spec)
+    assert s1["fragments_written"] == 4
+
+    changed = {
+        "pipeline": {
+            **spec["pipeline"],
+            "stages": [{"name": "explode"}, {"name": "normalize"}, {"name": "strip_boilerplate"}],
+        }
+    }
+    with _pytest.raises(ValueError, match="spec_sha"):
+        run_pipeline(changed)
+
+    minting = {
+        "pipeline": {
+            **spec["pipeline"],
+            "stages": [{"name": "with_mutants"}, {"name": "explode"}],
+        }
+    }
+    with _pytest.raises(ValueError, match="id-creating stage"):
+        run_pipeline(minting)
+
+    # unchanged spec resumes as a clean no-op
+    s2 = run_pipeline(spec)
+    assert s2["fragments_written"] == 0 and s2["fragments_skipped"] == 4
+
+
+def test_normalize_spec_rejects_non_mapping():
+    import pytest as _pytest
+
+    from ocr_ray.pipelines.builder import _normalize_spec
+
+    with _pytest.raises(ValueError, match="mapping"):
+        _normalize_spec(None)
+    with _pytest.raises(ValueError, match="mapping"):
+        _normalize_spec({"pipeline": None})
