@@ -131,7 +131,9 @@ class MediaDecoder:
                 "media_ref": batch["media_ref"],
                 "media_kind": batch["media_kind"],
                 "n_bytes": batch["n_bytes"],
-                "feature": pa.array(list(feats.astype(np.float32))),
+                "feature": pa.array(
+                    list(feats.astype(np.float32)), type=pa.list_(pa.float32())
+                ),  # explicit type: an empty batch would otherwise emit null-typed
                 "feature_norm": pa.array(np.sqrt(norm_sq)),
             }
         )
@@ -212,7 +214,7 @@ def media_frame_sample(batch: pa.Table, *, every: int = 4) -> pa.Table:
         np.repeat(byte_start, FRAME_BYTES)
         + np.tile(np.arange(FRAME_BYTES, dtype=np.int64), int(n_out.sum()))
     )
-    frames = data[idx] if total else np.empty(0, np.uint8)
+    frames = data[idx]  # safe for total==0: idx is empty
     out_offs = np.arange(int(n_out.sum()) + 1, dtype=np.int64) * FRAME_BYTES
     payload = pa.Array.from_buffers(
         pa.large_binary(),
@@ -315,7 +317,6 @@ class PpmDecoder:
     once per actor."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch["media_ref"].to_pylist()
         payloads = batch["payload"].to_pylist()
         w_l, h_l, means = [], [], []
         for buf in payloads:
@@ -383,6 +384,11 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         cid = buf[i : i + 4]
         sz = int.from_bytes(buf[i + 4 : i + 8], "little")
         body = buf[i + 8 : i + 8 + sz]
+        if len(body) != sz:
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {sz} bytes but only "
+                f"{len(body)} remain (truncated payload)"
+            )
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
@@ -471,6 +477,11 @@ class WalshDecoder:
         clips = np.empty((batch.num_rows, WAV_N), dtype=np.int64)
         for j, buf in enumerate(batch["payload"].to_pylist()):
             x, _sr = decode_wav(buf)  # the RIFF walk is inherently per-clip
+            if len(x) != WAV_N:
+                raise ValueError(
+                    f"Walsh correlates need exactly {WAV_N}-sample clips, "
+                    f"got {len(x)} (a short clip would silently broadcast)"
+                )
             clips[j] = x.astype(np.int64)
         e = clips @ self._basis
         cols = {"doc_id": batch["doc_id"], "media_ref": batch["media_ref"]}
@@ -537,6 +548,8 @@ def decode_y4m(buf: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         luma = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=i)
         frames.append(luma.reshape(h, w))
         i += frame_bytes
+    if not frames:  # header-only stream is legal Y4M
+        return np.empty((0, h, w), dtype=np.uint8), fps
     return np.stack(frames), fps
 
 
