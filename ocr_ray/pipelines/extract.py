@@ -112,7 +112,7 @@ def extract_documents(
     doc_batch_size: int = 1024,
     recognizer_concurrency: int | tuple[int, int] | None = None,
     num_buckets: int | None = None,
-    two_phase: bool = False,
+    two_phase: bool = True,
     chunk_size: int = 1024,
 ) -> ray.data.Dataset:
     """Nested corpus Dataset -> nested extracted Dataset (same schema).
@@ -128,10 +128,11 @@ def extract_documents(
     spans) and therefore sets the task count of the fused
     explode->normalize->recognize stage — size it so
     ``n_docs / doc_batch_size >> pool size`` or the pool starves.
-    ``two_phase=True``
-    switches reassembly to the skew-safe chunked partial+final shape —
-    required when documents can be pathologically large (group > block);
-    at 100 TB scale it should be the default.
+    ``two_phase=True`` (the default) uses the skew-safe chunked
+    partial+final reassembly shape — required when documents can be
+    pathologically large (group > block), which at 100 TB scale must be
+    assumed. Pass ``two_phase=False`` only for corpora with a proven
+    document-size bound, where the single groupby saves one shuffle.
     """
     if num_buckets is None:
         from ocr_ray.sizing import buckets_for_input

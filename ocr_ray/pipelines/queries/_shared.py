@@ -1,0 +1,98 @@
+"""Query registry: every operator surfaced to the driver.
+
+Each entry pairs a Ray Data implementation (callable ``fn(sf_dir)``) with,
+where SQL-expressible, an equivalent DuckDB oracle over the registered
+views (``region nation customer supplier part orders lineitem events
+documents embeddings``). Column names AND numeric semantics match exactly:
+
+- money/2-decimal aggregates are computed in integer units on the Ray side
+  and as DECIMAL sums cast to DOUBLE in SQL — identical nearest-doubles of
+  identical exact rationals (see ``functions/relational.py``);
+- every top-k/sort has a deterministic tiebreak on a key column;
+- extraction queries run the *real* engine over the deterministically
+  synthesized span corpus (``ocr_ray.corpus``), whose synthesis rule is
+  arithmetic on (doc_id, span_index) so the SQL oracle reproduces
+  synthesis + extraction end-to-end — including the glyph variant, whose
+  recognized output must equal the withheld source text.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    hash_join,
+    lookup,
+    semi_filter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sources import read_documents, read_table
+
+QUERY_FNS: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def load_small_table(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a SMALL (dimension/broadcast) table.
+
+    The broadcast-small-side pattern: dimension tables ship once via
+    ``ray.put``; reading them through a distributed Dataset would cost a
+    full streaming execution (~seconds of fixed overhead) to move a few MB.
+    Only ever used for sides that are broadcast afterwards.
+    """
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _big_spenders(sf_dir: str) -> list:
+    """Distinct custkeys of orders above a price threshold (small key set,
+    computed with a vectorized pre-filter then ``unique`` — broadcast side
+    of the semi/anti joins)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(450000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.unique("o_custkey")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+
+
+def arrow_topk(
+    t: pa.Table, sort_keys: list[tuple[str, str]], k: int | None = None
+) -> pa.Table:
+    """Arrow-native per-batch partial top-k: ``pc.sort_indices`` + ``take``,
+    no pandas round trip in the hot map body. Callers must pass sort keys
+    that form a UNIQUE total order (every registry use tiebreaks on a key
+    column), so sort stability is irrelevant to the result."""
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    if k is not None:
+        idx = idx[:k]
+    return t.take(idx)

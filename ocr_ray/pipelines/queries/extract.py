@@ -1,0 +1,146 @@
+"""Query registry section: extract (split from the former monolithic queries.py)."""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    hash_join,
+    lookup,
+    semi_filter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sources import read_documents, read_table
+
+from ocr_ray.pipelines.queries._shared import (
+    ORACLE_SQL,
+    QUERY_FNS,
+    _big_spenders,
+    load_small_table,
+    query,
+)
+
+
+# ---------------------------------------------------------------------------
+# Extraction (flagship) — SQL oracle reproduces corpus synthesis + extraction.
+# ---------------------------------------------------------------------------
+
+_EXTRACT_SQL = """
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3 THEN '' ELSE s END AS text,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+         THEN printf('m-%d', (d * 1000 + si) % 9973) ELSE '' END AS media_ref
+  FROM spans
+)
+SELECT printf('doc-%08d', d) AS doc_id, kind, text, media_ref,
+       CAST(row_number() OVER (PARTITION BY d ORDER BY si) - 1 AS INTEGER) AS "offset"
+FROM tagged WHERE kind <> 'boilerplate'
+"""
+
+
+@query("extract_spans", sql=_EXTRACT_SQL)
+def extract_spans(sf_dir: str) -> ray.data.Dataset:
+    """Full extraction over the plain (no-glyph) interleaved corpus; flat output."""
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+
+@query("extract_glyphs", sql=_EXTRACT_SQL)
+def extract_glyphs(sf_dir: str) -> ray.data.Dataset:
+    """Extraction over the glyph corpus: encoded spans must decode (segment +
+    nearest-template recognize) back to the exact withheld text, so the
+    oracle is the same SQL as ``extract_spans``."""
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+
+@query("extract_spans_local", sql=_EXTRACT_SQL)
+def extract_spans_local_q(sf_dir: str) -> ray.data.Dataset:
+    """Zero-shuffle extraction (shard-aligned path): input rows are whole
+    documents, so reassembly is batch-local — no groupby anywhere. Same
+    output (and oracle) as ``extract_glyphs``, different physical plan."""
+    from ocr_ray.pipelines.extract import extract_documents_local
+    from ocr_ray.stages.explode import explode_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=True)
+    nested = extract_documents_local(read_documents(corpus))
+    return nested.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    )
+
+
+@query(
+    "extract_media_index",
+    sql="""
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8
+)
+SELECT printf('doc-%08d', d) AS doc_id,
+       CAST(count(*) FILTER (WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3) AS BIGINT) AS n_media,
+       CAST(count(*) FILTER (WHERE (d + si) % 7 <> 0 AND (d + si) % 5 <> 3) AS BIGINT) AS n_content
+FROM spans GROUP BY d
+""",
+)
+def extract_media_index(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc media/content span counts from the extracted corpus."""
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    flat = extract_spans_flat(read_documents(corpus), num_buckets=16)
+
+    def counts(t: pa.Table) -> pa.Table:
+        media = pc.equal(t["kind"], "media")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_media": pc.cast(media, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        flat.map_batches(counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("is_media", alias_name="n_media"), Count(alias_name="n_total"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_media": pc.cast(t["n_media"], pa.int64()),
+                "n_content": pc.cast(pc.subtract(t["n_total"], t["n_media"]), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+

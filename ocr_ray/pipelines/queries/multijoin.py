@@ -1,0 +1,814 @@
+"""Query registry section: multijoin (split from the former monolithic queries.py)."""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    hash_join,
+    lookup,
+    semi_filter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sources import read_documents, read_table
+
+from ocr_ray.pipelines.queries._shared import (
+    ORACLE_SQL,
+    QUERY_FNS,
+    _big_spenders,
+    arrow_topk,
+    load_small_table,
+    query,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H q10 / q18 / q14 / q2 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_revenue",
+    sql="""
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Four-table chain (TPC-H q10 shape): ONE bucketed lineitem x orders
+    join with in-bucket pre-aggregation to per-customer partials, one tiny
+    customer-key groupby, broadcast customer+nation dims, per-block partial
+    top-20 before the final merge — no global sort of the aggregate."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket partial: custkeys span buckets, so this is a partial
+        # (re-aggregated by the groupby below), unlike q3's per-order final.
+        return df.groupby("o_custkey", as_index=False)["rev_u4"].sum()
+
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders.map_batches(window, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        bucket_post=per_cust,
+        post_schema=pa.schema({"o_custkey": pa.int64(), "rev_u4": pa.int64()}),
+    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(joined, keys=["o_custkey"], aggs={"rev_u4": ("rev_u4", "sum")})
+
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]).to_pandas()
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    ref = ray.put(
+        {
+            int(k): (nm, float(ab), nn)
+            for k, nm, ab, nn in zip(dim["c_custkey"], dim["c_name"], dim["c_acctbal"], dim["n_name"])
+        }
+    )
+    enriched = lookup(
+        agg, ref, "o_custkey",
+        [("c_name", pa.string()), ("c_acctbal", pa.float64()), ("n_name", pa.string())],
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return arrow_topk(t, [("rev_u4", "descending"), ("o_custkey", "ascending")], 20)
+
+    top = (
+        enriched.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["rev_u4", "o_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "revenue": units_to_double(df["rev_u4"], 4),
+                "c_acctbal": df["c_acctbal"],
+                "n_name": df["n_name"],
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "q18_large_orders",
+    sql="""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(qty AS BIGINT) AS sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def q18_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """HAVING-on-aggregate join-back (TPC-H q18 shape): distributed
+    partial+final quantity sums, the (selectivity-bounded) qualifying key
+    set broadcast back over orders — the aggregate side never shuffles
+    orders, and customer names come from a broadcast dim."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                # quantities are integer-valued doubles; int64 units keep sums exact
+                "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        red = df.groupby("l_orderkey", as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    sums = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+    )
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(180, type=pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # selectivity-bounded (HAVING threshold), broadcast side
+    qty_ref = ray.put({int(k): (int(q),) for k, q in zip(big["l_orderkey"], big["sum_qty"])})
+
+    orders = lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        qty_ref,
+        "o_orderkey",
+        [("sum_qty", pa.int64())],
+    )
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put({int(k): (nm,) for k, nm in zip(cust["c_custkey"], cust["c_name"])})
+    enriched = lookup(orders, name_ref, "o_custkey", [("c_name", pa.string())])
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return arrow_topk(
+            t, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 100
+        )
+
+    top = (
+        enriched.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "c_name": df["c_name"],
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_orderdate": df["o_orderdate"],
+                "o_totalprice": df["o_totalprice"],
+                "sum_qty": df["sum_qty"].astype(np.int64),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "q14_promo_revenue",
+    sql="""
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE 0 END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+  CAST(100 AS DOUBLE)
+    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q14_promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Join + conditional aggregate (TPC-H q14 shape). part scales with the
+    corpus, so it is NOT broadcast: one bucketed join with the two
+    conditional sums computed inside each bucket — the shuffle carries
+    2 x num_buckets partial rows out, and the final fold is a map over
+    <= num_buckets rows. Integer units end-to-end; ONE float division at
+    the very end (same two exact doubles as the oracle's)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    lo, hi = datetime.datetime(1996, 3, 1), datetime.datetime(1996, 4, 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)), pc.less(t["l_shipdate"], pa.scalar(hi))
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_u4"].to_numpy(dtype=np.int64)
+        promo = rev[(df["p_type"] == "PROMO").to_numpy()].sum()
+        return pd.DataFrame({"promo_u4": [int(promo)], "total_u4": [int(rev.sum())]})
+
+    partials = hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+        num_buckets=16,
+        left_schema=pa.schema({"l_partkey": pa.int64(), "rev_u4": pa.int64()}),
+        right_schema=pa.schema({"p_partkey": pa.int64(), "p_type": pa.string()}),
+        bucket_post=bucket_sums,
+        post_schema=pa.schema({"promo_u4": pa.int64(), "total_u4": pa.int64()}),
+    ).to_pandas()  # <= num_buckets rows
+    promo_d = units_to_double(np.array([partials["promo_u4"].sum()]), 4)[0]
+    total_d = units_to_double(np.array([partials["total_u4"].sum()]), 4)[0]
+    return pd.DataFrame(
+        {
+            "promo_revenue": [promo_d],
+            "total_revenue": [total_d],
+            "promo_pct": [100.0 * promo_d / total_d],
+        }
+    )
+
+
+@query(
+    "q2_min_acctbal_supplier",
+    sql="""
+WITH mins AS (
+  SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal FROM supplier GROUP BY s_nationkey
+)
+SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier JOIN mins ON s_nationkey = nk AND s_acctbal = min_bal
+  JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name, s_suppkey
+""",
+)
+def q2_min_acctbal_supplier(sf_dir: str) -> ray.data.Dataset:
+    """Argmin join-back (TPC-H q2 shape): distributed per-group MIN
+    (map-side partial mins, tiny final groupby), the 25-row min table
+    broadcast back as a filter over the fact side — the fact table never
+    shuffles, and ties all survive (same as the SQL semi-join)."""
+    from ray.data.aggregate import Min
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s_nationkey": t["s_nationkey"].to_numpy(zero_copy_only=False),
+                "bal_u2": to_units(t["s_acctbal"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        red = df.groupby("s_nationkey", as_index=False)["bal_u2"].min()
+        return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
+
+    mins = (
+        sup.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(Min("bal_u2", alias_name="min_u2"))
+        .to_pandas()
+    )  # one row per nation
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = mins.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    ref = ray.put(
+        {int(k): (int(m), nn) for k, m, nn in zip(dim["s_nationkey"], dim["min_u2"], dim["n_name"])}
+    )
+
+    enriched = lookup(sup, ref, "s_nationkey", [("min_u2", pa.int64()), ("n_name", pa.string())])
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(to_units(t["s_acctbal"]), pa.int64()), t["min_u2"]))
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "s_acctbal": t["s_acctbal"],
+            }
+        )
+
+    return enriched.map_batches(keep_min, batch_format="pyarrow").sort(["n_name", "s_suppkey"])
+
+
+@query(
+    "q4_priority_count",
+    sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q4_priority_count(sf_dir: str) -> ray.data.Dataset:
+    """EXISTS as an EXACT distributed semi-join (TPC-H q4 shape): the
+    qualifying-lineitem key side is too large to broadcast at scale and a
+    bloom filter admits false positives — the bucketed ``hash_join``
+    (how='semi') shuffles only the right side's KEYS, then map-side
+    combine + tiny groupby for the priority counts."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        # per-batch local dedup: only distinct keys enter the shuffle
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    hits = hash_join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        li.map_batches(keys, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="semi",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64()}),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        red = df.groupby("o_orderpriority", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(red["o_orderpriority"], type=pa.string()),
+                "n": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = hits.map_batches(combine, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_orders")
+    )
+    return agg.sort("o_orderpriority")
+
+
+@query(
+    "orders_without_discounted_items",
+    sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def orders_without_discounted_items(sf_dir: str) -> ray.data.Dataset:
+    """NOT EXISTS as the exact distributed ANTI join — same plan as
+    ``q4_priority_count`` with how='anti' (bloom anti joins need a
+    verification pass to be exact; the bucketed form is exact by
+    construction)."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)), pc.less(t["o_orderdate"], pa.scalar(hi))
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    misses = hash_join(
+        orders.map_batches(window, batch_format="pyarrow"),
+        li.map_batches(keys, batch_format="pyarrow"),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="anti",
+        num_buckets=16,
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64()}),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        red = df.groupby("o_orderpriority", as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(red["o_orderpriority"], type=pa.string()),
+                "n": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = misses.map_batches(combine, batch_format="pyarrow").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_orders")
+    )
+    return agg.sort("o_orderpriority")
+
+
+@query(
+    "q7_nation_volume",
+    sql="""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """Bi-nation trade volume (TPC-H q7 shape): the CHAINED-SHUFFLE pattern
+    — two bucketed joins on DIFFERENT keys (lineitem x orders on orderkey,
+    then x supplier on suppkey), each with in-bucket projection so only
+    surviving columns re-shuffle; nation names come from broadcast dims
+    and the nation-pair filter is pushed to the earliest stage that can
+    evaluate EACH side: the cust side prunes orders before join 1, and the
+    supp side prunes LINEITEM before join 1 (suppliers are broadcastable,
+    so the pair's ~2/25 supplier-key set filters the fact read and both
+    shuffles shrink ~12x)."""
+    from ray.data.aggregate import Sum
+
+    n_a, n_b = "NATION_3", "NATION_7"
+
+    cust = load_small_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = load_small_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    c2n = c2n[c2n["n_name"].isin([n_a, n_b])]  # pair filter pushdown
+    cust_ref = ray.put({int(k): (nn,) for k, nn in zip(c2n["c_custkey"], c2n["n_name"])})
+
+    sup_all = load_small_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = sup_all.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    pair_supp_ref = ray.put(
+        set(s2n.loc[s2n["n_name"].isin([n_a, n_b]), "s_suppkey"].astype(int))
+    )
+
+    # lookup drops orders whose customer nation is outside the pair
+    orders = lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_ref,
+        "o_custkey",
+        [("cust_nation", pa.string())],
+    )
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int32()),
+                "rev_u4": pc.multiply(
+                    to_units(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, type=pa.int64()), to_units(t["l_discount"])),
+                ),
+            }
+        )
+
+    def combine1(df: pd.DataFrame) -> pd.DataFrame:
+        # in-bucket projection+partial: one row per (suppkey, nation, year)
+        return df.groupby(["l_suppkey", "cust_nation", "l_year"], as_index=False)["rev_u4"].sum()
+
+    j1 = hash_join(
+        semi_filter(li, pair_supp_ref, "l_suppkey").map_batches(prep, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+        right_schema=pa.schema(
+            {"o_orderkey": pa.int64(), "o_custkey": pa.int64(), "cust_nation": pa.string()}
+        ),
+        bucket_post=combine1,
+        post_schema=pa.schema(
+            {"l_suppkey": pa.int64(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+    )
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    n_ref = ray.put({int(k): (nn,) for k, nn in zip(nation["n_nationkey"], nation["n_name"])})
+    sup_n = lookup(sup, n_ref, "s_nationkey", [("supp_nation", pa.string())])
+
+    def combine2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"].isin([n_a, n_b]) & (df["supp_nation"] != df["cust_nation"])]
+        return df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)["rev_u4"].sum()
+
+    j2 = hash_join(
+        j1,
+        sup_n,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        num_buckets=16,
+        left_schema=pa.schema(
+            {"l_suppkey": pa.int64(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+        right_schema=pa.schema(
+            {"s_suppkey": pa.int64(), "s_nationkey": pa.int64(), "supp_nation": pa.string()}
+        ),
+        bucket_post=combine2,
+        post_schema=pa.schema(
+            {"supp_nation": pa.string(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
+        ),
+    )
+
+    agg = j2.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_u4", alias_name="rev_u4")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": df["supp_nation"],
+                "cust_nation": df["cust_nation"],
+                "l_year": df["l_year"].astype(np.int32),
+                "revenue": units_to_double(df["rev_u4"], 4),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+@query("pca_embeddings")  # float-geometry family: op-specific tests, no SQL oracle
+def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PCA over the embedding table: ONE streaming moment pass
+    (d fixed-size partial rows per batch -> distributed groupby-sum), an
+    O(d^3) driver eigendecomposition, then a broadcast map-side projection
+    onto the top-2 components. Tested against exact numpy PCA
+    (tests/test_dedup_ann.py) with a deterministic sign convention."""
+    from ocr_ray.functions.ann import pca_fit, pca_transform
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, ratio, mean = pca_fit(emb, k=2)
+    out = pca_transform(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), comps, mean
+    )
+    return out.sort("vec_id")
+
+
+@query(
+    "token_pmi_pairs",
+    sql="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS i FROM s),
+b AS (
+  SELECT w1.token AS tok_a, w2.token AS tok_b
+  FROM w w1 JOIN w w2 ON w1.doc_id = w2.doc_id AND w2.i = w1.i + 1
+),
+pcnt AS (SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM b GROUP BY tok_a, tok_b),
+uc AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM w),
+top AS (SELECT * FROM pcnt ORDER BY n_pair DESC, tok_a, tok_b LIMIT 50)
+SELECT tok_a, tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+  CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+  CAST(n_pair * total AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS pmi_ratio
+FROM top JOIN uc ua ON ua.token = top.tok_a
+  JOIN uc ub ON ub.token = top.tok_b CROSS JOIN tot
+ORDER BY n_pair DESC, tok_a, tok_b
+""",
+)
+def token_pmi_pairs(sf_dir: str) -> pa.Table:
+    """Collocation mining: distributed bigram counts (adjacent tokens
+    within a doc), exact global top-50 pairs (per-block partial top-k
+    after ONE pair-key shuffle), then PMI against distributed unigram
+    counts — the pair set is tiny by then, so the unigram side is
+    semi-filtered by a broadcast token set and only ~100 count rows reach
+    the driver. Exact integer counts; ONE float division at the end
+    (identical exact operands to the oracle's)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if len(flat) < 2:
+            return pa.table(
+                {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        same = pa.array(parents[1:] == parents[:-1])
+        pairs = pa.table(
+            {
+                "tok_a": pc.filter(flat.slice(0, len(flat) - 1), same),
+                "tok_b": pc.filter(flat.slice(1), same),
+            }
+        )
+        out = pairs.group_by(["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["tok_a", "tok_b", "n"])
+
+    pair_counts = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n", alias_name="n_pair"))
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        return arrow_topk(
+            t,
+            [("n_pair", "descending"), ("tok_a", "ascending"), ("tok_b", "ascending")],
+            50,
+        )
+
+    top = (
+        pair_counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n_pair", "tok_a", "tok_b"], descending=[True, False, False])
+        .limit(50)
+        .to_pandas()
+    )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        out = flat.group_by("token").aggregate([([], "count_all")])
+        return out.rename_columns(["token", "n"])
+
+    # vocabulary-bounded counts, materialized once: reused for the total-N
+    # fold AND the broadcast-filtered n_a/n_b lookup (no second doc pass)
+    uni = (
+        docs.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = int(uni.sum("n"))
+    need = pa.array(sorted(set(top["tok_a"]) | set(top["tok_b"])))
+    small = uni.map_batches(
+        lambda t: t.filter(pc.is_in(t["token"], value_set=need)), batch_format="pyarrow"
+    ).to_pandas()
+    cnt = dict(zip(small["token"], small["n"].astype(np.int64)))
+
+    n_a = top["tok_a"].map(cnt).astype(np.int64)
+    n_b = top["tok_b"].map(cnt).astype(np.int64)
+    n_pair = top["n_pair"].astype(np.int64)
+    return pa.table(
+        {
+            "tok_a": pa.array(top["tok_a"], type=pa.string()),
+            "tok_b": pa.array(top["tok_b"], type=pa.string()),
+            "n_pair": pa.array(n_pair),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "pmi_ratio": pa.array(
+                (n_pair * total).astype(np.float64) / (n_a * n_b).astype(np.float64)
+            ),
+        }
+    )
+
+
+@query(
+    "sorted_export_orders",
+    sql="""
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM r GROUP BY tile ORDER BY tile
+""",
+)
+def sorted_export_orders(sf_dir: str) -> ray.data.Dataset:
+    """Distributed ORDER BY fragmentation (the compute half of
+    ``state.manifest.sorted_export``): every row gets its exact global
+    rank/tile from the range-bucket + prefix-offset primitive — ONE coarse
+    shuffle, no task ever holds the whole table — and per-tile stats fold
+    map-side before a 16-row groupby. The tiles are the value-ordered,
+    non-overlapping output fragments of the sorted-export sink."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ocr_ray.functions.ranking import partitioned_rank
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(["all"] * t.num_rows, type=pa.string()))
+
+    ranked = partitioned_rank(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        part_col="_g",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["o_orderkey", "o_totalprice"],
+        ntile=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        red = df.groupby("tile", as_index=False).agg(
+            n=("o_totalprice", "size"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        return red
+
+    agg = (
+        ranked.map_batches(partial, batch_format="pandas")
+        .groupby("tile")
+        .aggregate(Sum("n", alias_name="n_rows"), Min("min_price"), Max("max_price"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tile": df["tile"].astype(np.int64),
+                "n_rows": df["n_rows"].astype(np.int64),
+                "min_price": df["min(min_price)"],
+                "max_price": df["max(max_price)"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas").sort("tile")
+
+

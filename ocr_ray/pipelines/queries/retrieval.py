@@ -1,0 +1,574 @@
+"""Query registry section: retrieval (split from the former monolithic queries.py)."""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    hash_join,
+    lookup,
+    semi_filter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sources import read_documents, read_table
+
+from ocr_ray.pipelines.queries._shared import (
+    ORACLE_SQL,
+    QUERY_FNS,
+    _big_spenders,
+    load_small_table,
+    query,
+)
+from ocr_ray.pipelines.queries.simsearch import _query_vectors
+from ocr_ray.pipelines.queries.curation import _BM25_SC_SQL, bm25_search
+
+
+# ---------------------------------------------------------------------------
+# round-2h: retrieval fusion + deterministic reservoir sampling
+# ---------------------------------------------------------------------------
+
+_SPLITMIX_CHAIN = """
+h0 AS (SELECT *, CAST(event_id AS UBIGINT) AS x FROM base),
+h1 AS (SELECT * EXCLUDE (x), xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT * EXCLUDE (x), xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT * EXCLUDE (x), xor(x, x >> 31) AS pri FROM h4)
+"""
+
+
+@query(
+    "reservoir_sample_events",
+    sql="WITH base AS (SELECT event_id, event_type FROM events),"
+    + _SPLITMIX_CHAIN
+    + """
+SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY pri, event_id) AS rn
+  FROM h5)
+WHERE rn <= 8 ORDER BY event_type, rn
+""",
+)
+def reservoir_sample_events(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-group RESERVOIR sample: keep the 8 rows with the
+    smallest ``splitmix64(event_id)`` per event_type — a uniform random
+    sample under a hash-random priority that is reproducible across
+    reruns, resumable shards, and insertions (a new row only displaces
+    the current max priority, never reshuffles the sample). Distributed
+    shape: per-batch LOCAL bottom-8 per group (map-side combine), then
+    one tiny groupby over <= 8 x blocks x |groups| partial rows — no task
+    ever holds a group's full row set. Oracle: the splitmix64 chain in
+    HUGEINT SQL + ROW_NUMBER, bit-exact."""
+    from ocr_ray.functions.hashing import mix64
+
+    K = 8
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = mix64(ids.astype(np.uint64))
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "event_id": ids, "pri": pri}
+        )
+        df = df.sort_values(["event_type", "pri", "event_id"], kind="mergesort")
+        df = df.groupby("event_type", as_index=False, dropna=False).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pri", "event_id"], kind="mergesort").head(K)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "rn": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(local_bottom, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort(["event_type", "rn"])
+
+
+@query(
+    "hybrid_rrf_search",
+    sql=_BM25_SC_SQL
+    + """,
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM sc QUALIFY r <= 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+kn AS (SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) AS r
+       FROM q, embeddings WHERE vec_id <> 0 QUALIFY r <= 20)
+SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+  CAST(COALESCE(bm.r, 0) AS BIGINT) AS bm25_rank,
+  CAST(COALESCE(kn.r, 0) AS BIGINT) AS knn_rank,
+  (CASE WHEN bm.r IS NULL THEN 0.0 ELSE 1.0 / (60 + bm.r) END)
+    + (CASE WHEN kn.r IS NULL THEN 0.0 ELSE 1.0 / (60 + kn.r) END) AS rrf_score
+FROM bm FULL OUTER JOIN kn ON bm.doc_id = kn.doc_id
+ORDER BY rrf_score DESC, doc_id
+""",
+)
+def hybrid_rrf_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: the lexical leg is
+    the distributed BM25 top-20 (``bm25_search``'s plan), the semantic
+    leg is the distributed brute-cosine top-20 for query vector 0
+    (``embedding_topk``'s plan), and the two CONSTANT-SIZE rank lists
+    fuse on the driver with ``1/(60+r)`` — the k-bounded final step of a
+    retrieval stack (both legs stream; only 2k rows ever leave them).
+    RRF scores are bit-exact vs the oracle because BOTH sides perform
+    the identical IEEE-754 op sequence (same 1/(60+r) divisions, same
+    addition order) — NOT because the terms are dyadic (1/61 is not);
+    reordering either side's additions would break the exact gate."""
+    from ocr_ray.functions.ann import brute_topk
+
+    K = 20
+    bm = bm25_search(sf_dir).to_pandas().reset_index(drop=True)
+    bm["bm25_rank"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+
+    qids, qmat = _query_vectors(sf_dir, n=1)  # query vector 0, same helper as embedding_topk
+    queries_ref = ray.put((np.asarray(qids, dtype=np.int64), qmat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kn = brute_topk(ds, queries_ref, k=K).to_pandas()
+    kn = kn.rename(columns={"vec_id": "doc_id", "rank": "knn_rank"})[["doc_id", "knn_rank"]]
+
+    fused = bm[["doc_id", "bm25_rank"]].merge(kn, on="doc_id", how="outer")
+    br = fused["bm25_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    kr = fused["knn_rank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rrf = np.where(np.isnan(br), 0.0, 1.0 / (60.0 + br)) + np.where(
+        np.isnan(kr), 0.0, 1.0 / (60.0 + kr)
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": fused["doc_id"].to_numpy(dtype=np.int64),
+            "bm25_rank": np.nan_to_num(br, nan=0.0).astype(np.int64),
+            "knn_rank": np.nan_to_num(kr, nan=0.0).astype(np.int64),
+            "rrf_score": rrf,
+        }
+    ).sort_values(["rrf_score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+@query("ann_quantized_topk", sql=None)
+def ann_quantized_topk(sf_dir: str) -> ray.data.Dataset:
+    """int8-quantized cosine top-5 with exact rescoring — the memory-scale
+    ANN path (4x smaller than float32 vectors; fixed 1/127 grid since
+    inputs are unit-normalized, so no calibration pass). Candidate recall
+    vs brute force asserted in tests (float-geometry family: no SQL
+    oracle)."""
+    from ocr_ray.functions.ann import quantized_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantized_topk(ds, queries_ref, k=5, oversample=4)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+@query("bpe_train_merges", sql=None)
+def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (12 merges) over the documents
+    corpus: ONE corpus-scale word-count pass, then merge learning on the
+    word-frequency table (bounded by vocabulary, not corpus — the HF-
+    tokenizers trick), each iteration one distributed pair-count + driver
+    argmax + broadcast rewrite. Iterative, so no SQL oracle; the learned
+    merge list is asserted EQUAL to an independent pure-Python reference
+    BPE on the same word counts (tests/test_dedup_ann.py)."""
+    from ocr_ray.functions.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, num_merges=12)
+
+
+_PPM_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 15)) AS x),
+py AS (SELECT unnest(generate_series(0, 7)) AS y),
+bytes AS (
+  SELECT d, m, c.ch AS ch, (m * 37 + 11 + 13 * py.y + 7 * px.x + 29 * c.ch) % 256 AS val
+  FROM media CROSS JOIN px CROSS JOIN py
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) c
+),
+feat AS (
+  SELECT d, m, ch, CAST(SUM(val) AS DOUBLE) / 128.0 AS mu
+  FROM bytes GROUP BY d, m, ch
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+  MAX(CASE WHEN ch = 0 THEN mu END) AS mean_r,
+  MAX(CASE WHEN ch = 1 THEN mu END) AS mean_g,
+  MAX(CASE WHEN ch = 2 THEN mu END) AS mean_b
+FROM feat GROUP BY d, m
+"""
+
+
+@query("media_ppm_features", sql=_PPM_SQL)
+def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL image decode path: media spans get genuine binary PPM (P6)
+    payloads (netpbm-encoded from a closed-form test image), and the
+    ``PpmDecoder`` actor stage PARSES the format — header tokenizer,
+    magic/maxval validation, zero-copy raster view — then computes
+    per-channel means. Because the test image is closed-form arithmetic,
+    the decoded statistics are oracle-checked bit-exact end to end: a
+    header-parsing bug, offset error, or channel swap fails the oracle.
+    Non-PPM codecs remain stubbed (no PIL/ffmpeg here); this proves the
+    decode plumbing on a real format with zero dependencies."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import PpmDecoder, attach_ppm_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_ppm_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        PpmDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
+@query(
+    "dataset_diff_orders",
+    sql="""
+WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS pr
+           FROM orders),
+n AS (
+  SELECT k, st, pr FROM b WHERE k % 10 NOT IN (7, 3, 0)
+  UNION ALL SELECT k, st, pr + 100 FROM b WHERE k % 10 = 3
+  UNION ALL SELECT k, st, pr FROM b WHERE k % 10 = 0
+  UNION ALL SELECT k + 10000000, st, pr FROM b WHERE k % 10 = 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+  SELECT CASE WHEN b.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN b.st <> n.st OR b.pr <> n.pr THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM b FULL OUTER JOIN n ON b.k = n.k
+) GROUP BY status ORDER BY status
+""",
+)
+def dataset_diff_orders(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot DIFF (the data-ops audit between two dataset versions):
+    classify every key as added / removed / changed / unchanged across
+    two corpus-scale snapshots with ONE bucketed full-outer join — class
+    counting happens inside the join bucket (a key's two versions are
+    co-located there), so the shuffle emits 4 x num_buckets partial rows.
+    Snapshot B is derived deterministically from A (delete keys %10==7,
+    +100 price on %10==3, duplicate %10==0 under new keys) so the oracle
+    rebuilds both sides in SQL. Payload equality compares integer cents —
+    exact."""
+    from ray.data.aggregate import Sum
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = read_table(sf_dir, "orders", columns=cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["o_orderkey"],
+                "st": t["o_orderstatus"],
+                "pr_u2": to_units(t["o_totalprice"]),
+            }
+        )
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        pr = to_units(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        keep = k % 10 != 7
+        upd = k % 10 == 3
+        dup = k % 10 == 0
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k[keep], k[dup] + 10_000_000])),
+                "st": pa.array(np.concatenate([st[keep], st[dup]]), type=pa.string()),
+                "pr_u2": pa.array(
+                    np.concatenate([pr[keep] + np.where(upd[keep], 10_000, 0), pr[dup]])
+                ),
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        # presence by payload validity (payloads are never null in either
+        # snapshot; the shared key column `k` is non-null for both sides)
+        old_p = df["pr_u2"].notna().to_numpy()
+        new_p = df["pr_u2_new"].notna().to_numpy()
+        status = np.where(
+            ~old_p & new_p,
+            "added",
+            np.where(
+                old_p & ~new_p,
+                "removed",
+                np.where(
+                    (df["st"] != df["st_new"]) | (df["pr_u2"] != df["pr_u2_new"]),
+                    "changed",
+                    "unchanged",
+                ),
+            ),
+        )
+        red = pd.DataFrame({"status": status}).groupby("status", as_index=False).size()
+        return pd.DataFrame(
+            {"status": red["status"], "n": red["size"].astype(np.int64)}
+        )
+
+    partials = hash_join(
+        base.map_batches(prep, batch_format="pyarrow"),
+        base.map_batches(mk_new, batch_format="pyarrow"),
+        on="k",
+        how="full",
+        num_buckets=16,
+        suffix="_new",
+        left_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
+        right_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
+        bucket_post=classify,
+        post_schema=pa.schema({"status": pa.string(), "n": pa.int64()}),
+    )
+    agg = partials.groupby("status").aggregate(Sum("n", alias_name="n_keys"))
+    return agg.sort("status")
+
+
+@query(
+    "incremental_dedup_new_docs",
+    sql="""
+WITH new_docs AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT n.doc_id FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = n.text)
+ORDER BY n.doc_id
+""",
+)
+def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
+    """INCREMENTAL ingestion dedup: drop arriving documents whose text
+    already exists in the standing corpus WITHOUT re-deduping the corpus —
+    one bucketed ANTI join keyed on the text itself (exact semantics, no
+    hash-collision caveat; the corpus side ships only its key column).
+    The arriving batch is derived from the corpus (exact copies of
+    %3==0 docs must drop; '+extra' variants of %3==1 docs must survive)
+    so the oracle reproduces it."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup_m = ids % 3 == 0
+        new_m = ids % 3 == 1
+        dup = t.filter(pa.array(dup_m))
+        new = t.filter(pa.array(new_m))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [
+                            dup["doc_id"].to_numpy(zero_copy_only=False) + 2_000_000,
+                            new["doc_id"].to_numpy(zero_copy_only=False) + 2_000_000,
+                        ]
+                    )
+                ),
+                "text": pa.array(
+                    dup["text"].to_pylist()
+                    + [s + " extra" for s in new["text"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    fresh = hash_join(
+        docs.map_batches(mk_new, batch_format="pyarrow"),
+        docs.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow"),
+        on="text",
+        how="anti",
+        num_buckets=16,
+        left_schema=pa.schema({"doc_id": pa.int64(), "text": pa.string()}),
+        right_schema=pa.schema({"text": pa.string()}),
+    )
+    return fresh.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+_WAV_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+amp AS (
+  SELECT d, m, ((m * 53 + 17 * i) % 4001) - 2000 AS a
+  FROM media CROSS JOIN idx
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(64 AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(SUM(a) AS BIGINT) AS sum_amp, CAST(SUM(a * a) AS BIGINT) AS sum_sq
+FROM amp GROUP BY d, m
+"""
+
+
+@query("media_wav_features", sql=_WAV_SQL)
+def media_wav_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL audio decode path (the WAV sibling of ``media_ppm_features``):
+    media spans carry genuine RIFF/PCM16 payloads, and ``WavDecoder``
+    walks the RIFF chunks (magic + fmt validation, pad-byte handling)
+    before computing integer-exact clip statistics — a chunk-offset or
+    endianness bug fails the oracle."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import WavDecoder, attach_wav_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        WavDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
+_WALSH_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+amp AS (
+  SELECT d, m, i, ((m * 53 + 17 * i) % 4001) - 2000 AS a
+  FROM media CROSS JOIN idx
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(SUM(a * (1 - 2 * ((i >> 0) & 1))) AS BIGINT) AS walsh_b0,
+  CAST(SUM(a * (1 - 2 * ((i >> 1) & 1))) AS BIGINT) AS walsh_b1,
+  CAST(SUM(a * (1 - 2 * ((i >> 2) & 1))) AS BIGINT) AS walsh_b2
+FROM amp GROUP BY d, m
+"""
+
+
+@query("media_walsh_features", sql=_WALSH_SQL)
+def media_walsh_features(sf_dir: str) -> ray.data.Dataset:
+    """Frequency-domain audio features over REAL decoded WAV clips:
+    Walsh–Hadamard sequency correlates (square-wave basis, sign flip
+    every 2^k samples) computed from the RIFF-parsed PCM — the
+    integer-exact analogue of DFT-bin energies, which makes a SPECTRAL
+    feature oracle-checkable bit-exact (a float FFT never is, from
+    summation-order ulp drift alone). Decode is the same actor-pool
+    chunk-walking parser as ``media_wav_features``; the correlates are
+    one (n, 64) x (64, 3) integer matmul per batch."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import WalshDecoder, attach_wav_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        WalshDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
+_Y4M_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 7)) AS x),
+py AS (SELECT unnest(generate_series(0, 3)) AS y),
+pf AS (SELECT unnest(generate_series(0, 4)) AS f),
+luma AS (
+  SELECT d, m, pf.f AS f, (m * 41 + 19 * pf.f + 13 * py.y + 7 * px.x) % 256 AS v
+  FROM media CROSS JOIN px CROSS JOIN py CROSS JOIN pf
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(5 AS BIGINT) AS n_frames, CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+  CAST(25 AS BIGINT) AS fps_num,
+  CAST(SUM(v) AS BIGINT) AS luma_sum,
+  CAST(SUM(CASE WHEN f = 0 THEN v ELSE 0 END) AS BIGINT) AS luma_sum_first,
+  CAST(SUM(CASE WHEN f = 4 THEN v ELSE 0 END) AS BIGINT) AS luma_sum_last
+FROM luma GROUP BY d, m
+"""
+
+
+@query("media_y4m_features", sql=_Y4M_SQL)
+def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL video decode path (the Y4M sibling of ``media_ppm_features`` /
+    ``media_wav_features``, completing the image/audio/video trio): media
+    spans carry genuine YUV4MPEG2 clips (5 frames, C420), and
+    ``Y4mDecoder`` parses the stream header tags + per-FRAME markers and
+    strides the 4:2:0 planes before computing integer-exact luma
+    statistics — a plane-offset or frame-stride bug fails the oracle."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.media import Y4mDecoder, attach_y4m_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_y4m_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        Y4mDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+

@@ -1,0 +1,289 @@
+"""Query registry section: text_analysis (split from the former monolithic queries.py)."""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ocr_ray.corpus import ensure_corpus
+from ocr_ray.functions.relational import (
+    hash_join,
+    lookup,
+    semi_filter,
+    to_units,
+    units_to_double,
+)
+from ocr_ray.functions import text as textfn
+from ocr_ray.pipelines.extract import extract_spans_flat
+from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sources import read_documents, read_table
+
+from ocr_ray.pipelines.queries._shared import (
+    ORACLE_SQL,
+    QUERY_FNS,
+    _big_spenders,
+    load_small_table,
+    query,
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stats",
+    sql="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  (CAST(length(text) AS BIGINT) - (len(string_split(text, ' ')) - 1))
+    / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+FROM documents
+""",
+)
+def token_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.token_stats, batch_format="pyarrow")
+
+
+@query(
+    "regex_token_stats",
+    sql=r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def regex_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation — the pre-tokenizer
+    shape BPE vocabularies train over). Both engines run RE2, so counts
+    match exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def fx(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_bpe_tokens": pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fx, batch_format="pyarrow")
+
+
+_LANG_SQL = """
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (
+  SELECT doc_id,
+    count(*) FILTER (WHERE tok IN ('der','die','und','das','ein','zu')) AS votes_de,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS votes_en,
+    count(*) FILTER (WHERE tok IN ('el','la','de','y','que','en')) AS votes_es,
+    count(*) FILTER (WHERE tok IN ('le','la','et','les','des','un')) AS votes_fr,
+    count(*) FILTER (WHERE tok IN ('de','shi','le','zai','he','you')) AS votes_zh
+  FROM s GROUP BY doc_id)
+SELECT doc_id,
+  CASE
+    WHEN votes_de >= votes_en AND votes_de >= votes_es AND votes_de >= votes_fr
+         AND votes_de >= votes_zh THEN 'de'
+    WHEN votes_en >= votes_es AND votes_en >= votes_fr AND votes_en >= votes_zh THEN 'en'
+    WHEN votes_es >= votes_fr AND votes_es >= votes_zh THEN 'es'
+    WHEN votes_fr >= votes_zh THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang,
+  votes_de, votes_en, votes_es, votes_fr, votes_zh
+FROM v
+"""
+
+
+@query("lang_id", sql=_LANG_SQL)
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-vote language ID — the heuristic is pure token-set counting
+    with a deterministic argmax tie-break (first language in sorted order),
+    so the SQL oracle reproduces it exactly (the CASE chain's >= order IS
+    numpy argmax's first-max rule)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.lang_id, batch_format="pyarrow")
+
+
+_QUALITY_SQL = """
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    count(*) FILTER (WHERE tok IN ('the','and','of','a','to','in')) AS n_stop,
+    SUM(length(tok)) AS sum_len
+  FROM s GROUP BY doc_id),
+m AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio_en,
+    CAST(sum_len AS DOUBLE) / n_tokens AS mean_token_len
+  FROM v)
+SELECT doc_id, n_tokens, stop_ratio_en, mean_token_len,
+  0.4 * LEAST(GREATEST(n_tokens / 64.0, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(stop_ratio_en * 5, 0.0), 1.0)
+  + 0.3 * LEAST(GREATEST(1.0 - abs(mean_token_len - 5.0) / 5.0, 0.0), 1.0) AS quality
+FROM m
+"""
+
+
+@query("doc_quality", sql=_QUALITY_SQL)
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality heuristics (length / stopword-ratio / token-length terms) —
+    every term is IEEE +,-,*,/,abs,min,max in a fixed evaluation order, so
+    the SQL oracle matches bit for bit."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
+
+
+# Hashed-feature linear classifier: word hash = mix64(seed + poly),
+# per-class weight = mix64(h + (c+1)*golden) % 1001 - 500, score = sum
+# over token occurrences, argmax with smallest-class tiebreak. Both mix64
+# chains run in HUGEINT split-multiply; (c+1)*golden needs no split (the
+# product is < 2^68, well inside HUGEINT).
+_CLASSIFY_SQL = """
+WITH RECURSIVE
+toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dt AS (SELECT DISTINCT w FROM toks0),
+mx AS (SELECT greatest(max(length(w)), 1) AS m FROM dt),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * 1000003 +
+     ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw, mx WHERE k < mx.m - 1
+),
+chars AS (
+  SELECT w, gs.i, unicode(substr(w, CAST(gs.i + 1 AS INT), 1)) AS c
+  FROM dt, LATERAL (SELECT unnest(range(0, CAST(length(w) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT w,
+    CAST(CAST(c AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(c AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+),
+ph AS (
+  SELECT d.w,
+    CAST(('11400714819323198485'::HUGEINT
+      + COALESCE(CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296, 0))
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS h0
+  FROM dt d LEFT JOIN terms t ON d.w = t.w GROUP BY d.w
+),
+m1 AS (SELECT w, xor(h0, h0 >> 30) AS x FROM ph),
+m2 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m1),
+m3 AS (SELECT w, xor(x, x >> 27) AS x FROM m2),
+m4 AS (SELECT w, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM m3),
+wh AS (SELECT w, xor(x, x >> 31) AS h FROM m4),
+cls AS (SELECT unnest(range(0, 8)) AS c),
+wx AS (
+  SELECT wh.w, cls.c,
+    CAST((CAST(wh.h AS HUGEINT)
+      + (CAST(cls.c + 1 AS HUGEINT) * '11400714819323198485'::HUGEINT)
+        % '18446744073709551616'::HUGEINT)
+      % '18446744073709551616'::HUGEINT AS UBIGINT) AS x
+  FROM wh CROSS JOIN cls
+),
+c1 AS (SELECT w, c, xor(x, x >> 30) AS x FROM wx),
+c2 AS (SELECT w, c, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM c1),
+c3 AS (SELECT w, c, xor(x, x >> 27) AS x FROM c2),
+c4 AS (SELECT w, c, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM c3),
+wt AS (SELECT w, c, CAST(xor(x, x >> 31) % 1001 AS BIGINT) - 500 AS wgt FROM c4),
+scores AS (
+  SELECT t.doc_id, wt.c, CAST(SUM(wt.wgt) AS BIGINT) AS score
+  FROM toks0 t JOIN wt ON wt.w = t.w
+  GROUP BY t.doc_id, wt.c
+),
+ranked AS (
+  SELECT doc_id, c, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, c AS label, score FROM ranked WHERE rn = 1
+"""
+
+
+@query("classify_docs", sql=_CLASSIFY_SQL)
+def classify_docs(sf_dir: str) -> ray.data.Dataset:
+    """Batched model scoring over documents: an 8-class hashed-feature
+    linear classifier whose weights are derived arithmetically from the
+    token hash (``functions/text.classify_hashed``), so the entire model —
+    feature hashing, per-class dot products, argmax with deterministic
+    tiebreak — is reproduced bit-exact by the SQL oracle. Stateless
+    map_batches, zero shuffles; a learned weight matrix would broadcast
+    via ``ray.put`` with the identical distributed shape."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.classify_hashed, batch_format="pyarrow")
+
+
+_FINGERPRINT_SQL = """
+WITH RECURSIVE
+mx AS (SELECT greatest(max(length(text)), 1) AS m FROM documents),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k+1,
+    ((p % 4294967296) * 1000003 +
+     ((p // 4294967296) * 1000003 % 4294967296) * 4294967296
+    ) % '18446744073709551616'::HUGEINT
+  FROM pw, mx WHERE k < mx.m - 1
+),
+chars AS (
+  SELECT doc_id, gs.i, unicode(substr(text, CAST(gs.i + 1 AS INT), 1)) AS b
+  FROM documents, LATERAL (SELECT unnest(range(0, CAST(length(text) AS BIGINT))) AS i) gs
+),
+terms AS (
+  SELECT doc_id,
+    CAST(CAST(b AS HUGEINT) * pw.p % 4294967296 AS BIGINT) AS lo,
+    CAST(CAST(b AS HUGEINT) * pw.p % '18446744073709551616'::HUGEINT // 4294967296 AS BIGINT) AS hi
+  FROM chars JOIN pw ON pw.k = chars.i
+)
+SELECT d.doc_id,
+  CAST(COALESCE((CAST(SUM(t.lo) AS HUGEINT) + CAST(SUM(t.hi) AS HUGEINT) * 4294967296)
+       % '18446744073709551616'::HUGEINT, 0) AS UBIGINT) AS fingerprint
+FROM documents d LEFT JOIN terms t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@query("doc_fingerprint", sql=_FINGERPRINT_SQL)
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rabin-style polynomial rolling-hash fingerprint per document
+    (``fp = sum(byte_i * 1000003^i) mod 2^64``), buffer-level vectorized
+    with a segmented reduceat. The SQL oracle reproduces the wraparound
+    arithmetic exactly in HUGEINT (split 32-bit multiply for the power
+    chain, per-byte terms summed as BIGINT halves, reduce mod 2^64 into
+    UBIGINT); byte == code point because the corpus is ASCII."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
+
+

@@ -77,11 +77,11 @@ def read_training_set(out_dir: str, *, split: str | None = None):
     """Read a committed artifact back as one Dataset (optionally one
     split) — only fragments recorded complete in the manifests, so a
     concurrent or crashed writer's partial files are never read."""
-    import ray.data
+    from ocr_ray.state.manifest import read_fragments
 
     files = []
     for s in SPLITS if split is None else (split,):
         sdir = os.path.join(out_dir, f"split={s}")
         for rec in load_manifest(sdir).values():
             files.append(rec["file"])
-    return ray.data.read_parquet(files)
+    return read_fragments(files)

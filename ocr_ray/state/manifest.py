@@ -35,6 +35,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+try:  # pragma: no cover - 'lance' is not installed in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
 ENGINE_VERSION = "ocr_ray-0.1.0"
 
 
@@ -88,6 +96,28 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
     return out
 
 
+def read_fragments(files: list[str]):
+    """Streaming Dataset over committed fragment files of either format
+    (``data.parquet`` files and/or ``data.lance`` dataset dirs — a manifest
+    can only hold one format, but callers may pass files from several
+    manifests). Lance dirs go through the readers' streaming dispatch."""
+    import ray as _ray
+
+    from ocr_ray.sources.readers import read_documents
+
+    pq_files = [f for f in files if not f.endswith(".lance")]
+    parts = []
+    if pq_files:
+        parts.append(_ray.data.read_parquet(pq_files))
+    for f in files:
+        if f.endswith(".lance"):
+            parts.append(read_documents(f))
+    if not parts:
+        raise ValueError("read_fragments: empty file list")
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds
+
+
 class ResumableSink:
     """Per-partition writer run inside ``groupby('_part').map_groups``.
 
@@ -96,8 +126,22 @@ class ResumableSink:
     sink is itself a streaming stage, not a driver loop).
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, *, data_format: str = "auto"):
+        """``data_format``: ``"lance"`` | ``"parquet"`` | ``"auto"``
+        (Lance when the package is importable, else Parquet — the same
+        availability dispatch as ``sources/readers.py``; the north rule's
+        output tables are Lance, this sandbox lacks the package)."""
+        if data_format == "auto":
+            data_format = "lance" if HAVE_LANCE else "parquet"
+        if data_format not in ("lance", "parquet"):
+            raise ValueError(f"unknown sink data_format {data_format!r}")
+        if data_format == "lance" and not HAVE_LANCE:
+            raise ImportError(
+                "ResumableSink(data_format='lance') but the 'lance' package "
+                "is unavailable; use 'parquet' or 'auto'"
+            )
         self.out_dir = out_dir
+        self.data_format = data_format
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["_part"][0].as_py())
@@ -115,10 +159,25 @@ class ResumableSink:
         t0 = time.perf_counter()
         pdir = Path(self.out_dir) / f"part={part:05d}"
         pdir.mkdir(parents=True, exist_ok=True)
-        tmp = pdir / f".tmp-{uuid.uuid4().hex}.parquet"
-        pq.write_table(tbl, tmp)
-        final = pdir / "data.parquet"
-        os.replace(tmp, final)  # atomic commit of the fragment
+        if self.data_format == "lance":
+            # A Lance fragment is a directory; write to a hidden temp dir,
+            # then commit with a directory rename. The manifest sidecar
+            # (written below, after the data) remains the commit point, so
+            # a crash between rmtree and rename only leaves an uncommitted
+            # fragment that the next run rewrites.
+            import shutil
+
+            tmp = pdir / f".tmp-{uuid.uuid4().hex}.lance"
+            lance.write_dataset(tbl, str(tmp))
+            final = pdir / "data.lance"
+            if final.exists():
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+        else:
+            tmp = pdir / f".tmp-{uuid.uuid4().hex}.parquet"
+            pq.write_table(tbl, tmp)
+            final = pdir / "data.parquet"
+            os.replace(tmp, final)  # atomic commit of the fragment
 
         # spans-typed fragments carry the span lineage checksum; other
         # schemas (the sink is generic — any registry pipeline can end in
@@ -138,6 +197,7 @@ class ResumableSink:
             "wall_ms": round((time.perf_counter() - t0) * 1000, 2),
             "engine": ENGINE_VERSION,
             "file": str(final),
+            "format": self.data_format,
         }
         if extra:
             rec.update(extra)
@@ -216,7 +276,12 @@ def skip_completed_partitions(ds, out_dir: str, num_parts: int, *, extra_layout:
 
 
 def write_extracted_resumable(
-    extracted_ds, out_dir: str, *, num_parts: int = 16, return_stats: bool = False
+    extracted_ds,
+    out_dir: str,
+    *,
+    num_parts: int = 16,
+    return_stats: bool = False,
+    data_format: str = "auto",
 ):
     """Write an extracted (nested) Dataset as P resumable fragments.
 
@@ -227,7 +292,11 @@ def write_extracted_resumable(
     ``skip_completed_partitions`` on the input for end-to-end resume.
     """
 
-    _check_layout(out_dir, num_parts, write=True)
+    sink = ResumableSink(out_dir, data_format=data_format)
+    # record the RESOLVED format in the layout sidecar: resuming a lance
+    # manifest with a parquet sink (or vice versa) would mix fragment
+    # formats within one output directory — make it a loud error.
+    _check_layout(out_dir, num_parts, write=True, extra={"data_format": sink.data_format})
 
     def tag(t: pa.Table) -> pa.Table:
         if "doc_id" not in t.column_names:
@@ -236,8 +305,6 @@ def write_extracted_resumable(
                 f"fragment partition; got columns {t.column_names}"
             )
         return t.append_column("_part", pa.array(partition_of(t["doc_id"], num_parts)))
-
-    sink = ResumableSink(out_dir)
 
     def write_part(group: pa.Table) -> pa.Table:
         # named wrapper: Ray's map_groups needs fn.__name__; the sink's
@@ -292,7 +359,7 @@ def compact_partitions(in_dir: str, out_dir: str, *, num_parts: int):
     src_spans = sum(rec["span_count"] for rec in src.values())
     src_sum = sum(rec["span_checksum"] for rec in src.values()) % (1 << 64)
 
-    ds = _ray.data.read_parquet(files)
+    ds = read_fragments(files)
     manifest_df = write_extracted_resumable(ds, out_dir, num_parts=num_parts)
 
     new = load_manifest(out_dir)

@@ -42,3 +42,30 @@ class FakeLanceModule:
 
     def dataset(self, path) -> FakeLanceDataset:
         return self._ds
+
+
+class FakeLanceWriterModule(FakeLanceModule):
+    """Adds the write surface the ResumableSink Lance branch uses
+    (``lance.write_dataset(table, path)`` creating a dataset DIRECTORY).
+    The fake materializes the table as one parquet file inside the dir so
+    tests can read fragments back without the real package."""
+
+    def __init__(self, fragments: list[FakeFragment] | None = None):
+        super().__init__(fragments or [])
+        self.write_calls: list[str] = []
+
+    def write_dataset(self, table: pa.Table, path) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(str(path), exist_ok=False)
+        pq.write_table(table, os.path.join(str(path), "data-0.pq"))
+        self.write_calls.append(str(path))
+
+    def dataset_table(self, path) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(str(path), "data-0.pq"))
