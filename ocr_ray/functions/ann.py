@@ -250,12 +250,28 @@ def neardup_pairs_in_bucket(group: pd.DataFrame, *, tau: float, max_group: int =
 
 def with_perturbed(batch: pa.Table, *, scale: float = 0.05, offset: int = 1_000_000) -> pa.Table:
     """Union each embedding with a deterministic perturbed copy
-    (vec_id + offset) — the seeded near-duplicate population."""
+    (vec_id + offset) — the seeded near-duplicate population.
+
+    Noise is splitmix64-derived and BOUNDED: ``u[v, j] = mix64(v*d + j + 1)
+    / 2^64 - 0.5`` in [-0.5, 0.5), so the perturbation norm satisfies
+    ``|eps| <= (scale/2) * |m|`` and ``cos(m, pert) >= (1-r)/(1+r)`` with
+    ``r = scale/2`` — at scale=0.05 that is a GUARANTEED cosine >= 0.951,
+    which makes planted-pair membership above the near-dup tau a theorem
+    (the SQL oracles of the near-dup queries rely on this; an unbounded
+    Gaussian could in principle push a planted pair below tau). Fully
+    vectorized (no per-row RNG construction)."""
+    from ocr_ray.functions.hashing import mix64
+
     vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     m = _as_matrix(batch["embedding"])
-    noise = np.stack(
-        [np.random.default_rng(int(v)).standard_normal(m.shape[1]) for v in vids]
-    )
+    d = m.shape[1]
+    with np.errstate(over="ignore"):
+        keys = (
+            vids[:, None].astype(np.uint64) * np.uint64(d)
+            + np.arange(d, dtype=np.uint64)[None, :]
+            + np.uint64(1)
+        )
+    noise = mix64(keys.reshape(-1)).reshape(len(vids), d).astype(np.float64) / 2.0**64 - 0.5
     pert = m + scale * noise * np.linalg.norm(m, axis=1, keepdims=True) / np.sqrt(m.shape[1])
     out_ids = np.concatenate([vids, vids + offset])
     out_vecs = np.concatenate([m, pert]).astype(np.float32)

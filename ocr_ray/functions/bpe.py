@@ -192,10 +192,24 @@ def _apply_merge(t: pa.Table, *, left: str, right: str) -> pa.Table:
     )
 
 
-def bpe_train(ds, *, num_merges: int, text_col: str = "text") -> pd.DataFrame:
+def bpe_train(
+    ds, *, num_merges: int, text_col: str = "text", verify: bool = False
+) -> pd.DataFrame:
     """Learn ``num_merges`` BPE merges over a text Dataset. Returns the
-    merge table (rank, left, right, pair_count) — the tokenizer artifact."""
+    merge table (rank, left, right, pair_count) — the tokenizer artifact.
+
+    ``verify=True`` replays training with the independent pure-Python
+    reference on the SAME word-count table (vocabulary-bounded, so the
+    driver-side replay is cheap at any corpus scale — the corpus pass is
+    not repeated) and raises if the learned merges differ: a
+    driver-visible exactness check for a pipeline no SQL oracle can
+    express."""
     wc = word_counts(ds, text_col=text_col)
+    wc_dict: dict[str, int] | None = None
+    if verify:
+        wc = wc.materialize()  # one corpus pass feeds both consumers
+        wdf = wc.to_pandas()
+        wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
     sym = wc.map_batches(_to_symbol_table, batch_format="pyarrow").materialize()
 
     merges = []
@@ -208,7 +222,16 @@ def bpe_train(ds, *, num_merges: int, text_col: str = "text") -> pd.DataFrame:
         sym = sym.map_batches(
             _apply_merge, batch_format="pyarrow", fn_kwargs={"left": left, "right": right}
         ).materialize()  # bounded by vocabulary size, not corpus size
-    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+    out = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+    if verify:
+        ref = bpe_train_reference(wc_dict or {}, num_merges)
+        got = [(l, r, c) for _, l, r, c in out.itertuples(index=False)]
+        if got != ref:
+            raise RuntimeError(
+                "bpe_train verify failed: distributed merges "
+                f"{got[:3]}...({len(got)}) != reference {ref[:3]}...({len(ref)})"
+            )
+    return out
 
 
 def bpe_train_reference(word_counts: dict[str, int], num_merges: int) -> list[tuple[str, str, int]]:
@@ -271,6 +294,13 @@ class BpeEncoder:
             if len(syms) < 2:
                 break
             syms = merge_pair_rows([syms], left, right)[0]
+        # losslessness invariant: subword units concatenate back to the
+        # word (+ end marker). Costs O(len) once per UNIQUE word (cached);
+        # catches any merge-application corruption at run time.
+        if "".join(syms) != word + EOW:
+            raise RuntimeError(
+                f"BPE encode roundtrip failed for word {word!r}: {syms!r}"
+            )
         n = len(syms)
         self.cache[word] = n
         return n

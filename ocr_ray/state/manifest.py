@@ -65,13 +65,26 @@ def _span_checksum(tbl: pa.Table) -> int:
     parent = pc.list_parent_indices(spans)
     if len(parent) == 0:
         return 0
-    doc_id = pc.take(tbl["doc_id"].combine_chunks(), parent)
     flat = pc.list_flatten(spans)
+
+    def _hash_via_dict(col) -> np.ndarray:
+        # hash each DISTINCT value once, gather per row — bit-identical to
+        # hashing every row (null and "" both hash to the empty seed, so
+        # fill_null("") is value-preserving) but the byte-crunching cost
+        # is per unique value. kind has 4 distinct values and doc_id
+        # repeats once per span, so this removes most of the checksum's
+        # memory traffic (it was ~1/3 of a shard task's CPU).
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        enc = pc.dictionary_encode(pc.fill_null(col, ""))
+        uniq = hash_utf8_column(enc.dictionary)
+        return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+    parent_np = parent.to_numpy(zero_copy_only=False)
     with np.errstate(over="ignore"):
-        h = hash_utf8_column(doc_id) * np.uint64(0xA24BAED4963EE407)
-        h ^= hash_utf8_column(pc.struct_field(flat, "kind")) * np.uint64(0x9FB21C651E98DF25)
+        h = _hash_via_dict(tbl["doc_id"])[parent_np] * np.uint64(0xA24BAED4963EE407)
+        h ^= _hash_via_dict(pc.struct_field(flat, "kind")) * np.uint64(0x9FB21C651E98DF25)
         h ^= hash_utf8_column(pc.struct_field(flat, "text")) * np.uint64(0xC2B2AE3D27D4EB4F)
-        h ^= hash_utf8_column(pc.struct_field(flat, "media_ref")) * np.uint64(0x165667B19E3779F9)
+        h ^= _hash_via_dict(pc.struct_field(flat, "media_ref")) * np.uint64(0x165667B19E3779F9)
         # fill_null first: NaN->uint64 is undefined in numpy and would make
         # the checksum nondeterministic on tables with null offsets
         offs = (
