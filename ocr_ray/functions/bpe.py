@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -128,12 +129,17 @@ def best_pair(sym_ds) -> tuple[str, str, int] | None:
     def local_best(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.select(["left", "right", "cnt"])
-        df = t.to_pandas().sort_values(
-            ["cnt", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        # Arrow-native partial top-1 (keys form a unique total order, so no
+        # stability concern); avoids a pandas round trip per batch.
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("cnt", "descending"),
+                ("left", "ascending"),
+                ("right", "ascending"),
+            ],
         )
-        return pa.Table.from_pandas(df.head(1), preserve_index=False).replace_schema_metadata(
-            None
-        )
+        return t.select(["left", "right", "cnt"]).take(idx[:1])
 
     top = counts.map_batches(local_best, batch_format="pyarrow").to_pandas()
     if len(top) == 0:

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -459,7 +459,7 @@ def extract_doc_quality(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.pipelines.extract import extract_documents
 
     corpus = ensure_corpus(sf_dir, glyphs=True)
-    nested = extract_documents(read_documents(corpus), num_buckets=16)
+    nested = extract_documents(read_documents(corpus), num_buckets=default_buckets())
 
     scored = nested.map_batches(_extracted_doc_text, batch_format="pyarrow").map_batches(
         textfn.quality_score, batch_format="pyarrow"
@@ -579,7 +579,7 @@ def training_windows(sf_dir: str, *, keep_chunk: bool = False) -> ray.data.Datas
     from ocr_ray.pipelines.extract import extract_documents
 
     corpus = ensure_corpus(sf_dir, glyphs=True)
-    nested = extract_documents(read_documents(corpus), num_buckets=16)
+    nested = extract_documents(read_documents(corpus), num_buckets=default_buckets())
     texts = nested.map_batches(_extracted_doc_text, batch_format="pyarrow")
 
     def dup_union(t: pa.Table) -> pa.Table:
@@ -916,7 +916,7 @@ def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
         orders,
         winvals,
         on=["o_orderstatus", "o_totalprice"],
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {
                 "o_orderkey": pa.int64(),

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -103,7 +103,7 @@ def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
         on="doc_id",
         right_on="node",
         how="left",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"doc_id": pa.int64()}),
         right_schema=pa.schema({"node": pa.int64(), "component": pa.int64()}),
     )
@@ -193,7 +193,7 @@ def purchase_graph_pagerank(sf_dir: str) -> ray.data.Dataset:
         li,
         on="o_orderkey",
         right_on="l_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
         right_schema=pa.schema({"l_orderkey": pa.int64(), "l_suppkey": pa.int64()}),
         bucket_post=local_pairs,

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -67,7 +67,7 @@ FROM tagged WHERE kind <> 'boilerplate'
 def extract_spans(sf_dir: str) -> ray.data.Dataset:
     """Full extraction over the plain (no-glyph) interleaved corpus; flat output."""
     corpus = ensure_corpus(sf_dir, glyphs=False)
-    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+    return extract_spans_flat(read_documents(corpus), num_buckets=default_buckets())
 
 
 @query("extract_glyphs", sql=_EXTRACT_SQL)
@@ -76,7 +76,7 @@ def extract_glyphs(sf_dir: str) -> ray.data.Dataset:
     nearest-template recognize) back to the exact withheld text, so the
     oracle is the same SQL as ``extract_spans``."""
     corpus = ensure_corpus(sf_dir, glyphs=True)
-    return extract_spans_flat(read_documents(corpus), num_buckets=16)
+    return extract_spans_flat(read_documents(corpus), num_buckets=default_buckets())
 
 
 @query("extract_spans_local", sql=_EXTRACT_SQL)
@@ -113,7 +113,7 @@ FROM spans GROUP BY d
 def extract_media_index(sf_dir: str) -> ray.data.Dataset:
     """Per-doc media/content span counts from the extracted corpus."""
     corpus = ensure_corpus(sf_dir, glyphs=False)
-    flat = extract_spans_flat(read_documents(corpus), num_buckets=16)
+    flat = extract_spans_flat(read_documents(corpus), num_buckets=default_buckets())
 
     def counts(t: pa.Table) -> pa.Table:
         media = pc.equal(t["kind"], "media")

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -98,7 +98,7 @@ def q10_returned_revenue(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(window, batch_format="pyarrow"),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
         right_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
         bucket_post=per_cust,
@@ -283,7 +283,7 @@ def q14_promo_revenue(sf_dir: str) -> ray.data.Dataset:
         part,
         on="l_partkey",
         right_on="p_partkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_partkey": pa.int64(), "rev_u4": pa.int64()}),
         right_schema=pa.schema({"p_partkey": pa.int64(), "p_type": pa.string()}),
         bucket_post=bucket_sums,
@@ -399,7 +399,7 @@ def q4_priority_count(sf_dir: str) -> ray.data.Dataset:
         on="o_orderkey",
         right_on="l_orderkey",
         how="semi",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
         right_schema=pa.schema({"l_orderkey": pa.int64()}),
     )
@@ -458,7 +458,7 @@ def orders_without_discounted_items(sf_dir: str) -> ray.data.Dataset:
         on="o_orderkey",
         right_on="l_orderkey",
         how="anti",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
         right_schema=pa.schema({"l_orderkey": pa.int64()}),
     )
@@ -559,7 +559,7 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_year": pa.int32(), "rev_u4": pa.int64()}
         ),
@@ -585,7 +585,7 @@ def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
         sup_n,
         on="l_suppkey",
         right_on="s_suppkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"l_suppkey": pa.int64(), "cust_nation": pa.string(), "l_year": pa.int32(), "rev_u4": pa.int64()}
         ),

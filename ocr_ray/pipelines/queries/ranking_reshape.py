@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -803,7 +803,7 @@ def semi_join_customers_bloom(sf_dir: str) -> ray.data.Dataset:
         keys,
         on="c_custkey",
         right_on="o_custkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"c_custkey": pa.int64(), "c_name": pa.string()}),
     )
 
@@ -1312,7 +1312,7 @@ def error_purchase_same_day(sf_dir: str) -> ray.data.Dataset:
         errors,
         purchases,
         on=["user_id", "day"],
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=key_schema,
         right_schema=key_schema,
         bucket_post=count_pairs,

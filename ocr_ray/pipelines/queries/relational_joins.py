@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -125,7 +125,7 @@ def q3_top_revenue_orders(sf_dir: str) -> ray.data.Dataset:
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
         right_schema=pa.schema(
             {
@@ -202,7 +202,7 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_orderkey": pa.int64(), "rev_u4": pa.int64()}),
         right_schema=pa.schema(
             {"o_orderkey": pa.int64(), "o_custkey": pa.int64(), "n_name": pa.string()}
@@ -412,7 +412,7 @@ def join_size_estimate(sf_dir: str) -> pa.Table:
         li,
         orders,
         on="k",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"k": pa.int64(), "n": pa.int64()}),
         right_schema=pa.schema({"k": pa.int64(), "n": pa.int64()}),
         bucket_post=body,

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -267,6 +267,58 @@ def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_JPEG_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+blocks AS (
+  SELECT d, m, (m * 37 + 11 + 53 * b.i) % 256 AS v
+  FROM media CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+  CAST(64 * SUM(v) AS BIGINT) AS luma_sum,
+  CAST((m * 37 + 11) % 256 AS BIGINT) AS first_px,
+  CAST((m * 37 + 11 + 159) % 256 AS BIGINT) AS last_px
+FROM blocks GROUP BY d, m
+"""
+
+
+@query("media_jpeg_features", sql=_JPEG_SQL)
+def media_jpeg_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL compressed-image decode path: media spans get genuine baseline
+    JPEG payloads (markers, quantization, zigzag, canonical Huffman with
+    byte stuffing — ``stages/jpeg.py``) and the ``JpegDecoder`` actor
+    stage runs a full decode: marker walk, DHT/DQT parse, Huffman +
+    coefficient extend, dequantize, de-zigzag, IDCT, level shift. The
+    fixture images are constant per 8x8 block with DC quantizer step 8,
+    so the lossy format round-trips these EXACTLY and the decoded stats
+    are oracle-checked bit-exact (a Huffman, zigzag, dequant or IDCT bug
+    fails the hash). The general AC path is covered by pytest on
+    non-constant images. MP3/H.264 stay stubbed (no ffmpeg here)."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.jpeg import JpegDecoder, attach_jpeg_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_jpeg_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        JpegDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
 @query(
     "dataset_diff_orders",
     sql="""
@@ -356,7 +408,7 @@ def dataset_diff_orders(sf_dir: str) -> ray.data.Dataset:
         base.map_batches(mk_new, batch_format="pyarrow"),
         on="k",
         how="full",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         suffix="_new",
         left_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
         right_schema=pa.schema({"k": pa.int64(), "st": pa.string(), "pr_u2": pa.int64()}),
@@ -420,7 +472,7 @@ def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
         docs.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow"),
         on="text",
         how="anti",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"doc_id": pa.int64(), "text": pa.string()}),
         right_schema=pa.schema({"text": pa.string()}),
     )

@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -113,7 +113,7 @@ def custkeys_except_orders(sf_dir: str) -> ray.data.Dataset:
         on="c_custkey",
         right_on="o_custkey",
         op="except",
-        num_buckets=16,
+        num_buckets=default_buckets(),
     )
 
 
@@ -134,7 +134,7 @@ def custkeys_intersect_orders(sf_dir: str) -> ray.data.Dataset:
         on="c_custkey",
         right_on="o_custkey",
         op="intersect",
-        num_buckets=16,
+        num_buckets=default_buckets(),
     )
 
 
@@ -260,7 +260,7 @@ def merge_changeset_orders(sf_dir: str) -> ray.data.Dataset:
         base,
         changes,
         on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         base_schema=pa.schema(
             {"o_orderkey": pa.int64(), "o_orderstatus": pa.string(), "o_totalprice": pa.float64()}
         ),
@@ -417,7 +417,7 @@ def incremental_agg_orders(sf_dir: str) -> ray.data.Dataset:
         base.map_batches(old_payload, batch_format="pyarrow"),
         on="o_orderkey",
         how="left",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {
                 "o_orderkey": pa.int64(),
@@ -487,7 +487,7 @@ def range_join_followup_events(sf_dir: str) -> ray.data.Dataset:
         right_val="ts_r",
         lo=pd.Timedelta(microseconds=1),
         hi=pd.Timedelta(hours=1),
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=schema,
         right_schema=schema,
     )
@@ -683,7 +683,7 @@ def tfidf_doc_tokens(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         ),
         on="token",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"doc_id": pa.int64(), "token": pa.string(), "tf": pa.int64()}
         ),

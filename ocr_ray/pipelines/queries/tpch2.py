@@ -23,7 +23,7 @@ from ocr_ray.functions.relational import (
 )
 from ocr_ray.functions import text as textfn
 from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import (
@@ -91,7 +91,7 @@ def q12_priority_by_linestatus(sf_dir: str) -> ray.data.Dataset:
         orders,
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_orderkey": pa.int64(), "l_linestatus": pa.string()}),
         right_schema=pa.schema({"o_orderkey": pa.int64(), "o_orderpriority": pa.string()}),
         bucket_post=combine,
@@ -161,7 +161,7 @@ def q13_customer_distribution(sf_dir: str) -> ray.data.Dataset:
         on="c_custkey",
         right_on="o_custkey",
         how="left",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"c_custkey": pa.int64()}),
         right_schema=pa.schema({"o_custkey": pa.int64(), "c_count": pa.int64()}),
         bucket_post=dist,
@@ -376,7 +376,7 @@ def q19_disjunctive_join_revenue(sf_dir: str) -> pd.DataFrame:
         part.map_batches(part_prune, batch_format="pyarrow"),
         on="l_partkey",
         right_on="p_partkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"l_partkey": pa.int64(), "l_quantity": pa.float64(), "rev_u4": pa.int64()}
         ),
@@ -440,7 +440,7 @@ def q16_supplier_count_by_part_attrs(sf_dir: str) -> ray.data.Dataset:
         part.map_batches(part_prune, batch_format="pyarrow"),
         on="l_partkey",
         right_on="p_partkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema({"l_partkey": pa.int64(), "l_suppkey": pa.int64()}),
         right_schema=pa.schema(
             {"p_partkey": pa.int64(), "p_brand": pa.string(), "p_size": pa.int64()}
@@ -604,7 +604,7 @@ def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         on="l_orderkey",
         right_on="o_orderkey",
         how="left",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"l_orderkey": pa.int64(), "l_suppkey": pa.int64(), "l_returnflag": pa.string()}
         ),
@@ -684,7 +684,7 @@ def q22_idle_rich_customers(sf_dir: str) -> ray.data.Dataset:
         on="c_custkey",
         right_on="o_custkey",
         how="anti",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {"c_custkey": pa.int64(), "c_nationkey": pa.int64(), "c_acctbal": pa.float64()}
         ),
@@ -825,7 +825,7 @@ def q8_nation_market_share(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(oyear, batch_format="pyarrow"),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {
                 "l_partkey": pa.int64(),
@@ -962,7 +962,7 @@ def q9_profit_by_nation_year(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(oyear, batch_format="pyarrow"),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_buckets=16,
+        num_buckets=default_buckets(),
         left_schema=pa.schema(
             {
                 "l_orderkey": pa.int64(),

@@ -90,8 +90,10 @@ class MediaDecoder:
     def __init__(self, *, fake_decode: bool = True):
         if not fake_decode:
             raise NotImplementedError(
-                "real image/audio decoding requires libs not present in this "
-                "environment (PIL/ffmpeg); run with fake_decode=True"
+                "general image/audio decoding requires libs not present in "
+                "this environment (PIL/ffmpeg); run with fake_decode=True. "
+                "Real pure-numpy codecs exist for PPM/WAV/Y4M (this module) "
+                "and baseline JPEG (stages/jpeg.py); MP3/H.264 stay stubbed."
             )
         self.fake_decode = fake_decode
 
@@ -243,8 +245,9 @@ def media_frame_sample(batch: pa.Table, *, every: int = 4) -> pa.Table:
 # ---------------------------------------------------------------------------
 # REAL codec path: PPM (P6) — a genuine image format decodable with pure
 # numpy, so the "real decode" branch of the media pipeline is exercised
-# end-to-end (and oracle-checked) without PIL/ffmpeg. Other formats stay
-# stubbed behind NotImplementedError.
+# end-to-end (and oracle-checked) without PIL/ffmpeg. Baseline JPEG is
+# real too (stages/jpeg.py); MP3/H.264 stay stubbed behind
+# NotImplementedError.
 # ---------------------------------------------------------------------------
 
 PPM_W, PPM_H = 16, 8

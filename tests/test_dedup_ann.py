@@ -416,3 +416,49 @@ def test_bpe_encoder_matches_reference(queries, sf_smoke):
         ref[d] = sum(len(bpe_encode_reference(w, merges)) for w in txt.split(" ") if w)
     got = dict(zip(enc["doc_id"], enc["n_bpe_tokens"].astype(int)))
     assert got == ref
+
+
+def test_jpeg_codec_roundtrip():
+    """encode_jpeg/decode_jpeg (baseline sequential grayscale): LOSSLESS
+    round trip on block-constant fixtures (DC-only, q00=8 — see
+    stages/jpeg.py), bounded error on arbitrary images (the general
+    Huffman/AC path incl. ZRL runs), closed-form luma stats matching the
+    SQL oracle's expression, and loud failures on bad streams."""
+    from ocr_ray.stages.jpeg import (
+        JPG_H,
+        JPG_W,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_block_value,
+        jpeg_image,
+    )
+
+    # exact round trip for every fixture shape the oracle covers
+    for m in (0, 1, 7, 255, 9972):
+        img = jpeg_image(m)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(dec, img), m
+        assert int(dec.sum(dtype=np.int64)) == sum(
+            64 * jpeg_block_value(m, b) for b in range((JPG_H // 8) * (JPG_W // 8))
+        )
+
+    # AC path: arbitrary content decodes within quantization error
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 32
+
+    # ZRL exercise: one isolated high-frequency spike -> long zero runs
+    spike = np.full((8, 8), 128, dtype=np.uint8)
+    spike[7, 7] = 255
+    dec = decode_jpeg(encode_jpeg(spike))
+    assert int(np.abs(dec.astype(int) - spike.astype(int)).max()) <= 64
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x00")
+    buf = bytearray(encode_jpeg(jpeg_image(3)))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2  # progressive SOF marker
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
