@@ -93,6 +93,10 @@ QUERY_SET = [
     "purchase_graph_bfs",
     "rfm_segments",
     "corr_matrix_lineitem",
+    # round-3 additions
+    "media_jpeg_features",
+    "media_ppm_features",
+    "bpe_train_merges",
 ]
 
 
@@ -135,7 +139,12 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         if headline_mode == "shard":
             manifest, _ = extract_shard_aligned(
-                corpus, OUT_DIR, doc_batch_size=doc_batch
+                corpus,
+                OUT_DIR,
+                doc_batch_size=doc_batch,
+                # Task granularity: more waves pack the tail better at high
+                # CPU counts; per-task driver dispatch bounds it above.
+                tasks_per_cpu=int(os.environ.get("OCR_RAY_TASKS_PER_CPU", "8")),
             )
         else:
             manifest, _ = extract_and_write(
@@ -261,8 +270,73 @@ def run_scaling() -> dict:
     }
 
 
+def run_compact() -> dict:
+    """End-to-end small-file story at bench scale: extract -> committed
+    fine-grained fragments -> ``compact_partitions`` to a coarse layout ->
+    re-read the compacted output and verify rows + layout-invariant span
+    checksum (compaction itself asserts the manifest-level invariants; the
+    re-read proves the compacted directory is readable end to end)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.pipelines.extract import extract_shard_aligned
+    from ocr_ray.state.manifest import compact_partitions, load_manifest, read_fragments
+
+    reps = int(os.environ.get("OCR_RAY_BENCH_REPS", "4096"))
+    corpus = ensure_corpus(SF_DIR, glyphs=True, reps=reps)
+    out = os.environ.get("OCR_RAY_BENCH_OUT", "/dev/shm/ocr_ray_compact_src")
+    compacted = out + "-compacted"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest, _ = extract_shard_aligned(corpus, out)
+    t_extract = time.perf_counter() - t0
+    n_frag_src = len(manifest)
+    n_docs = int(manifest["row_count"].sum())
+
+    coarse = max(8, n_frag_src // 8)
+    t0 = time.perf_counter()
+    compact_partitions(out, compacted, num_parts=coarse)  # raises on mismatch
+    t_compact = time.perf_counter() - t0
+
+    new = load_manifest(compacted)
+    t0 = time.perf_counter()
+    rows_back = read_fragments([r["file"] for r in new.values()]).count()
+    t_read = time.perf_counter() - t0
+    assert rows_back == n_docs, (rows_back, n_docs)
+    ray.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+    return {
+        "metric": "compact_roundtrip",
+        "docs": n_docs,
+        "fragments_src": n_frag_src,
+        "fragments_compacted": len(new),
+        "extract_sec": round(t_extract, 3),
+        "compact_sec": round(t_compact, 3),
+        "readback_sec": round(t_read, 3),
+        "checksum_verified": True,  # compact_partitions raised otherwise
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--compact" in sys.argv:
+        print(json.dumps(run_compact()))
     else:
         print(json.dumps(run_bench()))
