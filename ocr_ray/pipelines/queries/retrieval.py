@@ -267,6 +267,65 @@ def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_PNG_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 15)) AS x),
+py AS (SELECT unnest(generate_series(0, 7)) AS y),
+bytes AS (
+  SELECT d, m, c.ch AS ch, (m * 41 + 23 + 17 * py.y + 5 * px.x + 31 * c.ch) % 256 AS val
+  FROM media CROSS JOIN px CROSS JOIN py
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) c
+),
+feat AS (
+  SELECT d, m, ch, CAST(SUM(val) AS DOUBLE) / 128.0 AS mu
+  FROM bytes GROUP BY d, m, ch
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+  MAX(CASE WHEN ch = 0 THEN mu END) AS mean_r,
+  MAX(CASE WHEN ch = 1 THEN mu END) AS mean_g,
+  MAX(CASE WHEN ch = 2 THEN mu END) AS mean_b
+FROM feat GROUP BY d, m
+"""
+
+
+@query("media_png_features", sql=_PNG_SQL)
+def media_png_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL compressed-image decode path #2: media spans get genuine PNG
+    payloads (DEFLATE via stdlib zlib; signature, CRC-verified
+    IHDR/IDAT/IEND framing, per-row adaptive filtering over all five PNG
+    filter types — ``stages/png.py``) and the ``PngDecoder`` actor stage
+    runs a full decode: chunk walk + CRC-32 check, inflate, unfilter
+    (None/Sub/Up/Average/Paeth). PNG is LOSSLESS, so unlike the JPEG leg
+    this needs no fixture constraint: the closed-form test image
+    round-trips bit-exactly and the decoded channel means are
+    oracle-checked end to end — an inflate, CRC, or unfilter bug fails
+    the hash."""
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.stages.png import PngDecoder, attach_png_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_png_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        PngDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
 _JPEG_SQL = """
 WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
 w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
@@ -521,6 +580,95 @@ def media_wav_features(sf_dir: str) -> ray.data.Dataset:
     with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
     return with_payloads.map_batches(
         WavDecoder,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
+_ADPCM_SQL = """
+WITH RECURSIVE
+src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+-- Full IMA-ADPCM encode+decode chain as a recursive CTE: the decoder's
+-- output sample IS the updated predictor, and encoder/decoder state stay
+-- in lockstep, so one (pred, idx) state per (doc, media) suffices.
+st AS (
+  SELECT d, m, 0 AS i,
+         CAST(((m*59) % 4001) - 2000 AS BIGINT) AS pred,
+         CAST(0 AS BIGINT) AS idx,
+         CAST(((m*59) % 4001) - 2000 AS BIGINT) AS acc,
+         CAST((((m*59) % 4001) - 2000) * (((m*59) % 4001) - 2000) AS BIGINT) AS acc2
+  FROM media
+  UNION ALL
+  SELECT d, m, i, pred, idx, acc + pred, acc2 + pred*pred FROM (
+    SELECT d, m, i,
+      CASE WHEN sgn = 1 THEN GREATEST(-32768, pred - vpdiff)
+           ELSE LEAST(32767, pred + vpdiff) END AS pred,
+      LEAST(88, GREATEST(0, idx + ([-1,-1,-1,-1,2,4,6,8])[4*b4 + 2*b2 + b1 + 1])) AS idx,
+      acc, acc2
+    FROM (
+      SELECT *, (step >> 3) + b4*step + b2*(step >> 1) + b1*(step >> 2) AS vpdiff
+      FROM (
+        SELECT *, CASE WHEN ad2 >= (step >> 2) THEN 1 ELSE 0 END AS b1
+        FROM (
+          SELECT *, CASE WHEN ad1 >= (step >> 1) THEN 1 ELSE 0 END AS b2,
+                 ad1 - CASE WHEN ad1 >= (step >> 1) THEN step >> 1 ELSE 0 END AS ad2
+          FROM (
+            SELECT *, CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+                   ad - CASE WHEN ad >= step THEN step ELSE 0 END AS ad1
+            FROM (
+              SELECT d, m, i + 1 AS i, pred, idx, acc, acc2,
+                     ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767])[idx + 1] AS step,
+                     CASE WHEN s - pred < 0 THEN 1 ELSE 0 END AS sgn,
+                     ABS(s - pred) AS ad
+              FROM (
+                SELECT *, ((m*59 + 23*(i+1)) % 4001) - 2000 AS s
+                FROM st WHERE i < 63
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(64 AS BIGINT) AS n_samples, acc AS sum_amp, acc2 AS sum_sq
+FROM st WHERE i = 63
+"""
+
+
+@query("media_adpcm_features", sql=_ADPCM_SQL)
+def media_adpcm_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL compressed-audio decode path: media spans carry genuine
+    IMA/DVI ADPCM WAV payloads (format tag 0x11: fmt extension +
+    mandatory fact chunk, IMA block header, low-nibble-first 4-bit codes
+    -- ``stages/adpcm.py``) and the ``AdpcmDecoder`` actor stage runs the
+    full adaptive decode, VECTORIZED ACROSS STREAMS (lockstep state
+    vectors, one pass over the sample axis). The oracle reproduces the
+    ENTIRE stateful encode+decode chain as a recursive CTE (step/index
+    tables, clamps, sign handling), so the decoded statistics are
+    bit-exact end to end despite the codec being lossy and adaptive --
+    a nibble-packing, table, clamp, or container bug fails the hash."""
+    from ocr_ray.stages.adpcm import AdpcmDecoder, attach_adpcm_payloads
+    from ocr_ray.stages.explode import explode_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_adpcm_payloads, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        AdpcmDecoder,
         batch_format="pyarrow",
         batch_size=512,
         concurrency=pool_size(),
