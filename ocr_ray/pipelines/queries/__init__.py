@@ -28,3 +28,4 @@ from ocr_ray.pipelines.queries.multijoin import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.tpch2 import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.retrieval import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.analytics2 import *  # noqa: F401,F403
+from ocr_ray.pipelines.queries.weblayout import *  # noqa: F401,F403

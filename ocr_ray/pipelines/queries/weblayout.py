@@ -1,0 +1,113 @@
+"""Query registry section: web/layout extraction (HTML boilerplate strip,
+PDF layout parse) — the two north-rule extraction legs over raw markup
+and typeset layout rather than pre-tagged spans.
+
+Both queries run the REAL engine end to end: a fixture stage wraps each
+document's text into genuine markup/typeset bytes (dropping the text
+column, so the extractor can only recover it from the format), and an
+actor-pool extractor parses it back. The oracles assert the extracted
+text equals the source text bit-exactly plus closed-form layout
+statistics — a tokenizer, entity, DOM-heuristic, xref, inflate, escape,
+or reading-order bug fails the hash.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+
+from ocr_ray.sizing import pool_size
+from ocr_ray.sources import read_table
+
+from ocr_ray.pipelines.queries._shared import query
+
+_HTML_SQL = """
+WITH s AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+p AS (SELECT doc_id, text, n, n // 12 AS f, n % 12 AS r FROM s),
+q AS (
+  SELECT doc_id, text,
+    CASE WHEN f = 0 THEN 1 WHEN r >= 4 THEN f + 1 ELSE f END AS n_para
+  FROM p
+)
+SELECT doc_id, text AS extracted_text,
+  CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,
+  CAST(n_para AS BIGINT) AS n_content_blocks,
+  CAST((5 + doc_id % 4) + 16 + 3 * (n_para // 3) AS BIGINT) AS n_boiler_words
+FROM q
+"""
+
+
+@query("extract_html_main", sql=_HTML_SQL)
+def extract_html_main(sf_dir: str) -> ray.data.Dataset:
+    """REAL HTML boilerplate strip (north rule: "HTML boilerplate strip
+    … DOM heuristics"): each document's text is wrapped into a full
+    deterministic HTML page (nav menu, header + breadcrumbs, article
+    paragraphs with entity-encoded characters, an in-article
+    related-links block, periodic ad asides, comment and script traps,
+    footer — ``stages/html.py``), then the ``HtmlMainExtractor`` actor
+    stage tokenizes the markup, segments text blocks on the DOM element
+    stack, and classifies each block with three independently
+    load-bearing signals (link density, minimum words, semantic-ancestor
+    context). The oracle checks the recovered main content equals the
+    source text exactly and the block counts equal their closed forms."""
+    from ocr_ray.stages.html import HtmlMainExtractor, attach_html_payloads
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_html_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        HtmlMainExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )
+
+
+_PDF_SQL = """
+WITH s AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (SELECT doc_id, text, n // 8 AS f, n % 8 AS r FROM s),
+l AS (
+  SELECT doc_id, text, f, r,
+    f + CASE WHEN r > 0 THEN 1 ELSE 0 END AS n_lines
+  FROM c
+)
+SELECT doc_id, text AS extracted_text,
+  CAST((n_lines + 9) // 10 AS BIGINT) AS n_pages,
+  CAST(2 * f + CASE WHEN r >= 5 THEN 2 WHEN r > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_chunks
+FROM l
+"""
+
+
+@query("extract_pdf_text", sql=_PDF_SQL)
+def extract_pdf_text(sf_dir: str) -> ray.data.Dataset:
+    """REAL PDF layout parse (north rule: "PDF/layout parse"): each
+    document's text is typeset into a genuine PDF 1.4 file (xref table,
+    FlateDecode content streams, rotated line emission order, split
+    left/right chunks via Tm + relative Td, literal/hex/TJ string forms
+    with octal escapes — ``stages/pdf.py``), then the
+    ``PdfTextExtractor`` actor stage parses startxref → xref → object
+    graph, inflates the streams, interprets the text operators tracking
+    the line matrix, and reassembles READING ORDER by (page, -y, x) —
+    stream order is deliberately wrong, so concatenating Tj strings
+    fails. The oracle checks the recovered text equals the source text
+    exactly plus closed-form page/chunk counts."""
+    from ocr_ray.stages.pdf import PdfTextExtractor, attach_pdf_payloads
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_pdf_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        PdfTextExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )

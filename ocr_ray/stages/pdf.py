@@ -1,0 +1,518 @@
+"""REAL PDF layout parse: minimal writer + parser with reading-order text.
+
+The north-star rule names "PDF/layout parse" as a first-class extraction
+leg. This module implements both directions with zero external
+dependencies, the same contract as the codec stages (``stages/png.py``,
+``stages/jpeg.py``):
+
+Writer (``encode_pdf``): a genuine PDF 1.4 file — header, numbered
+indirect objects (catalog, page tree, Type1 font, per-page dict +
+FlateDecode content stream), a byte-offset-correct ``xref`` table,
+``trailer`` + ``startxref``. Text is laid out 8 words/line, 10
+lines/page, and each line is emitted as up to two chunks at different x
+positions (``Tm`` absolute positioning plus a relative ``Td`` leg) —
+and, crucially, lines are written into the content stream in a
+deterministically ROTATED order, and within a line the right-hand chunk
+is written before the left-hand one. Stream order is therefore wrong as
+reading order: an extractor that just concatenates ``Tj`` strings fails.
+String encodings rotate across the three PDF forms — literal strings
+(with ``\\(``/``\\)``/``\\\\`` and octal ``\\ddd`` escapes), hex strings
+``<...>``, and ``TJ`` arrays with kerning numbers (numbers between array
+elements do NOT produce spaces).
+
+Parser (``decode_pdf`` + ``extract_pdf_text``): finds ``startxref``,
+parses the xref table and trailer, resolves the catalog → page tree →
+per-page content streams by byte offset, inflates them, interprets the
+text operators (``BT``/``ET``/``Tm``/``Td``/``Tj``/``TJ``) tracking the
+text-line matrix, and re-assembles READING ORDER by sorting chunks on
+(page, -y, x). The ``extract_pdf_text`` query is oracle-checked
+bit-exactly: the extracted text must equal the original document text —
+an xref, stream, escape, matrix, or ordering bug fails the hash.
+
+Reference parity note: the reference runtime (pombreda/ocr) has no PDF
+layer; this module exists for the BASELINE.json north rule (main-content
+extraction over layout formats), not for reference parity.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 10
+CHUNK_SPLIT = 4  # words 0..3 -> left chunk at X_LEFT, 4..7 -> right at X_RIGHT
+X_LEFT, X_RIGHT = 72.0, 300.0
+Y_TOP, LEADING = 720.0, 14.0
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def _escape_literal(s: str, d: int, base_i: int) -> str:
+    """PDF literal-string escape; additionally octal-escape the first
+    character of words whose global index i satisfies (d+i) % 7 == 0,
+    so real payloads exercise the \\ddd decode path."""
+    words = s.split(" ")
+    out = []
+    for j, w in enumerate(words):
+        esc = w.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        if w and (d + base_i + j) % 7 == 0:
+            first = w[0]
+            if first not in "\\()":
+                esc = f"\\{ord(first):03o}" + esc[1:]
+        out.append(esc)
+    return " ".join(out)
+
+
+def _chunk_ops(text: str, d: int, g: int, base_i: int) -> str:
+    """One text-showing op for a chunk, rotating across the string forms."""
+    if (d + g) % 3 == 0:
+        return f"<{text.encode('latin-1').hex()}> Tj"
+    words = text.split(" ")
+    if (d + g) % 4 == 0 and len(words) >= 2:
+        a = _escape_literal(words[0] + " ", d, base_i)
+        b = _escape_literal(" ".join(words[1:]), d, base_i + 1)
+        return f"[({a}) -120 ({b})] TJ"
+    return f"({_escape_literal(text, d, base_i)}) Tj"
+
+
+def _lines(words: list[str]) -> list[list[str]]:
+    return [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)]
+
+
+def encode_pdf(doc_id: int, text: str) -> bytes:
+    """Document text -> a complete single-font PDF 1.4 byte stream."""
+    d = int(doc_id)
+    words = text.split(" ")
+    lines = _lines(words)
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    n_pages = max(1, len(pages))
+    if not pages:
+        pages = [[]]
+
+    # Object numbering: 1 catalog, 2 pages, 3 font, then per page p:
+    # content = 4 + 2p, page dict = 5 + 2p.
+    page_ids = [5 + 2 * p for p in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+
+    word_base = 0  # global word index of the first word of each line
+    line_bases = []
+    for ln in lines:
+        line_bases.append(word_base)
+        word_base += len(ln)
+
+    for p, page_lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf"]
+        k = len(page_lines)
+        # Rotated emission order: stream order != reading order.
+        for j in range(k):
+            jl = (j + d) % k
+            g = LINES_PER_PAGE * p + jl  # global line index
+            line = page_lines[jl]
+            y = Y_TOP - LEADING * jl
+            base = line_bases[g]
+            left = " ".join(line[:CHUNK_SPLIT])
+            right = " ".join(line[CHUNK_SPLIT:])
+            if right:
+                # Right chunk first (absolute Tm), then the left chunk via
+                # a relative Td from the line matrix.
+                ops.append(f"1 0 0 1 {X_RIGHT:g} {y:g} Tm")
+                ops.append(_chunk_ops(right, d, g, base + CHUNK_SPLIT))
+                ops.append(f"{X_LEFT - X_RIGHT:g} 0 Td")
+                ops.append(_chunk_ops(left, d, g, base))
+            else:
+                ops.append(f"1 0 0 1 {X_LEFT:g} {y:g} Tm")
+                ops.append(_chunk_ops(left, d, g, base))
+        ops.append("ET")
+        stream = zlib.compress("\n".join(ops).encode("latin-1"), 6)
+        objs[4 + 2 * p] = (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+        objs[5 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {4 + 2 * p} 0 R >>"
+        ).encode()
+
+    # Content/page objects first, catalog last: offsets only resolvable
+    # through the xref table.
+    write_order = sorted(objs.keys(), reverse=True)
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in write_order:
+        offsets[oid] = len(buf)
+        buf += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_pos = len(buf)
+    n_obj = max(objs) + 1
+    buf += f"xref\n0 {n_obj}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for oid in range(1, n_obj):
+        buf += f"{offsets[oid]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"/([^\s/<>\[\]()]+)|(-?\d+\.?\d*|-?\.\d+)|(<<|>>|\[|\])|(\S)", re.S
+)
+
+
+def _parse_literal_string(buf: bytes, pos: int) -> tuple[str, int]:
+    """Parse a ( ... ) literal string starting at the '('. Returns
+    (decoded text, position after the closing paren)."""
+    assert buf[pos : pos + 1] == b"("
+    pos += 1
+    depth = 1
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            e = buf[pos : pos + 1]
+            if e == b"n":
+                out += b"\n"
+            elif e == b"r":
+                out += b"\r"
+            elif e == b"t":
+                out += b"\t"
+            elif e == b"b":
+                out += b"\b"
+            elif e == b"f":
+                out += b"\f"
+            elif e in (b"(", b")", b"\\"):
+                out += e
+            elif e.isdigit():
+                oct_digits = e
+                while len(oct_digits) < 3 and buf[pos + 1 : pos + 2].isdigit():
+                    pos += 1
+                    oct_digits += buf[pos : pos + 1]
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in (b"\n", b"\r"):
+                pass  # line continuation
+            else:
+                out += e
+            pos += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), pos + 1
+        out.append(c)
+        pos += 1
+    raise ValueError("unterminated literal string")
+
+
+def _parse_hex_string(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b">", pos)
+    hexes = bytes(buf[pos + 1 : end]).translate(None, b" \t\r\n")
+    if len(hexes) % 2:
+        hexes += b"0"
+    return bytes.fromhex(hexes.decode("ascii")).decode("latin-1"), end + 1
+
+
+class _ObjParser:
+    """Recursive parser for PDF object syntax (dicts, arrays, names,
+    numbers, refs, strings, booleans, null)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        n = len(self.buf)
+        while self.pos < n:
+            c = self.buf[self.pos]
+            if c in b" \t\r\n\x00":
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                eol = self.buf.find(b"\n", self.pos)
+                self.pos = n if eol < 0 else eol + 1
+            else:
+                return
+
+    def parse_value(self):
+        self._skip_ws()
+        buf, pos = self.buf, self.pos
+        if buf.startswith(b"<<", pos):
+            self.pos += 2
+            d: dict[str, object] = {}
+            while True:
+                self._skip_ws()
+                if self.buf.startswith(b">>", self.pos):
+                    self.pos += 2
+                    return d
+                key = self.parse_value()
+                if not isinstance(key, _Name):
+                    raise ValueError(f"dict key is not a name: {key!r}")
+                d[str(key)] = self.parse_value()
+        if buf.startswith(b"<", pos):
+            s, self.pos = _parse_hex_string(buf, pos)
+            return s
+        if buf.startswith(b"(", pos):
+            s, self.pos = _parse_literal_string(buf, pos)
+            return s
+        if buf.startswith(b"[", pos):
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.buf.startswith(b"]", self.pos):
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_value())
+        if buf.startswith(b"/", pos):
+            m = re.match(rb"/([^\s/<>\[\]()]*)", buf[pos:])
+            self.pos += m.end()
+            return _Name(m.group(1).decode("latin-1"))
+        if buf.startswith(b"true", pos):
+            self.pos += 4
+            return True
+        if buf.startswith(b"false", pos):
+            self.pos += 5
+            return False
+        if buf.startswith(b"null", pos):
+            self.pos += 4
+            return None
+        m = re.match(rb"(\d+)\s+(\d+)\s+R\b", buf[pos:])
+        if m:
+            self.pos += m.end()
+            return _Ref(int(m.group(1)))
+        m = re.match(rb"-?(?:\d+\.?\d*|\.\d+)", buf[pos:])
+        if m:
+            self.pos += m.end()
+            tok = m.group(0)
+            return float(tok) if b"." in tok else int(tok)
+        raise ValueError(f"cannot parse object at byte {pos}: {buf[pos:pos+20]!r}")
+
+
+class _Name(str):
+    pass
+
+
+class _Ref(int):
+    pass
+
+
+class PdfDocument:
+    """Parsed PDF: xref-driven object access + page walk."""
+
+    def __init__(self, buf: bytes) -> None:
+        if not buf.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (bad header)")
+        self.buf = buf
+        sx = buf.rfind(b"startxref")
+        if sx < 0:
+            raise ValueError("missing startxref")
+        m = re.search(rb"startxref\s+(\d+)", buf[sx:])
+        xref_pos = int(m.group(1))
+        if not buf.startswith(b"xref", xref_pos):
+            raise ValueError("xref table not at startxref offset")
+        self.offsets: dict[int, int] = {}
+        pos = xref_pos + 4
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", buf[pos:])
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            pos += m.end()
+            for k in range(count):
+                entry = buf[pos : pos + 20]
+                off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                if kind == b"n":
+                    self.offsets[start + k] = int(off)
+                pos += 20
+        m = re.search(rb"trailer", buf[pos - 1 :])
+        if not m:
+            raise ValueError("missing trailer")
+        tp = _ObjParser(buf, pos - 1 + m.end())
+        self.trailer = tp.parse_value()
+        self._cache: dict[int, object] = {}
+
+    def obj(self, ref):
+        if not isinstance(ref, _Ref):
+            return ref
+        oid = int(ref)
+        if oid in self._cache:
+            return self._cache[oid]
+        off = self.offsets[oid]
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.buf[off:])
+        if not m or int(m.group(1)) != oid:
+            raise ValueError(f"object {oid} not found at xref offset {off}")
+        p = _ObjParser(self.buf, off + m.end())
+        val = p.parse_value()
+        if isinstance(val, dict):
+            p._skip_ws()
+            if self.buf.startswith(b"stream", p.pos):
+                sp = p.pos + 6
+                if self.buf[sp : sp + 2] == b"\r\n":
+                    sp += 2
+                elif self.buf[sp : sp + 1] == b"\n":
+                    sp += 1
+                length = self.obj(val["Length"])
+                data = self.buf[sp : sp + int(length)]
+                filt = val.get("Filter")
+                if isinstance(filt, _Name) and str(filt) == "FlateDecode":
+                    data = zlib.decompress(bytes(data))
+                elif filt is not None:
+                    raise ValueError(f"unsupported stream filter {filt!r}")
+                val = dict(val)
+                val["__stream__"] = data
+        self._cache[oid] = val
+        return val
+
+    def pages(self) -> list[dict]:
+        root = self.obj(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node) -> None:
+            node = self.obj(node)
+            t = str(node.get("Type", ""))
+            if t == "Pages":
+                for kid in node["Kids"]:
+                    walk(kid)
+            elif t == "Page":
+                out.append(node)
+            else:
+                raise ValueError(f"unexpected page-tree node type {t!r}")
+
+        walk(root["Pages"])
+        return out
+
+
+def _content_chunks(stream: bytes) -> list[tuple[float, float, str]]:
+    """Interpret text operators in one content stream -> (x, y, text)
+    per text-showing op. Tracks the line matrix through Tm and Td."""
+    chunks: list[tuple[float, float, str]] = []
+    operands: list[object] = []
+    x = y = 0.0
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        c = stream[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+            continue
+        if c == b"(":
+            s, pos = _parse_literal_string(stream, pos)
+            operands.append(s)
+            continue
+        if c == b"<" and not stream.startswith(b"<<", pos):
+            s, pos = _parse_hex_string(stream, pos)
+            operands.append(s)
+            continue
+        if c == b"[":
+            p = _ObjParser(stream, pos)
+            operands.append(p.parse_value())
+            pos = p.pos
+            continue
+        if c == b"/":
+            m = re.match(rb"/([^\s/<>\[\]()]*)", stream[pos:])
+            operands.append(_Name(m.group(1).decode("latin-1")))
+            pos += m.end()
+            continue
+        m = re.match(rb"-?(?:\d+\.?\d*|\.\d+)", stream[pos:])
+        if m:
+            tok = m.group(0)
+            operands.append(float(tok))
+            pos += m.end()
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", stream[pos:])
+        if not m:
+            raise ValueError(f"bad content token at {pos}: {stream[pos:pos+10]!r}")
+        op = m.group(0).decode("latin-1")
+        pos += m.end()
+        if op == "BT":
+            x = y = 0.0
+        elif op == "Tm":
+            x, y = float(operands[-2]), float(operands[-1])
+        elif op in ("Td", "TD"):
+            x += float(operands[-2])
+            y += float(operands[-1])
+        elif op == "Tj":
+            chunks.append((x, y, str(operands[-1])))
+        elif op == "TJ":
+            arr = operands[-1]
+            text = "".join(el for el in arr if isinstance(el, str))
+            chunks.append((x, y, text))
+        # Tf/ET and any other operators: operands consumed, no state.
+        operands = []
+    return chunks
+
+
+def decode_pdf(buf: bytes) -> tuple[str, int, int]:
+    """PDF bytes -> (reading-order text, n_pages, n_chunks)."""
+    doc = PdfDocument(buf)
+    rows: list[tuple[int, float, float, str]] = []
+    pages = doc.pages()
+    for pi, page in enumerate(pages):
+        content = doc.obj(page["Contents"])
+        stream = content["__stream__"]
+        for cx, cy, text in _content_chunks(stream):
+            rows.append((pi, cy, cx, text))
+    rows.sort(key=lambda r: (r[0], -r[1], r[2]))
+    text = " ".join(r[3] for r in rows)
+    return text, len(pages), len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Ray stages
+# ---------------------------------------------------------------------------
+
+
+def attach_pdf_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage: (doc_id, text) -> (doc_id, payload) with the text
+    typeset into a real PDF. The text column is DROPPED so the extractor
+    can only recover it by parsing the file."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    pdfs = [encode_pdf(d, t) for d, t in zip(ids, texts)]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(pdfs, type=pa.large_binary()),
+        }
+    )
+
+
+class PdfTextExtractor:
+    """Actor-pool stage: full PDF parse (xref, object graph, inflate,
+    text operators) + reading-order reassembly. Output schema: doc_id,
+    extracted_text, n_pages, n_chunks."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, np_l, nc_l = [], [], []
+        for buf in batch["payload"].to_pylist():
+            text, n_pages, n_chunks = decode_pdf(buf)
+            texts.append(text)
+            np_l.append(n_pages)
+            nc_l.append(n_chunks)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "extracted_text": pa.array(texts, type=pa.string()),
+                "n_pages": pa.array(np.asarray(np_l, dtype=np.int64)),
+                "n_chunks": pa.array(np.asarray(nc_l, dtype=np.int64)),
+            }
+        )

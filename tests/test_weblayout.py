@@ -1,0 +1,215 @@
+"""Unit tests for the web/layout extraction legs (stages/html.py,
+stages/pdf.py): tokenizer and parser edge cases, each classifier signal
+individually load-bearing, malformed-input errors, and the Ray stage
+round trip. The end-to-end oracle equality runs in
+test_queries_oracle.py like every other registered query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_ray.stages.html import (
+    decode_entities,
+    extract_blocks,
+    extract_main_text,
+    paragraph_sizes,
+    render_html,
+    tokenize_html,
+)
+from ocr_ray.stages.pdf import (
+    PdfDocument,
+    _parse_literal_string,
+    decode_pdf,
+    encode_pdf,
+)
+
+
+# ---------------------------------------------------------------------------
+# HTML tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _texts(html):
+    return [t[1] for t in tokenize_html(html) if t[0] == "text"]
+
+
+def test_quoted_attr_gt_does_not_end_tag():
+    toks = list(tokenize_html('<a href="/x" title="go > here">link</a>'))
+    assert toks[0][:2] == ("start", "a")
+    assert ("text", "link") in toks
+
+
+def test_comments_and_doctype_are_skipped():
+    html = "<!DOCTYPE html><!-- trap words --><p>real</p>"
+    assert _texts(html) == ["real"]
+
+
+def test_script_and_style_content_never_leaks():
+    html = (
+        "<body><script>var x = \"<p>trap</p>\"; if (a < 2 && b > 3) {}</script>"
+        "<style>p > a {}</style><p>keep this text here</p></body>"
+    )
+    main, _, nc, _ = extract_main_text(html)
+    assert main == "keep this text here"
+    assert nc == 1
+
+
+def test_entity_decoding_decimal_hex_named():
+    assert decode_entities("&#97;b&#x63;") == "abc"
+    assert decode_entities("x &amp; y &gt; z") == "x & y > z"
+    assert decode_entities("&copy; 2026") == "© 2026"
+    # Unknown/unterminated references degrade to a literal ampersand.
+    assert decode_entities("&bogus; &#nope; a&b") == "&bogus; &#nope; a&b"
+
+
+# ---------------------------------------------------------------------------
+# Classifier: each signal individually load-bearing
+# ---------------------------------------------------------------------------
+
+
+def test_link_density_alone_strips_related_block():
+    html = (
+        "<body><p>four words of content</p>"
+        '<p><a href="/a">all</a> <a href="/b">words</a> <a href="/c">are</a> '
+        '<a href="/d">links</a> <a href="/e">here</a></p></body>'
+    )
+    main, nb, nc, bw = extract_main_text(html)
+    assert main == "four words of content"
+    assert (nb, nc, bw) == (2, 1, 5)
+
+
+def test_min_words_alone_strips_headings():
+    html = "<body><h1>short heading</h1><p>this paragraph has enough words</p></body>"
+    main, _, nc, bw = extract_main_text(html)
+    assert main == "this paragraph has enough words"
+    assert (nc, bw) == (1, 2)
+
+
+def test_ancestor_alone_strips_footer_paragraph():
+    # Long enough and link-free: only the DOM-context signal can strip it.
+    html = (
+        "<body><p>real content paragraph with words</p>"
+        "<footer><p>copyright words long enough to pass both other signals</p>"
+        "</footer></body>"
+    )
+    main, _, nc, _ = extract_main_text(html)
+    assert main == "real content paragraph with words"
+    assert nc == 1
+
+
+def test_inline_tags_do_not_split_blocks():
+    html = "<body><p>one <b>two</b> three <span>four</span> five</p></body>"
+    blocks = extract_blocks(html)
+    assert len(blocks) == 1
+    assert blocks[0].words == ["one", "two", "three", "four", "five"]
+
+
+def test_nested_anchor_words_counted_once():
+    html = '<body><p><a href="/x"><b>deep</b> link</a> plain word here</p></body>'
+    (b,) = extract_blocks(html)
+    assert b.link_words == 2 and len(b.words) == 5
+
+
+def test_paragraph_sizes_fold_short_remainder():
+    assert paragraph_sizes(12) == [12]
+    assert paragraph_sizes(15) == [15]  # rem 3 < 4 folds
+    assert paragraph_sizes(16) == [12, 4]
+    assert paragraph_sizes(7) == [7]
+    assert sum(paragraph_sizes(147)) == 147
+
+
+def test_render_html_rejects_tiny_docs():
+    with pytest.raises(ValueError):
+        render_html(1, "too few words"[:3])
+
+
+# ---------------------------------------------------------------------------
+# PDF parser
+# ---------------------------------------------------------------------------
+
+
+def test_literal_string_escapes():
+    s, pos = _parse_literal_string(rb"(a\(b\)c\\d \165 e)", 0)
+    assert s == "a(b)c\\d u e"
+    s, _ = _parse_literal_string(b"(nested (parens) ok)", 0)
+    assert s == "nested (parens) ok"
+
+
+def test_pdf_round_trip_exercises_all_string_forms():
+    # 60 words -> 8 lines over d in 0..11 covers hex (%3), TJ (%4) and
+    # literal-with-octal (%7) emission branches.
+    text = " ".join(f"word{i}" for i in range(60))
+    for d in range(12):
+        out, n_pages, n_chunks = decode_pdf(encode_pdf(d, text))
+        assert out == text
+        assert n_pages == 1
+        assert n_chunks == 15  # 7 full lines * 2 + 1 (4-word remainder)
+
+
+def test_pdf_multi_page_reading_order():
+    text = " ".join(f"w{i}" for i in range(8 * 25))  # 25 lines -> 3 pages
+    out, n_pages, _ = decode_pdf(encode_pdf(3, text))
+    assert out == text and n_pages == 3
+
+
+def test_pdf_stream_order_is_not_reading_order():
+    """The guarantee that concatenating Tj strings in stream order fails:
+    the rotated emission must actually permute lines for d % k != 0."""
+    import zlib
+
+    text = " ".join(f"w{i}" for i in range(24))  # 3 lines, one page
+    buf = encode_pdf(1, text)
+    doc = PdfDocument(buf)
+    page = doc.pages()[0]
+    stream = doc.obj(page["Contents"])["__stream__"]
+    ops = zlib.decompress if False else None  # stream already inflated
+    assert b"w0" in stream
+    # First Tm in the stream is NOT the top line (y=720): rotation by d=1.
+    first_tm = stream.split(b" Tm")[0]
+    assert not first_tm.endswith(b"720"), stream[:120]
+
+
+def test_pdf_xref_offsets_are_load_bearing():
+    buf = bytearray(encode_pdf(2, " ".join(f"w{i}" for i in range(20))))
+    # Corrupt one xref offset digit -> object lookup must fail loudly.
+    pos = buf.rindex(b"\nxref\n")  # the table itself, not "startxref"
+    line = buf.index(b" 00000 n", pos)
+    buf[line - 1 : line] = b"9" if buf[line - 1 : line] != b"9" else b"8"
+    with pytest.raises(ValueError):
+        decode_pdf(bytes(buf))
+
+
+def test_pdf_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_pdf(b"not a pdf at all")
+    good = encode_pdf(1, "a b c d e")
+    with pytest.raises(ValueError):
+        decode_pdf(good.replace(b"startxref", b"startxrEf"))
+
+
+# ---------------------------------------------------------------------------
+# Ray stage round trip (tiny, in the shared session)
+# ---------------------------------------------------------------------------
+
+
+def test_stages_round_trip_in_ray(ray_session):
+    import ray
+
+    from ocr_ray.stages.html import HtmlMainExtractor, attach_html_payloads
+    from ocr_ray.stages.pdf import PdfTextExtractor, attach_pdf_payloads
+
+    texts = [" ".join(f"t{d}w{i}" for i in range(10 + 7 * d)) for d in range(6)]
+    t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()), "text": texts})
+    for attach, extractor in (
+        (attach_html_payloads, HtmlMainExtractor),
+        (attach_pdf_payloads, PdfTextExtractor),
+    ):
+        ds = ray.data.from_arrow(t).map_batches(attach, batch_format="pyarrow")
+        out = (
+            ds.map_batches(extractor, batch_format="pyarrow", concurrency=2)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(out["extracted_text"]) == texts
