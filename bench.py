@@ -97,6 +97,10 @@ QUERY_SET = [
     "media_jpeg_features",
     "media_ppm_features",
     "bpe_train_merges",
+    "media_png_features",
+    "media_adpcm_features",
+    "extract_html_main",
+    "extract_pdf_text",
 ]
 
 
