@@ -101,6 +101,7 @@ QUERY_SET = [
     "media_adpcm_features",
     "extract_html_main",
     "extract_pdf_text",
+    "extract_warc_main",
 ]
 
 

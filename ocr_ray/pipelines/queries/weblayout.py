@@ -67,6 +67,56 @@ def extract_html_main(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_WARC_SQL = """
+WITH s AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+p AS (SELECT doc_id, text, n, n // 12 AS f, n % 12 AS r FROM s),
+q AS (
+  SELECT doc_id, text,
+    CASE WHEN f = 0 THEN 1 WHEN r >= 4 THEN f + 1 ELSE f END AS n_para
+  FROM p
+)
+SELECT doc_id, text AS extracted_text,
+  CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,
+  CAST(n_para AS BIGINT) AS n_content_blocks,
+  CAST((5 + doc_id % 4) + 16 + 3 * (n_para // 3) AS BIGINT) AS n_boiler_words,
+  CAST(200 AS BIGINT) AS http_status,
+  CASE WHEN doc_id % 2 = 1 THEN 'gzip' ELSE 'identity' END AS content_encoding,
+  doc_id % 3 = 0 AS transfer_chunked,
+  CAST(3 + doc_id % 2 AS BIGINT) AS n_http_headers
+FROM q
+"""
+
+
+@query("extract_warc_main", sql=_WARC_SQL)
+def extract_warc_main(sf_dir: str) -> ray.data.Dataset:
+    """REAL web-archive input path (the north rule's native ingest
+    format): documents are packed into genuine WARC/1.0 files (one
+    warcinfo + request/response record pairs, Content-Length framing,
+    header-lookalike trap bodies — ``stages/warc.py``), their response
+    payloads are real HTTP/1.1 messages rotating through gzip
+    content-encoding and chunked transfer-encoding (composed when both
+    apply), and the ``WarcMainExtractor`` actor stage walks records by
+    Content-Length arithmetic, parses + decodes the HTTP layer, and runs
+    the full HTML main-content extraction on each response. The oracle
+    checks text recovered through all four protocol layers equals the
+    source text exactly, plus closed-form HTTP metadata."""
+    from ocr_ray.stages.warc import WarcMainExtractor, attach_warc_payloads
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_warc_payloads, batch_format="pyarrow", batch_size=128
+    )
+    return with_payloads.map_batches(
+        WarcMainExtractor,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=pool_size(),
+    )
+
+
 _PDF_SQL = """
 WITH s AS (
   SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n

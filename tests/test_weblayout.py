@@ -190,6 +190,57 @@ def test_pdf_rejects_garbage():
 
 
 # ---------------------------------------------------------------------------
+# WARC / HTTP
+# ---------------------------------------------------------------------------
+
+
+def test_warc_record_walk_ignores_header_lookalike_bodies():
+    from ocr_ray.stages.warc import build_warc, parse_warc
+
+    buf = build_warc([0, 1], ["a b c d e f", "g h i j k l"])
+    recs = parse_warc(buf)
+    # warcinfo body contains "WARC/1.0" and "WARC-Type: response" traps;
+    # Content-Length framing must still yield exactly 5 records.
+    assert [r[0] for r in recs] == ["warcinfo", "request", "response", "request", "response"]
+
+
+def test_warc_framing_violations_raise():
+    from ocr_ray.stages.warc import build_warc, parse_warc
+
+    buf = bytearray(build_warc([0], ["a b c d e"]))
+    with pytest.raises(ValueError):
+        parse_warc(bytes(buf[:-2]))  # truncated trailer
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not WARC
+
+
+def test_http_chunked_and_gzip_decode():
+    import gzip as _gzip
+
+    from ocr_ray.stages.warc import _chunk_body, parse_http_response
+
+    body = b"x" * 2500  # spans 3 chunks at CHUNK_SIZE=997
+    gz = _gzip.compress(body, mtime=0)
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + _chunk_body(gz)
+    )
+    status, headers, out = parse_http_response(msg)
+    assert (status, out) == (200, body)
+    # Content-Length path trims any trailing garbage.
+    msg2 = b"HTTP/1.1 404 NF\r\nContent-Length: 3\r\n\r\nabcGARBAGE"
+    assert parse_http_response(msg2) == (404, {"Content-Length": "3"}, b"abc")
+
+
+def test_http_malformed_chunk_raises():
+    from ocr_ray.stages.warc import parse_http_response
+
+    msg = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nabcdeXX"
+    with pytest.raises(ValueError):
+        parse_http_response(msg)
+
+
+# ---------------------------------------------------------------------------
 # Ray stage round trip (tiny, in the shared session)
 # ---------------------------------------------------------------------------
 
@@ -200,11 +251,14 @@ def test_stages_round_trip_in_ray(ray_session):
     from ocr_ray.stages.html import HtmlMainExtractor, attach_html_payloads
     from ocr_ray.stages.pdf import PdfTextExtractor, attach_pdf_payloads
 
+    from ocr_ray.stages.warc import WarcMainExtractor, attach_warc_payloads
+
     texts = [" ".join(f"t{d}w{i}" for i in range(10 + 7 * d)) for d in range(6)]
     t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()), "text": texts})
     for attach, extractor in (
         (attach_html_payloads, HtmlMainExtractor),
         (attach_pdf_payloads, PdfTextExtractor),
+        (attach_warc_payloads, WarcMainExtractor),
     ):
         ds = ray.data.from_arrow(t).map_batches(attach, batch_format="pyarrow")
         out = (
