@@ -102,6 +102,7 @@ QUERY_SET = [
     "extract_html_main",
     "extract_pdf_text",
     "extract_warc_main",
+    "extract_html_spans",
 ]
 
 

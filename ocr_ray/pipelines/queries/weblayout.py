@@ -67,6 +67,40 @@ def extract_html_main(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL
+
+
+@query("extract_html_spans", sql=_EXTRACT_SQL)
+def extract_html_spans(sf_dir: str) -> ray.data.Dataset:
+    """The north rule's DOM-heuristics leg over the INTERLEAVED corpus:
+    each document's spans (text + media_ref + boilerplate, stored
+    shuffled) are rendered as a real HTML page — text spans as ``<p>``,
+    media spans as ``<img src="/media/<ref>.png">``, the corpus's
+    boilerplate spans as 100%-linked promo ``<aside>``s, plus page chrome
+    with a header-logo ``<img>`` trap — and ``HtmlSpanExtractor`` must
+    recover the EXACT flagship span sequence (kind, text, media_ref,
+    order) from markup alone: DOM traversal for reading order,
+    link-density + semantic-ancestry classification for the strip, src
+    parsing for media refs. Shares the flagship ``extract_spans`` oracle
+    verbatim — a tokenizer, classifier, ordering, or attribute bug
+    produces a different span sequence and fails the hash."""
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.sources import read_documents
+    from ocr_ray.stages.html import HtmlSpanExtractor, attach_span_html_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    with_payloads = ds.map_batches(
+        attach_span_html_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        HtmlSpanExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )
+
+
 _WARC_SQL = """
 WITH s AS (
   SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n

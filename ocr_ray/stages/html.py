@@ -41,6 +41,8 @@ extraction), not for reference parity.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -219,12 +221,29 @@ def decode_entities(s: str) -> str:
     return "".join(out)
 
 
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9_:-]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]+))?"""
+)
+
+
+def _parse_attrs(s: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(s):
+        val = m.group(2) or ""
+        if val[:1] in "\"'":
+            val = val[1:-1]
+        attrs[m.group(1).lower()] = decode_entities(val)
+    return attrs
+
+
 def tokenize_html(html: str):
-    """Yield ('start', name, self_closing) | ('end', name) | ('text', s).
+    """Yield ('start', name, self_closing, attrs) | ('end', name) |
+    ('text', s).
 
     Handles comments, doctype, quoted attribute values (a ``>`` inside
-    quotes does not end the tag), and raw-text elements (script/style
-    content is consumed up to the matching close tag and dropped).
+    quotes does not end the tag), attribute capture with entity decoding,
+    and raw-text elements (script/style content is consumed up to the
+    matching close tag and dropped).
     """
     pos = 0
     n = len(html)
@@ -258,6 +277,7 @@ def tokenize_html(html: str):
             yield ("text", html[lt])
             pos = lt + 1
             continue
+        attr_start = j
         quote = ""
         while j < n:
             ch = html[j]
@@ -274,7 +294,9 @@ def tokenize_html(html: str):
         if closing:
             yield ("end", name)
             continue
-        yield ("start", name, self_closing or name in _VOID)
+        attr_src = html[attr_start : j - 1 if self_closing else j]
+        attrs = _parse_attrs(attr_src) if "=" in attr_src else {}
+        yield ("start", name, self_closing or name in _VOID, attrs)
         if name in _RAWTEXT and not self_closing:
             close = lower.find(f"</{name}", pos)
             if close < 0:
@@ -291,21 +313,26 @@ def tokenize_html(html: str):
 
 
 class Block:
-    __slots__ = ("words", "link_words", "boiler_ancestor")
+    __slots__ = ("words", "link_words", "boiler_ancestor", "media_src")
 
     def __init__(self) -> None:
         self.words: list[str] = []
         self.link_words = 0
         self.boiler_ancestor = False
+        self.media_src = ""  # non-empty: an embedded media block (<img>)
 
     @property
     def link_density(self) -> float:
         return self.link_words / len(self.words) if self.words else 0.0
 
-    def is_content(self) -> bool:
+    def is_content(self, min_words: int = MIN_CONTENT_WORDS) -> bool:
+        if self.media_src:
+            # Media blocks carry no word/link signals; DOM context decides
+            # (an article image is content, a chrome logo is not).
+            return not self.boiler_ancestor
         return (
             not self.boiler_ancestor
-            and len(self.words) >= MIN_CONTENT_WORDS
+            and len(self.words) >= min_words
             and self.link_density <= LINK_DENSITY_MAX
         )
 
@@ -345,6 +372,12 @@ def extract_blocks(html: str) -> list[Block]:
                 in_body = True
             if name not in _INLINE:
                 flush()
+            if name == "img" and in_body:
+                mb = Block()
+                mb.media_src = tok[3].get("src", "")
+                mb.boiler_ancestor = boiler_depth > 0
+                blocks.append(mb)
+                continue
             if not self_closing:
                 stack.append(name)
                 if name == "a":
@@ -380,8 +413,131 @@ def extract_main_text(html: str) -> tuple[str, int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Interleaved-span corpus leg: spans -> page -> span sequence
+# ---------------------------------------------------------------------------
+
+
+def render_span_html(doc_id_s: str, spans: list[dict]) -> str:
+    """Render one interleaved-corpus document (its spans possibly in
+    shuffled storage order) as a full HTML page IN READING ORDER — a web
+    page's DOM order is its reading order: text spans become ``<p>``
+    (entity-encoded), media spans become ``<img src="/media/<ref>.png">``,
+    and the corpus's boilerplate spans become link-dense promo
+    ``<aside>``s that the extractor must strip by classification (not by a
+    pre-assigned kind tag). Page chrome (nav, header with a logo ``<img>``
+    trap, related-links block, footer) must be fully stripped too."""
+    d = int(doc_id_s.rsplit("-", 1)[-1])
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    L = 5 + d % 4
+    out = [
+        "<!DOCTYPE html>",
+        f'<html lang="en"><head><title>{doc_id_s}</title></head><body>',
+        "<nav><ul>",
+    ]
+    for k in range(L):
+        out.append(f'<li><a href="/cat/{k}">nav{k}</a></li>')
+    out.append("</ul></nav>")
+    out.append(
+        f'<header><img src="/static/logo.png" alt="logo"><h1>site {d % 100}</h1></header>'
+    )
+    out.append("<article>")
+    out.append(
+        '<p class="related">'
+        '<a href="/r0">read</a> <a href="/r1">more</a> <a href="/r2">stories</a> '
+        '<a href="/r3">here</a> <a href="/r4">now</a></p>'
+    )
+    for sp in ordered:
+        kind = sp["kind"]
+        if kind == "media":
+            out.append(f'<img src="/media/{sp["media_ref"]}.png" alt="">')
+        elif kind == "boilerplate":
+            links = " ".join(
+                f'<a href="/promo/{k}">{_escape_text(w)}</a>'
+                for k, w in enumerate(sp["text"].split(" "))
+            )
+            out.append(f'<aside class="promo">{links}</aside>')
+        else:  # text span
+            words = sp["text"].split(" ")
+            base = int(sp["offset"]) * 8  # corpus WORDS_PER_SPAN
+            enc = " ".join(_encode_word(w, d, base + j) for j, w in enumerate(words))
+            out.append(f"<p>{enc}</p>")
+    out.append("</article>")
+    out.append('<footer><p>&copy; 2026 site &amp; partners</p></footer>')
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
+def extract_spans_from_html(html: str) -> list[tuple[str, str, str]]:
+    """DOM-order span recovery: -> [(kind, text, media_ref)] for content
+    blocks only, in reading order. Media refs are the src basename minus
+    extension. Offsets are the caller's running counter (list position).
+
+    Classification here drops the block-length prior (``min_words=1``):
+    span-granular documents legitimately end in short spans, so only the
+    structural signals (semantic ancestry, link density) apply — the
+    promo asides are 100% linked and all chrome sits under
+    nav/header/footer ancestors."""
+    out: list[tuple[str, str, str]] = []
+    for b in extract_blocks(html):
+        if not b.is_content(min_words=1):
+            continue
+        if b.media_src:
+            ref = b.media_src.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            out.append(("media", "", ref))
+        else:
+            out.append(("text", " ".join(b.words), ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Ray stages
 # ---------------------------------------------------------------------------
+
+
+def attach_span_html_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage for the interleaved-corpus leg: nested (doc_id,
+    spans) -> (doc_id, payload) HTML pages. Span structs (possibly in
+    shuffled storage order) are laid out in reading order on the page;
+    the spans column is dropped — downstream recovers the sequence from
+    markup alone."""
+    ids = batch["doc_id"].to_pylist()
+    span_lists = batch["spans"].to_pylist()
+    pages = [render_span_html(i, sp) for i, sp in zip(ids, span_lists)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(pages, type=pa.large_string()),
+        }
+    )
+
+
+class HtmlSpanExtractor:
+    """Actor-pool stage: recover the flagship span sequence (kind, text,
+    media_ref, order) from rendered pages by DOM traversal + boilerplate
+    classification. Output: one row per content span, offsets assigned by
+    reading order — the same flat schema (and oracle) as the flagship
+    ``extract_spans`` pipeline."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, kinds, texts, refs, offsets = [], [], [], [], []
+        for doc_id, page in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for off, (kind, text, ref) in enumerate(extract_spans_from_html(page)):
+                doc_ids.append(doc_id)
+                kinds.append(kind)
+                texts.append(text)
+                refs.append(ref)
+                offsets.append(off)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": pa.array(refs, type=pa.string()),
+                "offset": pa.array(np.asarray(offsets, dtype=np.int32)),
+            }
+        )
 
 
 def attach_html_payloads(batch: pa.Table) -> pa.Table:

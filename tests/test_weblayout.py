@@ -190,6 +190,63 @@ def test_pdf_rejects_garbage():
 
 
 # ---------------------------------------------------------------------------
+# Interleaved-span leg: DOM order + media refs + classified boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_captures_attributes():
+    toks = list(tokenize_html('<img src="/media/m-7.png" alt="x > y" data-k=v>'))
+    assert toks[0][0] == "start" and toks[0][1] == "img" and toks[0][2] is True
+    assert toks[0][3] == {"src": "/media/m-7.png", "alt": "x > y", "data-k": "v"}
+
+
+def test_span_page_round_trip_with_shuffled_storage_order():
+    import random
+
+    from ocr_ray.corpus import doc_id_str, synthesize_doc
+    from ocr_ray.stages.html import extract_spans_from_html, render_span_html
+
+    for d, nwords in [(0, 13), (7, 8), (33, 7), (100, 3), (12, 95)]:
+        text = " ".join(f"w{d}x{i}" for i in range(nwords))
+        spans = synthesize_doc(d, text, glyphs=False)
+        exp = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in spans
+            if s["kind"] != "boilerplate"
+        ]
+        shuffled = spans[:]
+        random.Random(d).shuffle(shuffled)
+        got = extract_spans_from_html(render_span_html(doc_id_str(d), shuffled))
+        assert got == exp
+
+
+def test_span_page_header_logo_img_is_stripped():
+    from ocr_ray.stages.html import extract_spans_from_html, render_span_html
+
+    page = render_span_html(
+        "doc-00000005",
+        [{"kind": "text", "text": "only span here", "media_ref": "", "offset": 0}],
+    )
+    assert "/static/logo.png" in page  # the trap is present in markup
+    got = extract_spans_from_html(page)
+    assert got == [("text", "only span here", "")]
+
+
+def test_article_img_is_content_chrome_img_is_not():
+    from ocr_ray.stages.html import extract_spans_from_html
+
+    html = (
+        "<body><header><img src='/static/logo.png'></header>"
+        "<article><p>real words in here</p><img src='/media/m-42.png'></article>"
+        "</body>"
+    )
+    assert extract_spans_from_html(html) == [
+        ("text", "real words in here", ""),
+        ("media", "", "m-42"),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # WARC / HTTP
 # ---------------------------------------------------------------------------
 
