@@ -103,6 +103,7 @@ QUERY_SET = [
     "extract_pdf_text",
     "extract_warc_main",
     "extract_html_spans",
+    "extract_pdf_spans",
 ]
 
 

@@ -101,6 +101,37 @@ def extract_html_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query("extract_pdf_spans", sql=_EXTRACT_SQL)
+def extract_pdf_spans(sf_dir: str) -> ray.data.Dataset:
+    """The north rule's layout-parse leg over the INTERLEAVED corpus:
+    each document's spans (stored shuffled) are typeset as a real
+    multi-page PDF in reading order — text spans as positioned lines
+    (literal/hex/TJ forms rotating), media spans as embedded image
+    XObjects placed via ``q cm /Name Do Q`` whose media_ref is
+    recoverable ONLY through the page resource dictionary (opaque
+    per-page names, ref in the XObject's /Name), corpus boilerplate
+    spans as running header/footer marginalia outside the content band —
+    and ``PdfSpanExtractor`` recovers the exact flagship span sequence:
+    object-graph resolution for refs, position-band chrome strip,
+    reading-order sort. Shares the flagship ``extract_spans`` oracle
+    verbatim."""
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.sources import read_documents
+    from ocr_ray.stages.pdf import PdfSpanExtractor, attach_span_pdf_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    with_payloads = ds.map_batches(
+        attach_span_pdf_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        PdfSpanExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )
+
+
 _WARC_SQL = """
 WITH s AS (
   SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -477,8 +477,272 @@ def decode_pdf(buf: bytes) -> tuple[str, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# Interleaved-span corpus leg: spans -> typeset pages -> span sequence
+# ---------------------------------------------------------------------------
+
+SPANS_PER_PAGE = 10
+CONTENT_BAND = (100.0, 730.0)  # chunks outside [lo, hi] are running chrome
+
+
+def encode_span_pdf(doc_id_s: str, spans: list[dict]) -> bytes:
+    """Typeset one interleaved-corpus document (spans possibly in shuffled
+    storage order) as a real multi-page PDF in READING ORDER: text spans
+    are positioned lines; media spans are image XObjects placed via
+    ``q cm /Name Do Q`` whose media_ref is recoverable ONLY through the
+    page's resource dictionary (opaque per-page resource names, the ref
+    stored as the XObject's /Name entry); the corpus's boilerplate spans
+    are typeset as running header/footer marginalia OUTSIDE the content
+    band, which the extractor must strip by the position heuristic.
+    Content-stream emission order is rotated as in ``encode_pdf``."""
+    d = int(doc_id_s.rsplit("-", 1)[-1])
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    content = [s for s in ordered if s["kind"] != "boilerplate"]
+    marginalia = [s for s in ordered if s["kind"] == "boilerplate"]
+    pages = [
+        content[i : i + SPANS_PER_PAGE] for i in range(0, len(content), SPANS_PER_PAGE)
+    ]
+    if not pages:
+        pages = [[]]
+
+    objs: dict[int, bytes] = {
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    next_id = 4
+    page_ids = []
+    mi = 0  # marginalia cursor: spread over pages round-robin
+    for p, page_spans in enumerate(pages):
+        # Image XObjects for this page's media spans, under opaque names.
+        xobjects: dict[str, int] = {}
+        for k, sp in enumerate(page_spans):
+            if sp["kind"] != "media":
+                continue
+            ref = sp["media_ref"]
+            w, h = 16, 8
+            m = int(ref.split("-")[-1]) if ref.split("-")[-1].isdigit() else 0
+            pix = bytes(
+                (41 * m + 23 + 17 * (i // (w * 3)) + 5 * ((i // 3) % w) + 31 * (i % 3))
+                % 256
+                for i in range(w * h * 3)
+            )
+            body = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Name /{ref} "
+                f"/Length {len(pix)} >>\nstream\n"
+            ).encode() + pix + b"\nendstream"
+            objs[next_id] = body
+            xobjects[f"X{k}"] = next_id
+            next_id += 1
+
+        ops = ["BT /F1 12 Tf"]
+        k = len(page_spans)
+        for j in range(k):
+            jl = (j + d) % k  # rotated emission order
+            sp = page_spans[jl]
+            g = SPANS_PER_PAGE * p + jl
+            y = Y_TOP - LEADING * jl
+            if sp["kind"] == "media":
+                ops.append("ET")
+                ops.append(f"q 100 0 0 50 {X_LEFT:g} {y - 40:g} cm /X{jl} Do Q")
+                ops.append("BT /F1 12 Tf")
+            else:
+                ops.append(f"1 0 0 1 {X_LEFT:g} {y:g} Tm")
+                ops.append(_chunk_ops(sp["text"], d, g, int(sp["offset"]) * 8))
+        # Running chrome: title in the header zone, and this page's share
+        # of the corpus boilerplate spans split header/footer — all
+        # OUTSIDE the content band.
+        ops.append(f"1 0 0 1 {X_LEFT:g} 770 Tm")
+        ops.append(f"({_escape_literal(doc_id_s + ' running head', d, 0)}) Tj")
+        share = marginalia[mi::len(pages)]
+        for q, sp in enumerate(share):
+            # Alternate header/footer zones; positions cycle INSIDE each
+            # zone so any marginalia count stays outside the content band.
+            if q % 2 == 0:
+                my = 740.0 + 4 * ((q // 2) % 12)
+            else:
+                my = 90.0 - 4 * ((q // 2) % 12)
+            ops.append(f"1 0 0 1 {X_LEFT:g} {my:g} Tm")
+            ops.append(f"({_escape_literal(sp['text'], d, 0)}) Tj")
+        mi += 1
+        ops.append(f"1 0 0 1 {X_LEFT:g} 30 Tm")
+        ops.append(f"(page {p + 1}) Tj")
+        ops.append("ET")
+
+        stream = zlib.compress("\n".join(ops).encode("latin-1"), 6)
+        objs[next_id] = (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+        content_id = next_id
+        next_id += 1
+        xo = " ".join(f"/{name} {oid} 0 R" for name, oid in xobjects.items())
+        objs[next_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> /XObject << {xo} >> >> "
+            f"/Contents {content_id} 0 R >>"
+        ).encode()
+        page_ids.append(next_id)
+        next_id += 1
+
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>".encode()
+
+    write_order = sorted(objs.keys(), reverse=True)
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in write_order:
+        offsets[oid] = len(buf)
+        buf += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_pos = len(buf)
+    n_obj = max(objs) + 1
+    buf += f"xref\n0 {n_obj}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for oid in range(1, n_obj):
+        buf += f"{offsets[oid]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+def _content_events(stream: bytes) -> list[tuple[float, float, str, str]]:
+    """Like ``_content_chunks`` but also yields image placements:
+    -> [(x, y, kind, payload)] where kind is 'text' (payload = shown
+    string) or 'media' (payload = XObject resource name). Tracks the
+    last ``cm`` translation for Do placement."""
+    events: list[tuple[float, float, str, str]] = []
+    operands: list[object] = []
+    x = y = 0.0
+    cmx = cmy = 0.0
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        c = stream[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+            continue
+        if c == b"(":
+            s, pos = _parse_literal_string(stream, pos)
+            operands.append(s)
+            continue
+        if c == b"<" and not stream.startswith(b"<<", pos):
+            s, pos = _parse_hex_string(stream, pos)
+            operands.append(s)
+            continue
+        if c == b"[":
+            p = _ObjParser(stream, pos)
+            operands.append(p.parse_value())
+            pos = p.pos
+            continue
+        if c == b"/":
+            m = re.match(rb"/([^\s/<>\[\]()]*)", stream[pos:])
+            operands.append(_Name(m.group(1).decode("latin-1")))
+            pos += m.end()
+            continue
+        m = re.match(rb"-?(?:\d+\.?\d*|\.\d+)", stream[pos:])
+        if m:
+            operands.append(float(m.group(0)))
+            pos += m.end()
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", stream[pos:])
+        if not m:
+            raise ValueError(f"bad content token at {pos}: {stream[pos:pos+10]!r}")
+        op = m.group(0).decode("latin-1")
+        pos += m.end()
+        if op == "BT":
+            x = y = 0.0
+        elif op == "Tm":
+            x, y = float(operands[-2]), float(operands[-1])
+        elif op in ("Td", "TD"):
+            x += float(operands[-2])
+            y += float(operands[-1])
+        elif op == "cm":
+            cmx, cmy = float(operands[-2]), float(operands[-1])
+        elif op == "Do":
+            events.append((cmx, cmy, "media", str(operands[-1])))
+        elif op == "Tj":
+            events.append((x, y, "text", str(operands[-1])))
+        elif op == "TJ":
+            arr = operands[-1]
+            events.append((x, y, "text", "".join(e for e in arr if isinstance(e, str))))
+        operands = []
+    return events
+
+
+def decode_span_pdf(buf: bytes) -> list[tuple[str, str, str]]:
+    """-> [(kind, text, media_ref)] in reading order, chrome stripped.
+
+    Media refs resolve through the page resource dictionary: Do's operand
+    names an /XObject entry whose object's /Name carries the ref. Chunks
+    outside the content band (running heads, folios, marginalia) are
+    dropped by the position heuristic; media placements are normalized to
+    their line anchor (the cm translation is the image's bottom-left)."""
+    doc = PdfDocument(buf)
+    rows: list[tuple[int, float, float, str, str, str]] = []
+    for pi, page in enumerate(doc.pages()):
+        stream = doc.obj(page["Contents"])["__stream__"]
+        resources = doc.obj(page.get("Resources", {}))
+        xobj_map = doc.obj(resources.get("XObject", {})) if resources else {}
+        for cx, cy, kind, payload in _content_events(stream):
+            if kind == "media":
+                entry = doc.obj(xobj_map[str(payload)])
+                ref = str(entry.get("Name", ""))
+                cy = cy + 40.0  # bottom-left anchor -> line anchor
+                rows.append((pi, cy, cx, "media", "", ref))
+            else:
+                rows.append((pi, cy, cx, "text", payload, ""))
+    lo, hi = CONTENT_BAND
+    rows = [r for r in rows if lo <= r[1] <= hi]
+    rows.sort(key=lambda r: (r[0], -r[1], r[2]))
+    return [(r[3], r[4], r[5]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
 # Ray stages
 # ---------------------------------------------------------------------------
+
+
+def attach_span_pdf_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage for the interleaved-corpus leg: nested (doc_id,
+    spans) -> (doc_id, payload) typeset PDFs; spans column dropped."""
+    ids = batch["doc_id"].to_pylist()
+    span_lists = batch["spans"].to_pylist()
+    pdfs = [encode_span_pdf(i, sp) for i, sp in zip(ids, span_lists)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(pdfs, type=pa.large_binary()),
+        }
+    )
+
+
+class PdfSpanExtractor:
+    """Actor-pool stage: recover the flagship span sequence (kind, text,
+    media_ref, order) from typeset PDFs — object-graph XObject resolution
+    for media refs, position-band chrome strip, reading-order sort. Same
+    flat output schema (and oracle) as the flagship ``extract_spans``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, kinds, texts, refs, offsets = [], [], [], [], []
+        for doc_id, buf in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for off, (kind, text, ref) in enumerate(decode_span_pdf(buf)):
+                doc_ids.append(doc_id)
+                kinds.append(kind)
+                texts.append(text)
+                refs.append(ref)
+                offsets.append(off)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": pa.array(refs, type=pa.string()),
+                "offset": pa.array(np.asarray(offsets, dtype=np.int32)),
+            }
+        )
 
 
 def attach_pdf_payloads(batch: pa.Table) -> pa.Table:

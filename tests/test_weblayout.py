@@ -246,6 +246,46 @@ def test_article_img_is_content_chrome_img_is_not():
     ]
 
 
+def test_pdf_span_round_trip_and_chrome_strip():
+    import random
+
+    from ocr_ray.corpus import doc_id_str, synthesize_doc
+    from ocr_ray.stages.pdf import decode_span_pdf, encode_span_pdf
+
+    for d, nwords in [(0, 13), (7, 8), (14, 8), (12, 95), (5, 200)]:
+        text = " ".join(f"w{d}x{i}" for i in range(nwords))
+        spans = synthesize_doc(d, text, glyphs=False)
+        exp = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in spans
+            if s["kind"] != "boilerplate"
+        ]
+        shuffled = spans[:]
+        random.Random(d).shuffle(shuffled)
+        got = decode_span_pdf(encode_span_pdf(doc_id_str(d), shuffled))
+        assert got == exp  # d=14/8words: all-boilerplate doc -> []
+
+
+def test_pdf_span_media_ref_resolves_through_resource_dict():
+    from ocr_ray.stages.pdf import PdfDocument, encode_span_pdf
+
+    spans = [
+        {"kind": "text", "text": "a b c", "media_ref": "", "offset": 0},
+        {"kind": "media", "text": "", "media_ref": "m-77", "offset": 1},
+    ]
+    buf = encode_span_pdf("doc-00000001", spans)
+    doc = PdfDocument(buf)
+    page = doc.pages()[0]
+    res = doc.obj(page["Resources"])
+    xo = res["XObject"]
+    # Resource names are opaque (X<k>); the ref lives in the object's /Name.
+    assert list(xo.keys()) == ["X1"]
+    assert str(doc.obj(xo["X1"])["Name"]) == "m-77"
+    # The content stream itself never contains the media_ref.
+    stream = doc.obj(page["Contents"])["__stream__"]
+    assert b"m-77" not in stream
+
+
 # ---------------------------------------------------------------------------
 # WARC / HTTP
 # ---------------------------------------------------------------------------
