@@ -237,6 +237,28 @@ FROM feat GROUP BY d, m
 """
 
 
+def _media_codec_pipeline(sf_dir: str, attach_fn, decoder_cls) -> ray.data.Dataset:
+    """Shared shape of every media-codec query: corpus -> explode ->
+    media-span filter -> fixture payload attach -> actor-pool decode.
+    One definition so batch sizing / filtering changes edit one place."""
+    from ocr_ray.stages.explode import explode_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    flat = ds.map_batches(
+        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
+    )
+    with_payloads = flat.map_batches(attach_fn, batch_format="pyarrow", batch_size=512)
+    return with_payloads.map_batches(
+        decoder_cls,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=pool_size(),
+    )
+
+
 @query("media_ppm_features", sql=_PPM_SQL)
 def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
     """REAL image decode path: media spans get genuine binary PPM (P6)
@@ -248,23 +270,9 @@ def media_ppm_features(sf_dir: str) -> ray.data.Dataset:
     header-parsing bug, offset error, or channel swap fails the oracle.
     Non-PPM codecs remain stubbed (no PIL/ffmpeg here); this proves the
     decode plumbing on a real format with zero dependencies."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import PpmDecoder, attach_ppm_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_ppm_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        PpmDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_ppm_payloads, PpmDecoder)
 
 
 _PNG_SQL = """
@@ -307,23 +315,9 @@ def media_png_features(sf_dir: str) -> ray.data.Dataset:
     round-trips bit-exactly and the decoded channel means are
     oracle-checked end to end — an inflate, CRC, or unfilter bug fails
     the hash."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.png import PngDecoder, attach_png_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_png_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        PngDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_png_payloads, PngDecoder)
 
 
 _JPEG_SQL = """
@@ -359,23 +353,9 @@ def media_jpeg_features(sf_dir: str) -> ray.data.Dataset:
     are oracle-checked bit-exact (a Huffman, zigzag, dequant or IDCT bug
     fails the hash). The general AC path is covered by pytest on
     non-constant images. MP3/H.264 stay stubbed (no ffmpeg here)."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.jpeg import JpegDecoder, attach_jpeg_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_jpeg_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        JpegDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_jpeg_payloads, JpegDecoder)
 
 
 @query(
@@ -567,23 +547,9 @@ def media_wav_features(sf_dir: str) -> ray.data.Dataset:
     walks the RIFF chunks (magic + fmt validation, pad-byte handling)
     before computing integer-exact clip statistics — a chunk-offset or
     endianness bug fails the oracle."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import WavDecoder, attach_wav_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        WavDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_wav_payloads, WavDecoder)
 
 
 _ADPCM_SQL = """
@@ -657,22 +623,8 @@ def media_adpcm_features(sf_dir: str) -> ray.data.Dataset:
     bit-exact end to end despite the codec being lossy and adaptive --
     a nibble-packing, table, clamp, or container bug fails the hash."""
     from ocr_ray.stages.adpcm import AdpcmDecoder, attach_adpcm_payloads
-    from ocr_ray.stages.explode import explode_documents
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_adpcm_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        AdpcmDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_adpcm_payloads, AdpcmDecoder)
 
 
 _WALSH_SQL = """
@@ -706,23 +658,9 @@ def media_walsh_features(sf_dir: str) -> ray.data.Dataset:
     summation-order ulp drift alone). Decode is the same actor-pool
     chunk-walking parser as ``media_wav_features``; the correlates are
     one (n, 64) x (64, 3) integer matmul per batch."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import WalshDecoder, attach_wav_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_wav_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        WalshDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_wav_payloads, WalshDecoder)
 
 
 _Y4M_SQL = """
@@ -758,22 +696,8 @@ def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
     ``Y4mDecoder`` parses the stream header tags + per-FRAME markers and
     strides the 4:2:0 planes before computing integer-exact luma
     statistics — a plane-offset or frame-stride bug fails the oracle."""
-    from ocr_ray.stages.explode import explode_documents
     from ocr_ray.stages.media import Y4mDecoder, attach_y4m_payloads
 
-    corpus = ensure_corpus(sf_dir, glyphs=False)
-    ds = read_documents(corpus)
-    flat = ds.map_batches(
-        explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
-    )
-    with_payloads = flat.map_batches(attach_y4m_payloads, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        Y4mDecoder,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return _media_codec_pipeline(sf_dir, attach_y4m_payloads, Y4mDecoder)
 
 

@@ -20,9 +20,12 @@ from ocr_ray.sizing import pool_size
 from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL
 
-_HTML_SQL = """
-WITH s AS (
+# Shared CTE: the page renderer's paragraph closed form (12-word
+# paragraphs, remainder < 4 folds into the last) — used by both the HTML
+# and WARC oracles, so a formula change edits exactly one string.
+_NPARA_CTE = """WITH s AS (
   SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
   FROM documents
 ),
@@ -31,7 +34,9 @@ q AS (
   SELECT doc_id, text,
     CASE WHEN f = 0 THEN 1 WHEN r >= 4 THEN f + 1 ELSE f END AS n_para
   FROM p
-)
+)"""
+
+_HTML_SQL = _NPARA_CTE + """
 SELECT doc_id, text AS extracted_text,
   CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,
   CAST(n_para AS BIGINT) AS n_content_blocks,
@@ -65,9 +70,6 @@ def extract_html_main(sf_dir: str) -> ray.data.Dataset:
         batch_size=256,
         concurrency=pool_size(),
     )
-
-
-from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL
 
 
 @query("extract_html_spans", sql=_EXTRACT_SQL)
@@ -132,17 +134,7 @@ def extract_pdf_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-_WARC_SQL = """
-WITH s AS (
-  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-  FROM documents
-),
-p AS (SELECT doc_id, text, n, n // 12 AS f, n % 12 AS r FROM s),
-q AS (
-  SELECT doc_id, text,
-    CASE WHEN f = 0 THEN 1 WHEN r >= 4 THEN f + 1 ELSE f END AS n_para
-  FROM p
-)
+_WARC_SQL = _NPARA_CTE + """
 SELECT doc_id, text AS extracted_text,
   CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,
   CAST(n_para AS BIGINT) AS n_content_blocks,

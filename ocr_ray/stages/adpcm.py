@@ -54,16 +54,16 @@ ADPCM_N = 64  # samples per synthetic clip (one IMA block)
 # ---------------------------------------------------------------------------
 
 
-def encode_ima_codes(samples: np.ndarray) -> tuple[int, np.ndarray]:
-    """(n,) int16 -> (predictor_seed, (n-1,) uint8 4-bit codes).
-
-    Classic IMA encoder: the first sample seeds the predictor (stored in
-    the block header, index seed 0); each later sample quantizes
-    ``sample - predictor`` against the adaptive step and updates state
-    exactly as the decoder will, keeping both in lockstep."""
+def _encode_ima_block(samples: np.ndarray, idx0: int = 0) -> tuple[int, int, np.ndarray, int]:
+    """One IMA block: (samples, entry step index) -> (predictor_seed,
+    idx0, codes, exit step index). The first sample is stored verbatim in
+    the block header (with the CURRENT step index — how real encoders
+    chain blocks); each later sample quantizes ``sample - predictor``
+    against the adaptive step and updates state exactly as the decoder
+    will, keeping both in lockstep."""
     assert samples.dtype == np.int16 and samples.ndim == 1 and len(samples) >= 1
     pred = int(samples[0])
-    idx = 0
+    idx = int(idx0)
     codes = np.zeros(len(samples) - 1, dtype=np.uint8)
     for i in range(1, len(samples)):
         step = int(STEP_TABLE[idx])
@@ -91,7 +91,13 @@ def encode_ima_codes(samples: np.ndarray) -> tuple[int, np.ndarray]:
         pred = max(-32768, min(32767, pred))
         idx = max(0, min(88, idx + int(INDEX_TABLE[code & 7])))
         codes[i - 1] = code
-    return int(samples[0]), codes
+    return int(samples[0]), int(idx0), codes, idx
+
+
+def encode_ima_codes(samples: np.ndarray) -> tuple[int, np.ndarray]:
+    """Single-block convenience wrapper: -> (predictor_seed, codes)."""
+    pred0, _idx0, codes, _idx = _encode_ima_block(samples, 0)
+    return pred0, codes
 
 
 def decode_ima_codes(pred0: int, codes: np.ndarray, idx0: int = 0) -> np.ndarray:
@@ -151,28 +157,55 @@ def decode_ima_lockstep(
 # ---------------------------------------------------------------------------
 
 
-def encode_adpcm_wav(samples: np.ndarray, *, sample_rate: int = ADPCM_SR) -> bytes:
-    """(n,) int16 mono -> RIFF/WAVE with IMA-ADPCM data (one block)."""
-    pred0, codes = encode_ima_codes(samples)
-    n = len(samples)
-    n_nib_bytes = (len(codes) + 1) // 2
-    block_align = 4 + n_nib_bytes
-    # pack low nibble first (IMA/WAV convention)
+def _pack_block(pred0: int, idx0: int, codes: np.ndarray, n_nib_bytes: int) -> bytes:
+    """IMA block bytes: int16 predictor, step index, reserved, low-nibble-
+    first 4-bit codes padded to ``n_nib_bytes``."""
     padded = np.zeros(n_nib_bytes * 2, dtype=np.uint8)
     padded[: len(codes)] = codes
     nib = (padded[0::2] | (padded[1::2] << 4)).tobytes()
-    block = (
-        int(pred0).to_bytes(2, "little", signed=True) + b"\x00\x00" + nib
-    )  # predictor, index(=0), reserved
+    return (
+        int(pred0).to_bytes(2, "little", signed=True)
+        + bytes([int(idx0), 0])
+        + nib
+    )
+
+
+def encode_adpcm_wav(
+    samples: np.ndarray,
+    *,
+    sample_rate: int = ADPCM_SR,
+    samples_per_block: int | None = None,
+) -> bytes:
+    """(n,) int16 mono -> RIFF/WAVE with IMA-ADPCM data.
+
+    Default: one block holding the whole clip (the fixture shape). With
+    ``samples_per_block``, a REAL multi-block file: every block stores its
+    first sample verbatim plus the carried step index in the 4-byte
+    header, codes for the remaining samples, and full-block nibble
+    padding; the last block may be short."""
+    n = len(samples)
+    spb = n if samples_per_block is None else int(samples_per_block)
+    if spb < 1:
+        raise ValueError(f"samples_per_block must be >= 1, got {spb}")
+    n_nib_bytes = (spb - 1 + 1) // 2
+    block_align = 4 + n_nib_bytes
+    blocks = []
+    idx = 0
+    for start in range(0, n, spb):
+        chunk = samples[start : start + spb]
+        pred0, idx0, codes, idx = _encode_ima_block(chunk, idx)
+        # all blocks, including a short last one, are padded to block_align
+        blocks.append(_pack_block(pred0, idx0, codes, n_nib_bytes))
+    block = b"".join(blocks)
     fmt = (
         (0x11).to_bytes(2, "little")
         + (1).to_bytes(2, "little")              # mono
         + sample_rate.to_bytes(4, "little")
-        + ((sample_rate * block_align + n - 1) // n).to_bytes(4, "little")  # byte rate
+        + ((sample_rate * block_align + spb - 1) // spb).to_bytes(4, "little")  # byte rate
         + block_align.to_bytes(2, "little")
         + (4).to_bytes(2, "little")              # bits per (coded) sample
         + (2).to_bytes(2, "little")              # cbSize
-        + n.to_bytes(2, "little")                # samplesPerBlock
+        + spb.to_bytes(2, "little")              # samplesPerBlock
     )
     fact = n.to_bytes(4, "little")
     body = b"WAVE"
@@ -182,18 +215,22 @@ def encode_adpcm_wav(samples: np.ndarray, *, sample_rate: int = ADPCM_SR) -> byt
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def parse_adpcm_wav(buf: bytes) -> tuple[int, int, np.ndarray, int]:
-    """RIFF/WAVE (IMA-ADPCM mono) -> (pred0, idx0, codes uint8, rate).
+def parse_adpcm_blocks(buf: bytes) -> tuple[list[tuple[int, int, np.ndarray]], int]:
+    """RIFF/WAVE (IMA-ADPCM mono) -> ([(pred0, idx0, codes)] per block,
+    rate).
 
     A real chunk walker: validates magic, requires fmt tag 0x11 / mono /
-    4-bit, honors the fact chunk's sample count (trimming nibble padding),
-    pads odd chunks. Single-block clips (the fixture shape); multi-block
-    files decode block 0 per ``samplesPerBlock``."""
+    4-bit, splits the data chunk by the fmt chunk's ``blockAlign``, caps
+    each block's samples at the extension's ``samplesPerBlock``, and
+    honors the fact chunk's TOTAL sample count (trimming nibble padding
+    in the final block). Pads odd chunks per RIFF."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError(f"not RIFF/WAVE ({buf[:4]!r}/{buf[8:12]!r})")
     i = 12
     sample_rate = None
     n_samples = None
+    block_align = None
+    spb = None
     data = None
     while i + 8 <= len(buf):
         cid = buf[i : i + 4]
@@ -205,11 +242,14 @@ def parse_adpcm_wav(buf: bytes) -> tuple[int, int, np.ndarray, int]:
             tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
             if (tag, channels, bits) != (0x11, 1, 4):
                 raise ValueError(
                     f"only IMA-ADPCM mono 4-bit supported (tag={tag:#x}, ch={channels}, bits={bits})"
                 )
+            if len(body) >= 20:  # cbSize + samplesPerBlock extension
+                spb = int.from_bytes(body[18:20], "little")
         elif cid == b"fact":
             n_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
@@ -219,23 +259,59 @@ def parse_adpcm_wav(buf: bytes) -> tuple[int, int, np.ndarray, int]:
         i += 8 + sz + (sz & 1)
     if data is None or n_samples is None:
         raise ValueError("missing data or fact chunk")
-    if len(data) < 4:
-        raise ValueError("IMA block shorter than its 4-byte header")
-    pred0 = int.from_bytes(data[0:2], "little", signed=True)
-    idx0 = data[2]
-    if idx0 > 88:
-        raise ValueError(f"step index {idx0} out of range")
-    packed = np.frombuffer(data, dtype=np.uint8, offset=4)
-    codes = np.zeros(len(packed) * 2, dtype=np.uint8)
-    codes[0::2] = packed & 0x0F
-    codes[1::2] = packed >> 4
-    return pred0, idx0, codes[: n_samples - 1], sample_rate
+    if not block_align or block_align < 4:
+        raise ValueError(f"bad blockAlign {block_align!r}")
+    if spb is None or spb < 1:
+        raise ValueError("missing samplesPerBlock extension (required for tag 0x11)")
+    blocks: list[tuple[int, int, np.ndarray]] = []
+    remaining = n_samples
+    for off in range(0, len(data), block_align):
+        if remaining <= 0:
+            break
+        blk = data[off : off + block_align]
+        if len(blk) < 4:
+            raise ValueError("IMA block shorter than its 4-byte header")
+        pred0 = int.from_bytes(blk[0:2], "little", signed=True)
+        idx0 = blk[2]
+        if idx0 > 88:
+            raise ValueError(f"step index {idx0} out of range")
+        packed = np.frombuffer(blk, dtype=np.uint8, offset=4)
+        codes = np.zeros(len(packed) * 2, dtype=np.uint8)
+        codes[0::2] = packed & 0x0F
+        codes[1::2] = packed >> 4
+        n_here = min(spb, remaining)
+        blocks.append((pred0, idx0, codes[: n_here - 1]))
+        remaining -= n_here
+    if remaining > 0:
+        raise ValueError(
+            f"data chunk ends {remaining} samples short of the fact count"
+        )
+    return blocks, sample_rate
+
+
+def parse_adpcm_wav(buf: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Single-block convenience parse: -> (pred0, idx0, codes, rate).
+
+    The fixture shape (and the lockstep batch decoder's input) is one
+    block per clip; a multi-block file raises loudly — use
+    ``decode_adpcm_wav``/``parse_adpcm_blocks`` for those."""
+    blocks, rate = parse_adpcm_blocks(buf)
+    if len(blocks) != 1:
+        raise ValueError(
+            f"multi-block IMA file ({len(blocks)} blocks); use "
+            "decode_adpcm_wav/parse_adpcm_blocks"
+        )
+    pred0, idx0, codes = blocks[0]
+    return pred0, idx0, codes, rate
 
 
 def decode_adpcm_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/IMA-ADPCM bytes -> (int16 samples, sample_rate)."""
-    pred0, idx0, codes, rate = parse_adpcm_wav(buf)
-    return decode_ima_codes(pred0, codes, idx0), rate
+    """RIFF/IMA-ADPCM bytes -> (int16 samples, sample_rate); multi-block
+    files decode block by block (each header re-seeds the predictor and
+    carries the step index) and concatenate."""
+    blocks, rate = parse_adpcm_blocks(buf)
+    parts = [decode_ima_codes(p0, codes, i0) for p0, i0, codes in blocks]
+    return np.concatenate(parts), rate
 
 
 # ---------------------------------------------------------------------------

@@ -298,12 +298,21 @@ def tokenize_html(html: str):
         attrs = _parse_attrs(attr_src) if "=" in attr_src else {}
         yield ("start", name, self_closing or name in _VOID, attrs)
         if name in _RAWTEXT and not self_closing:
-            close = lower.find(f"</{name}", pos)
-            if close < 0:
-                pos = n
-            else:
-                gt = html.find(">", close)
-                pos = n if gt < 0 else gt + 1
+            # Per the HTML spec, raw text ends only at "</name" followed
+            # by whitespace, "/", ">" or EOF — "</scripty" stays inside
+            # script data.
+            search = pos
+            while True:
+                close = lower.find(f"</{name}", search)
+                if close < 0:
+                    pos = n
+                    break
+                after = close + 2 + len(name)
+                if after >= n or html[after] in " \t\r\n\f/>":
+                    gt = html.find(">", close)
+                    pos = n if gt < 0 else gt + 1
+                    break
+                search = close + 2
             yield ("end", name)
 
 

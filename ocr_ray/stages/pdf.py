@@ -86,6 +86,28 @@ def _lines(words: list[str]) -> list[list[str]]:
     return [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)]
 
 
+def _serialize_pdf(objs: dict[int, bytes]) -> bytes:
+    """Header + numbered objects (catalog LAST in the byte stream, so
+    offsets are only resolvable through the xref) + offset-correct xref
+    table + trailer + startxref."""
+    write_order = sorted(objs.keys(), reverse=True)
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in write_order:
+        offsets[oid] = len(buf)
+        buf += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_pos = len(buf)
+    n_obj = max(objs) + 1
+    buf += f"xref\n0 {n_obj}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for oid in range(1, n_obj):
+        buf += f"{offsets[oid]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
 def encode_pdf(doc_id: int, text: str) -> bytes:
     """Document text -> a complete single-font PDF 1.4 byte stream."""
     d = int(doc_id)
@@ -149,32 +171,12 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
 
     # Content/page objects first, catalog last: offsets only resolvable
     # through the xref table.
-    write_order = sorted(objs.keys(), reverse=True)
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for oid in write_order:
-        offsets[oid] = len(buf)
-        buf += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
-    xref_pos = len(buf)
-    n_obj = max(objs) + 1
-    buf += f"xref\n0 {n_obj}\n".encode()
-    buf += b"0000000000 65535 f \n"
-    for oid in range(1, n_obj):
-        buf += f"{offsets[oid]:010d} 00000 n \n".encode()
-    buf += (
-        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
-    ).encode()
-    return bytes(buf)
+    return _serialize_pdf(objs)
 
 
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
-
-_TOKEN_RE = re.compile(
-    rb"/([^\s/<>\[\]()]+)|(-?\d+\.?\d*|-?\.\d+)|(<<|>>|\[|\])|(\S)", re.S
-)
-
 
 def _parse_literal_string(buf: bytes, pos: int) -> tuple[str, int]:
     """Parse a ( ... ) literal string starting at the '('. Returns
@@ -402,63 +404,14 @@ class PdfDocument:
 
 
 def _content_chunks(stream: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text operators in one content stream -> (x, y, text)
-    per text-showing op. Tracks the line matrix through Tm and Td."""
-    chunks: list[tuple[float, float, str]] = []
-    operands: list[object] = []
-    x = y = 0.0
-    pos = 0
-    n = len(stream)
-    while pos < n:
-        c = stream[pos : pos + 1]
-        if c in b" \t\r\n":
-            pos += 1
-            continue
-        if c == b"(":
-            s, pos = _parse_literal_string(stream, pos)
-            operands.append(s)
-            continue
-        if c == b"<" and not stream.startswith(b"<<", pos):
-            s, pos = _parse_hex_string(stream, pos)
-            operands.append(s)
-            continue
-        if c == b"[":
-            p = _ObjParser(stream, pos)
-            operands.append(p.parse_value())
-            pos = p.pos
-            continue
-        if c == b"/":
-            m = re.match(rb"/([^\s/<>\[\]()]*)", stream[pos:])
-            operands.append(_Name(m.group(1).decode("latin-1")))
-            pos += m.end()
-            continue
-        m = re.match(rb"-?(?:\d+\.?\d*|\.\d+)", stream[pos:])
-        if m:
-            tok = m.group(0)
-            operands.append(float(tok))
-            pos += m.end()
-            continue
-        m = re.match(rb"[A-Za-z'\"*]+", stream[pos:])
-        if not m:
-            raise ValueError(f"bad content token at {pos}: {stream[pos:pos+10]!r}")
-        op = m.group(0).decode("latin-1")
-        pos += m.end()
-        if op == "BT":
-            x = y = 0.0
-        elif op == "Tm":
-            x, y = float(operands[-2]), float(operands[-1])
-        elif op in ("Td", "TD"):
-            x += float(operands[-2])
-            y += float(operands[-1])
-        elif op == "Tj":
-            chunks.append((x, y, str(operands[-1])))
-        elif op == "TJ":
-            arr = operands[-1]
-            text = "".join(el for el in arr if isinstance(el, str))
-            chunks.append((x, y, text))
-        # Tf/ET and any other operators: operands consumed, no state.
-        operands = []
-    return chunks
+    """Text-only view of the content-stream interpreter: (x, y, text) per
+    text-showing op (delegates to ``_content_events`` so there is exactly
+    ONE tokenizer for content streams)."""
+    return [
+        (x, y, payload)
+        for x, y, kind, payload in _content_events(stream)
+        if kind == "text"
+    ]
 
 
 def decode_pdf(buf: bytes) -> tuple[str, int, int]:
@@ -588,22 +541,7 @@ def encode_span_pdf(doc_id_s: str, spans: list[dict]) -> bytes:
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>".encode()
 
-    write_order = sorted(objs.keys(), reverse=True)
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for oid in write_order:
-        offsets[oid] = len(buf)
-        buf += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
-    xref_pos = len(buf)
-    n_obj = max(objs) + 1
-    buf += f"xref\n0 {n_obj}\n".encode()
-    buf += b"0000000000 65535 f \n"
-    for oid in range(1, n_obj):
-        buf += f"{offsets[oid]:010d} 00000 n \n".encode()
-    buf += (
-        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
-    ).encode()
-    return bytes(buf)
+    return _serialize_pdf(objs)
 
 
 def _content_events(stream: bytes) -> list[tuple[float, float, str, str]]:

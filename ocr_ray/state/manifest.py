@@ -105,6 +105,8 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
         return out
     for f in mdir.glob("part-*.json"):
         rec = json.loads(f.read_text())
+        if rec.get("status") != "complete":
+            continue  # demoted mid-rewrite (see ResumableSink._demote)
         out[int(rec["partition"])] = rec
     return out
 
@@ -160,6 +162,19 @@ class ResumableSink:
         part = int(group["_part"][0].as_py())
         return self.write(group.drop_columns(["_part"]), part)
 
+    def _demote(self, part: int) -> None:
+        """Atomically mark a committed partition as 'rewriting' before a
+        destructive in-place swap; ``load_manifest`` then excludes it, so
+        a crash mid-swap is repaired by the next resume."""
+        mp = Path(self.out_dir) / "_manifest" / f"part-{part:05d}.json"
+        if not mp.exists():
+            return
+        rec = json.loads(mp.read_text())
+        rec["status"] = "rewriting"
+        tmp = mp.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(rec))
+        os.replace(tmp, mp)
+
     def write(self, tbl: pa.Table, part: int, extra: dict | None = None) -> pa.Table:
         """Commit one fragment + its lineage record; returns manifest row.
 
@@ -174,16 +189,20 @@ class ResumableSink:
         pdir.mkdir(parents=True, exist_ok=True)
         if self.data_format == "lance":
             # A Lance fragment is a directory; write to a hidden temp dir,
-            # then commit with a directory rename. The manifest sidecar
-            # (written below, after the data) remains the commit point, so
-            # a crash between rmtree and rename only leaves an uncommitted
-            # fragment that the next run rewrites.
+            # then commit with a directory rename. The manifest sidecar is
+            # the commit point. REWRITING an already-committed fragment
+            # has a destructive window (rmtree of the old dir before the
+            # rename of the new one), so the sidecar is DEMOTED first: a
+            # crash anywhere in the swap leaves status != 'complete' and
+            # the next resume rewrites this partition instead of trusting
+            # a missing/partial data.lance.
             import shutil
 
             tmp = pdir / f".tmp-{uuid.uuid4().hex}.lance"
             lance.write_dataset(tbl, str(tmp))
             final = pdir / "data.lance"
             if final.exists():
+                self._demote(part)
                 shutil.rmtree(final)
             os.replace(tmp, final)
         else:
@@ -247,13 +266,26 @@ def _check_layout(out_dir: str, num_parts: int, *, write: bool, extra: dict | No
                 f"num_parts={num_parts} would silently corrupt the output. "
                 "Use a fresh out_dir or the original partition count."
             )
+        missing = {}
         for k, v in (extra or {}).items():
-            if k in prev and prev[k] != v:
-                raise ValueError(
-                    f"resumable sink at {out_dir!r}: layout field {k!r} "
-                    f"changed ({prev[k]!r} -> {v!r}); resuming would mix "
-                    "outputs of different pipelines. Use a fresh out_dir."
-                )
+            if k in prev:
+                if prev[k] != v:
+                    raise ValueError(
+                        f"resumable sink at {out_dir!r}: layout field {k!r} "
+                        f"changed ({prev[k]!r} -> {v!r}); resuming would mix "
+                        "outputs of different pipelines. Use a fresh out_dir."
+                    )
+            else:
+                missing[k] = v
+        if missing and write:
+            # Persist keys a later caller introduced (e.g. data_format is
+            # recorded by the sink but the layout may have been created by
+            # skip_completed_partitions first) — otherwise the guard for
+            # that key is dead on every subsequent resume.
+            prev.update(missing)
+            tmp = Path(str(lp) + ".tmp")
+            tmp.write_text(json.dumps(prev))
+            os.replace(tmp, lp)
         return
     if load_manifest(out_dir):
         raise ValueError(

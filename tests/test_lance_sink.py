@@ -131,3 +131,36 @@ def test_read_fragments_dispatch(fake_lance, monkeypatch, ray_session, tmp_path)
 def test_read_fragments_empty_raises():
     with pytest.raises(ValueError, match="empty"):
         read_fragments([])
+
+
+def test_lance_rewrite_demotes_manifest_until_recommit(fake_lance, tmp_path):
+    """Crash-safety of the rewrite window: the sidecar is demoted to
+    status='rewriting' BEFORE the old fragment dir is destroyed, so a
+    crash mid-swap leaves the partition out of load_manifest (and the
+    next resume rewrites it) instead of pointing at missing data."""
+    from ocr_ray.state.manifest import load_manifest
+
+    sink = ResumableSink(str(tmp_path), data_format="lance")
+    sink.write(_tbl([1, 2]), 0)
+    assert 0 in load_manifest(str(tmp_path))
+    # Simulate the crash point: demotion happened, swap did not finish.
+    sink._demote(0)
+    assert 0 not in load_manifest(str(tmp_path))  # excluded -> will rewrite
+    # A successful rewrite re-commits and the partition is complete again.
+    sink.write(_tbl([1, 2, 3]), 0)
+    rec = load_manifest(str(tmp_path))[0]
+    assert rec["status"] == "complete" and rec["row_count"] == 3
+
+
+def test_layout_merges_keys_introduced_after_creation(tmp_path):
+    """skip_completed_partitions creates layout.json without data_format;
+    the sink's later _check_layout must PERSIST the key so the format
+    guard is live on subsequent resumes."""
+    import json
+
+    _check_layout(str(tmp_path), 8, write=True)  # layout without the key
+    _check_layout(str(tmp_path), 8, write=True, extra={"data_format": "parquet"})
+    saved = json.loads((tmp_path / "_manifest" / "layout.json").read_text())
+    assert saved["data_format"] == "parquet"
+    with pytest.raises(ValueError, match="data_format"):
+        _check_layout(str(tmp_path), 8, write=True, extra={"data_format": "lance"})

@@ -254,3 +254,34 @@ def test_adpcm_decoder_stage_lockstep_and_ragged():
     for i, c in enumerate(clips):
         d = decode_adpcm_wav(encode_adpcm_wav(c))[0].astype(np.int64)
         assert out["sum_amp"][i].as_py() == int(d.sum())
+
+
+def test_adpcm_multi_block_round_trip():
+    from ocr_ray.stages.adpcm import (
+        adpcm_signal,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+        parse_adpcm_blocks,
+        parse_adpcm_wav,
+    )
+
+    s = np.concatenate([adpcm_signal(3), adpcm_signal(9)]).astype(np.int16)[:100]
+    buf = encode_adpcm_wav(s, samples_per_block=16)
+    blocks, rate = parse_adpcm_blocks(buf)
+    assert len(blocks) == 7  # 6 full blocks of 16 + 4-sample tail
+    # Every block header stores that block's first sample verbatim, and
+    # the step index carries across block boundaries (encoder state).
+    for k, (pred0, idx0, codes) in enumerate(blocks):
+        assert pred0 == int(s[16 * k])
+        assert len(codes) == (15 if k < 6 else 3)
+    assert blocks[0][1] == 0 and any(b[1] != 0 for b in blocks[1:])
+    dec, r = decode_adpcm_wav(buf)
+    assert r == rate and len(dec) == 100
+    assert all(int(dec[16 * k]) == int(s[16 * k]) for k in range(7))
+    # The single-block convenience parse refuses multi-block input loudly.
+    with pytest.raises(ValueError):
+        parse_adpcm_wav(buf)
+    # Single-block files still round-trip through the same path.
+    one = encode_adpcm_wav(s)
+    assert len(parse_adpcm_blocks(one)[0]) == 1
+    assert len(decode_adpcm_wav(one)[0]) == 100

@@ -56,6 +56,18 @@ def test_script_and_style_content_never_leaks():
     assert nc == 1
 
 
+def test_rawtext_lookalike_close_tag_stays_inside_script():
+    # "</scripty" is NOT an end tag per spec; script data continues to the
+    # real "</script>".
+    html = (
+        '<body><script>var s = "</scripty trap";</script>'
+        "<style>a</styled{}</style><p>real content words here</p></body>"
+    )
+    main, _, nc, _ = extract_main_text(html)
+    assert main == "real content words here"
+    assert nc == 1
+
+
 def test_entity_decoding_decimal_hex_named():
     assert decode_entities("&#97;b&#x63;") == "abc"
     assert decode_entities("x &amp; y &gt; z") == "x & y > z"
