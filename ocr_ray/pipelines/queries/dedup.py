@@ -2,9 +2,6 @@
 
 from __future__ import annotations
 
-import datetime
-from collections.abc import Callable
-from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -13,26 +10,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ocr_ray.corpus import ensure_corpus
-from ocr_ray.functions.relational import (
-    hash_join,
-    lookup,
-    semi_filter,
-    to_units,
-    units_to_double,
-)
-from ocr_ray.functions import text as textfn
-from ocr_ray.pipelines.extract import extract_spans_flat
-from ocr_ray.sizing import buckets_for_input, pool_size
-from ocr_ray.sources import read_documents, read_table
+from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import (
-    ORACLE_SQL,
-    QUERY_FNS,
-    _big_spenders,
-    load_small_table,
-    query,
-)
+from ocr_ray.pipelines.queries._shared import query
 
 
 # ---------------------------------------------------------------------------
