@@ -104,6 +104,7 @@ QUERY_SET = [
     "extract_warc_main",
     "extract_html_spans",
     "extract_pdf_spans",
+    "extract_warc_spans",
 ]
 
 

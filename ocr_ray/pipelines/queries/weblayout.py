@@ -134,6 +134,33 @@ def extract_pdf_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query("extract_warc_spans", sql=_EXTRACT_SQL)
+def extract_warc_spans(sf_dir: str) -> ray.data.Dataset:
+    """The full web-scale ingest matrix closed: the INTERLEAVED corpus is
+    rendered as pages, packed into genuine WARC/1.0 archives (gzip and
+    chunked HTTP shapes rotating per document), and the span sequence is
+    recovered through ALL layers — WARC framing → HTTP decode → DOM
+    traversal + boilerplate classification — one flat row per content
+    span. Shares the flagship ``extract_spans`` oracle verbatim: the
+    archive path must reproduce exactly what the direct span pipeline
+    produces."""
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.sources import read_documents
+    from ocr_ray.stages.warc import WarcSpanExtractor, attach_span_warc_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    with_payloads = ds.map_batches(
+        attach_span_warc_payloads, batch_format="pyarrow", batch_size=128
+    )
+    return with_payloads.map_batches(
+        WarcSpanExtractor,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=pool_size(),
+    )
+
+
 _WARC_SQL = _NPARA_CTE + """
 SELECT doc_id, text AS extracted_text,
   CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,

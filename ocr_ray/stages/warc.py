@@ -91,6 +91,72 @@ def http_response_for_doc(doc_id: int, text: str) -> bytes:
     return head + body
 
 
+def _http_response_for_page(key: str, html: str, rot: int) -> bytes:
+    """One HTML page -> a real HTTP/1.1 response; gzip/chunked shapes
+    rotate by ``rot`` (same rotation law as ``http_response_for_doc``).
+    ``key`` rides the X-Doc header for downstream identification."""
+    body = html.encode("utf-8")
+    headers = [
+        ("Content-Type", "text/html; charset=utf-8"),
+        ("X-Doc", key),
+    ]
+    if rot % 2 == 1:
+        body = gzip.compress(body, compresslevel=6, mtime=0)
+        headers.append(("Content-Encoding", "gzip"))
+    if rot % 3 == 0:
+        body = _chunk_body(body)
+        headers.append(("Transfer-Encoding", "chunked"))
+    else:
+        headers.append(("Content-Length", str(len(body))))
+    head = b"HTTP/1.1 200 OK" + CRLF
+    head += CRLF.join(f"{k}: {v}".encode() for k, v in headers) + CRLF + CRLF
+    return head + body
+
+
+def build_warc_from_pages(keys: list[str], pages: list[str]) -> bytes:
+    """One WARC/1.0 file from pre-rendered HTML pages: warcinfo + a
+    (request, response) pair per page. Bodies of the non-response records
+    are header-lookalike traps: a delimiter-scanning parser mis-frames."""
+    out = bytearray()
+    info_body = (
+        b"software: ocr-ray\r\n"
+        b"WARC/1.0 trap line that is not a record header\r\n\r\n"
+        b"WARC-Type: response trap\r\nContent-Length: 99999 trap\r\n"
+    )
+    out += _warc_record(
+        "warcinfo",
+        [("WARC-Record-ID", "<urn:ocr-ray:warcinfo>"), ("WARC-Date", WARC_DATE)],
+        info_body,
+    )
+    for key, page in zip(keys, pages):
+        rot = int("".join(c for c in key if c.isdigit()) or 0)
+        req = (
+            f"GET /doc/{key} HTTP/1.1\r\nHost: example.org\r\n"
+            f"X-Trap: WARC/1.0\r\n\r\n"
+        ).encode()
+        out += _warc_record(
+            "request",
+            [
+                ("WARC-Record-ID", f"<urn:ocr-ray:req:{key}>"),
+                ("WARC-Date", WARC_DATE),
+                ("WARC-Target-URI", f"http://example.org/doc/{key}"),
+                ("Content-Type", "application/http;msgtype=request"),
+            ],
+            req,
+        )
+        out += _warc_record(
+            "response",
+            [
+                ("WARC-Record-ID", f"<urn:ocr-ray:resp:{key}>"),
+                ("WARC-Date", WARC_DATE),
+                ("WARC-Target-URI", f"http://example.org/doc/{key}"),
+                ("Content-Type", "application/http;msgtype=response"),
+            ],
+            _http_response_for_page(key, page, rot),
+        )
+    return bytes(out)
+
+
 def build_warc(doc_ids: list[int], texts: list[str]) -> bytes:
     """One WARC/1.0 file holding a warcinfo record plus a (request,
     response) pair per document. Bodies of the non-response records are
@@ -245,6 +311,65 @@ def attach_warc_payloads(batch: pa.Table) -> pa.Table:
             "payload": pa.array([payload], type=pa.large_binary()),
         }
     )
+
+
+def attach_span_warc_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage for the interleaved-corpus archive leg: render each
+    document's (shuffled) spans as a page, then pack the batch into ONE
+    WARC file. Output: single-row (warc_id, payload)."""
+    from ocr_ray.stages.html import render_span_html
+
+    ids = batch["doc_id"].to_pylist()
+    if not ids:
+        return pa.table(
+            {"warc_id": pa.array([], type=pa.string()),
+             "payload": pa.array([], type=pa.large_binary())}
+        )
+    pages = [
+        render_span_html(i, sp) for i, sp in zip(ids, batch["spans"].to_pylist())
+    ]
+    payload = build_warc_from_pages(ids, pages)
+    return pa.table(
+        {
+            "warc_id": pa.array([ids[0]], type=pa.string()),
+            "payload": pa.array([payload], type=pa.large_binary()),
+        }
+    )
+
+
+class WarcSpanExtractor:
+    """Actor-pool stage: WARC walk -> HTTP decode -> DOM span-sequence
+    recovery. One output row per content span, same flat schema (and
+    oracle) as the flagship ``extract_spans``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_ray.stages.html import extract_spans_from_html
+
+        doc_ids, kinds, texts, refs, offsets = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            for rec_type, _rec_headers, body in parse_warc(payload):
+                if rec_type != "response":
+                    continue
+                status, headers, entity = parse_http_response(body)
+                if status != 200:
+                    continue
+                doc_id = headers["X-Doc"]
+                spans = extract_spans_from_html(entity.decode("utf-8"))
+                for off, (kind, text, ref) in enumerate(spans):
+                    doc_ids.append(doc_id)
+                    kinds.append(kind)
+                    texts.append(text)
+                    refs.append(ref)
+                    offsets.append(off)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "kind": pa.array(kinds, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+                "media_ref": pa.array(refs, type=pa.string()),
+                "offset": pa.array(np.asarray(offsets, dtype=np.int32)),
+            }
+        )
 
 
 class WarcMainExtractor:

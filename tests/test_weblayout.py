@@ -313,6 +313,39 @@ def test_warc_record_walk_ignores_header_lookalike_bodies():
     assert [r[0] for r in recs] == ["warcinfo", "request", "response", "request", "response"]
 
 
+def test_warc_span_archive_round_trip():
+    import random
+
+    from ocr_ray.corpus import doc_id_str, synthesize_doc
+    from ocr_ray.stages.html import extract_spans_from_html, render_span_html
+    from ocr_ray.stages.warc import (
+        build_warc_from_pages,
+        parse_http_response,
+        parse_warc,
+    )
+
+    keys, pages, exp = [], [], {}
+    for d, nwords in [(0, 13), (3, 30), (7, 8), (14, 8)]:
+        text = " ".join(f"w{d}x{i}" for i in range(nwords))
+        spans = synthesize_doc(d, text, glyphs=False)
+        exp[doc_id_str(d)] = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in spans
+            if s["kind"] != "boilerplate"
+        ]
+        shuffled = spans[:]
+        random.Random(d).shuffle(shuffled)
+        keys.append(doc_id_str(d))
+        pages.append(render_span_html(doc_id_str(d), shuffled))
+    got = {}
+    for rec_type, _, body in parse_warc(build_warc_from_pages(keys, pages)):
+        if rec_type != "response":
+            continue
+        _, headers, entity = parse_http_response(body)
+        got[headers["X-Doc"]] = extract_spans_from_html(entity.decode())
+    assert got == exp
+
+
 def test_warc_framing_violations_raise():
     from ocr_ray.stages.warc import build_warc, parse_warc
 
