@@ -178,3 +178,38 @@ def _ensure_builtins() -> None:
     from ocr_ray.functions.relational import bucketed_aggregate
 
     stage("bucketed_aggregate", kind="shuffle")(bucketed_aggregate)
+
+    # Web/layout extraction legs (north-rule surfaces): fixture attach +
+    # parser stages, so spec-driven pipelines can compose e.g.
+    # attach_span_warc -> extract_warc_spans without Python code.
+    from ocr_ray.stages.html import (
+        HtmlMainExtractor,
+        HtmlSpanExtractor,
+        attach_html_payloads,
+        attach_span_html_payloads,
+    )
+    from ocr_ray.stages.pdf import (
+        PdfSpanExtractor,
+        PdfTextExtractor,
+        attach_pdf_payloads,
+        attach_span_pdf_payloads,
+    )
+    from ocr_ray.stages.warc import (
+        WarcMainExtractor,
+        WarcSpanExtractor,
+        attach_span_warc_payloads,
+        attach_warc_payloads,
+    )
+
+    stage("attach_html")(attach_html_payloads)
+    stage("attach_span_html")(attach_span_html_payloads)
+    stage("attach_pdf")(attach_pdf_payloads)
+    stage("attach_span_pdf")(attach_span_pdf_payloads)
+    stage("attach_warc")(attach_warc_payloads)
+    stage("attach_span_warc")(attach_span_warc_payloads)
+    stage("extract_html_main", stateful=True)(HtmlMainExtractor)
+    stage("extract_html_spans", stateful=True)(HtmlSpanExtractor)
+    stage("extract_pdf_text", stateful=True)(PdfTextExtractor)
+    stage("extract_pdf_spans", stateful=True)(PdfSpanExtractor)
+    stage("extract_warc_main", stateful=True)(WarcMainExtractor)
+    stage("extract_warc_spans", stateful=True)(WarcSpanExtractor)

@@ -192,3 +192,35 @@ def test_normalize_spec_rejects_non_mapping():
         _normalize_spec(None)
     with _pytest.raises(ValueError, match="mapping"):
         _normalize_spec({"pipeline": None})
+
+
+def test_weblayout_stages_compose_via_spec(sf_smoke, ray_session):
+    """The web/layout legs are first-class registry stages: a YAML-shaped
+    spec (attach_span_warc -> extract_warc_spans) must reproduce the
+    direct query pipeline's span rows exactly."""
+    import pandas as pd
+
+    corpus = ensure_corpus(sf_smoke, glyphs=False)
+    spec = _spec(
+        corpus,
+        stages=[
+            {"name": "attach_span_warc", "batch_size": 64},
+            {"name": "extract_warc_spans", "concurrency": 2, "batch_size": 4},
+        ],
+    )
+    built = build_pipeline(spec).to_pandas()
+    from ocr_ray.stages.warc import WarcSpanExtractor, attach_span_warc_payloads
+
+    direct = (
+        read_documents(corpus)
+        .map_batches(attach_span_warc_payloads, batch_format="pyarrow", batch_size=64)
+        .map_batches(
+            WarcSpanExtractor, batch_format="pyarrow", batch_size=4, concurrency=2
+        )
+        .to_pandas()
+    )
+    cols = ["doc_id", "offset", "kind", "text", "media_ref"]
+    a = built[cols].sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    b = direct[cols].sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
