@@ -211,7 +211,12 @@ def encode_adpcm_wav(
     body = b"WAVE"
     body += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     body += b"fact" + len(fact).to_bytes(4, "little") + fact
+    # RIFF word alignment: an odd-sized chunk is followed by a zero pad
+    # byte (excluded from the chunk size, included in the RIFF size) —
+    # the walker in parse_adpcm_blocks already skips it (sz & 1).
     body += b"data" + len(block).to_bytes(4, "little") + block
+    if len(block) & 1:
+        body += b"\x00"
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 

@@ -279,15 +279,27 @@ def tokenize_html(html: str):
             continue
         attr_start = j
         quote = ""
+        # A quote only opens a quoted value in *value position* (right
+        # after "=", spec: before-attribute-value state). A quote inside
+        # an unquoted value (title=don't) is literal data — treating it
+        # as an opener would swallow the rest of the document as one tag.
+        value_pos = False
         while j < n:
             ch = html[j]
             if quote:
                 if ch == quote:
                     quote = ""
+            elif ch == "=":
+                value_pos = True
             elif ch in "\"'":
-                quote = ch
+                if value_pos:
+                    quote = ch
+                value_pos = False
             elif ch == ">":
                 break
+            elif value_pos and ch not in " \t\r\n\f":
+                # Unquoted value started; leave value position.
+                value_pos = False
             j += 1
         self_closing = j > lt and html[j - 1] == "/"
         pos = j + 1 if j < n else n

@@ -180,10 +180,14 @@ def _quantize(coefs: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray) -> bytes:
-    """(h, w) uint8 grayscale -> baseline sequential JPEG bytes. Dims must
-    be multiples of 8 (the fixture path; a general encoder would pad)."""
+    """(h, w) uint8 grayscale -> baseline sequential JPEG bytes. Any dims:
+    SOF0 declares the true (h, w); the sample grid is padded to full 8x8
+    MCUs by edge replication per T.81 (the decoder crops back)."""
     h, w = img.shape
-    assert img.dtype == np.uint8 and h % 8 == 0 and w % 8 == 0, (img.shape, img.dtype)
+    assert img.dtype == np.uint8 and h > 0 and w > 0, (img.shape, img.dtype)
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    if pad_h or pad_w:
+        img = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -205,8 +209,9 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     bw = _BitWriter()
     pred = 0
     shifted = img.astype(np.float64) - 128.0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    ph, pw = img.shape  # padded MCU grid; SOF0 above declares the true dims
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
             block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             zz = _quantize(_M @ block @ _M.T).reshape(-1)[ZIGZAG]
             # DC: differential + category bits
@@ -330,8 +335,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 return sym
         raise ValueError("invalid Huffman code in entropy data")
 
-    bh, bw_ = h // 8, w // 8
-    img = np.empty((h, w), dtype=np.uint8)
+    # Decode the full MCU grid (ceil division: partial MCUs at the right/
+    # bottom edges are whole 8x8 blocks in the entropy data, T.81 A.2.1),
+    # then crop to the SOF-declared dims.
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    img = np.empty((bh * 8, bw_ * 8), dtype=np.uint8)
     pred = 0
     for by in range(bh):
         for bx in range(bw_):
@@ -360,7 +368,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                 np.round(block + 128.0), 0, 255
             ).astype(np.uint8)
-    return img
+    return img[:h, :w]
 
 
 # ---------------------------------------------------------------------------

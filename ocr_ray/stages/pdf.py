@@ -57,14 +57,19 @@ Y_TOP, LEADING = 720.0, 14.0
 def _escape_literal(s: str, d: int, base_i: int) -> str:
     """PDF literal-string escape; additionally octal-escape the first
     character of words whose global index i satisfies (d+i) % 7 == 0,
-    so real payloads exercise the \\ddd decode path."""
+    so real payloads exercise the \\ddd decode path.
+
+    Text outside latin-1 is carried as UTF-8 bytes at the stream layer
+    (the content stream is encoded UTF-8, see the ``zlib.compress``
+    call sites); the octal-escape rotation only applies to ASCII word
+    heads, where \\ddd denotes the byte directly."""
     words = s.split(" ")
     out = []
     for j, w in enumerate(words):
         esc = w.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         if w and (d + base_i + j) % 7 == 0:
             first = w[0]
-            if first not in "\\()":
+            if first not in "\\()" and ord(first) < 0x80:
                 esc = f"\\{ord(first):03o}" + esc[1:]
         out.append(esc)
     return " ".join(out)
@@ -73,7 +78,7 @@ def _escape_literal(s: str, d: int, base_i: int) -> str:
 def _chunk_ops(text: str, d: int, g: int, base_i: int) -> str:
     """One text-showing op for a chunk, rotating across the string forms."""
     if (d + g) % 3 == 0:
-        return f"<{text.encode('latin-1').hex()}> Tj"
+        return f"<{text.encode('utf-8').hex()}> Tj"
     words = text.split(" ")
     if (d + g) % 4 == 0 and len(words) >= 2:
         a = _escape_literal(words[0] + " ", d, base_i)
@@ -157,7 +162,7 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
                 ops.append(f"1 0 0 1 {X_LEFT:g} {y:g} Tm")
                 ops.append(_chunk_ops(left, d, g, base))
         ops.append("ET")
-        stream = zlib.compress("\n".join(ops).encode("latin-1"), 6)
+        stream = zlib.compress("\n".join(ops).encode("utf-8"), 6)
         objs[4 + 2 * p] = (
             f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
             + stream
@@ -203,16 +208,23 @@ def _parse_literal_string(buf: bytes, pos: int) -> tuple[str, int]:
                 out += b"\f"
             elif e in (b"(", b")", b"\\"):
                 out += e
-            elif e.isdigit():
+            elif e and e in b"01234567":
+                # Octal escapes are 1-3 OCTAL digits (PDF 32000 §7.3.4.2);
+                # \8 and \9 are not octal and fall to the drop-the-backslash
+                # rule below, and digit gathering must stop at 8/9.
                 oct_digits = e
-                while len(oct_digits) < 3 and buf[pos + 1 : pos + 2].isdigit():
+                while (
+                    len(oct_digits) < 3
+                    and (nxt := buf[pos + 1 : pos + 2])
+                    and nxt in b"01234567"
+                ):
                     pos += 1
-                    oct_digits += buf[pos : pos + 1]
+                    oct_digits += nxt
                 out.append(int(oct_digits, 8) & 0xFF)
             elif e in (b"\n", b"\r"):
                 pass  # line continuation
             else:
-                out += e
+                out += e  # backslash before a non-escape char is dropped
             pos += 1
             continue
         if c == 0x28:
@@ -220,10 +232,20 @@ def _parse_literal_string(buf: bytes, pos: int) -> tuple[str, int]:
         elif c == 0x29:
             depth -= 1
             if depth == 0:
-                return out.decode("latin-1"), pos + 1
+                return _decode_text_bytes(out), pos + 1
         out.append(c)
         pos += 1
     raise ValueError("unterminated literal string")
+
+
+def _decode_text_bytes(raw: bytes | bytearray) -> str:
+    """String bytes -> text: UTF-8 (the in-repo writer's encoding; ASCII
+    PDFs are unaffected) with a latin-1 fallback for foreign byte
+    strings that are not valid UTF-8."""
+    try:
+        return bytes(raw).decode("utf-8")
+    except UnicodeDecodeError:
+        return bytes(raw).decode("latin-1")
 
 
 def _parse_hex_string(buf: bytes, pos: int) -> tuple[str, int]:
@@ -231,7 +253,7 @@ def _parse_hex_string(buf: bytes, pos: int) -> tuple[str, int]:
     hexes = bytes(buf[pos + 1 : end]).translate(None, b" \t\r\n")
     if len(hexes) % 2:
         hexes += b"0"
-    return bytes.fromhex(hexes.decode("ascii")).decode("latin-1"), end + 1
+    return _decode_text_bytes(bytes.fromhex(hexes.decode("ascii"))), end + 1
 
 
 class _ObjParser:
@@ -328,6 +350,8 @@ class PdfDocument:
         if sx < 0:
             raise ValueError("missing startxref")
         m = re.search(rb"startxref\s+(\d+)", buf[sx:])
+        if not m:
+            raise ValueError("malformed startxref (no offset digits)")
         xref_pos = int(m.group(1))
         if not buf.startswith(b"xref", xref_pos):
             raise ValueError("xref table not at startxref offset")
@@ -520,7 +544,7 @@ def encode_span_pdf(doc_id_s: str, spans: list[dict]) -> bytes:
         ops.append(f"(page {p + 1}) Tj")
         ops.append("ET")
 
-        stream = zlib.compress("\n".join(ops).encode("latin-1"), 6)
+        stream = zlib.compress("\n".join(ops).encode("utf-8"), 6)
         objs[next_id] = (
             f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
             + stream

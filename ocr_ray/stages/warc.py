@@ -71,24 +71,11 @@ def _chunk_body(body: bytes) -> bytes:
 
 def http_response_for_doc(doc_id: int, text: str) -> bytes:
     """Document -> a real HTTP/1.1 response message carrying its rendered
-    HTML page, with gzip/chunked shapes rotated by doc_id."""
+    HTML page, with gzip/chunked shapes rotated by doc_id. For a
+    non-negative integer id, the digits of ``str(d)`` ARE ``d``, so this
+    is exactly the page-keyed builder with key = str(d) and rot = d."""
     d = int(doc_id)
-    body = render_html(d, text).encode("utf-8")
-    headers = [
-        ("Content-Type", "text/html; charset=utf-8"),
-        ("X-Doc", str(d)),
-    ]
-    if d % 2 == 1:
-        body = gzip.compress(body, compresslevel=6, mtime=0)
-        headers.append(("Content-Encoding", "gzip"))
-    if d % 3 == 0:
-        body = _chunk_body(body)
-        headers.append(("Transfer-Encoding", "chunked"))
-    else:
-        headers.append(("Content-Length", str(len(body))))
-    head = b"HTTP/1.1 200 OK" + CRLF
-    head += CRLF.join(f"{k}: {v}".encode() for k, v in headers) + CRLF + CRLF
-    return head + body
+    return _http_response_for_page(str(d), render_html(d, text), d)
 
 
 def _http_response_for_page(key: str, html: str, rot: int) -> bytes:
@@ -159,46 +146,14 @@ def build_warc_from_pages(keys: list[str], pages: list[str]) -> bytes:
 
 def build_warc(doc_ids: list[int], texts: list[str]) -> bytes:
     """One WARC/1.0 file holding a warcinfo record plus a (request,
-    response) pair per document. Bodies of the non-response records are
-    header-lookalike traps: a delimiter-scanning parser mis-frames."""
-    out = bytearray()
-    info_body = (
-        b"software: ocr-ray\r\n"
-        b"WARC/1.0 trap line that is not a record header\r\n\r\n"
-        b"WARC-Type: response trap\r\nContent-Length: 99999 trap\r\n"
+    response) pair per document. Byte-identical to the page-keyed
+    builder with key = str(d) (non-negative ids: digit-rot == d), page =
+    the document's rendered HTML — one builder, one rotation law."""
+    ids = [int(d) for d in doc_ids]
+    return build_warc_from_pages(
+        [str(d) for d in ids],
+        [render_html(d, t) for d, t in zip(ids, texts)],
     )
-    out += _warc_record(
-        "warcinfo",
-        [("WARC-Record-ID", "<urn:ocr-ray:warcinfo>"), ("WARC-Date", WARC_DATE)],
-        info_body,
-    )
-    for d, text in zip(doc_ids, texts):
-        d = int(d)
-        req = (
-            f"GET /doc/{d} HTTP/1.1\r\nHost: example.org\r\n"
-            f"X-Trap: WARC/1.0\r\n\r\n"
-        ).encode()
-        out += _warc_record(
-            "request",
-            [
-                ("WARC-Record-ID", f"<urn:ocr-ray:req:{d}>"),
-                ("WARC-Date", WARC_DATE),
-                ("WARC-Target-URI", f"http://example.org/doc/{d}"),
-                ("Content-Type", "application/http;msgtype=request"),
-            ],
-            req,
-        )
-        out += _warc_record(
-            "response",
-            [
-                ("WARC-Record-ID", f"<urn:ocr-ray:resp:{d}>"),
-                ("WARC-Date", WARC_DATE),
-                ("WARC-Target-URI", f"http://example.org/doc/{d}"),
-                ("Content-Type", "application/http;msgtype=response"),
-            ],
-            http_response_for_doc(d, text),
-        )
-    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

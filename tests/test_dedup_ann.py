@@ -462,3 +462,27 @@ def test_jpeg_codec_roundtrip():
     buf[sof + 1] = 0xC2  # progressive SOF marker
     with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
+
+
+def test_jpeg_partial_mcu_dims():
+    """Non-multiple-of-8 dims (review regression): SOF declares the true
+    size, the entropy data holds whole edge MCUs (edge-replicated on
+    encode), and the decoder crops — never returns uninitialized memory.
+    Block-constant content stays EXACT because edge replication keeps
+    every padded MCU constant."""
+    from ocr_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    for h, w in ((12, 16), (16, 12), (1, 1), (9, 23), (8, 10)):
+        img = np.full((h, w), 77, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (h, w)
+        assert np.array_equal(dec, img), (h, w)
+
+    # arbitrary content at odd dims: deterministic decode, bounded error
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    buf = encode_jpeg(img)
+    d1, d2 = decode_jpeg(buf), decode_jpeg(buf)
+    assert np.array_equal(d1, d2)
+    assert d1.shape == (13, 21)
+    assert int(np.abs(d1.astype(int) - img.astype(int)).max()) <= 64

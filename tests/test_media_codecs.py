@@ -285,3 +285,26 @@ def test_adpcm_multi_block_round_trip():
     one = encode_adpcm_wav(s)
     assert len(parse_adpcm_blocks(one)[0]) == 1
     assert len(decode_adpcm_wav(one)[0]) == 100
+
+
+def test_adpcm_odd_data_chunk_gets_riff_pad_byte():
+    """Review regression: an odd-sized data chunk must be followed by the
+    RIFF pad byte (excluded from the chunk size, included in the RIFF
+    size), so strict consumers and any chunk appended later stay
+    word-aligned. Decode is unaffected."""
+    rng = np.random.default_rng(5)
+    samples = (rng.integers(-2000, 2000, size=13)).astype(np.int16)
+    # spb=6 -> block_align 4 + 3 = 7 (odd); 3 blocks -> odd data chunk
+    buf = encode_adpcm_wav(samples, samples_per_block=6)
+    di = buf.index(b"data")
+    sz = int.from_bytes(buf[di + 4 : di + 8], "little")
+    assert sz % 2 == 1  # the premise: an odd data chunk
+    assert buf[di + 8 + sz :] == b"\x00"  # exactly one trailing pad byte
+    riff_sz = int.from_bytes(buf[4:8], "little")
+    assert riff_sz == len(buf) - 8  # RIFF size counts the pad
+    from ocr_ray.stages.adpcm import parse_adpcm_blocks
+
+    blocks, rate = parse_adpcm_blocks(buf)
+    assert sum(1 + len(c) for _, _, c in blocks) >= len(samples)
+    dec, _rate = decode_adpcm_wav(buf)
+    assert len(dec) == len(samples)

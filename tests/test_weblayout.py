@@ -409,3 +409,67 @@ def test_stages_round_trip_in_ray(ray_session):
             .sort_values("doc_id")
         )
         assert list(out["extracted_text"]) == texts
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review regressions: parser generality on foreign inputs
+# ---------------------------------------------------------------------------
+
+
+def test_unquoted_attr_value_with_apostrophe_does_not_swallow_document():
+    # A quote INSIDE an unquoted attribute value (title=don't) is literal
+    # data, not a quoted-value opener; before the fix the tokenizer
+    # swallowed the rest of the document as one tag (100% content loss).
+    html = (
+        "<body><p title=don't>five real content words here</p>"
+        "<p alt=it's>more good content words here</p></body>"
+    )
+    main, _, nc, _ = extract_main_text(html)
+    assert "five real content words here" in main
+    assert "more good content words here" in main
+    assert nc == 2
+
+
+def test_quote_arms_only_in_value_position():
+    # Quoted values (after =, with optional whitespace) still protect ">".
+    toks = list(tokenize_html("<a href = '/x>y' title=\"a > b\">link</a>"))
+    assert toks[0][:2] == ("start", "a")
+    assert toks[0][3]["href"] == "/x>y"
+    assert ("text", "link") in toks
+
+
+def test_pdf_roundtrip_full_unicode():
+    # em dash, curly quotes, accents, CJK — across all three string forms
+    # (hex / TJ / literal rotate with doc_id): the PDF layer carries UTF-8
+    # at the byte level and must round-trip any Python str.
+    text = "café men—u “quoted” 漢字 here four five six seven eight nine ten"
+    for d in range(6):  # hit every (d+g)%3 / %4 rotation
+        assert decode_pdf(encode_pdf(d, text))[0] == text
+
+
+def test_pdf_octal_escape_edge_cases():
+    # \8 and \9 are NOT octal: the backslash is dropped (PDF 32000
+    # §7.3.4.2); a short octal escape stops at the first non-octal digit.
+    assert _parse_literal_string(b"(a\\8b)", 0)[0] == "a8b"
+    assert _parse_literal_string(b"(a\\089b)", 0)[0] == "a\x0089b"
+    assert _parse_literal_string(b"(\\53)", 0)[0] == "+"  # short octal, 0o53
+    assert _parse_literal_string(b"(\\101bc)", 0)[0] == "Abc"
+
+
+def test_pdf_truncated_startxref_raises_value_error():
+    buf = encode_pdf(3, "some words here for a page")
+    cut = buf[: buf.rfind(b"startxref") + len(b"startxref")]
+    with pytest.raises(ValueError, match="startxref"):
+        PdfDocument(cut)
+
+
+def test_build_warc_is_the_page_builder_specialization():
+    # One builder, one rotation law: the int-id WARC is byte-identical to
+    # the page-keyed builder over rendered pages with key = str(d).
+    from ocr_ray.stages.warc import build_warc, build_warc_from_pages
+
+    ids = [0, 1, 2, 3, 6, 15]
+    texts = [" ".join(f"d{d}w{i}" for i in range(9)) for d in ids]
+    assert build_warc(ids, texts) == build_warc_from_pages(
+        [str(d) for d in ids], [render_html(d, t) for d, t in zip(ids, texts)]
+    )
