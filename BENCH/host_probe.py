@@ -32,12 +32,14 @@ def run(fn, nproc):
 if __name__ == "__main__":
     for name, fn in (("cpu", cpu_task), ("mem", mem_task)):
         rates = {}
-        for n in (8, 16, 32):
+        for n in (2, 4, 8, 16, 32):
             rates[n] = run(fn, n)
-        eff = rates[32] / (4 * rates[8])
         print(
-            f"{name}: tasks/s 8={rates[8]:.2f} 16={rates[16]:.2f} "
-            f"32={rates[32]:.2f}  eff_8to32={eff:.3f}"
+            f"{name}: tasks/s "
+            + " ".join(f"{n}={rates[n]:.2f}" for n in (2, 4, 8, 16, 32))
+            + f"  eff_2to8={rates[8] / (4 * rates[2]):.3f}"
+            + f" eff_4to16={rates[16] / (4 * rates[4]):.3f}"
+            + f" eff_8to32={rates[32] / (4 * rates[8]):.3f}"
         )
 
 # Provenance: round-3 host-capacity probe (see BENCH/BASELINE.md round 3).

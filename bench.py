@@ -231,6 +231,15 @@ def run_scaling() -> dict:
     # cached under /tmp) happens once, untimed.
     reps = int(os.environ.get("OCR_RAY_SCALING_REPS", "16384"))
     rounds = int(os.environ.get("OCR_RAY_SCALING_ROUNDS", "2"))
+    # N-and-4N CPU levels ("lo,hi", hi = 4*lo). 8,32 is the headline pair;
+    # 2,8 / 4,16 evidence the same 4x ratio at operating points where the
+    # shared box can actually SUPPLY 4x the resources (see the engine-free
+    # host probe in BENCH/BASELINE.md: at 8->32 the host's own
+    # trivially-parallel ceiling is ~0.78).
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("OCR_RAY_SCALING_LEVELS", "8,32").split(",")
+    )
+    assert hi_n == 4 * lo_n, (lo_n, hi_n)
 
     def one(ncpu: int) -> dict:
         env = dict(
@@ -257,22 +266,22 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for _ in range(rounds):
-        for ncpu in (32, 8):
+        for ncpu in (hi_n, lo_n):
             runs[ncpu].append(one(ncpu))
-    lo = min(runs[8], key=lambda r: r["value"])
-    hi = min(runs[32], key=lambda r: r["value"])
+    lo = min(runs[lo_n], key=lambda r: r["value"])
+    hi = min(runs[hi_n], key=lambda r: r["value"])
     eff = lo["value"] / (4 * hi["value"])
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
+        "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}",
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"docs_per_sec_{lo_n}": lo["docs_per_sec"],
+        f"docs_per_sec_{hi_n}": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "all_sec_8": [r["value"] for r in runs[8]],
-        "all_sec_32": [r["value"] for r in runs[32]],
+        f"all_sec_{lo_n}": [r["value"] for r in runs[lo_n]],
+        f"all_sec_{hi_n}": [r["value"] for r in runs[hi_n]],
         "docs": lo["docs"],
         "sf": SF_DIR,
     }
