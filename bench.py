@@ -105,6 +105,7 @@ QUERY_SET = [
     "extract_html_spans",
     "extract_pdf_spans",
     "extract_warc_spans",
+    "extract_mixed_spans",
 ]
 
 

@@ -161,6 +161,34 @@ def extract_warc_spans(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+@query("extract_mixed_spans", sql=_EXTRACT_SQL)
+def extract_mixed_spans(sf_dir: str) -> ray.data.Dataset:
+    """Format-HETEROGENEOUS extraction — the shape real crawl corpora
+    have: each interleaved-corpus document arrives as an HTML page, a
+    typeset PDF, or a single-document WARC archive (rotating by doc id),
+    with NO format column; ``MixedSpanExtractor`` detects the format
+    from the payload bytes (magic sniff: %PDF- / WARC/ / HTML fallback)
+    and routes each document through the matching parser stack inside
+    ONE actor-pool stage — no driver-side split, no multi-pass read.
+    Shares the flagship ``extract_spans`` oracle verbatim: all three
+    routes must reproduce the exact span sequence."""
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.sources import read_documents
+    from ocr_ray.stages.mixed import MixedSpanExtractor, attach_mixed_payloads
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    ds = read_documents(corpus)
+    with_payloads = ds.map_batches(
+        attach_mixed_payloads, batch_format="pyarrow", batch_size=128
+    )
+    return with_payloads.map_batches(
+        MixedSpanExtractor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_size(),
+    )
+
+
 _WARC_SQL = _NPARA_CTE + """
 SELECT doc_id, text AS extracted_text,
   CAST((5 + doc_id % 4) + n_para + (n_para // 3) + 5 AS BIGINT) AS n_blocks,

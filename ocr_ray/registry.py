@@ -213,3 +213,8 @@ def _ensure_builtins() -> None:
     stage("extract_pdf_spans", stateful=True)(PdfSpanExtractor)
     stage("extract_warc_main", stateful=True)(WarcMainExtractor)
     stage("extract_warc_spans", stateful=True)(WarcSpanExtractor)
+
+    from ocr_ray.stages.mixed import MixedSpanExtractor, attach_mixed_payloads
+
+    stage("attach_mixed")(attach_mixed_payloads)
+    stage("extract_mixed_spans", stateful=True)(MixedSpanExtractor)

@@ -473,3 +473,54 @@ def test_build_warc_is_the_page_builder_specialization():
     assert build_warc(ids, texts) == build_warc_from_pages(
         [str(d) for d in ids], [render_html(d, t) for d, t in zip(ids, texts)]
     )
+
+
+def test_mixed_format_detection_and_round_trip():
+    """The mixed-format leg: payloads carry no format column; detection
+    is content-based, and every route reproduces the same span sequence
+    as the direct single-format extractors."""
+    import random
+
+    from ocr_ray.corpus import doc_id_str, synthesize_doc
+    from ocr_ray.stages.html import extract_spans_from_html, render_span_html
+    from ocr_ray.stages.mixed import (
+        MixedSpanExtractor,
+        attach_mixed_payloads,
+        detect_payload_format,
+        mixed_format_for,
+    )
+
+    rng = random.Random(3)
+    ids, span_lists, expected = [], [], []
+    for d in range(9):  # covers all three formats three times
+        i = doc_id_str(d)
+        text = " ".join(f"w{d}x{k}" for k in range(11 + 9 * d))
+        spans = synthesize_doc(d, text, glyphs=False)
+        shuffled = spans[:]
+        rng.shuffle(shuffled)
+        ids.append(i)
+        span_lists.append(shuffled)
+        for off, (kind, stext, ref) in enumerate(
+            extract_spans_from_html(render_span_html(i, shuffled))
+        ):
+            expected.append((i, kind, stext, ref, off))
+
+    batch = pa.table({"doc_id": ids, "spans": span_lists})
+    with_payloads = attach_mixed_payloads(batch)
+    fmts = {
+        mixed_format_for(i): detect_payload_format(p)
+        for i, p in zip(ids, with_payloads["payload"].to_pylist())
+    }
+    assert fmts == {"html": "html", "pdf": "pdf", "warc": "warc"}
+
+    out = MixedSpanExtractor()(with_payloads)
+    got = list(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["kind"].to_pylist(),
+            out["text"].to_pylist(),
+            out["media_ref"].to_pylist(),
+            out["offset"].to_pylist(),
+        )
+    )
+    assert got == expected
