@@ -73,3 +73,43 @@ def test_span_pdf_round_trip_property(d, nwords, rng):
     random.Random(rng.random()).shuffle(shuffled)
     assert decode_span_pdf(encode_span_pdf(doc_id_str(d), shuffled)) == exp
     assert extract_spans_from_html(render_span_html(doc_id_str(d), shuffled)) == exp
+
+
+# Full-Unicode content (round-3 review regression): every leg must carry
+# text outside latin-1 — em/quote punctuation, accents, Greek/Cyrillic,
+# CJK — bit-exactly. (No Unicode-whitespace chars: the corpus contract is
+# single-space-separated words.)
+uword = st.text(
+    alphabet="abz19—…“”’€çéñüßøÆλΩКи漢字中à",
+    min_size=1,
+    max_size=8,
+).filter(lambda w: not w.isspace())
+unicode_text = st.lists(uword, min_size=4, max_size=80).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id, unicode_text)
+def test_html_round_trip_unicode(d, text):
+    main, _, _, _ = extract_main_text(render_html(d, text))
+    assert main == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id, unicode_text)
+def test_pdf_round_trip_unicode(d, text):
+    assert decode_pdf(encode_pdf(d, text))[0] == text
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(doc_id, unicode_text), min_size=1, max_size=4, unique_by=lambda t: t[0]))
+def test_warc_round_trip_unicode(docs):
+    ids = [d for d, _ in docs]
+    texts = {d: t for d, t in docs}
+    buf = build_warc(ids, [texts[d] for d in ids])
+    seen = {}
+    for rec_type, _, body in parse_warc(buf):
+        if rec_type != "response":
+            continue
+        status, headers, entity = parse_http_response(body)
+        seen[int(headers["X-Doc"])] = extract_main_text(entity.decode("utf-8"))[0]
+    assert seen == texts
