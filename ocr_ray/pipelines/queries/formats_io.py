@@ -1,0 +1,162 @@
+"""Interchange-format roundtrips: ORC, Arrow IPC, gzipped JSONL.
+
+Each query is a full write -> read -> aggregate pipeline through one of the
+``sources/formats.py`` sinks+sources: the table is exported block-parallel
+to the format under a fresh /tmp dir, read back through the distributed
+(per-stripe / per-batch-range / per-file) reader, and aggregated. The
+oracle aggregates the original parquet view directly — so ANY fidelity
+loss in the export or ingest (type coercion, float truncation, dropped
+rows, encoding corruption) breaks the value hash. This is the coverage a
+mixed-estate corpus needs: warehouse ORC exports, Arrow IPC handoffs,
+gzipped-JSONL crawler drops, all through the same streaming contract as
+the parquet path.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ocr_ray.functions.relational import to_units, units_to_double
+from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.sources import read_table
+from ocr_ray.sources.formats import (
+    read_ipc,
+    read_jsonl_gz,
+    read_orc,
+    write_ipc,
+    write_jsonl_gz,
+    write_orc,
+)
+
+
+def _roundtrip_dir(tag: str) -> str:
+    # fresh dir per call: concurrent runs never see each other's parts
+    return tempfile.mkdtemp(prefix=f"ocr_ray_{tag}_")
+
+
+_EVENTS_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(MIN(value) AS DOUBLE) AS min_value,
+  CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def _events_rollup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Shared post-roundtrip aggregate: exact integer-unit sums so the
+    result is bit-comparable to the DECIMAL oracle regardless of block
+    order."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "value_c": to_units(t["value"])}
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+            Min("value_c", alias_name="min_c"),
+            Max("value_c", alias_name="max_c"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": units_to_double(df["value_c"], 2),
+                "min_value": units_to_double(df["min_c"], 2),
+                "max_value": units_to_double(df["max_c"], 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query("orc_roundtrip_events", sql=_EVENTS_AGG_SQL)
+def orc_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
+    """events -> block-parallel ORC export -> per-STRIPE distributed
+    read-back -> rollup. Exercises ORC string/double/int64 fidelity and
+    the stripe-granular task fan-out (driver reads footers only)."""
+    src = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = _roundtrip_dir("orc")
+    try:
+        # materialize the manifest = wait for every part file to land
+        n = write_orc(src, out).sum("rows")
+        assert n and n > 0
+        return _events_rollup(read_orc(out)).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("jsonl_gz_roundtrip_events", sql=_EVENTS_AGG_SQL)
+def jsonl_gz_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
+    """events -> block-parallel gzipped-JSONL export -> per-file
+    distributed ingest (Arrow gzip stream codec inside read tasks) ->
+    rollup. JSON is the lossiest leg here (text floats): the bit-exact
+    oracle proves 2-decimal doubles survive serialize/parse."""
+    src = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = _roundtrip_dir("jgz")
+    try:
+        n = write_jsonl_gz(src, out).sum("rows")
+        assert n and n > 0
+        return _events_rollup(read_jsonl_gz(out)).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "ipc_roundtrip_documents",
+    sql="""
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(n_chars) AS sum_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+""",
+)
+def ipc_roundtrip_documents(sf_dir: str) -> ray.data.Dataset:
+    """documents -> block-parallel Arrow-IPC export -> batch-range
+    distributed read-back (zero-copy mmap) -> per-language rollup, with
+    column pruning pushed into the IPC projection (text is written but
+    never read back)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    src = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    out = _roundtrip_dir("ipc")
+    try:
+        n = write_ipc(src, out).sum("rows")
+        assert n and n > 0
+        back = read_ipc(out, columns=["doc_id", "lang", "n_chars"])
+        agg = back.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "n_docs": df["n_docs"].astype(np.int64),
+                    "sum_chars": df["sum_chars"].astype(np.int64),
+                    "min_doc": df["min_doc"].astype(np.int64),
+                    "max_doc": df["max_doc"].astype(np.int64),
+                }
+            )
+
+        return agg.map_batches(finalize, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,3 +1,11 @@
+from ocr_ray.sources.formats import (  # noqa: F401
+    read_ipc,
+    read_jsonl_gz,
+    read_orc,
+    write_ipc,
+    write_jsonl_gz,
+    write_orc,
+)
 from ocr_ray.sources.readers import (  # noqa: F401
     read_any,
     read_documents,

@@ -74,12 +74,24 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
 
 
 def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Format-dispatched reader: parquet / lance / csv / json(l) by
-    extension (directory -> parquet/lance detection via ``read_documents``).
-    Column pruning is pushed into the scan where the format supports it;
-    CSV/JSONL prune right after parse (still before any shuffle)."""
+    """Format-dispatched reader: parquet / lance / orc / arrow-ipc / csv /
+    json(l) / json(l).gz by extension (directory -> parquet/lance detection
+    via ``read_documents``). Column pruning is pushed into the scan where
+    the format supports it (parquet/lance/orc/ipc); CSV/JSONL prune right
+    after parse (still before any shuffle)."""
+    from ocr_ray.sources import formats
+
     p = Path(path)
     suffix = p.suffix.lower()
+    if suffix == ".gz":
+        inner = Path(p.stem).suffix.lower()
+        if inner in (".json", ".jsonl"):
+            return formats.read_jsonl_gz(path, columns=columns)
+        raise ValueError(f"read_any: unsupported compressed format {path}")
+    if suffix == ".orc":
+        return formats.read_orc(path, columns=columns)
+    if suffix in (".arrow", ".ipc", ".feather"):
+        return formats.read_ipc(path, columns=columns)
     if suffix in (".csv",):
         ds = ray.data.read_csv(path, **kwargs)
     elif suffix in (".json", ".jsonl"):

@@ -133,3 +133,122 @@ def test_read_parquet_evolved_promotes_and_null_fills(tmp_path, ray_session):
         read_parquet_evolved(str(tmp_path / "nothing_here"))
     with pytest.raises(ValueError, match="exist in no file"):
         read_parquet_evolved(str(tmp_path / "corpus"), columns=["typo"])
+
+
+# --------------------------------------------------------------------------
+# Interchange formats (ORC / Arrow IPC / gzipped JSONL)
+# --------------------------------------------------------------------------
+
+
+def _mixed_table(n: int = 20, seed: int = 0) -> pa.Table:
+    ids = np.arange(seed, seed + n, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array([f"row {j} é漢" for j in ids], type=pa.string()),
+            "score": pa.array((ids * 0.25 + 0.01).astype(np.float64)),
+        }
+    )
+
+
+def test_orc_roundtrip_multistripe(ray_session, tmp_path):
+    """Multi-stripe ORC files fan out one task per stripe and reassemble
+    every row; column pruning survives the stripe read."""
+    import pyarrow.orc as orc
+
+    from ocr_ray.sources.formats import read_orc, write_orc
+
+    p = tmp_path / "orc_in"
+    p.mkdir()
+    # force several stripes in one file: the writer only cuts a stripe
+    # once enough raw bytes accumulate, so pad the text column
+    big = _mixed_table(20000)
+    big = big.set_column(1, "text", pa.array([f"row {j} é漢" + "x" * 60 for j in range(20000)]))
+    orc.write_table(big, str(p / "a.orc"), stripe_size=65536)
+    orc.write_table(_mixed_table(50, seed=1000000), str(p / "b.orc"))
+    assert orc.ORCFile(str(p / "a.orc")).nstripes > 1
+
+    df = read_orc(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 20050
+    assert df["doc_id"].tolist() == list(range(20000)) + list(range(1000000, 1000050))
+    assert df.loc[0, "text"] == "row 0 é漢" + "x" * 60
+
+    pruned = read_orc(str(p), columns=["doc_id"]).to_pandas()
+    assert set(pruned.columns) == {"doc_id"}
+
+    # sink: one part per block, manifest rows sum to input rows
+    out = tmp_path / "orc_out"
+    import ray.data
+
+    man = write_orc(ray.data.from_arrow(_mixed_table(40)), str(out)).to_pandas()
+    assert man["rows"].sum() == 40
+    back = read_orc(str(out)).to_pandas().sort_values("doc_id")
+    assert back["score"].tolist() == _mixed_table(40)["score"].to_pylist()
+
+
+def test_ipc_roundtrip_batch_ranges(ray_session, tmp_path):
+    """Arrow IPC files with many record batches read back via batch-range
+    tasks; projection drops unread columns."""
+    from ocr_ray.sources.formats import read_ipc, write_ipc
+
+    p = tmp_path / "ipc_in"
+    p.mkdir()
+    t = _mixed_table(200)
+    with pa.OSFile(str(p / "a.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, t.schema) as wr:
+            for lo in range(0, 200, 10):  # 20 record batches -> 3 range tasks
+                wr.write_table(t.slice(lo, 10))
+
+    df = read_ipc(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 200
+    assert df["text"].iloc[199] == "row 199 é漢"
+
+    pruned = read_ipc(str(p), columns=["score"]).to_pandas()
+    assert set(pruned.columns) == {"score"}
+
+    import ray.data
+
+    out = tmp_path / "ipc_out"
+    man = write_ipc(ray.data.from_arrow(t), str(out)).to_pandas()
+    assert man["rows"].sum() == 200
+    assert len(read_ipc(str(out)).to_pandas()) == 200
+
+
+def test_jsonl_gz_roundtrip_and_dispatch(ray_session, tmp_path):
+    """Gzipped JSONL: block-parallel sink -> per-file gzip-codec ingest,
+    unicode and float fidelity, and read_any dispatch on .jsonl.gz."""
+    import ray.data
+
+    from ocr_ray.sources.formats import read_jsonl_gz, write_jsonl_gz
+    from ocr_ray.sources.readers import read_any
+
+    t = _mixed_table(60)
+    out = tmp_path / "jgz"
+    man = write_jsonl_gz(ray.data.from_arrow(t), str(out)).to_pandas()
+    assert man["rows"].sum() == 60
+
+    df = read_jsonl_gz(str(out)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 60
+    assert df["text"].iloc[5] == "row 5 é漢"
+    assert df["score"].tolist() == t["score"].to_pylist()
+
+    one = sorted(out.iterdir())[0]
+    via_any = read_any(str(one), columns=["doc_id", "score"]).to_pandas()
+    assert set(via_any.columns) == {"doc_id", "score"}
+
+
+def test_read_any_dispatch_orc_ipc(ray_session, tmp_path):
+    import pyarrow.orc as orc
+
+    from ocr_ray.sources.readers import read_any
+
+    t = _mixed_table(10)
+    orc.write_table(t, str(tmp_path / "t.orc"))
+    with pa.OSFile(str(tmp_path / "t.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, t.schema) as wr:
+            wr.write_table(t)
+
+    assert len(read_any(str(tmp_path / "t.orc")).to_pandas()) == 10
+    assert len(read_any(str(tmp_path / "t.arrow")).to_pandas()) == 10
+    with pytest.raises(ValueError, match="unsupported compressed"):
+        read_any(str(tmp_path / "t.csv.gz"))
