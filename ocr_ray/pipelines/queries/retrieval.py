@@ -303,6 +303,45 @@ def media_png_features(sf_dir: str) -> ray.data.Dataset:
     return _media_codec_pipeline(sf_dir, attach_png_payloads, PngDecoder)
 
 
+_GIF_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 15)) AS x),
+py AS (SELECT unnest(generate_series(0, 7)) AS y),
+vals AS (
+  SELECT d, m, (m * 41 + 23 + 17 * py.y + 5 * px.x) % 256 AS val
+  FROM media CROSS JOIN px CROSS JOIN py
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+  CAST(SUM(val) AS DOUBLE) / 128.0 AS mean_gray,
+  CAST((m * 41 + 23) % 256 AS BIGINT) AS first_px,
+  CAST((m * 41 + 217) % 256 AS BIGINT) AS last_px
+FROM vals GROUP BY d, m
+"""
+
+
+@query("media_gif_features", sql=_GIF_SQL)
+def media_gif_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL compressed-image decode path #3: media spans get genuine
+    GIF87a payloads (256-entry grayscale color table, from-scratch LZW
+    with variable 9..12-bit codes, CLEAR/EOI, dictionary reset, 255-byte
+    sub-block framing — ``stages/gif.py``) and the ``GifDecoder`` actor
+    stage runs a full decode: header/screen-descriptor parse, color-table
+    load, sub-block reassembly, LZW decode (incl. the KwKwK case),
+    palette lookup. GIF is lossless over the paletted fixture, so the
+    decoded stats are oracle-checked bit-exact — a bit-packing,
+    dictionary-growth, or framing bug fails the hash."""
+    from ocr_ray.stages.gif import GifDecoder, attach_gif_payloads
+
+    return _media_codec_pipeline(sf_dir, attach_gif_payloads, GifDecoder)
+
+
 _JPEG_SQL = """
 WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
 w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),

@@ -308,3 +308,88 @@ def test_adpcm_odd_data_chunk_gets_riff_pad_byte():
     assert sum(1 + len(c) for _, _, c in blocks) >= len(samples)
     dec, _rate = decode_adpcm_wav(buf)
     assert len(dec) == len(samples)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a / LZW
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_fixture_and_random():
+    from ocr_ray.stages.gif import decode_gif, encode_gif, gif_image
+
+    for m in (0, 1, 7, 123, 9972):
+        img = gif_image(m)
+        rgb = decode_gif(encode_gif(img))
+        assert rgb.shape == (img.shape[0], img.shape[1], 3)
+        assert (rgb == img[:, :, None]).all()
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, (120, 250), dtype=np.uint8)
+    assert (decode_gif(encode_gif(big))[:, :, 1] == big).all()
+
+
+def test_gif_lzw_width_growth_and_dict_reset():
+    """Random bytes force the code width through 9->12 bits and past the
+    4096-entry CLEAR/reset; runs exercise long dictionary chains and the
+    KwKwK decode case (aaaa... emits codes not yet in the table)."""
+    from ocr_ray.stages.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(noise), 8, len(noise)) == noise
+    runs = b"a" * 5000 + b"abcd" * 8000 + bytes(range(256)) * 40
+    assert _lzw_decode(_lzw_encode(runs), 8, len(runs)) == runs
+    assert _lzw_decode(_lzw_encode(b"aaaaaaa"), 8, 7) == b"aaaaaaa"
+
+
+def test_gif_decoder_rejects_corruption():
+    from ocr_ray.stages.gif import decode_gif, encode_gif, gif_image
+
+    buf = bytearray(encode_gif(gif_image(5)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + bytes(buf[6:]))
+    # truncate the LZW stream inside the first sub-block
+    with pytest.raises(ValueError):
+        decode_gif(bytes(buf[: 13 + 768 + 10 + 1 + 3]))
+    # flip the interlace bit in the image descriptor packed byte
+    tampered = bytearray(buf)
+    tampered[13 + 768 + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(tampered))
+
+
+def test_gif_skips_extension_blocks():
+    """GIF89a files carry extension blocks before the image; the decoder
+    walks them (label + sub-blocks) instead of choking."""
+    from ocr_ray.stages.gif import decode_gif, encode_gif, gif_image
+
+    img = gif_image(9)
+    buf = bytearray(encode_gif(img))
+    # splice a graphic-control extension after the color table
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    at = 13 + 768
+    spliced = bytes(buf[:at]) + ext + bytes(buf[at:])
+    assert (decode_gif(spliced)[:, :, 0] == img).all()
+
+
+def test_gif_attach_payloads_schema():
+    import pyarrow as pa
+
+    from ocr_ray.stages.gif import GifDecoder, attach_gif_payloads
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["doc-00000001", "doc-00000002"]),
+            "media_ref": pa.array(["m-17", "m-4242"]),
+        }
+    )
+    with_payload = attach_gif_payloads(batch)
+    assert with_payload["media_kind"].to_pylist() == ["image/gif"] * 2
+    out = GifDecoder()(with_payload)
+    assert out["width"].to_pylist() == [16, 16]
+    assert out["height"].to_pylist() == [8, 8]
+    from ocr_ray.stages.gif import gif_image
+
+    g = gif_image(17)
+    assert out["mean_gray"][0].as_py() == g.sum() / 128.0
+    assert out["first_px"].to_pylist() == [int(gif_image(17)[0, 0]), int(gif_image(4242)[0, 0])]
