@@ -228,6 +228,81 @@ def mixture_sample_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 @query(
+    "weighted_sample_docs",
+    sql="""
+WITH h0 AS (SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS x FROM documents),
+h1 AS (SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT doc_id, n_chars, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT doc_id, n_chars, CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT doc_id, n_chars, xor(x, x >> 31) AS mx FROM h4)
+SELECT doc_id, n_chars,
+  CAST(n_chars AS DOUBLE) / CAST((mx >> 1) + 1 AS DOUBLE) AS priority
+FROM h5
+ORDER BY priority DESC, doc_id LIMIT 64
+""",
+)
+def weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each doc gets priority ``w / u`` with weight
+    ``w = n_chars`` and ``u = splitmix64(doc_id)`` mapped into (0, 2^63];
+    the k largest priorities are the sample. Deterministic (u depends only
+    on doc_id, so membership is reproducible across reruns and resumable
+    shards) and bit-exact against SQL because priority uses only integer
+    arithmetic plus ONE IEEE double division — division is correctly
+    rounded everywhere, unlike pow/log, so the A-ES exponential-key
+    formulation was rejected for the oracle's sake.
+
+    Distributed shape: embarrassingly-parallel per-block priority compute
+    + per-block partial top-k, then a tiny global sort/limit over <=
+    64*blocks candidate rows — no shuffle of the corpus."""
+    import pandas as pd
+
+    from ocr_ray.functions.hashing import mix64
+
+    k = 64
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = mix64(ids.astype(np.uint64))
+        denom = (mx >> np.uint64(1)) + np.uint64(1)  # (0, 2^63], never 0
+        prio = w.astype(np.float64) / denom.astype(np.float64)
+        if len(prio) > k:
+            # argpartition for the k largest, exact order fixed later
+            keep = np.argpartition(-prio, k - 1)[:k]
+        else:
+            keep = np.arange(len(prio))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_chars": pa.array(w[keep]),
+                "priority": pa.array(prio[keep]),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+    def exact_order(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+
+    return top.map_batches(exact_order, batch_format="pandas")
+
+
+@query(
     "curate_corpus",
     sql=f"""
 WITH u AS (

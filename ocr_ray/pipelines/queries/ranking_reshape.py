@@ -1676,3 +1676,123 @@ def decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(count_shared, batch_format="pyarrow")
 
 
+
+@query(
+    "scd2_customer_priority",
+    sql="""
+WITH s AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+    lag(o_orderpriority) OVER win AS prev_p
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+  SELECT *,
+    SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority THEN 1 ELSE 0 END)
+      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS ver
+  FROM s
+),
+grp AS (
+  SELECT o_custkey, CAST(ver AS BIGINT) AS version,
+    MIN(o_orderpriority) AS priority,
+    MIN(o_orderdate) AS vf,
+    COUNT(*) AS n_orders
+  FROM runs GROUP BY o_custkey, ver
+)
+SELECT o_custkey, version, priority,
+  strftime(vf, '%Y-%m-%d') AS valid_from,
+  COALESCE(strftime(lead(vf) OVER (PARTITION BY o_custkey ORDER BY version),
+                    '%Y-%m-%d'), '9999-12-31') AS valid_to,
+  (lead(vf) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL) AS is_current,
+  CAST(n_orders AS BIGINT) AS n_orders
+FROM grp
+""",
+)
+def scd2_customer_priority(sf_dir: str) -> ray.data.Dataset:
+    """Slowly-Changing-Dimension Type-2 history build: each customer's
+    order stream is collapsed into versioned attribute runs — one row per
+    maximal run of equal o_orderpriority in (o_orderdate, o_orderkey)
+    order, carrying (version, valid_from, valid_to, is_current) with the
+    classic 9999-12-31 open-ended high date (no NULLs in the validity
+    interval, so downstream BETWEEN probes need no null branch).
+
+    Distributed shape: ONE coarse-bucket shuffle on the dimension key,
+    then a single vectorized pass per bucket — sort, run-boundary
+    detection, per-run first-date gather, next-run valid_from via a
+    shifted array. No driver-side state; version numbering restarts per
+    key so buckets are independent."""
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(32)).astype(np.int32))
+        )
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "version": pd.Series([], dtype=np.int64),
+                    "priority": pd.Series([], dtype=str),
+                    "valid_from": pd.Series([], dtype=str),
+                    "valid_to": pd.Series([], dtype=str),
+                    "is_current": pd.Series([], dtype=bool),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        cust = g["o_custkey"].to_numpy()
+        prio = g["o_orderpriority"].to_numpy()
+        dates = g["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy()
+        n = len(g)
+        new_cust = np.empty(n, dtype=bool)
+        new_cust[0] = True
+        new_cust[1:] = cust[1:] != cust[:-1]
+        change = new_cust.copy()
+        change[1:] |= prio[1:] != prio[:-1]
+        starts = np.flatnonzero(change)  # one SCD2 row per run
+        run_len = np.diff(np.concatenate([starts, [n]]))
+        # version: per-customer run counter
+        run_cust = cust[starts]
+        first_run = np.empty(len(starts), dtype=bool)
+        first_run[0] = True
+        first_run[1:] = run_cust[1:] != run_cust[:-1]
+        cust_start = np.repeat(np.flatnonzero(first_run), np.diff(
+            np.concatenate([np.flatnonzero(first_run), [len(starts)]])
+        ))
+        version = np.arange(len(starts), dtype=np.int64) - cust_start + 1
+        valid_from = dates[starts]
+        # next run's valid_from within the same customer, else the high date
+        valid_to = np.empty(len(starts), dtype=object)
+        valid_to[:-1] = valid_from[1:]
+        valid_to[-1] = "9999-12-31"
+        last_run = np.empty(len(starts), dtype=bool)
+        last_run[-1] = True
+        last_run[:-1] = run_cust[1:] != run_cust[:-1]
+        valid_to[last_run] = "9999-12-31"
+        return pd.DataFrame(
+            {
+                "o_custkey": run_cust,
+                "version": version,
+                "priority": prio[starts],
+                "valid_from": valid_from,
+                "valid_to": valid_to.astype(str),
+                "is_current": last_run,
+                "n_orders": run_len.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )

@@ -243,3 +243,49 @@ def test_partitioned_primitives_handle_int_parts_null_parts_float_weights(ray_se
         .reset_index(drop=True)
     )
     assert np.allclose(ps["running_before"].to_numpy(), [0.0, 0.9, 2.6])
+
+
+def test_weighted_sample_priority_invariants(queries, sf_smoke):
+    """Priority sampling: deterministic across runs, k rows, priorities
+    sorted descending, and each priority equals w/u recomputed from the
+    doc_id hash (membership is a pure function of the input)."""
+    from ocr_ray.functions.hashing import mix64
+
+    a = _to_df(queries["weighted_sample_docs"](sf_smoke))
+    b = _to_df(queries["weighted_sample_docs"](sf_smoke))
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert len(a) == 64
+    pr = a["priority"].to_numpy()
+    assert (pr[:-1] >= pr[1:]).all()
+    ids = a["doc_id"].to_numpy().astype(np.int64)
+    mx = mix64(ids.astype(np.uint64))
+    denom = ((mx >> np.uint64(1)) + np.uint64(1)).astype(np.float64)
+    expect = a["n_chars"].to_numpy().astype(np.float64) / denom
+    assert (pr == expect).all()
+
+
+def test_scd2_history_invariants(queries, sf_smoke):
+    """SCD2 reconstruction: per customer, versions are 1..n with exactly
+    one current row, validity chains link (valid_to == next valid_from),
+    adjacent runs change the attribute, and n_orders sums to the
+    customer's order count."""
+    import duckdb
+
+    df = _to_df(queries["scd2_customer_priority"](sf_smoke))
+    assert (df.groupby("o_custkey")["is_current"].sum() == 1).all()
+    for _, g in list(df.groupby("o_custkey"))[:50]:
+        g = g.sort_values("version")
+        assert g["version"].tolist() == list(range(1, len(g) + 1))
+        assert g["valid_to"].iloc[-1] == "9999-12-31"
+        assert bool(g["is_current"].iloc[-1])
+        assert (g["valid_to"].iloc[:-1].to_numpy() == g["valid_from"].iloc[1:].to_numpy()).all()
+        # consecutive versions carry a changed attribute unless the change
+        # happened within one date via orderkey ordering (still a change)
+        assert (g["priority"].iloc[:-1].to_numpy() != g["priority"].iloc[1:].to_numpy()).all()
+    totals = duckdb.sql(
+        f"SELECT o_custkey, COUNT(*) AS n FROM read_parquet('{sf_smoke}/orders.parquet') GROUP BY o_custkey"
+    ).df()
+    merged = df.groupby("o_custkey")["n_orders"].sum().reset_index().merge(
+        totals, on="o_custkey"
+    )
+    assert (merged["n_orders"] == merged["n"]).all()
