@@ -106,6 +106,12 @@ QUERY_SET = [
     "extract_pdf_spans",
     "extract_warc_spans",
     "extract_mixed_spans",
+    "media_gif_features",
+    "orc_roundtrip_events",
+    "ipc_roundtrip_documents",
+    "jsonl_gz_roundtrip_events",
+    "weighted_sample_docs",
+    "scd2_customer_priority",
 ]
 
 

@@ -39,6 +39,34 @@ def _bucketize(col: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each equal-key run."""
+    starts = np.empty(len(sorted_keys), dtype=bool)
+    starts[0] = True
+    starts[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return starts
+
+
+def _distinct_pairs(u: np.ndarray, v: np.ndarray, names: tuple[str, str]) -> pa.Table:
+    """Distinct (u, v) int64 pairs as an ARROW table: group bodies must
+    emit Arrow blocks — a pandas DataFrame return makes every downstream
+    shuffle re-serialize pandas blocks via pickle (measured ~10x slower
+    than Arrow IPC on the same rows)."""
+    if len(u) == 0:
+        return pa.schema({names[0]: pa.int64(), names[1]: pa.int64()}).empty_table()
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.empty(len(u), dtype=bool)
+    keep[0] = True
+    keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    return pa.table(
+        {
+            names[0]: pa.array(u[keep], type=pa.int64()),
+            names[1]: pa.array(v[keep], type=pa.int64()),
+        }
+    )
+
+
 def _star_round(edges, *, large: bool, num_buckets: int):
     """One large-star or small-star round: re-key, one coarse-bucket
     groupby, vectorized per-center min + edge emission, per-bucket dedup.
@@ -66,14 +94,17 @@ def _star_round(edges, *, large: bool, num_buckets: int):
             }
         )
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
+    def body(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return EDGE_SCHEMA.empty_table()
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
         order = np.argsort(a, kind="stable")
         a, b = a[order], b[order]
-        gmin = pd.Series(b).groupby(a, sort=False).transform("min").to_numpy()
+        starts = _run_starts(a)
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.append(idx, len(a)))
+        gmin = np.repeat(np.minimum.reduceat(b, idx), counts)
         if large:
             # m = min(Γ(a) ∪ {a}); emit (b, m) for neighbors b > a
             m = np.minimum(gmin, a)
@@ -84,18 +115,14 @@ def _star_round(edges, *, large: bool, num_buckets: int):
             # plus one (a, m) per center
             m = gmin
             mask = b != m
-            new_a = np.empty(len(a), dtype=bool)
-            new_a[0] = True
-            new_a[1:] = a[1:] != a[:-1]
-            out_u = np.concatenate([b[mask], a[new_a]])
-            out_v = np.concatenate([m[mask], m[new_a]])
-        df = pd.DataFrame({"u": out_u, "v": out_v})
-        return df.drop_duplicates(ignore_index=True)
+            out_u = np.concatenate([b[mask], a[starts]])
+            out_v = np.concatenate([m[mask], m[starts]])
+        return _distinct_pairs(out_u, out_v, ("u", "v"))
 
     return (
         edges.map_batches(rekey, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(body, batch_format="pandas")
+        .map_groups(body, batch_format="pyarrow")
     )
 
 
@@ -109,13 +136,17 @@ def _dedup_edges(edges, num_buckets: int):
             pa.array(_bucketize(t["u"].to_numpy(zero_copy_only=False), num_buckets)),
         )
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["u", "v"]].drop_duplicates(ignore_index=True)
+    def body(g: pa.Table) -> pa.Table:
+        return _distinct_pairs(
+            g["u"].to_numpy(zero_copy_only=False),
+            g["v"].to_numpy(zero_copy_only=False),
+            ("u", "v"),
+        )
 
     return (
         edges.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(body, batch_format="pandas")
+        .map_groups(body, batch_format="pyarrow")
     )
 
 
@@ -202,10 +233,7 @@ def connected_components(
         v = t["v"].to_numpy(zero_copy_only=False)
         node = np.concatenate([u, v])
         comp = np.concatenate([v, v])
-        df = pd.DataFrame({"node": node, "component": comp}).drop_duplicates(
-            ignore_index=True
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return _distinct_pairs(node, comp, ("node", "component"))
 
     # final per-node dedup: a node can appear in several buckets' outputs
     # (as neighbor and as root) — one more coarse-bucket distinct-min pass
@@ -217,13 +245,25 @@ def connected_components(
             pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["component"].min()
+    def final(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        comp = g["component"].to_numpy(zero_copy_only=False)
+        # lexsort by (node, component): the first row of each node run IS
+        # the per-node min component
+        order = np.lexsort((comp, node))
+        node, comp = node[order], comp[order]
+        first = _run_starts(node)
+        return pa.table(
+            {
+                "node": pa.array(node[first], type=pa.int64()),
+                "component": pa.array(comp[first], type=pa.int64()),
+            }
+        )
 
     return (
         lab.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -299,15 +339,25 @@ def _pagerank_engine(
             pa.array(_bucketize(t["src"].to_numpy(zero_copy_only=False), num_buckets)),
         )
 
-    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["src", "dst"]].copy()
-        g["deg"] = g.groupby("src")["src"].transform("size").astype(np.int64)
-        return g
+    def attach_deg(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        idx = np.flatnonzero(_run_starts(src))
+        counts = np.diff(np.append(idx, len(src))).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "deg": pa.array(np.repeat(counts, counts)),
+            }
+        )
 
     edges_deg = (
         e.map_batches(bucketize_src, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(attach_deg, batch_format="pandas")
+        .map_groups(attach_deg, batch_format="pyarrow")
         .materialize()
     )
 
@@ -324,14 +374,21 @@ def _pagerank_engine(
             pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
         )
 
-    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["node"]].drop_duplicates(ignore_index=True)
+    def distinct_nodes(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.unique(g["node"].to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                )
+            }
+        )
 
     nodes = (
         e.map_batches(both_ends, batch_format="pyarrow")
         .map_batches(bucketize_node, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(distinct_nodes, batch_format="pandas")
+        .map_groups(distinct_nodes, batch_format="pyarrow")
         .materialize()
     )
 
@@ -370,10 +427,20 @@ def _pagerank_engine(
             }
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("node", as_index=False)["part"].sum()
-        r = teleport + (85 * s["part"].to_numpy(dtype=np.int64)) // 100
-        return pd.DataFrame({"node": s["node"].to_numpy(dtype=np.int64), "rank": r})
+    def fold(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        part = g["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, part = node[order], part[order]
+        idx = np.flatnonzero(_run_starts(node))
+        s = np.add.reduceat(part, idx)
+        r = teleport + (85 * s) // 100
+        return pa.table(
+            {
+                "node": pa.array(node[idx], type=pa.int64()),
+                "rank": pa.array(r.astype(np.int64)),
+            }
+        )
 
     def step(ranks):
         parts = hash_join(
@@ -397,7 +464,7 @@ def _pagerank_engine(
         return (
             allparts.map_batches(bucketize_node, batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(fold, batch_format="pyarrow")
             .repartition(num_buckets)
             .materialize()
         )
@@ -513,11 +580,18 @@ def star_edges_from_key(ds, *, key_col: str, node_col: str, num_buckets: int = 1
         keys = np.asarray(t[key_col].to_pylist(), dtype=object)
         return t.append_column("_bucket", pa.array(_bucketize(keys, num_buckets)))
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
+    def body(g: pd.DataFrame) -> pa.Table:
+        # pandas input (string group keys), ARROW output: group bodies must
+        # emit Arrow blocks or every downstream shuffle pays pandas pickle
         m = g.groupby(key_col)[node_col].transform("min").to_numpy()
         n = g[node_col].to_numpy()
         mask = n != m
-        return pd.DataFrame({"u": m[mask].astype(np.int64), "v": n[mask].astype(np.int64)})
+        return pa.table(
+            {
+                "u": pa.array(m[mask].astype(np.int64)),
+                "v": pa.array(n[mask].astype(np.int64)),
+            }
+        )
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -576,14 +650,21 @@ def bfs_levels(
             pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
         )
 
-    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["node"]].drop_duplicates(ignore_index=True)
+    def distinct_nodes(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.unique(g["node"].to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                )
+            }
+        )
 
     nodes = (
         e.map_batches(both_ends, batch_format="pyarrow")
         .map_batches(bucketize_node, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(distinct_nodes, batch_format="pandas")
+        .map_groups(distinct_nodes, batch_format="pyarrow")
         .materialize()
     )
 
@@ -615,8 +696,19 @@ def bfs_levels(
         )
         return out.groupby("node", as_index=False)["dist"].min()
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["dist"].min()
+    def fold(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        # first row of each node run after (node, dist) lexsort = per-node min
+        order = np.lexsort((dist, node))
+        node, dist = node[order], dist[order]
+        first = _run_starts(node)
+        return pa.table(
+            {
+                "node": pa.array(node[first], type=pa.int64()),
+                "dist": pa.array(dist[first], type=pa.int64()),
+            }
+        )
 
     for _ in range(iterations):
         cand = hash_join(
@@ -634,7 +726,7 @@ def bfs_levels(
             cand.union(state)
             .map_batches(bucketize_node, batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(fold, batch_format="pyarrow")
             .repartition(num_buckets)
             .materialize()
         )

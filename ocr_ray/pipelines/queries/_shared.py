@@ -46,6 +46,22 @@ QUERY_FNS: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def arrow_out(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """Convert a pandas group-body result to an ARROW block with an explicit
+    schema.
+
+    Group bodies MUST emit Arrow: Ray keeps whatever the body returns as
+    the block format, and its ``groupby().aggregate()`` path over pandas
+    blocks degenerates to a per-group pandas loop — measured 19.8 s for a
+    65 k-row AggregateMap (3.3 k rows/s) vs milliseconds over the same rows
+    as Arrow. The explicit schema keeps every group's output block
+    type-identical (empty frames and all-null object columns would
+    otherwise infer conflicting types and break schema unification)."""
+    return pa.Table.from_pandas(
+        df, schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def load_small_table(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side read of a SMALL (dimension/broadcast) table.
 

@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units
 from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import arrow_out, query
 
 
 # ---------------------------------------------------------------------------
@@ -204,9 +204,11 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"cohort_month": pd.Series([], dtype=object), "order_month": pd.Series([], dtype=object), "n_custs": pd.Series([], dtype=np.int64)})
+    cell_schema = pa.schema(
+        {"cohort_month": pa.string(), "order_month": pa.string(), "n_custs": pa.int64()}
+    )
+
+    def body(g: pd.DataFrame) -> pa.Table:
         g2 = g.drop_duplicates(["custkey", "order_month"])
         cm = g2.groupby("custkey")["order_month"].transform("min")
         part = (
@@ -215,7 +217,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
             .size()
             .reset_index(name="n_custs")
         )
-        return part
+        return arrow_out(part, cell_schema)
 
     partials = (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -256,21 +258,27 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
         h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
         return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
+    edge_schema = pa.schema(
+        {"from_type": pa.string(), "to_type": pa.string(), "n_pairs": pa.int64()}
+    )
+    empty_edges = edge_schema.empty_table()
+
+    def body(g: pd.DataFrame) -> pa.Table:
         if len(g) < 2:
-            return pd.DataFrame({"from_type": pd.Series([], dtype=object), "to_type": pd.Series([], dtype=object), "n_pairs": pd.Series([], dtype=np.int64)})
+            return empty_edges
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy()
         et = g["event_type"].to_numpy()
         same = uid[1:] == uid[:-1]
         if not same.any():
-            return pd.DataFrame({"from_type": pd.Series([], dtype=object), "to_type": pd.Series([], dtype=object), "n_pairs": pd.Series([], dtype=np.int64)})
-        return (
+            return empty_edges
+        out = (
             pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
             .groupby(["from_type", "to_type"], sort=False)
             .size()
             .reset_index(name="n_pairs")
         )
+        return arrow_out(out, edge_schema)
 
     partials = (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -325,25 +333,24 @@ def event_pattern_users(sf_dir: str) -> ray.data.Dataset:
 
     pat = _re.compile(r"v[cv]*p")
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype=np.int64),
-                    "seq_len": pd.Series([], dtype=np.int64),
-                    "n_matches": pd.Series([], dtype=np.int64),
-                }
-            )
+    hit_schema = pa.schema(
+        {"user_id": pa.int64(), "seq_len": pa.int64(), "n_matches": pa.int64()}
+    )
+
+    def body(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         seqs = g.groupby("user_id", sort=False)["c"].agg("".join)
         n = seqs.map(lambda s: len(pat.findall(s)))
         hit = n > 0
-        return pd.DataFrame(
-            {
-                "user_id": seqs.index.to_numpy()[hit],
-                "seq_len": seqs.str.len().to_numpy(dtype=np.int64)[hit],
-                "n_matches": n.to_numpy(dtype=np.int64)[hit],
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "user_id": seqs.index.to_numpy()[hit],
+                    "seq_len": seqs.str.len().to_numpy(dtype=np.int64)[hit],
+                    "n_matches": n.to_numpy(dtype=np.int64)[hit],
+                }
+            ),
+            hit_schema,
         )
 
     return (
@@ -386,24 +393,21 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
         h = pd.util.hash_array(t["l_orderkey"].to_numpy(zero_copy_only=False))
         return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
-    def pairs_body(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame(
-                {
-                    "part_a": pd.Series([], dtype=np.int64),
-                    "part_b": pd.Series([], dtype=np.int64),
-                    "n_orders": pd.Series([], dtype=np.int64),
-                }
-            )
+    pair_schema = pa.schema(
+        {"part_a": pa.int64(), "part_b": pa.int64(), "n_orders": pa.int64()}
+    )
+
+    def pairs_body(g: pd.DataFrame) -> pa.Table:
         d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
         m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        return (
+        out = (
             m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
             .size()
             .reset_index(name="n_orders")
             .rename(columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"})
         )
+        return arrow_out(out, pair_schema)
 
     partials = (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -422,13 +426,13 @@ def copurchase_part_pairs(sf_dir: str) -> ray.data.Dataset:
             ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
         ).head(20)
 
-    def count_body(g: pd.DataFrame) -> pd.DataFrame:
+    def count_body(g: pd.DataFrame) -> pa.Table:
         # a pair's rows all share its hash bucket, so the in-bucket sum is
         # the exact global count and the bucket top-20 is a valid partial
         red = (
             g.groupby(["part_a", "part_b"], sort=False)["n_orders"].sum().reset_index()
         )
-        return local_topk(red)
+        return arrow_out(local_topk(red), pair_schema)
 
     counts = (
         partials.map_batches(pair_bucket, batch_format="pyarrow")

@@ -152,7 +152,7 @@ def q18_large_orders(sf_dir: str) -> ray.data.Dataset:
     partial+final quantity sums, the (selectivity-bounded) qualifying key
     set broadcast back over orders — the aggregate side never shuffles
     orders, and customer names come from a broadcast dim."""
-    from ray.data.aggregate import Sum
+    from ocr_ray.functions.relational import bucketed_aggregate
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -167,10 +167,14 @@ def q18_large_orders(sf_dir: str) -> ray.data.Dataset:
         red = df.groupby("l_orderkey", as_index=False)["qty"].sum()
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
-    sums = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty", alias_name="sum_qty"))
+    # per-orderkey sums are HIGH-cardinality (O(orders) groups):
+    # Dataset.aggregate pays a per-group Python fold (measured 10.7 s for
+    # 147 k groups at sf0.1 vs 0.15 s bucketed) — use the engine's
+    # bucketed fold instead.
+    sums = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_orderkey"],
+        aggs={"sum_qty": ("qty", "sum")},
     )
     big = sums.map_batches(
         lambda t: t.filter(pc.greater(t["sum_qty"], pa.scalar(180, type=pa.int64()))),

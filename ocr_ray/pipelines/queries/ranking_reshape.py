@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units, units_to_double
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_topk, load_small_table, query
+from ocr_ray.pipelines.queries._shared import arrow_out, arrow_topk, load_small_table, query
 from ocr_ray.pipelines.queries.setops_window import orders_pivot_status_by_year
 
 
@@ -459,11 +459,14 @@ def analyze_orders_stats(sf_dir: str) -> pa.Table:
             )
         return pa.concat_tables(parts)
 
-    def ndv_count(g: pd.DataFrame) -> pd.DataFrame:
+    def ndv_count(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["col_name", "val_num", "val_str"])
         out = d.groupby("col_name", sort=True).size().reset_index(name="nd")
         out["nd"] = out["nd"].astype(np.int64)
-        return out[["col_name", "nd"]]
+        return arrow_out(
+            out[["col_name", "nd"]],
+            pa.schema({"col_name": pa.string(), "nd": pa.int64()}),
+        )
 
     ndv = (
         ds.map_batches(ndv_prep, batch_format="pyarrow")
@@ -622,15 +625,20 @@ def mode_priority_by_status(sf_dir: str) -> ray.data.Dataset:
             2, "n", pc.cast(out["count_all"], pa.int64())
         )
 
-    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+    def argmax(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["n", "o_orderpriority"], ascending=[False, True], kind="mergesort")
         top = g.iloc[:1]
-        return pd.DataFrame(
-            {
-                "o_orderstatus": top["o_orderstatus"].to_numpy(),
-                "mode_priority": top["o_orderpriority"].to_numpy(),
-                "n": top["n"].to_numpy().astype(np.int64),
-            }
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "o_orderstatus": top["o_orderstatus"].to_numpy(),
+                    "mode_priority": top["o_orderpriority"].to_numpy(),
+                    "n": top["n"].to_numpy().astype(np.int64),
+                }
+            ),
+            pa.schema(
+                {"o_orderstatus": pa.string(), "mode_priority": pa.string(), "n": pa.int64()}
+            ),
         )
 
     counts = (
@@ -677,11 +685,14 @@ def count_distinct_custs_by_priority(sf_dir: str) -> ray.data.Dataset:
         h = pd.util.hash_array(pairs["o_custkey"].to_numpy(zero_copy_only=False))
         return pairs.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
 
-    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_count(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["o_orderpriority", "o_custkey"])
         out = d.groupby("o_orderpriority", sort=True).size().reset_index(name="n")
         out["n"] = out["n"].astype(np.int64)
-        return out[["o_orderpriority", "n"]]
+        return arrow_out(
+            out[["o_orderpriority", "n"]],
+            pa.schema({"o_orderpriority": pa.string(), "n": pa.int64()}),
+        )
 
     partials = (
         ds.map_batches(prep, batch_format="pyarrow")

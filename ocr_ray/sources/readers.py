@@ -69,8 +69,28 @@ def read_documents(path: str, *, columns: list[str] | None = None, **kwargs) -> 
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Read one testdata table with column pruning pushed to the scan."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+    """Read one testdata table with column pruning pushed to the scan.
+
+    Block count is byte-proportional for small files (see
+    ``sizing.read_blocks_for_bytes``): Ray's default ~2x-CPU read
+    parallelism shreds a few-MB table into dozens of near-empty blocks,
+    and every downstream sort shuffle inherits that block count as its
+    reduce-partition count — the dominant fixed cost of small-input
+    queries. Callers passing their own ``override_num_blocks`` /
+    ``parallelism`` win."""
+    import os
+
+    from ocr_ray.sizing import read_blocks_for_bytes
+
+    path = f"{sf_dir}/{name}.parquet"
+    if "override_num_blocks" not in kwargs and "parallelism" not in kwargs:
+        try:
+            nb = read_blocks_for_bytes(os.path.getsize(path))
+        except OSError:
+            nb = None
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
