@@ -115,10 +115,27 @@ def _pair_partial(t: pa.Table) -> pa.Table:
     )
 
 
-def best_pair(sym_ds) -> tuple[str, str, int] | None:
+def best_pair(sym_ds, *, shuffle: bool = True) -> tuple[str, str, int] | None:
     """Distributed pair count -> (left, right, count) argmax with the
-    deterministic tiebreak (count desc, left asc, right asc)."""
+    deterministic tiebreak (count desc, left asc, right asc).
+
+    ``shuffle=False`` skips the bucketed fold and sums the per-block
+    partial counts on the driver: a global TOP-1 never needed an
+    all-to-all — per-block combiners bound what the driver sees by
+    pair-type cardinality (vocabulary-scale, not corpus-scale). The
+    caller gates on the symbol table's size: at a vocabulary too big for
+    a driver fold the shuffled path stands."""
     from ocr_ray.functions.relational import bucketed_aggregate
+
+    if not shuffle:
+        parts = sym_ds.map_batches(_pair_partial, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:
+            return None
+        red = parts.groupby(["left", "right"], as_index=False)["cnt"].sum()
+        top = red.sort_values(
+            ["cnt", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        ).head(1)
+        return str(top["left"].iloc[0]), str(top["right"].iloc[0]), int(top["cnt"].iloc[0])
 
     counts = bucketed_aggregate(
         sym_ds.map_batches(_pair_partial, batch_format="pyarrow"),
@@ -217,10 +234,18 @@ def bpe_train(
         wdf = wc.to_pandas()
         wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
     sym = wc.map_batches(_to_symbol_table, batch_format="pyarrow").materialize()
+    # argmax path: the symbol table is vocabulary-bounded; when it fits a
+    # driver fold comfortably (<256 MB), each iteration's pair-count top-1
+    # folds per-block partials on the driver instead of paying one
+    # all-to-all shuffle per merge (same auto_join-style size gate).
+    try:
+        small_vocab = (sym.size_bytes() or 0) < (256 << 20)
+    except Exception:
+        small_vocab = False
 
     merges = []
     for rank in range(num_merges):
-        best = best_pair(sym)
+        best = best_pair(sym, shuffle=not small_vocab)
         if best is None or best[2] < 2:
             break
         left, right, cnt = best

@@ -257,9 +257,11 @@ def bucketed_pairs(
 ):
     """keyed rows -> candidate pairs via coarse hash buckets.
 
-    ``pair_body(g: pd.DataFrame) -> pd.DataFrame`` runs once per coarse
-    bucket (vectorized inside). The bucket is ``key % num_buckets`` so all
-    rows of one key land together regardless of bucket count.
+    ``pair_body(g: pa.Table) -> pa.Table`` runs once per coarse bucket
+    (vectorized inside; Arrow in AND out, so the pair stream downstream —
+    dedup, verify joins — stays in Arrow blocks). The bucket is
+    ``key % num_buckets`` so all rows of one key land together regardless
+    of bucket count.
     """
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -271,7 +273,7 @@ def bucketed_pairs(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(pair_body, batch_format="pandas")
+        .map_groups(pair_body, batch_format="pyarrow")
     )
 
 
@@ -349,13 +351,25 @@ def dedup_pairs(ds, *, cols: tuple[str, str] = ("doc_a", "doc_b"), num_buckets: 
             h = mix64(a * np.uint64(0x9E3779B97F4A7C15) + b)
         return t.append_column("_bucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
 
-    def body(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(list(cols)).drop(columns=["_bucket"])
+    def body(g: pa.Table) -> pa.Table:
+        # first-occurrence dedup on (a, b), survivors in original order —
+        # same semantics as pandas drop_duplicates, but Arrow in/out so
+        # downstream stages never see pandas blocks
+        a = g[a_col].to_numpy(zero_copy_only=False)
+        b = g[b_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.arange(len(a)), b, a))
+        sa, sb = a[order], b[order]
+        first = np.empty(len(sa), dtype=bool)
+        if len(sa):
+            first[0] = True
+            first[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        keep = np.sort(order[first])
+        return g.drop_columns(["_bucket"]).take(pa.array(keep, type=pa.int64()))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(body, batch_format="pandas")
+        .map_groups(body, batch_format="pyarrow")
     )
 
 

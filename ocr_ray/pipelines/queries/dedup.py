@@ -442,12 +442,23 @@ def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.select(["pair_key", "doc_id"]), batch_format="pyarrow"
     )
 
-    def pair_body(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pair_key", "doc_id"], kind="mergesort")
-        keys = g["pair_key"].to_numpy(dtype=np.uint64)
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
+    def pair_body(g: pa.Table) -> pa.Table:
+        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
         ia, ib = run_index_pairs(keys, max_group=256, presorted=True)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}).drop_duplicates()
+        a, b = ids[ia], ids[ib]
+        if len(a):
+            o2 = np.lexsort((b, a))
+            a, b = a[o2], b[o2]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[first], b[first]
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
 
     cands = bucketed_pairs(bands, key_col="pair_key", id_col="doc_id", pair_body=pair_body)
     return _verified_pairs(docs, cands, tau=0.5)
@@ -488,16 +499,25 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
         keep = mix64(sh).astype(np.float64) < rate * float(2**64)
         return pa.table({"shingle": pa.array(sh[keep]), "doc_id": pa.array(ids[keep])})
 
-    def pair_body(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_body(g: pa.Table) -> pa.Table:
         # one emission per (shingle, doc) occurrence-pair; multiplicity is
         # the shared-shingle count consumed by min_count downstream.
-        g = g.drop_duplicates(["shingle", "doc_id"]).sort_values(
-            ["shingle", "doc_id"], kind="mergesort"
-        )
-        sh = g["shingle"].to_numpy(dtype=np.uint64)
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sh = g["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        first = np.empty(len(sh), dtype=bool)
+        if len(sh):
+            first[0] = True
+            first[1:] = (sh[1:] != sh[:-1]) | (ids[1:] != ids[:-1])
+        sh, ids = sh[first], ids[first]
         ia, ib = run_index_pairs(sh, max_group=32, presorted=True)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], type=pa.int64()),
+                "doc_b": pa.array(ids[ib], type=pa.int64()),
+            }
+        )
 
     cands = bucketed_pairs(
         docs.map_batches(explode_shingles, batch_format="pyarrow"),
@@ -677,17 +697,31 @@ def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
             )
         return pa.concat_tables(bands)
 
-    def pair_body(g: pd.DataFrame, max_group: int = 64) -> pd.DataFrame:
-        g = g.sort_values(["pair_key", "doc_id"], kind="mergesort")
-        keys = g["pair_key"].to_numpy(dtype=np.uint64)
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sh = g["simhash"].to_numpy(dtype=np.uint64)
+    def pair_body(g: pa.Table, max_group: int = 64) -> pa.Table:
+        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, sh = keys[order], ids[order], sh[order]
         ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
         hd = hamming_u64(sh[ia], sh[ib])
         keep = hd <= 8
-        return pd.DataFrame(
-            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": hd[keep]}
-        ).drop_duplicates(["doc_a", "doc_b"])
+        a, b, h = ids[ia[keep]], ids[ib[keep]], hd[keep].astype(np.int64)
+        if len(a):
+            # a pair's hamming is band-independent, so dedup keeps any copy
+            o2 = np.lexsort((b, a))
+            a, b, h = a[o2], b[o2], h[o2]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b, h = a[first], b[first], h[first]
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "hamming": pa.array(h, type=pa.int64()),
+            }
+        )
 
     from ocr_ray.functions.dedup import dedup_pairs
 

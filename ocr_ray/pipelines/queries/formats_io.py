@@ -25,6 +25,7 @@ import ray.data
 from ocr_ray.functions.relational import to_units, units_to_double
 from ocr_ray.pipelines.queries._shared import query
 from ocr_ray.sources import read_table
+from ocr_ray.sources.avro import read_avro, write_avro
 from ocr_ray.sources.formats import (
     read_ipc,
     read_jsonl_gz,
@@ -97,6 +98,23 @@ def orc_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
         n = write_orc(src, out).sum("rows")
         assert n and n > 0
         return _events_rollup(read_orc(out)).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("avro_roundtrip_events", sql=_EVENTS_AGG_SQL)
+def avro_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
+    """events -> block-parallel Avro export (from-scratch container-file
+    codec, deflate blocks) -> block-header-indexed distributed read-back
+    -> rollup. Exercises zigzag-varint longs, length-prefixed strings,
+    IEEE doubles and nullable-union encoding against the same bit-exact
+    oracle as the other interchange legs (see ``sources/avro.py``)."""
+    src = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = _roundtrip_dir("avro")
+    try:
+        n = write_avro(src, out).sum("rows")
+        assert n and n > 0
+        return _events_rollup(read_avro(out)).materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -12,7 +12,7 @@ import ray.data
 
 from ocr_ray.corpus import ensure_corpus
 from ocr_ray.functions.relational import hash_join, to_units, units_to_double
-from ocr_ray.sizing import default_buckets, pool_size
+from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
 from ocr_ray.pipelines.queries._shared import arrow_out, arrow_topk, load_small_table, query
@@ -59,9 +59,11 @@ def customer_order_history(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     )
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
@@ -143,9 +145,11 @@ def customer_rolling_stats(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     )
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
@@ -225,9 +229,11 @@ def customer_window_30d(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     )
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
@@ -376,6 +382,7 @@ def analyze_orders_stats(sf_dir: str) -> pa.Table:
     str_cols = ["o_orderstatus"]
     cols = num_cols + str_cols
     ds = read_table(sf_dir, "orders", columns=cols)
+    nb = np.uint64(buckets_for_input(ds))
 
     # -- cheap stats: per-batch partial rows, tiny driver fold --
     def cheap_partial(t: pa.Table) -> pa.Table:
@@ -453,7 +460,7 @@ def analyze_orders_stats(sf_dir: str) -> pa.Table:
                         "col_name": pa.array(np.full(n, c, dtype=object), type=pa.string()),
                         "val_num": vnum,
                         "val_str": vstr,
-                        "_bucket": pa.array((h % np.uint64(32)).astype(np.int32)),
+                        "_bucket": pa.array((h % nb).astype(np.int32)),
                     }
                 )
             )
@@ -675,6 +682,7 @@ def count_distinct_custs_by_priority(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    nb = np.uint64(buckets_for_input(ds))
 
     def prep(t: pa.Table) -> pa.Table:
         pairs = (
@@ -683,7 +691,7 @@ def count_distinct_custs_by_priority(sf_dir: str) -> ray.data.Dataset:
             .select(["o_orderpriority", "o_custkey"])
         )
         h = pd.util.hash_array(pairs["o_custkey"].to_numpy(zero_copy_only=False))
-        return pairs.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return pairs.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def dedup_count(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["o_orderpriority", "o_custkey"])
@@ -1163,7 +1171,7 @@ def funnel_view_click_purchase(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.hashing import mix64
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    nb = 32
+    nb = buckets_for_input(ds)
 
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -1739,11 +1747,11 @@ def scd2_customer_priority(sf_dir: str) -> ray.data.Dataset:
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
     )
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column(
-            "_bucket", pa.array((h % np.uint64(32)).astype(np.int32))
-        )
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):

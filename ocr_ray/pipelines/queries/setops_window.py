@@ -17,7 +17,7 @@ from ocr_ray.functions.relational import (
     to_units,
     units_to_double,
 )
-from ocr_ray.sizing import default_buckets
+from ocr_ray.sizing import buckets_for_input, default_buckets
 from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import arrow_topk, query
@@ -576,9 +576,11 @@ def collect_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
     bucket count (not customer count) is the parallelism knob."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -706,9 +708,11 @@ def top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
     shuffle on the partition key, one vectorized rank pass per bucket."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
+    nb = np.uint64(buckets_for_input(ds))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
-        return t.append_column("_bucket", pa.array((h % np.uint64(32)).astype(np.int32)))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
 
     def rank_body(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -758,7 +762,7 @@ def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
     pre-collapsed to max(o_orderkey) so the match is deterministic."""
     events = read_table(sf_dir, "events", columns=["event_id", "user_id"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
-    num_buckets = 16
+    num_buckets = buckets_for_input(orders)
 
     def prep_events(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))

@@ -176,22 +176,32 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
 
     bucketed = bucketed.union(ds.map_batches(planted_rows, batch_format="pyarrow"))
 
-    def pair_body(g: pd.DataFrame, max_group: int = 512, tau: float = 0.8) -> pd.DataFrame:
-        g = g.sort_values(["pair_key", "vec_id"], kind="mergesort")
-        keys = g["pair_key"].to_numpy(dtype=np.uint64)
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
+    empty_pairs = pa.schema({"vec_a": pa.int64(), "vec_b": pa.int64()}).empty_table()
+
+    def pair_body(g: pa.Table, max_group: int = 512, tau: float = 0.8) -> pa.Table:
+        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
         ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
         if len(ia) == 0:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series([], dtype=np.int64),
-                    "vec_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+            return empty_pairs
+        m = _normalize(
+            np.stack(g["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+        )
         cos = np.einsum("ij,ij->i", m[ia], m[ib])
         keep = cos >= tau
-        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]]}).drop_duplicates()
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        if len(a):
+            o2 = np.lexsort((b, a))
+            a, b = a[o2], b[o2]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[first], b[first]
+        return pa.table(
+            {"vec_a": pa.array(a, type=pa.int64()), "vec_b": pa.array(b, type=pa.int64())}
+        )
 
     from ocr_ray.functions.dedup import dedup_pairs
 

@@ -18,7 +18,7 @@ from ocr_ray.functions.relational import (
     to_units,
     units_to_double,
 )
-from ocr_ray.sizing import default_buckets
+from ocr_ray.sizing import buckets_for_input, default_buckets
 from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import arrow_topk, load_small_table, query
@@ -264,7 +264,9 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         "l_partkey",
     )
 
-    num_buckets = 16
+    # size from a fresh metadata-only read: ``li`` is semi-filtered (a
+    # computed dataset), whose size_bytes() would execute the plan
+    num_buckets = buckets_for_input(read_table(sf_dir, "lineitem", columns=["l_partkey"]))
 
     def bucketize(t: pa.Table) -> pa.Table:
         from ocr_ray.functions.hashing import mix64

@@ -108,6 +108,10 @@ def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.da
         if inner in (".json", ".jsonl"):
             return formats.read_jsonl_gz(path, columns=columns)
         raise ValueError(f"read_any: unsupported compressed format {path}")
+    if suffix == ".avro":
+        from ocr_ray.sources.avro import read_avro
+
+        return read_avro(path, columns=columns)
     if suffix == ".orc":
         return formats.read_orc(path, columns=columns)
     if suffix in (".arrow", ".ipc", ".feather"):

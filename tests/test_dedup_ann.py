@@ -347,6 +347,20 @@ def test_bpe_merges_match_reference(queries, sf_smoke):
     assert got == ref, f"first divergence: {next((a, b) for a, b in zip(got, ref) if a != b)}"
 
 
+def test_bpe_best_pair_shuffled_equals_driver_fold(queries, sf_smoke):
+    """The two best_pair argmax paths — per-merge bucketed shuffle (big
+    vocabularies) and per-block partials folded on the driver (the small-
+    vocabulary gate bpe_train takes at test scale) — must pick IDENTICAL
+    (left, right, count) for the same symbol table."""
+    import ray
+
+    from ocr_ray.functions.bpe import _to_symbol_table, best_pair, word_counts
+
+    ds = ray.data.read_parquet(f"{sf_smoke}/documents.parquet", columns=["text"])
+    sym = word_counts(ds).map_batches(_to_symbol_table, batch_format="pyarrow").materialize()
+    assert best_pair(sym, shuffle=True) == best_pair(sym, shuffle=False)
+
+
 def test_ppm_codec_roundtrip():
     """encode_ppm/decode_ppm: exact roundtrip, comment/whitespace-tolerant
     header parsing, and loud failures on bad magic/maxval."""
