@@ -112,6 +112,9 @@ QUERY_SET = [
     "jsonl_gz_roundtrip_events",
     "weighted_sample_docs",
     "scd2_customer_priority",
+    "avro_roundtrip_events",
+    "events_hopping_window",
+    "skew_profile_custkey",
 ]
 
 

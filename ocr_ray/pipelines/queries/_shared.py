@@ -46,6 +46,26 @@ QUERY_FNS: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def read_docs(sf_dir: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """documents-table read for COMPUTE-BOUND pipelines (shingling,
+    minhash, tokenization, quality kernels): a 256 KiB-per-block target,
+    because map-task parallelism equals block count, text compresses
+    ~10x on disk, and the downstream kernels cost far more per byte
+    than relational scans — the 4 MB relational default would run them
+    on 2-3 cores at small scale. A/B at sf0.1 (one session, interleaved):
+    minhash 3.6-3.8 s @ 4 MB vs 1.8-2.3 s @ 256 KiB; 16 KiB is worse
+    everywhere (per-task overhead + shuffle fan-in dominate). Still
+    byte-derived and capped at Ray's own parallelism — at 100 TB this
+    override never engages."""
+    return read_table(sf_dir, "documents", columns=columns, per_block=256 << 10, **kwargs)
+
+
+def read_embeddings(sf_dir: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """embeddings-table read for matmul/ANN pipelines — same rationale
+    as ``read_docs``."""
+    return read_table(sf_dir, "embeddings", columns=columns, per_block=256 << 10, **kwargs)
+
+
 def arrow_out(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
     """Convert a pandas group-body result to an ARROW block with an explicit
     schema.

@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units
 from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_out, query
+from ocr_ray.pipelines.queries._shared import arrow_out, query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -762,10 +762,10 @@ def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.bpe import BpeEncoder, bpe_train
 
     fit = bpe_train(
-        read_table(sf_dir, "documents", columns=["text"]), num_merges=12, verify=True
+        read_docs(sf_dir, columns=["text"]), num_merges=12, verify=True
     )
     merges = list(zip(fit["left"], fit["right"]))
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
         BpeEncoder,
         batch_format="pyarrow",

@@ -15,7 +15,7 @@ from ocr_ray.functions import text as textfn
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import load_small_table, query
+from ocr_ray.pipelines.queries._shared import load_small_table, query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import embedding_neardup_pairs
 
 
@@ -62,7 +62,7 @@ def pii_redact_docs(sf_dir: str) -> ray.data.Dataset:
     patterns, replace all occurrences, and count removals. The seeding
     is arithmetic on doc_id so the oracle reproduces synthesis + scrub
     end-to-end."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.pii_augment, batch_format="pyarrow").map_batches(
         textfn.pii_redact, batch_format="pyarrow"
     )
@@ -90,7 +90,7 @@ def repetition_quality_docs(sf_dir: str) -> ray.data.Dataset:
     frequent-bigram fraction) — the standard web-crawl quality gate for
     boilerplate / keyword-stuffed / templated pages. One embarrassingly
     parallel Arrow pass; identical IEEE op order to the SQL oracle."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.repetition_stats, batch_format="pyarrow")
 
 
@@ -111,7 +111,7 @@ def train_val_test_split(sf_dir: str) -> ray.data.Dataset:
     repartitions (never sample-based), the property a training pipeline
     needs so that re-runs and late-arriving shards land in the same
     split. Embarrassingly parallel; no shuffle."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = read_docs(sf_dir, columns=["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -146,7 +146,7 @@ def source_cap_docs(sf_dir: str) -> ray.data.Dataset:
     (sources are few and huge — the canonical skew shape)."""
     from ocr_ray.functions.ranking import partitioned_rank
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = read_docs(sf_dir, columns=["doc_id", "source"])
     out = partitioned_rank(
         ds,
         part_col="source",
@@ -206,7 +206,7 @@ def mixture_sample_docs(sf_dir: str) -> ray.data.Dataset:
     op-for-op)."""
     from ocr_ray.functions.hashing import mix64
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = read_docs(sf_dir, columns=["doc_id", "source"])
 
     def body(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -267,7 +267,7 @@ def weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.hashing import mix64
 
     k = 64
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds = read_docs(sf_dir, columns=["doc_id", "n_chars"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -354,7 +354,7 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     the whole chain end-to-end, bit-exact including the float gates."""
     from ocr_ray.functions.dedup import add_md5, dedup_by_key
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def dup_union(t: pa.Table) -> pa.Table:
         shifted = pc.add(t["doc_id"], pa.scalar(2_000_000, type=pa.int64()))
@@ -437,7 +437,7 @@ def global_shuffle_docs(sf_dir: str) -> ray.data.Dataset:
     would)."""
     from ocr_ray.functions.ranking import partitioned_rank
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = read_docs(sf_dir, columns=["doc_id"])
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -736,7 +736,7 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     init = farthest_point_init(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64), k=10
     )
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     cent, _hist = kmeans_fit(ds, init, iters=3)
     if any(b < a - 1e-6 * abs(a) for a, b in zip(_hist, _hist[1:])):
         raise RuntimeError(f"kmeans_embeddings: Lloyd objective decreased: {_hist}")
@@ -744,7 +744,7 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     if not np.allclose(norms, 1.0, atol=1e-9):
         raise RuntimeError(f"kmeans_embeddings: centroids not unit-norm: {norms}")
     return assign_clusters(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), ray.put(cent)
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), ray.put(cent)
     )
 
 
@@ -840,7 +840,7 @@ def bm25_search(sf_dir: str) -> ray.data.Dataset:
             )
         return pa.table(cols)
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     stats = ds.map_batches(tf_stats, batch_format="pyarrow")
 
     def hits(t: pa.Table) -> pa.Table:

@@ -12,7 +12,7 @@ import ray.data
 
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +57,7 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     ds = (
-        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        read_docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(dup_union, batch_format="pyarrow")
         .map_batches(add_md5, batch_format="pyarrow")
         .map_batches(pre, batch_format="pyarrow")
@@ -87,7 +87,7 @@ def prefix_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         prefix = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
         return pa.table({"doc_id": t["doc_id"], "prefix_key": prefix})
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    ds = read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         keyed, batch_format="pyarrow"
     )
     out = dedup_by_key(ds, key="prefix_key", order="doc_id", num_buckets=8)
@@ -159,7 +159,7 @@ def substring_dedup_docs(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     partials = (
         ds.map_batches(win_hashes, batch_format="pyarrow")
         .groupby("_bucket")
@@ -435,7 +435,7 @@ def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
         with_mutants,
     )
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    docs = read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
     )
     bands = docs.map_batches(minhash_bands, batch_format="pyarrow").map_batches(
@@ -488,7 +488,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     )
     from ocr_ray.functions.hashing import mix64
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    docs = read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
     )
 
@@ -647,7 +647,7 @@ def simhash_docs(sf_dir: str) -> ray.data.Dataset:
     powers-of-two reassembly summed as BIGINT halves."""
     from ocr_ray.functions.dedup import simhash
 
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    return read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         simhash, batch_format="pyarrow"
     )
 
@@ -673,7 +673,7 @@ def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
         with_mutants,
     )
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    docs = read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         with_mutants, batch_format="pyarrow"
     )
     sigs = docs.map_batches(simhash, batch_format="pyarrow")

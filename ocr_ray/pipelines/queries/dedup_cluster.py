@@ -14,7 +14,7 @@ from ocr_ray.functions.relational import hash_join
 from ocr_ray.sizing import default_buckets
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs
 from ocr_ray.pipelines.queries.dedup import _MINHASH_CLUSTERS_SQL, minhash_dedup_pairs
 
 
@@ -61,7 +61,7 @@ def dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     same closure with a recursive CTE."""
     from ocr_ray.functions.graph import connected_components, star_edges_from_key
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def keys(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from ocr_ray.functions.relational import to_units, units_to_double
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs
 from ocr_ray.sources import read_table
 from ocr_ray.sources.avro import read_avro, write_avro
 from ocr_ray.sources.formats import (
@@ -151,7 +151,7 @@ def ipc_roundtrip_documents(sf_dir: str) -> ray.data.Dataset:
     never read back)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    src = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    src = read_docs(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     out = _roundtrip_dir("ipc")
     try:
         n = write_ipc(src, out).sum("rows")

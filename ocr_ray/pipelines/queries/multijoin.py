@@ -21,7 +21,7 @@ from ocr_ray.functions.relational import (
 from ocr_ray.sizing import default_buckets
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_topk, load_small_table, query
+from ocr_ray.pipelines.queries._shared import arrow_topk, load_small_table, query, read_docs, read_embeddings
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +622,7 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
     can exist."""
     from ocr_ray.functions.ann import pca_fit, pca_transform
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     comps, ratio, mean = pca_fit(emb, k=2)
     gram = comps @ comps.T
     if not np.allclose(gram, np.eye(comps.shape[0]), atol=1e-8):
@@ -632,7 +632,7 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
     if ratio.size > 1 and not np.all(np.diff(ratio) <= 1e-12):
         raise RuntimeError(f"pca_embeddings: ratios not sorted descending {ratio}")
     out = pca_transform(
-        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), comps, mean
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), comps, mean
     )
     return out.sort("vec_id")
 
@@ -668,7 +668,7 @@ def token_pmi_pairs(sf_dir: str) -> pa.Table:
     (identical exact operands to the oracle's)."""
     from ray.data.aggregate import Sum
 
-    docs = read_table(sf_dir, "documents", columns=["text"])
+    docs = read_docs(sf_dir, columns=["text"])
 
     def bigram_partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")

@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units, units_to_double
 from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_out, arrow_topk, load_small_table, query
+from ocr_ray.pipelines.queries._shared import arrow_out, arrow_topk, load_small_table, query, read_docs
 from ocr_ray.pipelines.queries.setops_window import orders_pivot_status_by_year
 
 
@@ -321,7 +321,7 @@ def top_tokens_exact(sf_dir: str) -> ray.data.Dataset:
     most ``50 x blocks`` rows instead of the vocabulary."""
     from ray.data.aggregate import Sum
 
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = read_docs(sf_dir, columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
@@ -531,7 +531,7 @@ def unigram_lm_score(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.relational import _prepared, broadcast
     from ocr_ray.functions.text import split_tokens
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
@@ -1114,7 +1114,7 @@ def doc_token_windows(sf_dir: str) -> ray.data.Dataset:
     with no Python per window."""
     from ocr_ray.functions.text import token_windows
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: token_windows(t, window=32, stride=16), batch_format="pyarrow"
     )
@@ -1378,7 +1378,7 @@ def pack_token_windows(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.ranking import partitioned_prefix_sum
     from ocr_ray.functions.text import token_windows
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     wins = ds.map_batches(
         lambda t: (lambda w: w.append_column("_all", pa.array(["all"] * w.num_rows)))(
             token_windows(t, window=32, stride=16).select(["doc_id", "win_start", "n_tokens"])
@@ -1648,7 +1648,7 @@ def decontaminate_docs(sf_dir: str) -> ray.data.Dataset:
     perturb a count, which the bit-exact oracle comparison would catch."""
     from ocr_ray.functions.dedup import shingle_hashes
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def bench_shingles(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import _BRUTE_TOPK_SQL, _query_vectors
 from ocr_ray.pipelines.queries.curation import _BM25_SC_SQL, bm25_search
 
@@ -133,7 +133,7 @@ def hybrid_rrf_search(sf_dir: str) -> pd.DataFrame:
 
     qids, qmat = _query_vectors(sf_dir, n=1)  # query vector 0, same helper as embedding_topk
     queries_ref = ray.put((np.asarray(qids, dtype=np.int64), qmat))
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     kn = brute_topk(ds, queries_ref, k=K).to_pandas()
     kn = kn.rename(columns={"vec_id": "doc_id", "rank": "knn_rank"})[["doc_id", "knn_rank"]]
 
@@ -168,7 +168,7 @@ def ann_quantized_topk(sf_dir: str) -> ray.data.Dataset:
 
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = quantized_topk(ds, queries_ref, k=5, oversample=4)
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
@@ -188,7 +188,7 @@ def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
     carries exactness weight)."""
     from ocr_ray.functions.bpe import bpe_train
 
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = read_docs(sf_dir, columns=["text"])
     return bpe_train(ds, num_merges=12, verify=True)
 
 
@@ -502,7 +502,7 @@ def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
     The arriving batch is derived from the corpus (exact copies of
     %3==0 docs must drop; '+extra' variants of %3==1 docs must survive)
     so the oracle reproduces it."""
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def mk_new(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

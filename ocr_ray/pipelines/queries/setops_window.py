@@ -20,7 +20,7 @@ from ocr_ray.functions.relational import (
 from ocr_ray.sizing import buckets_for_input, default_buckets
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_topk, query
+from ocr_ray.pipelines.queries._shared import arrow_topk, query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -639,7 +639,7 @@ def tfidf_doc_tokens(sf_dir: str) -> ray.data.Dataset:
     vocabulary does not fit a broadcast side."""
     from ray.data.aggregate import Count
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     n_docs = float(ds.count())  # parquet metadata count — no execution
 
     def term_counts(t: pa.Table) -> pa.Table:
@@ -1113,7 +1113,7 @@ FROM s
 def doc_tokens_exploded(sf_dir: str) -> ray.data.Dataset:
     """Unnest/explode: one output row per token with its position — the
     flat_map primitive, fully inside Arrow kernels."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
@@ -1443,7 +1443,7 @@ def frequent_tokens(sf_dir: str) -> pa.Table:
 
     from ray.data.aggregate import Sum
 
-    ds = read_table(sf_dir, "documents", columns=["text"])
+    ds = read_docs(sf_dir, columns=["text"])
     # distributed partial merge: driver input bounded by surviving-candidate
     # cardinality (tokens that appear in ANY batch summary), not batch count.
     from ocr_ray.functions.relational import bucketed_aggregate
@@ -1565,3 +1565,97 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+
+
+@query(
+    "events_hopping_window",
+    sql="""
+WITH g AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, event_type FROM events
+),
+x AS (
+  SELECT tb - unnest([0, 1, 2, 3]) * INTERVAL '15 minutes' AS ws, event_type FROM g
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY ws, event_type
+""",
+)
+def events_hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """HOPPING-window event counts: 60-minute windows advancing every 15
+    minutes, so each event lands in exactly 4 overlapping windows — the
+    sliding-window aggregate a streaming pipeline computes continuously,
+    expressed batch-style. Window assignment is pure vectorized integer
+    arithmetic on the epoch-microsecond column (floor to the hop grid,
+    emit the 4 covering window starts); per-batch partial counts combine
+    before ONE bucketed fold keyed on (window, type) — window cardinality
+    scales with the time range, so ``Dataset.aggregate`` is avoided."""
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    HOP_US = 15 * 60 * 1_000_000
+    HOPS_PER_WINDOW = 4
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = (us // HOP_US) * HOP_US
+        n = len(us)
+        starts = np.repeat(tb, HOPS_PER_WINDOW) - np.tile(
+            np.arange(HOPS_PER_WINDOW, dtype=np.int64) * HOP_US, n
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"ws": starts, "event_type": np.repeat(et, HOPS_PER_WINDOW)}
+        )
+        red = df.groupby(["ws", "event_type"], as_index=False).size()
+        return pa.table(
+            {
+                "ws": pa.array(red["ws"].to_numpy(dtype=np.int64)),
+                "event_type": pa.array(red["event_type"], type=pa.string()),
+                "n_events": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        keys=["ws", "event_type"],
+        aggs={"n_events": ("n_events", "sum")},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ws = t["ws"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        label = np.char.replace(np.datetime_as_string(ws, unit="s"), "T", " ")
+        return pa.table(
+            {
+                "window_start": pa.array(label, type=pa.string()),
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+@query(
+    "skew_profile_custkey",
+    sql="""
+WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY o_custkey),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT key, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, t ORDER BY n DESC, key LIMIT 20
+""",
+)
+def skew_profile_custkey(sf_dir: str) -> ray.data.Dataset:
+    """Pre-flight skew diagnostics (``functions/skew.key_skew_profile``):
+    exact top-20 hottest customer keys with their global row share — the
+    measurement a pipeline runs BEFORE committing a groupby/join
+    partitioning on an unknown key (a share near or above 1/buckets
+    flags a straggler bucket; the fix is salting or star-reduction).
+    One scan, one bucketed count fold, per-bucket top-k, k-row driver
+    merge."""
+    from ocr_ray.functions.skew import key_skew_profile
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return key_skew_profile(ds, key="o_custkey", top_k=20)

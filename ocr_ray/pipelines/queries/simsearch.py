@@ -12,7 +12,7 @@ import ray.data
 
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import load_small_table, query
+from ocr_ray.pipelines.queries._shared import load_small_table, query, read_embeddings
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +54,7 @@ def embedding_topk(sf_dir: str) -> ray.data.Dataset:
 
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = brute_topk(ds, queries_ref, k=5)
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
@@ -81,7 +81,7 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     ).to_pandas()
     cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
     centroids_ref = ray.put(cent)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=4)
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
@@ -110,7 +110,7 @@ def ann_ivf_exact_topk(sf_dir: str) -> ray.data.Dataset:
         np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16
     )
     centroids_ref = ray.put(cent)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=16)
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
@@ -145,7 +145,7 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.hashing import mix64
 
     OFFSET = 1_000_000
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         with_perturbed, batch_format="pyarrow"
     )
     planes = hyperplanes(64, n_bits=8, n_tables=4)

@@ -11,7 +11,7 @@ import ray.data
 from ocr_ray.functions import text as textfn
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -31,7 +31,7 @@ FROM documents
 """,
 )
 def token_stats(sf_dir: str) -> ray.data.Dataset:
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.token_stats, batch_format="pyarrow")
 
 
@@ -49,7 +49,7 @@ def regex_token_stats(sf_dir: str) -> ray.data.Dataset:
     (letter runs / digit runs / single punctuation — the pre-tokenizer
     shape BPE vocabularies train over). Both engines run RE2, so counts
     match exactly."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
     def fx(t: pa.Table) -> pa.Table:
@@ -97,7 +97,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     with a deterministic argmax tie-break (first language in sorted order),
     so the SQL oracle reproduces it exactly (the CASE chain's >= order IS
     numpy argmax's first-max rule)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.lang_id, batch_format="pyarrow")
 
 
@@ -126,7 +126,7 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     """Quality heuristics (length / stopword-ratio / token-length terms) —
     every term is IEEE +,-,*,/,abs,min,max in a fixed evaluation order, so
     the SQL oracle matches bit for bit."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.quality_score, batch_format="pyarrow")
 
 
@@ -220,7 +220,7 @@ def classify_docs(sf_dir: str) -> ray.data.Dataset:
     tiebreak — is reproduced bit-exact by the SQL oracle. Stateless
     map_batches, zero shuffles; a learned weight matrix would broadcast
     via ``ray.put`` with the identical distributed shape."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.classify_hashed, batch_format="pyarrow")
 
 
@@ -262,7 +262,7 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     arithmetic exactly in HUGEINT (split 32-bit multiply for the power
     chain, per-byte terms summed as BIGINT halves, reduce mod 2^64 into
     UBIGINT); byte == code point because the corpus is ASCII."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
 
 

@@ -19,7 +19,7 @@ import ray.data
 from ocr_ray.sizing import pool_size
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import query
+from ocr_ray.pipelines.queries._shared import query, read_docs
 from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL
 
 # Shared CTE: the page renderer's paragraph closed form (12-word
@@ -60,7 +60,7 @@ def extract_html_main(sf_dir: str) -> ray.data.Dataset:
     source text exactly and the block counts equal their closed forms."""
     from ocr_ray.stages.html import HtmlMainExtractor, attach_html_payloads
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     with_payloads = ds.map_batches(
         attach_html_payloads, batch_format="pyarrow", batch_size=256
     )
@@ -217,7 +217,7 @@ def extract_warc_main(sf_dir: str) -> ray.data.Dataset:
     source text exactly, plus closed-form HTTP metadata."""
     from ocr_ray.stages.warc import WarcMainExtractor, attach_warc_payloads
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     with_payloads = ds.map_batches(
         attach_warc_payloads, batch_format="pyarrow", batch_size=128
     )
@@ -263,7 +263,7 @@ def extract_pdf_text(sf_dir: str) -> ray.data.Dataset:
     exactly plus closed-form page/chunk counts."""
     from ocr_ray.stages.pdf import PdfTextExtractor, attach_pdf_payloads
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
     with_payloads = ds.map_batches(
         attach_pdf_payloads, batch_format="pyarrow", batch_size=256
     )

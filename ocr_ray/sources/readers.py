@@ -68,7 +68,14 @@ def read_documents(path: str, *, columns: list[str] | None = None, **kwargs) -> 
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    *,
+    per_block: int = 4 << 20,
+    **kwargs,
+) -> ray.data.Dataset:
     """Read one testdata table with column pruning pushed to the scan.
 
     Block count is byte-proportional for small files (see
@@ -76,8 +83,13 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
     parallelism shreds a few-MB table into dozens of near-empty blocks,
     and every downstream sort shuffle inherits that block count as its
     reduce-partition count — the dominant fixed cost of small-input
-    queries. Callers passing their own ``override_num_blocks`` /
-    ``parallelism`` win."""
+    queries. ``per_block`` tunes the bytes-per-block target: map-task
+    parallelism equals block count, so callers whose downstream is
+    CPU-HEAVY per byte (shingling, hashing, matmul) pass a smaller
+    target (see ``_shared.read_docs`` / ``read_embeddings``) — the
+    relational default of 4 MB would serialize those kernels onto a
+    handful of cores at small scale. Callers passing their own
+    ``override_num_blocks`` / ``parallelism`` win."""
     import os
 
     from ocr_ray.sizing import read_blocks_for_bytes
@@ -85,7 +97,7 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
     path = f"{sf_dir}/{name}.parquet"
     if "override_num_blocks" not in kwargs and "parallelism" not in kwargs:
         try:
-            nb = read_blocks_for_bytes(os.path.getsize(path))
+            nb = read_blocks_for_bytes(os.path.getsize(path), per_block=per_block)
         except OSError:
             nb = None
         if nb is not None:
