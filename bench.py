@@ -115,6 +115,7 @@ QUERY_SET = [
     "avro_roundtrip_events",
     "events_hopping_window",
     "skew_profile_custkey",
+    "ann_pq_topk",
 ]
 
 

@@ -534,3 +534,176 @@ def quantized_topk(ds, queries_ref, *, k: int = 5, oversample: int = 4):
     return partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVFADC-style memory-scale path)
+# ---------------------------------------------------------------------------
+#
+# At 10^12 vectors the full float matrix cannot stream per query; PQ stores
+# m uint8 codes per vector (d*8 bytes -> m bytes) and scores by table
+# lookup (ADC). The pipeline is the standard two-stage shape: ADC shortlist
+# over the CODES (memory-light scan), then an EXACT cosine rescore of the
+# shortlist members only — returned ranks are exact-cosine ranks of the
+# shortlist, so quantization error can only cost recall, never corrupt a
+# returned score. Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011) is the public reference for the method.
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, n_codes: int = 16, iters: int = 8) -> np.ndarray:
+    """(m, n_codes, d/m) codebooks: per-subspace Lloyd (L2) on a
+    driver-sized sample, deterministic (farthest-point seeding per
+    subspace, ties broken by index). d must divide by m."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"pq_train: d={d} not divisible by m={m}")
+    sub = d // m
+    kk = min(n_codes, n)
+    books = np.empty((m, kk, sub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        # farthest-point seeding in L2 on the subspace
+        first = int(np.argmax(np.einsum("ij,ij->i", xj, xj)))
+        chosen = [first]
+        dist = np.einsum("ij,ij->i", xj - xj[first], xj - xj[first])
+        for _ in range(kk - 1):
+            nxt = int(np.argmax(dist))
+            chosen.append(nxt)
+            dn = np.einsum("ij,ij->i", xj - xj[nxt], xj - xj[nxt])
+            dist = np.minimum(dist, dn)
+        cent = xj[chosen].copy()
+        for _ in range(iters):
+            d2 = (
+                np.einsum("ij,ij->i", xj, xj)[:, None]
+                - 2.0 * (xj @ cent.T)
+                + np.einsum("ij,ij->i", cent, cent)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                hit = assign == c
+                if hit.any():
+                    cent[c] = xj[hit].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_matrix(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, m) uint8 codes (argmin L2 per subspace; input
+    rows are unit-normalized first, matching ``pq_train``)."""
+    x = _normalize(np.asarray(x, dtype=np.float64))
+    m, kk, sub = books.shape
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        cent = books[j]
+        d2 = -2.0 * (xj @ cent.T) + np.einsum("ij,ij->i", cent, cent)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds, books_ref, *, id_col: str = "vec_id", col: str = "embedding"):
+    """Distributed encode pass: (vec_id, codes fixed_size_list<uint8, m>).
+    The code table is the ONLY thing the shortlist scan reads — m bytes
+    per vector regardless of d."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        books = _prepared((books_ref.hex(), "pq_books"), lambda: ray.get(books_ref))
+        codes = pq_encode_matrix(_as_matrix(batch[col]), books)
+        m = codes.shape[1]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), type=pa.uint8()), m
+        )
+        return pa.table({id_col: batch[id_col], "codes": arr})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class _PQShortlist:
+    """map_batches stage over the CODE table: ADC top-``shortlist`` per
+    broadcast query via per-subspace lookup tables."""
+
+    def __init__(self, queries_ref, books_ref, *, shortlist: int):
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        q = _normalize(np.asarray(qmat, dtype=np.float64))
+        books = ray.get(books_ref)  # (m, kk, sub)
+        m, kk, sub = books.shape
+        # table[i, j, c] = q_i[subspace j] . books[j, c]
+        self.tables = np.einsum("ijs,jcs->ijc", q.reshape(len(q), m, sub), books)
+        self.shortlist = shortlist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _partial_table()
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes_col = batch["codes"].combine_chunks()
+        m = self.tables.shape[1]
+        codes = (
+            codes_col.flatten().to_numpy(zero_copy_only=False).reshape(len(vids), m)
+        )
+        nq = len(self.qids)
+        scores = np.zeros((nq, len(vids)), dtype=np.float64)
+        for j in range(m):
+            scores += self.tables[:, j, :][:, codes[:, j]]
+        scores[self.qids[:, None] == vids[None, :]] = -np.inf
+        k = min(self.shortlist, scores.shape[1])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = vids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+        keep = np.isfinite(rows_s)
+        return _partial_table(rows_q[keep], rows_v[keep], rows_s[keep])
+
+
+def pq_topk(ds, queries_ref, books_ref, *, k: int = 5, shortlist: int = 64):
+    """Two-stage PQ top-k: ADC shortlist over a materialized code table,
+    exact cosine rescore of shortlist members only. Returns
+    (query_id, vec_id, rank) where rank is by EXACT cosine among the
+    ADC shortlist (deterministic tiebreak on vec_id)."""
+    codes = pq_encode(ds, books_ref).materialize()
+
+    def scan(batch):
+        st = _prepared(
+            (queries_ref.hex(), books_ref.hex(), "pq_scan", shortlist),
+            lambda: _PQShortlist(queries_ref, books_ref, shortlist=shortlist),
+        )
+        return st(batch)
+
+    partial = codes.map_batches(scan, batch_format="pyarrow")
+    cand = partial.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=shortlist), batch_format="pandas"
+    )
+    # shortlist is Q x shortlist rows — a broadcastable candidate set
+    cdf = cand.to_pandas()
+    cand_ids = set(cdf["vec_id"].astype(int))
+    ids_ref = ray.put(cand_ids)
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        wanted = _prepared((ids_ref.hex(), "pq_cands"), lambda: ray.get(ids_ref))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.fromiter((int(v) in wanted for v in vids), dtype=bool, count=len(vids))
+        return batch.filter(pa.array(mask))
+
+    # exact rescore scans only candidate rows; per-query membership is
+    # enforced by a final in-group filter (a candidate of query A is not
+    # a candidate of query B)
+    allowed = {
+        (int(q), int(v)) for q, v in zip(cdf["query_id"], cdf["vec_id"])
+    }
+    allowed_ref = ray.put(allowed)
+    exact = brute_topk(ds.map_batches(keep_cands, batch_format="pyarrow"), queries_ref, k=shortlist)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ok = _prepared((allowed_ref.hex(), "pq_allowed"), lambda: ray.get(allowed_ref))
+        m = [
+            (int(q), int(v)) in ok
+            for q, v in zip(g["query_id"], g["vec_id"])
+        ]
+        g = g[np.asarray(m, dtype=bool)]
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return exact.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -213,3 +213,29 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup_pairs(cands, cols=("vec_a", "vec_b"))
 
 
+
+
+@query("ann_pq_topk", sql=None)
+def ann_pq_topk(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization ANN (m=8 subspaces x 16 codes over d=64):
+    the memory-scale path — the shortlist scan reads 8 BYTES per vector
+    instead of 512, then shortlist members are rescored with EXACT cosine,
+    so returned ranks are exact-cosine ranks of the ADC shortlist
+    (quantization can cost recall, never a wrong score). Codebooks train
+    on the row-group-pruned systematic sample; recall vs in-query brute
+    force is asserted in tests (`tests/test_dedup_ann.py`)."""
+    from ocr_ray.functions.ann import pq_topk, pq_train
+
+    from ocr_ray.sources.readers import sample_parquet_rows
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    sample = sample_parquet_rows(
+        f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
+    ).to_pandas()
+    books = pq_train(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), m=8, n_codes=16
+    )
+    books_ref = ray.put(books)
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    return pq_topk(ds, queries_ref, books_ref, k=5, shortlist=64)

@@ -500,3 +500,53 @@ def test_jpeg_partial_mcu_dims():
     assert np.array_equal(d1, d2)
     assert d1.shape == (13, 21)
     assert int(np.abs(d1.astype(int) - img.astype(int)).max()) <= 64
+
+
+def test_pq_topk_recall_vs_brute(queries, sf_smoke):
+    """PQ two-stage top-5 vs exact brute-force top-5 on the same table:
+    8x16 codebooks over 500 vectors with a 64-candidate ADC shortlist must
+    recover most of the true top-5 (mean recall bound), and every returned
+    row must be SOUND — rank agrees with exact cosine order because the
+    rescore stage recomputed it (checked by rank monotonicity of exact
+    scores recomputed here)."""
+    pq_out = _to_df(queries["ann_pq_topk"](sf_smoke))
+    brute = _to_df(queries["embedding_topk"](sf_smoke))
+    recalls = []
+    for q in brute["query_id"].unique():
+        b = set(brute[brute.query_id == q]["vec_id"])
+        a = set(pq_out[pq_out.query_id == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.7, f"PQ mean recall {np.mean(recalls):.2f} (per-q {recalls})"
+    # soundness: recompute exact cosine for returned rows; rank order must
+    # be exactly descending-score (vec_id tiebreak) per query
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = {int(v): np.asarray(e, dtype=np.float64) for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    for q in pq_out["query_id"].unique():
+        g = pq_out[pq_out.query_id == q].sort_values("rank")
+        qv = emb[int(q)] / np.linalg.norm(emb[int(q)])
+        sc = [float(qv @ (emb[int(v)] / np.linalg.norm(emb[int(v)]))) for v in g["vec_id"]]
+        order = sorted(zip(sc, [-int(v) for v in g["vec_id"]]), reverse=True)
+        assert [(-v) for _, v in order] == [int(v) for v in g["vec_id"]], q
+
+
+def test_pq_encode_deterministic_and_lossless_on_codebook_points():
+    """Codebook-point inputs must encode to themselves (lossless when the
+    vocabulary covers the data) and encoding must be deterministic."""
+    import numpy as np
+
+    from ocr_ray.functions.ann import pq_encode_matrix, pq_train
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 64))
+    books = pq_train(x, m=8, n_codes=64, iters=4)
+    c1 = pq_encode_matrix(x, books)
+    c2 = pq_encode_matrix(x, books)
+    assert (c1 == c2).all()
+    # reconstruct from codes: with n_codes >= n every subvector is its own
+    # centroid after Lloyd converges on singleton clusters
+    m, kk, sub = books.shape
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    recon = np.concatenate(
+        [books[j][c1[:, j]] for j in range(m)], axis=1
+    )
+    assert np.allclose(recon, xn, atol=1e-8)
