@@ -400,6 +400,7 @@ def extract_shard_aligned(
     max_docs_per_fragment: int | None = 65536,
     resume: bool = True,
     tasks_per_cpu: int = 8,
+    fragment_ids: str = "positional",
 ):
     """Zero-shuffle resumable extraction: fragment id == input shard id.
 
@@ -409,6 +410,20 @@ def extract_shard_aligned(
     already committed are dropped from the shard list BEFORE any read —
     cheaper than `extract_and_write`'s hash filter, which still has to
     scan every input row.
+
+    ``fragment_ids``:
+
+    - ``"positional"`` (default): fragment id = index in the sorted shard
+      enumeration. Resume is guarded by a whole-layout signature — ANY
+      corpus change (files added/removed) refuses to resume, the safe
+      default for a fixed input.
+    - ``"content"``: fragment id = 63-bit hash of (file name, row group,
+      row slice, row count) — CONTINUOUS-INGEST mode. Appending new shard
+      files to the corpus and re-running extracts ONLY the new files'
+      fragments; committed fragments are untouched. The per-file shape
+      (row-group count, rows) of every previously-seen file is recorded
+      and verified on resume, so an in-place rewrite of an existing file
+      is refused rather than silently served stale.
     """
     import hashlib as _hashlib
     import json as _json
@@ -416,8 +431,19 @@ def extract_shard_aligned(
 
     from ocr_ray.state.manifest import load_manifest
 
+    assert fragment_ids in ("positional", "content"), fragment_ids
     t0 = _time.perf_counter()  # includes the serial listing/packing phases
-    frags = _shard_fragments(list_parquet_shards(corpus_path), max_docs_per_fragment)
+    shards = list_parquet_shards(corpus_path)
+    frags = _shard_fragments(shards, max_docs_per_fragment)
+    if fragment_ids == "content":
+        for f in frags:
+            key = (
+                f"{os.path.basename(f['path'])}:{f['row_group']}:"
+                f"{f['row_start']}:{f['row_len']}"
+            )
+            f["fragment"] = int.from_bytes(
+                _hashlib.sha256(key.encode()).digest()[:8], "big"
+            ) >> 1
 
     # Layout guard: fragment ids are POSITIONAL, so resuming against a
     # manifest written under a different fragment layout (changed
@@ -429,17 +455,47 @@ def extract_shard_aligned(
             [[f["fragment"], f["path"], f["row_group"], f["row_start"], f["row_len"]] for f in frags]
         ).encode()
     ).hexdigest()
+    # content mode: the resume invariant is PER-FILE shape stability, not
+    # whole-layout equality (appends are the point)
+    file_shapes: dict[str, list[int]] = {}
+    for s in shards:
+        rec = file_shapes.setdefault(os.path.basename(s["path"]), [0, 0])
+        rec[0] += 1  # row groups
+        rec[1] += s["rows"]
     mdir0 = os.path.join(out_dir, "_manifest")
     layout_path = os.path.join(mdir0, "layout.json")
     done = set(load_manifest(out_dir)) if resume else set()
     if resume and os.path.exists(layout_path):
         prev = _json.load(open(layout_path))
-        if prev.get("signature") != sig:
+        if prev.get("mode", "positional") != fragment_ids:
+            raise ValueError(
+                "extract_shard_aligned: output manifest was written in "
+                f"fragment_ids={prev.get('mode', 'positional')!r} mode; "
+                f"cannot resume in {fragment_ids!r} mode."
+            )
+        if fragment_ids == "content":
+            prev_shapes = prev.get("file_shapes", {})
+            changed = sorted(
+                n for n, shape in prev_shapes.items()
+                if n in file_shapes and file_shapes[n] != shape
+            )
+            if changed:
+                raise ValueError(
+                    "extract_shard_aligned: previously-extracted corpus "
+                    f"file(s) changed in place: {changed} — content-mode "
+                    "resume would serve stale fragments. Use a fresh "
+                    "out_dir or resume=False."
+                )
+            # carry forward shapes of files no longer present, so a file
+            # deleted then re-added with different content is still caught
+            file_shapes = {**prev_shapes, **file_shapes}
+        elif prev.get("signature") != sig:
             raise ValueError(
                 "extract_shard_aligned: output manifest was written under a "
                 "different fragment layout (corpus files or "
                 "max_docs_per_fragment changed) — resuming would silently "
-                "skip unprocessed slices. Use a fresh out_dir or resume=False."
+                "skip unprocessed slices. Use a fresh out_dir or resume=False, "
+                "or fragment_ids='content' for append-only corpora."
             )
     elif resume and done:
         raise ValueError(
@@ -448,12 +504,15 @@ def extract_shard_aligned(
             "resume=False."
         )
     os.makedirs(mdir0, exist_ok=True)
-    if not os.path.exists(layout_path):
+    # content mode rewrites the layout record every run (the file set
+    # legitimately grows); positional mode writes it once
+    if fragment_ids == "content" or not os.path.exists(layout_path):
         tmp = layout_path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(
                 {"signature": sig, "max_docs_per_fragment": max_docs_per_fragment,
-                 "n_fragments": len(frags)},
+                 "n_fragments": len(frags), "mode": fragment_ids,
+                 "file_shapes": file_shapes},
                 f,
             )
         os.replace(tmp, layout_path)

@@ -146,7 +146,7 @@ def _with_sink(body, sink):
         if group.num_rows == 0:
             return pa.table(
                 {
-                    "partition": pa.array([], type=pa.int32()),
+                    "partition": pa.array([], type=pa.int64()),
                     "row_count": pa.array([], type=pa.int64()),
                     "span_count": pa.array([], type=pa.int64()),
                 }

@@ -240,7 +240,8 @@ class ResumableSink:
         os.replace(mtmp, mdir / f"part-{part:05d}.json")  # manifest commit
         return pa.table(
             {
-                "partition": pa.array([part], type=pa.int32()),
+                # int64: content-addressed fragment ids are 63-bit hashes
+                "partition": pa.array([part], type=pa.int64()),
                 "row_count": pa.array([tbl.num_rows], type=pa.int64()),
                 "span_count": pa.array([n_spans], type=pa.int64()),
             }

@@ -161,3 +161,72 @@ def test_resume_rejects_changed_fragment_layout(corpus, tmp_path):
     # unchanged layout still resumes as a no-op
     df, skipped = extract_shard_aligned(corpus, out, max_docs_per_fragment=20)
     assert len(df) == 0 and skipped == len(load_manifest(out))
+
+
+def _split_corpus(corpus: str, dst: str, first_n: int) -> list[str]:
+    """Copy the corpus dir, returning its sorted shard files; the caller
+    stages the first ``first_n`` files then appends the rest."""
+    files = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+    os.makedirs(dst, exist_ok=True)
+    return files
+
+
+def test_content_mode_incremental_append(corpus, shuffle_totals, tmp_path):
+    """CONTINUOUS-INGEST resume: extract a partial corpus in content-id
+    mode, append the remaining shard files, re-run — only the new files'
+    fragments are processed, nothing is recomputed, and the final
+    manifest equals a one-shot full run (layout-invariant checksums)."""
+    files = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+    if len(files) < 2:
+        pytest.skip("corpus has a single shard file; append needs >= 2")
+    staged = str(tmp_path / "staged_corpus")
+    os.makedirs(staged)
+    half = max(1, len(files) // 2)
+    for f in files[:half]:
+        shutil.copy(os.path.join(corpus, f), os.path.join(staged, f))
+
+    out = str(tmp_path / "incr_sink")
+    df1, skipped1 = extract_shard_aligned(staged, out, fragment_ids="content")
+    assert skipped1 == 0 and len(df1) > 0
+    n_first = len(load_manifest(out))
+
+    # append the rest and re-run: committed fragments must be skipped
+    for f in files[half:]:
+        shutil.copy(os.path.join(corpus, f), os.path.join(staged, f))
+    df2, skipped2 = extract_shard_aligned(staged, out, fragment_ids="content")
+    assert skipped2 == n_first, (skipped2, n_first)
+    assert len(df2) > 0  # only the appended files' fragments ran
+
+    assert _totals(out) == shuffle_totals
+
+    # third run: full no-op
+    df3, skipped3 = extract_shard_aligned(staged, out, fragment_ids="content")
+    assert len(df3) == 0 and skipped3 == len(load_manifest(out))
+
+
+def test_content_mode_rejects_inplace_rewrite(corpus, tmp_path):
+    """A previously-extracted file rewritten in place (different shape)
+    must refuse content-mode resume instead of serving stale fragments."""
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+    staged = str(tmp_path / "staged_corpus")
+    os.makedirs(staged)
+    for f in files:
+        shutil.copy(os.path.join(corpus, f), os.path.join(staged, f))
+    out = str(tmp_path / "sink")
+    extract_shard_aligned(staged, out, fragment_ids="content")
+
+    # rewrite the first file with half its rows
+    victim = os.path.join(staged, files[0])
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), victim)
+    with pytest.raises(ValueError, match="changed in place"):
+        extract_shard_aligned(staged, out, fragment_ids="content")
+
+
+def test_mode_mismatch_refuses_resume(corpus, tmp_path):
+    out = str(tmp_path / "sink")
+    extract_shard_aligned(corpus, out)  # positional
+    with pytest.raises(ValueError, match="mode"):
+        extract_shard_aligned(corpus, out, fragment_ids="content")
