@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -97,20 +98,22 @@ def extract_media_index(sf_dir: str) -> ray.data.Dataset:
     flat = extract_spans_flat(read_documents(corpus), num_buckets=default_buckets())
 
     def counts(t: pa.Table) -> pa.Table:
-        media = pc.equal(t["kind"], "media")
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "is_media": pc.cast(media, pa.int64()),
-            }
+        # per-batch partial: one row per (doc_id) per batch
+        media = pc.cast(pc.equal(t["kind"], "media"), pa.int64())
+        g = (
+            pa.table({"doc_id": t["doc_id"], "is_media": media, "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+            .group_by("doc_id")
+            .aggregate([("is_media", "sum"), ("one", "sum")])
         )
+        return g.rename_columns(["doc_id", "n_media", "n_total"])
 
-    from ray.data.aggregate import Count, Sum
+    from ocr_ray.functions.relational import bucketed_aggregate
 
-    agg = (
-        flat.map_batches(counts, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("is_media", alias_name="n_media"), Count(alias_name="n_total"))
+    # per-doc counts: doc cardinality scales with the corpus -> bucketed fold
+    agg = bucketed_aggregate(
+        flat.map_batches(counts, batch_format="pyarrow"),
+        keys=["doc_id"],
+        aggs={"n_media": ("n_media", "sum"), "n_total": ("n_total", "sum")},
     )
 
     def finalize(t: pa.Table) -> pa.Table:

@@ -115,6 +115,8 @@ def q13_customer_distribution(sf_dir: str) -> ray.data.Dataset:
     groupby over (c_count) partials."""
     from ray.data.aggregate import Sum
 
+    from ocr_ray.functions.relational import bucketed_aggregate
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def per_batch(t: pa.Table) -> pa.Table:
@@ -128,10 +130,12 @@ def q13_customer_distribution(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    counts = (
-        orders.map_batches(per_batch, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="c_count"))
+    # per-custkey counts are HIGH-cardinality — Dataset.aggregate pays a
+    # per-group Python fold; the bucketed numpy fold is ~70x cheaper (q18)
+    counts = bucketed_aggregate(
+        orders.map_batches(per_batch, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"c_count": ("n", "sum")},
     )
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
@@ -1010,7 +1014,7 @@ def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
     one tiny pass, and the threshold comparison uses the identical double
     expression as the oracle (nearest-doubles of exact integer-unit sums,
     one divide + one multiply)."""
-    from ray.data.aggregate import Sum
+    from ocr_ray.functions.relational import bucketed_aggregate
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
 
@@ -1024,12 +1028,12 @@ def q11_part_value_share(sf_dir: str) -> ray.data.Dataset:
         red = df.groupby("l_partkey", as_index=False)["val_u2"].sum()
         return pa.Table.from_pandas(red, preserve_index=False).replace_schema_metadata(None)
 
-    pv = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("val_u2", alias_name="val_u2"))
-        .materialize()  # one row per part: the aggregate is the output domain
-    )
+    # per-partkey sums are HIGH-cardinality -> bucketed numpy fold
+    pv = bucketed_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        aggs={"val_u2": ("val_u2", "sum")},
+    ).materialize()  # one row per part: the aggregate is the output domain
 
     mom = pv.map_batches(
         lambda t: pa.table(
