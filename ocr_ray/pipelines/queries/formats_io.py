@@ -178,3 +178,82 @@ def ipc_roundtrip_documents(sf_dir: str) -> ray.data.Dataset:
         return agg.map_batches(finalize, batch_format="pandas").materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query("tfrecord_roundtrip_events", sql=_EVENTS_AGG_SQL)
+def tfrecord_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
+    """events -> block-parallel TFRecord export (from-scratch framing:
+    masked-CRC32C record envelope + tf.train.Example protobuf wire codec)
+    -> per-file distributed read-back WITH CRC verification -> rollup.
+    float_list is IEEE float32 on the wire; the 2-decimal integer-unit
+    rollup proves the values survive that precision leg bit-exactly
+    (see ``sources/tfrecord.py`` fidelity note)."""
+    from ocr_ray.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    src = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = _roundtrip_dir("tfr")
+    try:
+        n = write_tfrecord(src, out).sum("rows")
+        assert n and n > 0
+        schema = pa.schema(
+            [("event_type", pa.string()), ("value", pa.float64()), ("user_id", pa.int64())]
+        )
+        return _events_rollup(read_tfrecord(out, schema)).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "webdataset_roundtrip_documents",
+    sql="""
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(n_chars) AS sum_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+""",
+)
+def webdataset_roundtrip_documents(sf_dir: str) -> ray.data.Dataset:
+    """documents -> block-parallel WebDataset tar shards (stdlib tarfile,
+    one sample = consecutive ``{doc_id}.{col}.{ext}`` members) -> per-shard
+    distributed read-back with column pruning (text member payloads are
+    written but their bytes never read back — tar size headers skip them)
+    -> per-language rollup. The multimodal-corpus layout leg."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.sources.webdataset import read_webdataset, write_webdataset
+
+    src = read_docs(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
+    out = _roundtrip_dir("wds")
+    try:
+        n = write_webdataset(src, out, key_column="doc_id").sum("rows")
+        assert n and n > 0
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_chars", pa.int64()),
+                ("text", pa.string()),
+            ]
+        )
+        back = read_webdataset(out, schema, columns=["doc_id", "lang", "n_chars"])
+        agg = back.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("doc_id", alias_name="min_doc"),
+            Max("doc_id", alias_name="max_doc"),
+        )
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "n_docs": df["n_docs"].astype(np.int64),
+                    "sum_chars": df["sum_chars"].astype(np.int64),
+                    "min_doc": df["min_doc"].astype(np.int64),
+                    "max_doc": df["max_doc"].astype(np.int64),
+                }
+            )
+
+        return agg.map_batches(finalize, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

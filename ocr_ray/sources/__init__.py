@@ -12,3 +12,8 @@ from ocr_ray.sources.readers import (  # noqa: F401
     read_table,
     write_documents,
 )
+from ocr_ray.sources.tfrecord import read_tfrecord, write_tfrecord  # noqa: F401
+from ocr_ray.sources.webdataset import (  # noqa: F401
+    read_webdataset,
+    write_webdataset,
+)

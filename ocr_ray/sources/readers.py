@@ -124,6 +124,12 @@ def read_any(path: str, *, columns: list[str] | None = None, **kwargs) -> ray.da
         from ocr_ray.sources.avro import read_avro
 
         return read_avro(path, columns=columns)
+    if suffix in (".tfrecord", ".tar"):
+        raise ValueError(
+            "read_any: TFRecord/WebDataset carry no logical schema — call "
+            "sources.tfrecord.read_tfrecord / sources.webdataset.read_webdataset "
+            "with an explicit pyarrow schema"
+        )
     if suffix == ".orc":
         return formats.read_orc(path, columns=columns)
     if suffix in (".arrow", ".ipc", ".feather"):

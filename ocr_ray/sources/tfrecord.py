@@ -1,0 +1,394 @@
+"""TFRecord source + sink: the training-ecosystem interchange format.
+
+From-scratch implementations of the two public wire formats involved —
+no TensorFlow dependency:
+
+* the TFRecord framing (per record: uint64-LE length, masked CRC32C of
+  the length bytes, payload, masked CRC32C of the payload; CRC32C is the
+  Castagnoli polynomial, mask = ``((crc >> 15) | (crc << 17)) + 0xa282ead8``),
+* the ``tf.train.Example`` protobuf payload (``Features`` map of name ->
+  ``Feature`` with one of ``bytes_list`` / ``float_list`` / ``int64_list``),
+  encoded/decoded directly at the varint/tag wire level.
+
+Scale contract matches ``sources/formats.py``: the sink is block-parallel
+(one ``part-*.tfrecord`` per Dataset block, written inside the task that
+holds the block), and the reader fans out ONE TASK PER FILE — TFRecord has
+no block index, so the file is the natural parallelism unit, exactly how
+TF's own sharded-file convention (``name-00001-of-00128``) is consumed.
+The driver never touches record bytes.
+
+Fidelity note (inherent to the format, documented not hidden): ``float_list``
+is IEEE float32, so float64 columns are written with float32 precision;
+int64 and bytes/string columns round-trip bit-exact. CRCs are verified on
+read by default — a flipped payload byte raises, it does not pass silently.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+# --------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven, with the TFRecord mask
+# --------------------------------------------------------------------------
+
+_CRC_POLY = 0x82F63B78  # reflected Castagnoli polynomial
+
+
+def _make_table() -> list[int]:
+    tab = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ _CRC_POLY if c & 1 else c >> 1
+        tab.append(c)
+    return tab
+
+
+_CRC_TABLE = _make_table()
+
+
+def crc32c(data: bytes) -> int:
+    tab = _CRC_TABLE
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    c = crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# --------------------------------------------------------------------------
+# minimal protobuf wire codec for tf.train.Example
+# --------------------------------------------------------------------------
+# Example{ features:1 } ; Features{ map<string,Feature> feature:1 } ;
+# map entry { key:1 value:2 } ;
+# Feature{ bytes_list:1 | float_list:2 | int64_list:3 } ;
+# BytesList{ repeated bytes value:1 } ; FloatList{ repeated float value:1
+# packed } ; Int64List{ repeated int64 value:1 packed }.
+
+_WT_VARINT, _WT_LEN = 0, 2
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint64(n: int) -> bytes:
+    # protobuf int64: negative values encode as 10-byte two's complement
+    return _uvarint(n & 0xFFFFFFFFFFFFFFFF)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _uvarint((field << 3) | _WT_LEN) + _uvarint(len(payload)) + payload
+
+
+def _feature_bytes(v: bytes) -> bytes:
+    return _len_delim(1, _len_delim(1, v))  # Feature.bytes_list.value
+
+
+def _feature_float(v: float) -> bytes:
+    return _len_delim(2, _len_delim(1, struct.pack("<f", v)))
+
+
+def _feature_int64(v: int) -> bytes:
+    return _len_delim(3, _len_delim(1, _varint64(v)))
+
+
+def _example(feats: list[tuple[bytes, bytes]]) -> bytes:
+    """feats: (utf-8 name, encoded Feature message) pairs."""
+    body = bytearray()
+    for name, feat in feats:
+        entry = _len_delim(1, name) + _len_delim(2, feat)
+        body += _len_delim(1, entry)  # Features.feature map entry
+    return _len_delim(1, bytes(body))  # Example.features
+
+
+class _PB:
+    """Cursor over one protobuf message's wire bytes."""
+
+    __slots__ = ("data", "pos", "end")
+
+    def __init__(self, data, pos: int, end: int):
+        self.data, self.pos, self.end = data, pos, end
+
+    def uvarint(self) -> int:
+        n = shift = 0
+        d = self.data
+        while True:
+            b = d[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def tag(self) -> tuple[int, int]:
+        t = self.uvarint()
+        return t >> 3, t & 7
+
+    def sub(self) -> "_PB":
+        ln = self.uvarint()
+        s = _PB(self.data, self.pos, self.pos + ln)
+        self.pos += ln
+        return s
+
+    def raw(self) -> bytes:
+        ln = self.uvarint()
+        out = bytes(self.data[self.pos : self.pos + ln])
+        self.pos += ln
+        return out
+
+    def skip(self, wt: int) -> None:
+        if wt == _WT_VARINT:
+            self.uvarint()
+        elif wt == _WT_LEN:
+            self.pos += self.uvarint()
+        elif wt == 1:
+            self.pos += 8
+        elif wt == 5:
+            self.pos += 4
+        else:  # pragma: no cover - malformed input
+            raise ValueError(f"tfrecord: unsupported wire type {wt}")
+
+
+def _decode_feature(p: _PB):
+    """Feature message -> python scalar (first value of its list)."""
+    while p.pos < p.end:
+        field, wt = p.tag()
+        if field == 1 and wt == _WT_LEN:  # bytes_list
+            bl = p.sub()
+            while bl.pos < bl.end:
+                f2, w2 = bl.tag()
+                if f2 == 1 and w2 == _WT_LEN:
+                    return bl.raw()
+                bl.skip(w2)
+            return None
+        if field == 2 and wt == _WT_LEN:  # float_list (packed)
+            fl = p.sub()
+            while fl.pos < fl.end:
+                f2, w2 = fl.tag()
+                if f2 == 1 and w2 == _WT_LEN:
+                    buf = fl.raw()
+                    return struct.unpack(f"<{len(buf) // 4}f", buf)[0] if buf else None
+                if f2 == 1 and w2 == 5:
+                    v = struct.unpack_from("<f", fl.data, fl.pos)[0]
+                    fl.pos += 4
+                    return v
+                fl.skip(w2)
+            return None
+        if field == 3 and wt == _WT_LEN:  # int64_list (packed)
+            il = p.sub()
+            while il.pos < il.end:
+                f2, w2 = il.tag()
+                if f2 == 1 and w2 == _WT_LEN:
+                    pk = il.sub()
+                    if pk.pos < pk.end:
+                        u = pk.uvarint()
+                        return u - 0x10000000000000000 if u >= 0x8000000000000000 else u
+                    return None
+                if f2 == 1 and w2 == _WT_VARINT:
+                    u = il.uvarint()
+                    return u - 0x10000000000000000 if u >= 0x8000000000000000 else u
+                il.skip(w2)
+            return None
+        p.skip(wt)
+    return None
+
+
+def _decode_example(rec: bytes) -> dict:
+    """tf.train.Example bytes -> {name: scalar} (missing features absent)."""
+    row: dict = {}
+    ex = _PB(memoryview(rec), 0, len(rec))
+    while ex.pos < ex.end:
+        field, wt = ex.tag()
+        if field == 1 and wt == _WT_LEN:  # Example.features
+            feats = ex.sub()
+            while feats.pos < feats.end:
+                f2, w2 = feats.tag()
+                if f2 == 1 and w2 == _WT_LEN:  # map entry
+                    ent = feats.sub()
+                    name, feat = None, None
+                    while ent.pos < ent.end:
+                        f3, w3 = ent.tag()
+                        if f3 == 1 and w3 == _WT_LEN:
+                            name = ent.raw().decode()
+                        elif f3 == 2 and w3 == _WT_LEN:
+                            feat = ent.sub()
+                        else:
+                            ent.skip(w3)
+                    if name is not None and feat is not None:
+                        row[name] = _decode_feature(feat)
+                else:
+                    feats.skip(w2)
+        else:
+            ex.skip(wt)
+    return row
+
+
+# --------------------------------------------------------------------------
+# write
+# --------------------------------------------------------------------------
+
+_ENCODERS = {
+    "string": lambda v: _feature_bytes(v.encode()),
+    "binary": _feature_bytes,
+    "int": _feature_int64,
+    "float": _feature_float,
+    "bool": lambda v: _feature_int64(int(v)),
+}
+
+
+def _column_kind(t: pa.DataType) -> str:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    raise ValueError(f"tfrecord sink: unsupported column type {t}")
+
+
+def write_tfrecord_file(t: pa.Table, path: str) -> None:
+    """One Arrow table -> one TFRecord file of tf.train.Example records.
+
+    Row-wise by nature of the format (a record IS a row); runs inside a
+    distributed task, never on the driver. Null cells are written as an
+    absent feature (Example has no null encoding) and read back as null.
+    """
+    kinds = [(f.name.encode(), _column_kind(f.type)) for f in t.schema]
+    cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+    with open(path, "wb") as f:
+        for r in range(t.num_rows):
+            feats = []
+            for (name, kind), col in zip(kinds, cols):
+                v = col[r]
+                if v is None:
+                    continue
+                feats.append((name, _ENCODERS[kind](v)))
+            rec = _example(feats)
+            hdr = struct.pack("<Q", len(rec))
+            f.write(hdr)
+            f.write(struct.pack("<I", masked_crc32c(hdr)))
+            f.write(rec)
+            f.write(struct.pack("<I", masked_crc32c(rec)))
+
+
+def write_tfrecord(ds: ray.data.Dataset, path: str) -> ray.data.Dataset:
+    """Block-parallel TFRecord sink: one ``part-*.tfrecord`` per Dataset
+    block. Returns the (path, rows) manifest Dataset."""
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.tfrecord")
+        write_tfrecord_file(t, name)
+        return pa.table({"path": [name], "rows": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write_block, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# read
+# --------------------------------------------------------------------------
+
+
+def _iter_records(data: bytes, path: str, verify_crc: bool):
+    pos, n = 0, len(data)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError(f"tfrecord: truncated header in {path} @ {pos}")
+        (ln,) = struct.unpack_from("<Q", data, pos)
+        (hcrc,) = struct.unpack_from("<I", data, pos + 8)
+        if verify_crc and masked_crc32c(data[pos : pos + 8]) != hcrc:
+            raise ValueError(f"tfrecord: length CRC mismatch in {path} @ {pos}")
+        pos += 12
+        if pos + ln + 4 > n:
+            raise ValueError(f"tfrecord: truncated record in {path} @ {pos}")
+        rec = data[pos : pos + ln]
+        (dcrc,) = struct.unpack_from("<I", data, pos + ln)
+        if verify_crc and masked_crc32c(rec) != dcrc:
+            raise ValueError(f"tfrecord: data CRC mismatch in {path} @ {pos}")
+        pos += ln + 4
+        yield rec
+
+
+def _cast_column(vals: list, typ: pa.DataType) -> pa.Array:
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        vals = [v.decode() if isinstance(v, bytes) else v for v in vals]
+    elif pa.types.is_boolean(typ):
+        vals = [None if v is None else bool(v) for v in vals]
+    return pa.array(vals, typ)
+
+
+def read_tfrecord(
+    path: str,
+    schema: pa.Schema,
+    *,
+    columns: list[str] | None = None,
+    verify_crc: bool = True,
+) -> ray.data.Dataset:
+    """Distributed TFRecord reader: one task per file (the format has no
+    internal index, matching TF's sharded-file consumption model).
+
+    ``schema`` plays the role of TF's ``feature_description`` — the wire
+    carries only bytes/float/int64 kinds, so the caller names the logical
+    types (string vs binary, float64 vs float32, bool). ``columns`` prunes
+    after decode (the record must be parsed to be skipped — inherent to
+    row-wise formats); CRCs of pruned records are still verified.
+    """
+    p = Path(path)
+    files = (
+        sorted(str(f) for f in p.iterdir() if f.suffix == ".tfrecord")
+        if p.is_dir()
+        else [str(p)]
+    )
+    if not files:
+        raise ValueError(f"no .tfrecord files under {path}")
+    out_schema = (
+        pa.schema([schema.field(c) for c in columns]) if columns else schema
+    )
+    names = [f.name for f in out_schema]
+
+    def decode_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for fp in batch.column("path").to_pylist():
+            with open(fp, "rb") as f:
+                data = f.read()
+            rows = [_decode_example(r) for r in _iter_records(data, fp, verify_crc)]
+            tables.append(
+                pa.table(
+                    {
+                        c: _cast_column(
+                            [row.get(c) for row in rows], out_schema.field(c).type
+                        )
+                        for c in names
+                    }
+                )
+            )
+        return pa.concat_tables(tables) if tables else out_schema.empty_table()
+
+    paths = ray.data.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+    return paths.repartition(len(files)).map_batches(
+        decode_file, batch_format="pyarrow", batch_size=None
+    )

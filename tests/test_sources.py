@@ -326,3 +326,154 @@ def test_avro_unsupported_schema_is_loud(tmp_path):
     t = pa.table({"x": pa.array([[1, 2]], type=pa.list_(pa.int64()))})
     with pytest.raises(ValueError, match="unsupported Arrow type"):
         write_avro_file(t, str(tmp_path / "bad.avro"))
+
+
+# --------------------------------------------------------------------------
+# TFRecord (CRC32C framing + tf.train.Example protobuf)
+# --------------------------------------------------------------------------
+
+
+def _torture_table() -> pa.Table:
+    return pa.table(
+        {
+            "s": pa.array(["héllo 漢", None, "", "x" * 300, "tab\tnl\n"], pa.string()),
+            "b": pa.array([b"\x00\xff", b"", None, b"abc", bytes(range(32))], pa.binary()),
+            "i": pa.array([-(2**63), 2**63 - 1, None, 0, -1], pa.int64()),
+            "f": pa.array([0.25, -1.5, 3.0, None, 1024.125], pa.float64()),
+            "k": pa.array([True, False, None, True, False], pa.bool_()),
+        }
+    )
+
+
+def test_tfrecord_crc32c_vectors():
+    """Known-answer tests for the Castagnoli CRC and the TFRecord mask."""
+    from ocr_ray.sources.tfrecord import crc32c, masked_crc32c
+
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283  # canonical check value
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert masked_crc32c(b"") == (0xA282EAD8 & 0xFFFFFFFF)
+
+
+def test_tfrecord_roundtrip_bit_exact(ray_session, tmp_path):
+    """write -> distributed read reproduces every supported type incl.
+    int64 extremes, unicode, empty strings/bytes and nulls (nulls ride as
+    absent features). Floats here are float32-exact by construction."""
+    from ocr_ray.sources.tfrecord import read_tfrecord, write_tfrecord_file
+
+    t = _torture_table()
+    big = pa.concat_tables([t] * 40)
+    f = tmp_path / "t.tfrecord"
+    write_tfrecord_file(big, str(f))
+    back = read_tfrecord(str(f), big.schema).to_pandas()
+    ref = big.to_pandas()
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+
+
+def test_tfrecord_crc_detects_corruption(ray_session, tmp_path):
+    """A flipped payload byte fails the record CRC loudly on read."""
+    from ocr_ray.sources.tfrecord import read_tfrecord, write_tfrecord_file
+
+    t = _mixed_table(50)
+    f = tmp_path / "c.tfrecord"
+    write_tfrecord_file(t, str(f))
+    raw = bytearray(f.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    f.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="CRC mismatch"):
+        read_tfrecord(str(f), t.schema).materialize()
+
+
+def test_tfrecord_block_parallel_sink_and_pruning(ray_session, tmp_path):
+    """Sink writes one file per block; the dir read fans out per file and
+    reassembles all rows; column selection prunes the output schema."""
+    import ray.data
+
+    from ocr_ray.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    t = _mixed_table(60)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = tmp_path / "tfr_dir"
+    manifest = write_tfrecord(ds, str(out)).to_pandas()
+    assert len(manifest) == 4 and manifest["rows"].sum() == 60
+    back = (
+        read_tfrecord(str(out), t.schema)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+    pruned = read_tfrecord(str(out), t.schema, columns=["doc_id"]).to_pandas()
+    assert list(pruned.columns) == ["doc_id"] and len(pruned) == 60
+
+
+# --------------------------------------------------------------------------
+# WebDataset sharded tar
+# --------------------------------------------------------------------------
+
+
+def test_webdataset_roundtrip_all_types(ray_session, tmp_path):
+    """Shard write -> per-shard distributed read reproduces string /
+    binary / int64 / float64 / bool exactly (floats via repr text — no
+    float32 leg here) with nulls as absent members."""
+    from ocr_ray.sources.webdataset import read_webdataset, write_webdataset_shard
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9, 10], pa.int64()),
+            "text": pa.array(["héllo 漢", None, "", "x" * 200], pa.string()),
+            "payload": pa.array([b"\x00\xffbin", b"", None, b"zz"], pa.binary()),
+            "score": pa.array([0.1234567890123, -1e-300, 2.0, None], pa.float64()),
+            "flag": pa.array([True, None, False, True], pa.bool_()),
+        }
+    )
+    f = tmp_path / "s.tar"
+    write_webdataset_shard(t, str(f), key_column="doc_id")
+    back = (
+        read_webdataset(str(f), t.schema)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+
+
+def test_webdataset_sharded_sink_pruning_and_key(ray_session, tmp_path):
+    """One tar shard per block; pruned read returns only selected columns
+    (media member payloads skipped via tar size headers); the sample key
+    basename is exposable as a column."""
+    import ray.data
+
+    from ocr_ray.sources.webdataset import read_webdataset, write_webdataset
+
+    t = _mixed_table(40)
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = tmp_path / "wds"
+    manifest = write_webdataset(ds, str(out), key_column="doc_id").to_pandas()
+    assert len(manifest) == 5 and manifest["rows"].sum() == 40
+    back = (
+        read_webdataset(str(out), t.schema)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+    pruned = read_webdataset(
+        str(out), t.schema, columns=["doc_id", "score"]
+    ).to_pandas()
+    assert list(pruned.columns) == ["doc_id", "score"] and len(pruned) == 40
+    keyed = read_webdataset(
+        str(out), t.schema, columns=["doc_id"], key_column="__key__"
+    )
+    # key_column not in schema -> only doc_id requested comes back typed
+    assert set(keyed.to_pandas().columns) == {"doc_id"}
+
+
+def test_tfrecord_webdataset_read_any_is_loud(tmp_path):
+    """read_any refuses schema-less TFRecord/tar paths with a pointer to
+    the dedicated readers."""
+    from ocr_ray.sources import read_any
+
+    with pytest.raises(ValueError, match="pyarrow schema"):
+        read_any(str(tmp_path / "x.tfrecord"))
+    with pytest.raises(ValueError, match="pyarrow schema"):
+        read_any(str(tmp_path / "x.tar"))
