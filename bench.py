@@ -116,6 +116,10 @@ QUERY_SET = [
     "events_hopping_window",
     "skew_profile_custkey",
     "ann_pq_topk",
+    # round-3 session-2 additions
+    "tfrecord_roundtrip_events",
+    "webdataset_roundtrip_documents",
+    "media_flac_features",
 ]
 
 

@@ -649,6 +649,22 @@ def media_adpcm_features(sf_dir: str) -> ray.data.Dataset:
     return _media_codec_pipeline(sf_dir, attach_adpcm_payloads, AdpcmDecoder)
 
 
+@query("media_flac_features", sql=_WAV_SQL)
+def media_flac_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL lossless-audio decode path: media spans carry genuine FLAC
+    payloads (fixed-predictor subset: 14-bit frame sync, UTF-8 frame
+    numbers, CRC-8 + CRC-16 verified, Rice-coded residuals --
+    ``stages/flac.py``) and the ``FlacDecoder`` actor stage runs the full
+    bit-level decode. Because FLAC is LOSSLESS the oracle is the
+    raw-signal stats SQL itself (shared with the uncompressed WAV leg):
+    any bug in zigzag/unary/warmup/predictor-reconstruction/bit packing
+    yields different samples and fails the hash -- losslessness IS the
+    oracle, no codec-state CTE needed."""
+    from ocr_ray.stages.flac import FlacDecoder, attach_flac_payloads
+
+    return _media_codec_pipeline(sf_dir, attach_flac_payloads, FlacDecoder)
+
+
 _WALSH_SQL = """
 WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
 w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),

@@ -14,6 +14,7 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from ocr_ray.stages.adpcm import (
@@ -393,3 +394,101 @@ def test_gif_attach_payloads_schema():
     g = gif_image(17)
     assert out["mean_gray"][0].as_py() == g.sum() / 128.0
     assert out["first_px"].to_pylist() == [int(gif_image(17)[0, 0]), int(gif_image(4242)[0, 0])]
+
+
+# --------------------------------------------------------------------------
+# FLAC (lossless: fixed-predictor subset, Rice residuals, dual CRC)
+# --------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_fixture_and_torture():
+    """encode -> decode is the identity over the fixture clips and a
+    torture set spanning every subframe type (constant, verbatim-forced
+    noise, ramps that pick each fixed order, multi-frame streams,
+    single-sample and full-scale alternating signals)."""
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+    from ocr_ray.stages.media import wav_signal
+
+    for m in (0, 1, 17, 4242, 9972):
+        x = wav_signal(m)
+        y, sr = decode_flac(encode_flac(x))
+        assert sr == 8000 and np.array_equal(x, y)
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros(64, np.int16),
+        np.full(100, -32768, np.int16),
+        rng.integers(-32768, 32768, size=500).astype(np.int16),
+        np.arange(-200, 300, dtype=np.int16),
+        (1000 * np.sin(np.arange(10000) / 10)).astype(np.int16),
+        np.array([5], np.int16),
+        np.array([32767, -32768] * 50, np.int16),
+    ]
+    for x in cases:
+        y, sr = decode_flac(encode_flac(x, sample_rate=44100))
+        assert sr == 44100 and np.array_equal(x, y)
+
+
+def test_flac_compresses_the_fixture():
+    """The fixture clip is mostly second-difference-flat, so the stream
+    must come out SMALLER than raw PCM — proves the rice path is actually
+    taken, not the verbatim escape."""
+    from ocr_ray.stages.flac import encode_flac
+    from ocr_ray.stages.media import wav_signal
+
+    x = wav_signal(17)
+    assert len(encode_flac(x)) < len(x) * 2  # raw PCM16 = 2 bytes/sample
+
+
+def test_flac_crc_catches_frame_corruption():
+    """Every byte-flip inside frame bytes raises (CRC-8 header or CRC-16
+    frame); only the documented ignore-fields of STREAMINFO (min/max
+    framesize, md5) may decode unchanged."""
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+    from ocr_ray.stages.media import wav_signal
+
+    x = wav_signal(17)
+    buf = bytearray(encode_flac(x))
+    frame_start = 4 + 4 + 34  # magic + block header + STREAMINFO
+    silent_wrong = 0
+    for pos in range(frame_start, len(buf)):
+        bad = bytearray(buf)
+        bad[pos] ^= 0xFF
+        try:
+            y, _ = decode_flac(bytes(bad))
+            if not np.array_equal(x, y):
+                silent_wrong += 1
+        except Exception:
+            pass
+    assert silent_wrong == 0
+
+
+def test_flac_rejects_malformed_streams():
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+    from ocr_ray.stages.media import wav_signal
+
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_flac(b"RIFF" + b"\x00" * 40)
+    buf = bytearray(encode_flac(wav_signal(3)))
+    buf[4 + 4 + 12] = 0xFF  # STREAMINFO bits 96-103: sr low bits + channels
+    with pytest.raises(ValueError):
+        decode_flac(bytes(buf))
+
+
+def test_flac_decoder_stage_matches_wav_stats(ray_session):
+    """FlacDecoder over attached payloads reproduces the WavDecoder stats
+    exactly (same clips, lossless codec => same integer statistics)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.flac import FlacDecoder, attach_flac_payloads
+    from ocr_ray.stages.media import WavDecoder, attach_wav_payloads
+
+    base = pa.table(
+        {
+            "doc_id": pa.array(["doc-1", "doc-2", "doc-3"]),
+            "media_ref": pa.array(["m-17", "m-101", "m-9972"]),
+        }
+    )
+    flac_out = FlacDecoder()(attach_flac_payloads(base)).to_pandas()
+    wav_out = WavDecoder()(attach_wav_payloads(base)).to_pandas()
+    pd.testing.assert_frame_equal(flac_out, wav_out)
