@@ -128,3 +128,70 @@ def extract_media_index(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+
+
+@query("extract_snapshot_spans", sql=_EXTRACT_SQL)
+def extract_snapshot_spans(sf_dir: str) -> ray.data.Dataset:
+    """TIME-TRAVEL isolation over the resumable sink: extract -> commit
+    snapshot v1 (hard-link pinned, ``state/manifest.snapshot_commit``) ->
+    DESTRUCTIVELY rewrite one committed partition in place (rows dropped)
+    -> commit v2 -> read the table AS OF v1. The query returns the v1
+    read, so the oracle (the plain extraction SQL) passes ONLY if the
+    snapshot is fully isolated from the later rewrite. Runtime gates
+    assert the live table really lost rows and that ``snapshot_diff``
+    pins exactly the rewritten partition — a silent-sharing bug in the
+    link/commit protocol fails loudly here, not just in unit tests."""
+    import shutil
+    import tempfile
+
+    from ocr_ray.pipelines.extract import extract_and_write
+    from ocr_ray.sources.readers import read_documents as _read_docs
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        load_manifest,
+        read_fragments,
+        read_snapshot,
+        snapshot_commit,
+        snapshot_diff,
+    )
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    out = tempfile.mkdtemp(prefix="ocr_ray_snap_")
+    shutil.rmtree(out)  # extract_and_write owns layout creation
+    try:
+        manifest, _ = extract_and_write(
+            _read_docs(corpus), out, num_parts=8, num_buckets=8
+        )
+        total_rows = int(manifest["row_count"].sum())
+        v1 = snapshot_commit(out, note="post-extract")
+
+        # destructive in-place rewrite: drop half the rows of one partition
+        man = load_manifest(out)
+        part = sorted(man)[0]
+        import pyarrow.parquet as _pq
+
+        frag = _pq.read_table(man[part]["file"])
+        kept = frag.slice(0, frag.num_rows // 2)
+        ResumableSink(out, data_format="parquet").write(kept, part)
+        v2 = snapshot_commit(out, note="post-truncate")
+
+        d = snapshot_diff(out, v1, v2)
+        if d["changed"] != [part] or d["added"] or d["removed"]:
+            raise AssertionError(f"snapshot_diff should pin part {part}: {d}")
+        live_rows = read_fragments(
+            [r["file"] for r in load_manifest(out).values()]
+        ).count()
+        if live_rows != total_rows - (frag.num_rows - kept.num_rows):
+            raise AssertionError(
+                f"live table should have lost rows: {live_rows} vs {total_rows}"
+            )
+        return (
+            read_snapshot(out, v1)
+            .map_batches(
+                explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

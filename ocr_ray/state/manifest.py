@@ -496,3 +496,129 @@ def sorted_export(
                 f"({a['max_value']} > {b['min_value']})"
             )
     return df
+
+
+# ---------------------------------------------------------------------------
+# Snapshots: time-travel reads over the resumable sink's manifest
+# ---------------------------------------------------------------------------
+
+
+def snapshot_commit(out_dir: str, *, note: str | None = None) -> int:
+    """Pin the table's CURRENT committed state as an immutable snapshot.
+
+    Zero-copy copy-on-write at the file level: every committed fragment is
+    HARD-LINKED into ``_snapshots/snap-<id>-files/`` (fragments are
+    immutable once written — rewrites go through temp-file +
+    ``os.replace``, which unlinks the old *name* but the snapshot's link
+    keeps the old *inode* alive), then the snapshot record
+    ``_snapshots/snap-<id>.json`` is renamed into place as the COMMIT
+    POINT. A crash mid-link leaves an orphan files dir that the next
+    commit clears; no half-snapshot is ever readable.
+
+    Driver-side cost is O(partitions) links + one small JSON — no data
+    bytes move, so this is as cheap at 100 TB as at 100 MB. Returns the
+    new snapshot id (monotonic, parent-chained).
+    """
+    import shutil
+
+    man = load_manifest(out_dir)
+    if not man:
+        raise ValueError(f"snapshot_commit: no committed fragments under {out_dir}")
+    sdir = Path(out_dir) / "_snapshots"
+    sdir.mkdir(parents=True, exist_ok=True)
+    existing = sorted(int(p.stem.split("-", 1)[1]) for p in sdir.glob("snap-*.json"))
+    sid = (existing[-1] + 1) if existing else 1
+    fdir = sdir / f"snap-{sid:05d}-files"
+    if fdir.exists():
+        shutil.rmtree(fdir)  # orphan from a crashed commit attempt
+    fdir.mkdir()
+    files = []
+    for part, rec in sorted(man.items()):
+        src = Path(rec["file"])
+        dst = fdir / f"part-{part:05d}{src.suffix or '.parquet'}"
+        if src.is_dir():  # a Lance fragment is a directory: link per file
+            shutil.copytree(src, dst, copy_function=os.link)
+        else:
+            os.link(src, dst)
+        files.append(
+            {
+                "partition": part,
+                "file": str(dst),
+                "row_count": rec["row_count"],
+                "span_checksum": rec.get("span_checksum", 0),
+            }
+        )
+    srec = {
+        "snapshot": sid,
+        "parent": existing[-1] if existing else None,
+        "note": note,
+        "engine": ENGINE_VERSION,
+        "files": files,
+    }
+    tmp = sdir / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(srec))
+    os.replace(tmp, sdir / f"snap-{sid:05d}.json")
+    return sid
+
+
+def list_snapshots(out_dir: str) -> list[dict]:
+    """Snapshot log, oldest first: id, parent, note, fragment/row totals."""
+    sdir = Path(out_dir) / "_snapshots"
+    out = []
+    if not sdir.is_dir():
+        return out
+    for f in sorted(sdir.glob("snap-*.json")):
+        rec = json.loads(f.read_text())
+        out.append(
+            {
+                "snapshot": rec["snapshot"],
+                "parent": rec["parent"],
+                "note": rec["note"],
+                "n_fragments": len(rec["files"]),
+                "row_count": sum(r["row_count"] for r in rec["files"]),
+            }
+        )
+    return out
+
+
+def _snapshot_record(out_dir: str, snapshot_id: int) -> dict:
+    p = Path(out_dir) / "_snapshots" / f"snap-{snapshot_id:05d}.json"
+    if not p.exists():
+        known = [s["snapshot"] for s in list_snapshots(out_dir)]
+        raise ValueError(
+            f"snapshot {snapshot_id} not found under {out_dir} (have {known})"
+        )
+    return json.loads(p.read_text())
+
+
+def read_snapshot(out_dir: str, snapshot_id: int):
+    """Streaming Dataset over the table AS OF ``snapshot_id`` — the
+    time-travel read. Later rewrites/compactions of the live table do not
+    affect it (the snapshot owns hard links to the original immutable
+    fragment files)."""
+    rec = _snapshot_record(out_dir, snapshot_id)
+    return read_fragments([r["file"] for r in rec["files"]])
+
+
+def snapshot_diff(out_dir: str, a: int, b: int) -> dict:
+    """Lineage diff between two snapshots from their manifests alone —
+    no data read. Partitions are compared by span checksum (content
+    fingerprint), so a rewrite that lands identical bytes reports
+    unchanged."""
+    fa = {r["partition"]: r for r in _snapshot_record(out_dir, a)["files"]}
+    fb = {r["partition"]: r for r in _snapshot_record(out_dir, b)["files"]}
+    added = sorted(set(fb) - set(fa))
+    removed = sorted(set(fa) - set(fb))
+    changed = sorted(
+        p
+        for p in set(fa) & set(fb)
+        if (fa[p]["span_checksum"], fa[p]["row_count"])
+        != (fb[p]["span_checksum"], fb[p]["row_count"])
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "rows_a": sum(r["row_count"] for r in fa.values()),
+        "rows_b": sum(r["row_count"] for r in fb.values()),
+    }

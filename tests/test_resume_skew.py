@@ -262,3 +262,80 @@ def test_sink_rejects_changed_num_parts(sf_smoke, tmp_path):
     # matching law still resumes
     _, n_done = skip_completed_partitions(read_documents(corpus), out, 8)
     assert n_done == 8
+
+
+# --------------------------------------------------------------------------
+# Snapshots (time travel over the resumable sink)
+# --------------------------------------------------------------------------
+
+
+def _mini_frag_table(lo: int, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:08d}" for i in range(lo, lo + n)]),
+            "payload": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+        }
+    )
+
+
+def _write_parts(out, parts):
+    from ocr_ray.state.manifest import ResumableSink
+
+    sink = ResumableSink(str(out), data_format="parquet")
+    for p, tbl in parts.items():
+        sink.write(tbl, p)
+
+
+def test_snapshot_isolated_from_rewrite(ray_session, tmp_path):
+    """A snapshot read returns the pinned bytes even after the live
+    partition is rewritten in place (hard link keeps the old inode)."""
+    from ocr_ray.state.manifest import read_snapshot, snapshot_commit
+
+    out = tmp_path / "t"
+    _write_parts(out, {0: _mini_frag_table(0, 10), 1: _mini_frag_table(10, 5)})
+    v1 = snapshot_commit(str(out), note="v1")
+    _write_parts(out, {0: _mini_frag_table(0, 3)})  # destructive rewrite
+    back = read_snapshot(str(out), v1).to_pandas().sort_values("payload")
+    assert len(back) == 15 and list(back["payload"]) == list(range(15))
+
+
+def test_snapshot_log_diff_and_errors(ray_session, tmp_path):
+    from ocr_ray.state.manifest import (
+        list_snapshots,
+        read_snapshot,
+        snapshot_commit,
+        snapshot_diff,
+    )
+
+    out = tmp_path / "t"
+    with pytest.raises(ValueError, match="no committed fragments"):
+        snapshot_commit(str(out))
+    _write_parts(out, {0: _mini_frag_table(0, 10), 1: _mini_frag_table(10, 5)})
+    v1 = snapshot_commit(str(out), note="first")
+    _write_parts(out, {1: _mini_frag_table(10, 2), 2: _mini_frag_table(20, 4)})
+    v2 = snapshot_commit(str(out), note="second")
+    log = list_snapshots(str(out))
+    assert [s["snapshot"] for s in log] == [v1, v2]
+    assert log[0]["parent"] is None and log[1]["parent"] == v1
+    assert log[0]["row_count"] == 15 and log[1]["row_count"] == 16
+    d = snapshot_diff(str(out), v1, v2)
+    assert d["added"] == [2] and d["changed"] == [1] and d["removed"] == []
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        read_snapshot(str(out), 99)
+
+
+def test_snapshot_crashed_commit_orphan_is_cleared(ray_session, tmp_path):
+    """A files dir without its JSON (crash before the commit rename) is
+    invisible to readers and cleared by the next commit."""
+    from ocr_ray.state.manifest import list_snapshots, snapshot_commit
+
+    out = tmp_path / "t"
+    _write_parts(out, {0: _mini_frag_table(0, 6)})
+    # simulate a crashed attempt: files dir exists, no snap-00001.json
+    orphan = out / "_snapshots" / "snap-00001-files"
+    orphan.mkdir(parents=True)
+    (orphan / "junk").write_text("partial")
+    assert list_snapshots(str(out)) == []
+    v1 = snapshot_commit(str(out))
+    assert v1 == 1 and not (orphan / "junk").exists()
+    assert list_snapshots(str(out))[0]["n_fragments"] == 1
