@@ -380,8 +380,15 @@ def test_tfrecord_crc_detects_corruption(ray_session, tmp_path):
     f = tmp_path / "c.tfrecord"
     write_tfrecord_file(t, str(f))
     raw = bytearray(f.read_bytes())
-    raw[len(raw) // 2] ^= 0xFF
+    raw[len(raw) // 2] ^= 0xFF  # may hit payload (CRC) or a length field
     f.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="CRC mismatch|truncated record"):
+        read_tfrecord(str(f), t.schema).materialize()
+    # flip strictly inside the first record's payload -> data CRC catches
+    raw2 = bytearray(f.read_bytes())
+    raw2[len(raw2) // 2] ^= 0xFF  # restore
+    raw2[14] ^= 0xFF
+    f.write_bytes(bytes(raw2))
     with pytest.raises(Exception, match="CRC mismatch"):
         read_tfrecord(str(f), t.schema).materialize()
 
