@@ -815,3 +815,84 @@ def sorted_export_orders(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finalize, batch_format="pandas").sort("tile")
 
 
+
+
+@query(
+    "orders_zonemap_pruned_scan",
+    sql="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders WHERE o_totalprice BETWEEN 400000 AND 450000
+""",
+)
+def orders_zonemap_pruned_scan(sf_dir: str) -> ray.data.Dataset:
+    """ZONE-MAP file skipping end to end: orders are sorted-exported into
+    16 value-ordered fragments whose lineage records carry min/max
+    (``state.manifest.sorted_export``), then a range query plans its scan
+    from the MANIFEST ALONE (``read_range_pruned``) — fragments outside
+    [400k, 450k] are never opened — and applies the residual row filter
+    inside read tasks. A runtime gate asserts most fragments were
+    actually skipped (>= 12 of 16 for this ~10% band), so a zone-map
+    regression fails loudly; the oracle proves pruning loses no rows."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ocr_ray.functions.relational import to_units, units_to_double
+    from ocr_ray.state.manifest import read_range_pruned, sorted_export
+
+    lo, hi = 400_000.0, 450_000.0
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = tempfile.mkdtemp(prefix="ocr_ray_zonemap_")
+    shutil.rmtree(out)
+    try:
+        sorted_export(
+            ds,
+            out,
+            value_col="o_totalprice",
+            tiebreak_col="o_orderkey",
+            out_cols=["o_orderkey", "o_totalprice"],
+            num_fragments=16,
+        )
+        pruned, n_skipped = read_range_pruned(out, lo=lo, hi=hi)
+        if n_skipped < 12:
+            raise AssertionError(
+                f"zone maps should skip >=12/16 fragments for a ~10% band, "
+                f"skipped {n_skipped}"
+            )
+
+        def residual(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(t["o_totalprice"], lo),
+                pc.less_equal(t["o_totalprice"], hi),
+            )
+            t = t.filter(m)
+            return pa.table({"price_c": to_units(t["o_totalprice"])})
+
+        agg = (
+            pruned.map_batches(residual, batch_format="pyarrow")
+            .groupby(None)
+            .aggregate(
+                Count(alias_name="n_rows"),
+                Sum("price_c", alias_name="sum_c"),
+                Min("price_c", alias_name="min_c"),
+                Max("price_c", alias_name="max_c"),
+            )
+        )
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "n_rows": df["n_rows"].astype(np.int64),
+                    "sum_price": units_to_double(df["sum_c"], 2),
+                    "min_price": units_to_double(df["min_c"], 2),
+                    "max_price": units_to_double(df["max_c"], 2),
+                }
+            )
+
+        return agg.map_batches(finalize, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

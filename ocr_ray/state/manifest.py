@@ -622,3 +622,62 @@ def snapshot_diff(out_dir: str, a: int, b: int) -> dict:
         "rows_a": sum(r["row_count"] for r in fa.values()),
         "rows_b": sum(r["row_count"] for r in fb.values()),
     }
+
+
+def read_range_pruned(out_dir: str, *, lo=None, hi=None):
+    """Zone-map scan: stream only the fragments whose lineage
+    ``[min_value, max_value]`` interval intersects ``[lo, hi]`` — file
+    skipping decided from the manifest ALONE (no data bytes touched for
+    skipped fragments). Pair with ``sorted_export`` (which writes
+    non-overlapping value-ordered fragments and records the interval);
+    at 100 TB this is the difference between a range query scanning one
+    fragment and scanning the corpus.
+
+    Returns ``(Dataset, n_skipped)``. Rows inside kept fragments still
+    need the residual predicate (zone maps prune files, not rows).
+    Raises if any fragment lacks the min/max lineage fields.
+    """
+    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition"])
+    if not recs:
+        raise ValueError(f"read_range_pruned: no manifest under {out_dir}")
+    missing = [r["partition"] for r in recs if "min_value" not in r or "max_value" not in r]
+    if missing:
+        raise ValueError(
+            f"read_range_pruned: fragments {missing} carry no zone-map "
+            "stats (write through sorted_export or pass min/max via "
+            "ResumableSink extra=...)"
+        )
+    keep = [
+        r
+        for r in recs
+        if (hi is None or r["min_value"] <= hi) and (lo is None or r["max_value"] >= lo)
+    ]
+    if not keep:
+        import ray as _ray
+
+        return _ray.data.from_items([]), len(recs)
+    return read_fragments([r["file"] for r in keep]), len(recs) - len(keep)
+
+
+def expire_snapshots(out_dir: str, *, keep_last: int = 1) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshots,
+    deleting each expired snapshot's JSON first (the record disappears
+    atomically before any file is unlinked — a crash mid-vacuum leaves
+    only unreferenced link dirs, never a readable-but-broken snapshot)
+    and then its hard-link dir (frees the pinned inodes unless a newer
+    snapshot or the live table still links them). Returns expired ids."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    sdir = Path(out_dir) / "_snapshots"
+    snaps = sorted(p for p in sdir.glob("snap-*.json")) if sdir.is_dir() else []
+    expired = []
+    for p in snaps[:-keep_last] if keep_last else snaps:
+        sid = int(p.stem.split("-", 1)[1])
+        fdir = sdir / f"snap-{sid:05d}-files"
+        p.unlink()
+        if fdir.is_dir():
+            shutil.rmtree(fdir)
+        expired.append(sid)
+    return expired

@@ -339,3 +339,55 @@ def test_snapshot_crashed_commit_orphan_is_cleared(ray_session, tmp_path):
     v1 = snapshot_commit(str(out))
     assert v1 == 1 and not (orphan / "junk").exists()
     assert list_snapshots(str(out))[0]["n_fragments"] == 1
+
+
+def test_read_range_pruned_skips_by_manifest(ray_session, tmp_path):
+    """Fragments outside [lo, hi] are skipped from the manifest alone;
+    kept fragments still carry out-of-band rows (residual filter is the
+    caller's job); missing stats are a loud error."""
+    from ocr_ray.state.manifest import ResumableSink, read_range_pruned
+
+    out = tmp_path / "t"
+    sink = ResumableSink(str(out), data_format="parquet")
+    for p, (lo, hi) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        tbl = pa.table({"v": pa.array(np.arange(lo, hi + 1, dtype=np.int64))})
+        sink.write(tbl, p, extra={"min_value": lo, "max_value": hi})
+    ds, skipped = read_range_pruned(str(out), lo=12, hi=14)
+    assert skipped == 2
+    vals = sorted(ds.to_pandas()["v"])
+    assert vals == list(range(10, 20))  # whole fragment, pre-residual
+    ds2, skipped2 = read_range_pruned(str(out), lo=100)
+    assert skipped2 == 3 and ds2.count() == 0
+    ds3, skipped3 = read_range_pruned(str(out))  # unbounded = full scan
+    assert skipped3 == 0 and ds3.count() == 30
+
+    sink.write(pa.table({"v": pa.array([99])}), 7)  # no stats
+    with pytest.raises(ValueError, match="no zone-map"):
+        read_range_pruned(str(out), lo=0, hi=1)
+
+
+def test_expire_snapshots_retention(ray_session, tmp_path):
+    """Vacuum keeps the newest K snapshots readable and removes the rest;
+    the live table and surviving snapshots are untouched."""
+    from ocr_ray.state.manifest import (
+        expire_snapshots,
+        list_snapshots,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    out = tmp_path / "t"
+    _write_parts(out, {0: _mini_frag_table(0, 4)})
+    v1 = snapshot_commit(str(out))
+    _write_parts(out, {0: _mini_frag_table(0, 6)})
+    v2 = snapshot_commit(str(out))
+    _write_parts(out, {0: _mini_frag_table(0, 8)})
+    v3 = snapshot_commit(str(out))
+    expired = expire_snapshots(str(out), keep_last=2)
+    assert expired == [v1]
+    assert [s["snapshot"] for s in list_snapshots(str(out))] == [v2, v3]
+    assert read_snapshot(str(out), v2).count() == 6
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot(str(out), v1)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(str(out), keep_last=0)
