@@ -975,3 +975,233 @@ def corr_matrix_lineitem(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+@query(
+    "copurchase_triangles",
+    sql="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+p AS (SELECT pa, pb FROM p0 GROUP BY pa, pb HAVING COUNT(*) >= 2),
+t AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM p e1 JOIN p e2 ON e1.pb = e2.pa
+  JOIN p e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+n AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+  ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS part, CAST(n_tri AS BIGINT) AS n_tri
+FROM n ORDER BY n_tri DESC, part LIMIT 20
+""",
+)
+def copurchase_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Distributed TRIANGLE COUNTING over the co-purchase graph (edges =
+    part pairs sharing >= 2 orders), the classic clustering/community
+    primitive, via DEGREE-ORIENTED wedge generation:
+
+    1. edges fold inside order- then pair-hash buckets (the
+       ``copurchase_part_pairs`` shape, with the >= 2 support filter);
+    2. degrees fold inside node buckets; two bucketed joins attach
+       (deg_a, deg_b) and each edge is ORIENTED from its lower-(degree,
+       id) endpoint — the orientation that bounds every out-degree by
+       O(sqrt(m)), so wedge blow-up is O(m^1.5) worst case instead of
+       Sum(deg^2) on hub nodes: the standard scalable triangle algorithm;
+    3. wedges (u: v-w) are generated per-source inside src-hash buckets
+       (vectorized self-merge) and the closing edge (v, w) is matched
+       with ONE bucketed composite-key join against the edge set;
+    4. per-node triangle counts fold from the matched (u, v, w) rows and
+       the global top-20 uses local-top-k + tiny merge.
+
+    No driver-side step touches edges or wedges; every stage is a
+    bucketed fold or join, so hot nodes are bounded per-bucket."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nb = np.uint64(buckets_for_input(ds))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
+
+    pair_schema = pa.schema(
+        {"pa_": pa.int64(), "pb_": pa.int64(), "n_orders": pa.int64()}
+    )
+
+    def pairs_body(g: pd.DataFrame) -> pa.Table:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+            .rename(columns={"l_partkey_a": "pa_", "l_partkey_b": "pb_"})
+        )
+        return arrow_out(out, pair_schema)
+
+    partials = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_body, batch_format="pandas")
+    )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["pa_"].to_numpy(zero_copy_only=False)
+        b = t["pb_"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(a * np.int64(1_000_003) + b)
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
+
+    edge_schema = pa.schema({"pa_": pa.int64(), "pb_": pa.int64()})
+
+    def edge_fold(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby(["pa_", "pb_"], sort=False)["n_orders"].sum().reset_index()
+        tot = tot[tot["n_orders"] >= 2]
+        return arrow_out(tot[["pa_", "pb_"]], edge_schema)
+
+    edges = (
+        partials.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(edge_fold, batch_format="pandas")
+    ).materialize()  # consumed 3x (deg, orientation, closing join); small: >=2-support pairs
+
+    # --- degrees (node-bucketed count fold) ---
+    def both_ends(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["pa_"].to_numpy(zero_copy_only=False),
+                t["pb_"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        h = pd.util.hash_array(nodes)
+        return pa.table(
+            {
+                "node": pa.array(nodes),
+                "_bucket": pa.array((h % nb).astype(np.int32)),
+            }
+        )
+
+    deg_schema = pa.schema({"node": pa.int64(), "deg": pa.int64()})
+
+    def deg_fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("node", sort=False).size().reset_index(name="deg")
+        return arrow_out(out, deg_schema)
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+    )
+
+    # --- orientation: src = lower (deg, id) endpoint ---
+    j1 = hash_join(
+        edges,
+        deg,
+        on="pa_",
+        right_on="node",
+        num_buckets=int(nb),
+        left_schema=edge_schema,
+        right_schema=deg_schema,
+        suffix="_da",
+    )
+    j2 = hash_join(
+        j1,
+        deg.map_batches(
+            lambda t: t.rename_columns(["node", "deg_b"]), batch_format="pyarrow"
+        ),
+        on="pb_",
+        right_on="node",
+        num_buckets=int(nb),
+        left_schema=pa.schema(
+            {"pa_": pa.int64(), "pb_": pa.int64(), "deg": pa.int64()}
+        ),
+        right_schema=pa.schema({"node": pa.int64(), "deg_b": pa.int64()}),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["pa_"].to_numpy(zero_copy_only=False)
+        b = t["pb_"].to_numpy(zero_copy_only=False)
+        da = t["deg"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        h = pd.util.hash_array(src)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "_bucket": pa.array((h % nb).astype(np.int32)),
+            }
+        )
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema(
+        {"u": pa.int64(), "pa_": pa.int64(), "pb_": pa.int64()}
+    )
+
+    def wedges_body(g: pd.DataFrame) -> pa.Table:
+        e = g[["src", "dst"]]
+        m = e.merge(e, on="src", suffixes=("_1", "_2"))
+        m = m[m["dst_1"] < m["dst_2"]]  # unordered neighbor pair, once
+        out = pd.DataFrame(
+            {"u": m["src"], "pa_": m["dst_1"], "pb_": m["dst_2"]}
+        )
+        # closing edge is stored as (min id, max id) in `edges`
+        lo = out[["pa_", "pb_"]].min(axis=1)
+        hi = out[["pa_", "pb_"]].max(axis=1)
+        out["pa_"], out["pb_"] = lo, hi
+        return arrow_out(out, wedge_schema)
+
+    wedges = oriented.groupby("_bucket").map_groups(
+        wedges_body, batch_format="pandas"
+    )
+
+    # --- close wedges: composite-key semi join against the edge set ---
+    tris = hash_join(
+        wedges,
+        edges,
+        on=["pa_", "pb_"],
+        how="semi",
+        num_buckets=int(nb),
+        left_schema=wedge_schema,
+        right_schema=edge_schema,
+    )
+
+    # --- per-node counts + global top-20 ---
+    def node_counts(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["u"].to_numpy(zero_copy_only=False),
+                t["pa_"].to_numpy(zero_copy_only=False),
+                t["pb_"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        h = pd.util.hash_array(nodes)
+        return pa.table(
+            {"node": pa.array(nodes), "_bucket": pa.array((h % nb).astype(np.int32))}
+        )
+
+    out_schema = pa.schema({"part": pa.int64(), "n_tri": pa.int64()})
+
+    def count_fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("node", sort=False).size().reset_index(name="n_tri")
+        out = out.rename(columns={"node": "part"})
+        out = out.sort_values(
+            ["n_tri", "part"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+        return arrow_out(out, out_schema)
+
+    folded = (
+        tris.map_batches(node_counts, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_fold, batch_format="pandas")
+    )
+    top = folded.to_pandas().sort_values(
+        ["n_tri", "part"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return ray.data.from_arrow(arrow_out(top.reset_index(drop=True), out_schema))
