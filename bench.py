@@ -120,6 +120,9 @@ QUERY_SET = [
     "tfrecord_roundtrip_events",
     "webdataset_roundtrip_documents",
     "media_flac_features",
+    "copurchase_triangles",
+    "bigram_lm_score",
+    "orders_zonemap_pruned_scan",
 ]
 
 

@@ -266,3 +266,139 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(textfn.fingerprint, batch_format="pyarrow")
 
 
+
+
+@query(
+    "bigram_lm_score",
+    sql="""
+WITH src AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM src),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+btop AS (SELECT w1, w2, c FROM bcnt ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 128),
+hits AS (
+  SELECT g.doc_id, CAST(SUM(p.c) AS BIGINT) AS hits_bi
+  FROM big g JOIN btop p ON p.w1 = g.w1 AND p.w2 = g.w2 GROUP BY g.doc_id
+),
+nt AS (SELECT doc_id, len(ws) AS n_tokens FROM src)
+SELECT d.doc_id, COALESCE(h.hits_bi, 0) AS hits_bi,
+  CAST(nt.n_tokens - 1 AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(h.hits_bi, 0) AS DOUBLE) / GREATEST(nt.n_tokens - 1, 1)
+    AS bigram_score
+FROM documents d JOIN nt USING (doc_id) LEFT JOIN hits h USING (doc_id)
+""",
+)
+def bigram_lm_score(sf_dir: str) -> ray.data.Dataset:
+    """Bigram language-model fluency score — the sequence-aware sibling
+    of ``unigram_lm_score`` (a bag-of-words model can't tell shuffled
+    tokens from prose; adjacency counts can): fit = exact corpus-wide
+    BIGRAM counts (per-batch vectorized adjacent-pair combine with doc
+    boundaries masked, one bucketed fold, per-block partial top-128),
+    the tiny top-128 model broadcast once; transform = stateless
+    map_batches summing the corpus frequency of each doc's in-model
+    bigrams. Integer arithmetic until ONE division, so bit-exact vs SQL.
+    At 100 TB the broadcast stays 128 rows regardless of the (much
+    larger than unigram) bigram vocabulary."""
+    import numpy as np
+
+    from ocr_ray.functions.relational import (
+        _prepared,
+        broadcast,
+        bucketed_aggregate,
+    )
+    from ocr_ray.functions.text import split_tokens
+    from ocr_ray.pipelines.queries._shared import arrow_topk
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    SEP = "\x1f"  # unit separator: never appears in space-split tokens
+
+    def _doc_bigrams(t: pa.Table):
+        """(parents, counts, joined 'w1<SEP>w2' flat array) for each doc's
+        ADJACENT token pairs, doc boundaries masked vectorized."""
+        parents, counts, flat = split_tokens(t["text"])
+        if len(flat) == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.maximum(counts - 1, 0),
+                pa.array([], type=pa.string()),
+            )
+        w1 = flat.slice(0, len(flat) - 1)
+        w2 = flat.slice(1)
+        same_doc = parents[:-1] == parents[1:]
+        joined = pc.binary_join_element_wise(
+            pc.cast(w1, pa.string()), pc.cast(w2, pa.string()), SEP
+        )
+        return (
+            parents[:-1][same_doc],
+            np.maximum(counts - 1, 0),
+            joined.filter(pa.array(same_doc)),
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, joined = _doc_bigrams(t)
+        out = pa.table({"bg": joined}).group_by("bg").aggregate([([], "count_all")])
+        return out.rename_columns(["bg", "n"])
+
+    counts = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["bg"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        out = arrow_topk(t, [("n", "descending"), ("bg", "ascending")], 128)
+        return pa.table(
+            {
+                "bg": pc.cast(out["bg"], pa.string()),
+                "n": pc.cast(out["n"], pa.int64()),
+            }
+        )
+
+    top = (
+        counts.map_batches(local_top, batch_format="pyarrow")
+        .sort(["n", "bg"], descending=[True, False])
+        .limit(128)
+        .to_pandas()
+    )
+    model_ref = broadcast((top["bg"].tolist(), top["n"].to_numpy(dtype=np.int64)))
+
+    out_schema = pa.schema(
+        {
+            "doc_id": pa.int64(),
+            "hits_bi": pa.int64(),
+            "n_bigrams": pa.int64(),
+            "bigram_score": pa.float64(),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        grams, freqs = _prepared(
+            ("bigram_lm", model_ref.hex()),
+            lambda: (
+                lambda m: (pa.array(m[0], type=pa.string()), np.concatenate([m[1], [0]]))
+            )(ray.get(model_ref)),
+        )
+        parents, n_bigrams, joined = _doc_bigrams(t)
+        pos = pc.index_in(joined, value_set=grams).to_numpy(zero_copy_only=False)
+        idx = np.where(np.isnan(pos.astype(np.float64)), len(freqs) - 1, pos).astype(
+            np.int64
+        )
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(hits, parents, freqs[idx])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "hits_bi": pa.array(hits),
+                "n_bigrams": pa.array(n_bigrams),
+                "bigram_score": pa.array(
+                    hits.astype(np.float64) / np.maximum(n_bigrams, 1)
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
