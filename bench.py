@@ -123,6 +123,8 @@ QUERY_SET = [
     "copurchase_triangles",
     "bigram_lm_score",
     "orders_zonemap_pruned_scan",
+    "mad_robust_stats_events",
+    "orders_bloom_point_lookup",
 ]
 
 

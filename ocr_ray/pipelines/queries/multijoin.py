@@ -896,3 +896,119 @@ def orders_zonemap_pruned_scan(sf_dir: str) -> ray.data.Dataset:
         return agg.map_batches(finalize, batch_format="pandas").materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "orders_bloom_point_lookup",
+    sql="""
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
+ORDER BY o_orderkey
+""",
+)
+def orders_bloom_point_lookup(sf_dir: str) -> ray.data.Dataset:
+    """BLOOM file skipping for point lookups on a SECONDARY key: orders
+    are written into 16 fragments clustered by hash(custkey) — the
+    layout a customer-centric pipeline wants — with each fragment's
+    lineage carrying a 16 KiB Bloom of its ORDER keys
+    (``state.manifest.column_bloom``). Fetching 5 specific orders then
+    plans from the manifest alone (``read_key_pruned``): only fragments
+    whose Bloom may hold a probed key are opened. Runtime gates assert
+    real selectivity (>= 8/16 fragments skipped; candidate (key,
+    fragment) pairs <= 2x keys, i.e. few false positives); the oracle
+    proves no lookup is lost. Zone maps (range, cluster key) + Blooms
+    (equality, secondary key) complete the manifest data-skipping
+    story."""
+    import shutil
+    import tempfile
+
+    from ocr_ray.functions.hashing import mix64
+    from ocr_ray.pipelines.queries._shared import arrow_topk
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        column_bloom,
+        read_key_pruned,
+    )
+
+    NPARTS = 16
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = tempfile.mkdtemp(prefix="ocr_ray_bloom_")
+    shutil.rmtree(out)
+    try:
+        def tag(t: pa.Table) -> pa.Table:
+            h = mix64(
+                t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(NPARTS)).astype(np.int32))
+            )
+
+        sink = ResumableSink(out, data_format="parquet")
+        man_schema = pa.schema(
+            {"partition": pa.int64(), "row_count": pa.int64(), "span_count": pa.int64()}
+        )
+
+        def write_part(g: pd.DataFrame) -> pa.Table:
+            part = int(g["_part"].iloc[0])
+            tbl = pa.Table.from_pandas(
+                g.drop(columns=["_part"]), preserve_index=False
+            ).replace_schema_metadata(None)
+            return sink.write(
+                tbl,
+                part,
+                extra={"bloom_orderkey": column_bloom(tbl["o_orderkey"].to_numpy())},
+            )
+
+        n = (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(write_part, batch_format="pandas")
+            .count()
+        )
+        assert n == NPARTS
+
+        # the 5 smallest order keys: per-block partial min-5 + tiny merge
+        def local_min5(t: pa.Table) -> pa.Table:
+            return arrow_topk(t.select(["o_orderkey"]), [("o_orderkey", "ascending")], 5)
+
+        keys = sorted(
+            ds.map_batches(local_min5, batch_format="pyarrow")
+            .sort("o_orderkey")
+            .limit(5)
+            .to_pandas()["o_orderkey"]
+        )
+
+        pruned, n_skipped, checks = read_key_pruned(out, "bloom_orderkey", keys)
+        if n_skipped < NPARTS - 8:
+            raise AssertionError(
+                f"bloom should skip >= 8/{NPARTS} fragments for 5 keys, "
+                f"skipped {n_skipped}"
+            )
+        if checks > 2 * len(keys):
+            raise AssertionError(
+                f"bloom false-positive blowup: {checks} candidate pairs "
+                f"for {len(keys)} keys"
+            )
+        key_set = pa.array(np.asarray(keys, dtype=np.int64))
+
+        def exact(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["o_orderkey"], value_set=key_set)
+            t = t.filter(m)
+            return pa.table(
+                {
+                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+                }
+            )
+
+        return (
+            pruned.map_batches(exact, batch_format="pyarrow")
+            .sort("o_orderkey")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

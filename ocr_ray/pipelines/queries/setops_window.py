@@ -1659,3 +1659,69 @@ def skew_profile_custkey(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey"])
     return key_skew_profile(ds, key="o_custkey", top_k=20)
+
+
+@query(
+    "mad_robust_stats_events",
+    sql="""
+WITH m AS (
+  SELECT event_type, median(value) AS med, COUNT(value) AS n_values
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type) WHERE e.value IS NOT NULL
+),
+md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+SELECT m.event_type, CAST(m.med AS DOUBLE) AS median_value,
+  CAST(md.mad AS DOUBLE) AS mad, CAST(m.n_values AS BIGINT) AS n_values
+FROM m JOIN md USING (event_type)
+""",
+)
+def mad_robust_stats_events(sf_dir: str) -> pa.Table:
+    """Robust dispersion (median absolute deviation) — the outlier-proof
+    sibling of ``zscore_outliers_events``: TWO chained holistic aggregates,
+    each via the distributed histogram-selection primitive (no task ever
+    holds a whole group): (1) per-type exact median; (2) the tiny
+    per-type median table broadcasts, a stateless map derives
+    ``|value - med|``, and a SECOND histogram selection takes the
+    median of deviations. Floats only in the derived subtraction (same
+    op order as SQL), so both medians compare bit-exact."""
+    from ocr_ray.functions.relational import broadcast
+    from ocr_ray.functions.sketch import grouped_exact_median
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_exact_median(ds, group_col="event_type", value_col="value")
+    med_ref = broadcast(dict(zip(med["event_type"], med["median"])))
+
+    def deviations(t: pa.Table) -> pa.Table:
+        meds = ray.get(med_ref)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.array(
+            [meds.get(s, np.nan) for s in t["event_type"].to_pylist()],
+            dtype=np.float64,
+        )
+        ok = np.isfinite(v)
+        return pa.table(
+            {
+                "event_type": t["event_type"].filter(pa.array(ok)),
+                "dev": pa.array(np.abs(v - m)[ok]),
+            }
+        )
+
+    mad = grouped_exact_median(
+        ds.map_batches(deviations, batch_format="pyarrow"),
+        group_col="event_type",
+        value_col="dev",
+    )
+    joined = med.merge(mad, on="event_type", suffixes=("", "_mad")).sort_values(
+        "event_type", ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(joined["event_type"], type=pa.string()),
+            "median_value": pa.array(joined["median"].to_numpy(dtype=np.float64)),
+            "mad": pa.array(joined["median_mad"].to_numpy(dtype=np.float64)),
+            "n_values": pa.array(joined["n"].to_numpy(dtype=np.int64)),
+        }
+    )

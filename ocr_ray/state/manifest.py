@@ -681,3 +681,82 @@ def expire_snapshots(out_dir: str, *, keep_last: int = 1) -> list[int]:
             shutil.rmtree(fdir)
         expired.append(sid)
     return expired
+
+
+# ---------------------------------------------------------------------------
+# Per-fragment Bloom filters: point-lookup file skipping on secondary keys
+# ---------------------------------------------------------------------------
+# Zone maps (above) skip files for RANGE predicates on the cluster key; a
+# table clustered one way still gets point lookups another way (orders
+# clustered by customer, fetched by order id). A small per-fragment Bloom
+# of the secondary key, carried in the lineage record, answers "which
+# fragment(s) may hold key X" from the manifest alone.
+
+
+def column_bloom(values, *, nbits: int = 131072, k: int = 4) -> dict:
+    """Build a Bloom filter over an int64 key column, vectorized: k hash
+    positions per key via double hashing of the splitmix64-mixed value
+    (h_i = h1 + i*h2 mod nbits). Returns a JSON-safe dict
+    {hex, nbits, k} sized ~nbits/8 bytes (16 KiB at the default) —
+    negligible next to the fragment it describes."""
+    v = np.asarray(values, dtype=np.int64).view(np.uint64)
+    from ocr_ray.functions.hashing import mix64
+
+    h1 = mix64(v)
+    h2 = mix64(v ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    bits = np.zeros(nbits, dtype=bool)
+    for i in range(k):
+        bits[((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)] = True
+    return {"hex": np.packbits(bits).tobytes().hex(), "nbits": nbits, "k": k}
+
+
+def bloom_may_contain(bloom: dict, values) -> np.ndarray:
+    """Vectorized membership probe: True = fragment MAY hold the key
+    (false positives bounded by the filter size), False = definitely
+    not. Aligned with ``values``."""
+    from ocr_ray.functions.hashing import mix64
+
+    bits = np.unpackbits(
+        np.frombuffer(bytes.fromhex(bloom["hex"]), dtype=np.uint8)
+    ).astype(bool)
+    nbits, k = bloom["nbits"], bloom["k"]
+    v = np.asarray(values, dtype=np.int64).view(np.uint64)
+    h1 = mix64(v)
+    h2 = mix64(v ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    ok = np.ones(len(v), dtype=bool)
+    for i in range(k):
+        ok &= bits[((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)]
+    return ok
+
+
+def read_key_pruned(out_dir: str, bloom_field: str, keys) -> tuple:
+    """Point-lookup scan: stream only the fragments whose per-fragment
+    Bloom (lineage field ``bloom_field``, written via
+    ``ResumableSink.write(..., extra={bloom_field: column_bloom(...)})``)
+    may contain ANY of ``keys`` — planned from the manifest alone.
+    Returns ``(Dataset, n_skipped, candidate_checks)`` where
+    ``candidate_checks`` is the total number of (key, fragment) candidate
+    pairs (the measure of Bloom selectivity: ~len(keys) when the filter
+    is doing its job, len(keys) x fragments when it isn't)."""
+    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition"])
+    if not recs:
+        raise ValueError(f"read_key_pruned: no manifest under {out_dir}")
+    missing = [r["partition"] for r in recs if bloom_field not in r]
+    if missing:
+        raise ValueError(
+            f"read_key_pruned: fragments {missing} carry no {bloom_field!r} "
+            "lineage field"
+        )
+    keys = np.asarray(list(keys), dtype=np.int64)
+    keep, checks = [], 0
+    for r in recs:
+        hits = bloom_may_contain(r[bloom_field], keys)
+        n = int(hits.sum())
+        checks += n
+        if n:
+            keep.append(r)
+    if not keep:
+        import ray as _ray
+
+        return _ray.data.from_items([]), len(recs), checks
+    return read_fragments([r["file"] for r in keep]), len(recs) - len(keep), checks

@@ -391,3 +391,44 @@ def test_expire_snapshots_retention(ray_session, tmp_path):
         read_snapshot(str(out), v1)
     with pytest.raises(ValueError, match="keep_last"):
         expire_snapshots(str(out), keep_last=0)
+
+
+def test_bloom_filter_membership_and_fp_rate():
+    """All inserted keys probe True; the false-positive rate on disjoint
+    probes stays near the design point (< 2% at 4 hashes, 131072 bits,
+    10k keys)."""
+    from ocr_ray.state.manifest import bloom_may_contain, column_bloom
+
+    keys = np.arange(10_000, dtype=np.int64) * 7 + 3
+    b = column_bloom(keys)
+    assert bloom_may_contain(b, keys).all()
+    probes = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    fp = bloom_may_contain(b, probes).mean()
+    assert fp < 0.02, fp
+
+
+def test_read_key_pruned_skips_and_errors(ray_session, tmp_path):
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        column_bloom,
+        read_key_pruned,
+    )
+
+    out = tmp_path / "t"
+    sink = ResumableSink(str(out), data_format="parquet")
+    for p in range(4):
+        ks = np.arange(p * 100, p * 100 + 100, dtype=np.int64)
+        sink.write(
+            pa.table({"k": pa.array(ks)}),
+            p,
+            extra={"bloom_k": column_bloom(ks)},
+        )
+    ds, skipped, checks = read_key_pruned(str(out), "bloom_k", [5, 250])
+    assert skipped == 2 and checks == 2
+    got = sorted(ds.to_pandas()["k"])
+    assert 5 in got and 250 in got and len(got) == 200  # whole fragments
+    ds2, skipped2, checks2 = read_key_pruned(str(out), "bloom_k", [999_999])
+    assert skipped2 == 4 and checks2 == 0 and ds2.count() == 0
+    sink.write(pa.table({"k": pa.array([1], pa.int64())}), 9)
+    with pytest.raises(ValueError, match="no 'bloom_k'"):
+        read_key_pruned(str(out), "bloom_k", [1])
