@@ -195,3 +195,69 @@ def extract_snapshot_spans(sf_dir: str) -> ray.data.Dataset:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+_EXTRACT_DELETE_SQL = (
+    "WITH base AS (" + _EXTRACT_SQL + ") SELECT * FROM base "
+    "WHERE CAST(substr(doc_id, 5) AS BIGINT) % 97 <> 0"
+)
+
+
+@query("extract_delete_doc_spans", sql=_EXTRACT_DELETE_SQL)
+def extract_delete_doc_spans(sf_dir: str) -> ray.data.Dataset:
+    """Targeted DELETE over the extraction table (GDPR-takedown shape):
+    extract -> ``state.manifest.delete_keys`` removes every doc whose id
+    is 0 mod 97, rewriting ONLY the fragments the partition law says can
+    hold an affected key (a runtime gate asserts exactly those and no
+    others were touched) -> read back. The oracle is the extraction SQL
+    minus the deleted docs, so an over-delete, under-delete, or a
+    rewrite that corrupts an untouched sibling row all fail the hash."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ocr_ray.pipelines.extract import extract_and_write
+    from ocr_ray.sources.readers import read_documents as _read_docs
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.state.manifest import (
+        delete_keys,
+        load_manifest,
+        partition_of,
+        read_fragments,
+    )
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    raw = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = raw["doc_id"].to_numpy(zero_copy_only=False)
+    victims = [f"doc-{int(d):08d}" for d in ids if int(d) % 97 == 0]
+
+    out = tempfile.mkdtemp(prefix="ocr_ray_del_")
+    shutil.rmtree(out)
+    try:
+        manifest, _ = extract_and_write(
+            _read_docs(corpus), out, num_parts=8, num_buckets=8
+        )
+        total = int(manifest["row_count"].sum())
+        planned = sorted(set(partition_of(victims, 8).tolist()))
+        result = delete_keys(out, victims)
+        if sorted(result["partition"]) != planned:
+            raise AssertionError(
+                f"delete touched {sorted(result['partition'])}, law says {planned}"
+            )
+        if int(result["deleted"].sum()) != len(victims):
+            raise AssertionError(
+                f"deleted {int(result['deleted'].sum())} rows for "
+                f"{len(victims)} victim docs"
+            )
+        live = read_fragments([r["file"] for r in load_manifest(out).values()])
+        if live.count() != total - len(victims):
+            raise AssertionError("live row count does not reflect the delete")
+        return (
+            live.map_batches(
+                explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -760,3 +760,83 @@ def read_key_pruned(out_dir: str, bloom_field: str, keys) -> tuple:
 
         return _ray.data.from_items([]), len(recs), checks
     return read_fragments([r["file"] for r in keep]), len(recs) - len(keep), checks
+
+
+def delete_keys(out_dir: str, keys, *, key_col: str = "doc_id") -> pd.DataFrame:
+    """Targeted DELETE over a resumable-sink table: remove every row whose
+    ``key_col`` is in ``keys``, rewriting ONLY the fragments that can hold
+    an affected key — planned from the partition law (``partition_of`` on
+    the layout's ``num_parts``), so a delete of k keys touches at most k
+    fragments no matter how large the table is. Untouched fragments are
+    never opened.
+
+    Rewrites go fragment-parallel through ``ResumableSink.write`` (same
+    demote -> temp -> atomic-replace protocol as any rewrite: a crash
+    mid-delete leaves the partition demoted and the next resume repairs
+    it; earlier snapshots keep the pre-delete bytes via their hard
+    links). An emptied fragment is committed as an empty table — the
+    partition stays complete, the resume law intact.
+
+    Returns a DataFrame (partition, rows_before, rows_after, deleted)
+    for the rewritten fragments only.
+    """
+    import ray as _ray
+
+    man = load_manifest(out_dir)
+    if not man:
+        raise ValueError(f"delete_keys: no manifest under {out_dir}")
+    lp = Path(out_dir) / "_manifest" / "layout.json"
+    if not lp.exists():
+        raise ValueError(f"delete_keys: no layout record under {out_dir}")
+    num_parts = json.loads(lp.read_text())["num_parts"]
+    keys = list(keys)
+    if not keys:
+        return pd.DataFrame(
+            columns=["partition", "rows_before", "rows_after", "deleted"]
+        )
+    affected = sorted(set(partition_of(keys, num_parts).tolist()) & set(man))
+    if not affected:
+        return pd.DataFrame(
+            columns=["partition", "rows_before", "rows_after", "deleted"]
+        )
+    fmt = man[affected[0]].get("format", "parquet")
+    sink = ResumableSink(out_dir, data_format=fmt)
+    key_arr = pa.array(keys)
+    plan = pa.table(
+        {
+            "partition": pa.array(affected, type=pa.int64()),
+            "file": pa.array([man[p]["file"] for p in affected], type=pa.string()),
+        }
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        rows = []
+        for part, f in zip(
+            batch["partition"].to_pylist(), batch["file"].to_pylist()
+        ):
+            if f.endswith(".lance"):  # pragma: no cover - lance absent here
+                tbl = lance.dataset(f).to_table()
+            else:
+                tbl = pq.read_table(f)
+            keep = pa.compute.invert(
+                pa.compute.is_in(tbl[key_col], value_set=key_arr)
+            )
+            kept = tbl.filter(keep)
+            sink.write(kept, int(part), extra={"deleted": tbl.num_rows - kept.num_rows})
+            rows.append((int(part), tbl.num_rows, kept.num_rows))
+        return pa.table(
+            {
+                "partition": pa.array([r[0] for r in rows], type=pa.int64()),
+                "rows_before": pa.array([r[1] for r in rows], type=pa.int64()),
+                "rows_after": pa.array([r[2] for r in rows], type=pa.int64()),
+                "deleted": pa.array([r[1] - r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    out = (
+        _ray.data.from_arrow(plan)
+        .repartition(len(affected))
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values("partition", ignore_index=True)

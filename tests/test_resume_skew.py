@@ -432,3 +432,60 @@ def test_read_key_pruned_skips_and_errors(ray_session, tmp_path):
     sink.write(pa.table({"k": pa.array([1], pa.int64())}), 9)
     with pytest.raises(ValueError, match="no 'bloom_k'"):
         read_key_pruned(str(out), "bloom_k", [1])
+
+
+def test_delete_keys_rewrites_only_affected(ray_session, tmp_path):
+    """delete_keys touches exactly the partition-law fragments, commits
+    emptied fragments as complete empty tables, and a pre-delete snapshot
+    still reads the deleted rows (hard-link isolation composes)."""
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        _check_layout,
+        delete_keys,
+        load_manifest,
+        partition_of,
+        read_fragments,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    out = tmp_path / "t"
+    num_parts = 4
+    ids = [f"doc-{i:04d}" for i in range(40)]
+    parts = partition_of(ids, num_parts)
+    _check_layout(str(out), num_parts, write=True)
+    sink = ResumableSink(str(out), data_format="parquet")
+    for p in range(num_parts):
+        sel = [i for i, q in enumerate(parts) if q == p]
+        sink.write(
+            pa.table(
+                {
+                    "doc_id": pa.array([ids[i] for i in sel]),
+                    "v": pa.array(np.asarray(sel, dtype=np.int64)),
+                }
+            ),
+            p,
+        )
+    v1 = snapshot_commit(str(out))
+
+    # delete one whole partition's docs + one doc from another
+    victim_part = int(parts[0])
+    victims = [ids[i] for i, q in enumerate(parts) if q == victim_part]
+    other = next(ids[i] for i, q in enumerate(parts) if q != victim_part)
+    victims.append(other)
+    res = delete_keys(str(out), victims)
+    expect_parts = sorted({victim_part, int(partition_of([other], num_parts)[0])})
+    assert sorted(res["partition"]) == expect_parts
+    assert int(res["deleted"].sum()) == len(victims)
+
+    man = load_manifest(str(out))
+    assert len(man) == num_parts  # emptied fragment still complete
+    assert man[victim_part]["row_count"] == 0 and man[victim_part]["deleted"] > 0
+    live = read_fragments([r["file"] for r in man.values()]).to_pandas()
+    assert len(live) == 40 - len(victims)
+    assert not set(victims) & set(live["doc_id"])
+    # pre-delete snapshot unaffected
+    assert read_snapshot(str(out), v1).count() == 40
+
+    assert delete_keys(str(out), []).empty
+    assert delete_keys(str(out), ["doc-9999"])["deleted"].sum() == 0
