@@ -1725,3 +1725,138 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
             "n_values": pa.array(joined["n"].to_numpy(dtype=np.int64)),
         }
     )
+
+
+@query(
+    "orders_grouping_sets",
+    sql="""
+SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                        (o_orderstatus, o_orderpriority), (year(o_orderdate)))
+""",
+)
+def orders_grouping_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING SETS (the general form ROLLUP/CUBE specialize): three
+    arbitrary grouping combinations — (yr, status), (status, priority),
+    (yr) — answered by ONE fine-grained distributed groupby over the
+    union of all referenced dimensions, with every requested set folded
+    from that tiny finest level driver-side. One pass over the data for
+    any number of sets, the same partial+final idiom as ROLLUP/CUBE."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderdate", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.string()),
+                "status": t["o_orderstatus"],
+                "priority": t["o_orderpriority"],
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["yr", "status", "priority"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .to_pandas()
+    )
+
+    def fold(keep: list[str]) -> pd.DataFrame:
+        out = fine.groupby(keep, as_index=False)[["n_orders", "price_c"]].sum()
+        for col in ("yr", "status", "priority"):
+            if col not in keep:
+                out[col] = "ALL"
+        return out
+
+    allv = pd.concat(
+        [fold(["yr", "status"]), fold(["status", "priority"]), fold(["yr"])],
+        ignore_index=True,
+    )
+    return pa.table(
+        {
+            "yr": pa.array(allv["yr"], type=pa.string()),
+            "status": pa.array(allv["status"], type=pa.string()),
+            "priority": pa.array(allv["priority"], type=pa.string()),
+            "n_orders": pa.array(allv["n_orders"].to_numpy(dtype=np.int64)),
+            "total_price": pa.array(units_to_double(allv["price_c"], 2)),
+        }
+    )
+
+
+@query(
+    "events_watermarked_window",
+    sql="""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS watermark FROM events
+),
+w AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+         event_type, value, ts
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT w.win_start, w.event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(w.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(w.win_start + INTERVAL 5 MINUTE <= (SELECT watermark FROM wm) AS BOOLEAN)
+    AS is_final
+FROM w GROUP BY w.win_start, w.event_type
+""",
+)
+def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
+    """WATERMARK semantics over tumbling windows — the batch statement of
+    the streaming contract: windows whose end precedes the watermark
+    (max event time - 10 min lateness bound) are FINAL (a streaming run
+    may emit and drop their state); later windows are still OPEN. One
+    cheap max-ts aggregate broadcasts as the watermark scalar; window
+    assignment + integer-unit sums stay one distributed groupby. The
+    is_final flag is part of the oracle hash, so the
+    watermark arithmetic (bucket end vs bound) is pinned bit-exactly."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    wm = ds.aggregate(Max("ts"))["max(ts)"]
+    FIVE_MIN = 300_000_000  # microseconds
+    watermark_us = int(pd.Timestamp(wm).value // 1000) - 600_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // FIVE_MIN) * FIVE_MIN
+        return pa.table(
+            {
+                "win_us": pa.array(win),
+                "event_type": t["event_type"],
+                "value_c": to_units(t["value"]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["win_us", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        win_us = df["win_us"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "win_start": pd.to_datetime(win_us, unit="us"),
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": units_to_double(df["value_c"], 2),
+                "is_final": (win_us + FIVE_MIN) <= watermark_us,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")

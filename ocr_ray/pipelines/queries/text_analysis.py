@@ -402,3 +402,57 @@ def bigram_lm_score(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+@query(
+    "phrase_search_docs",
+    sql="""
+WITH src AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM src),
+m AS (
+  SELECT a.doc_id, COUNT(*) AS n_hits
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.w = 'spark' AND b.w = 'join'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM m
+""",
+)
+def phrase_search_docs(sf_dir: str) -> ray.data.Dataset:
+    """Exact PHRASE search (positional adjacency, the retrieval op BM25's
+    bag-of-words cannot express): occurrences of the exact token sequence
+    'spark join' per document. One streaming pass, fully vectorized —
+    adjacent-position equality on the flattened token array with doc
+    boundaries masked, per-doc counts via one bincount; no index build,
+    no shuffle (the per-doc groupby is batch-local because a document's
+    tokens never split across batches)."""
+    import numpy as np
+
+    from ocr_ray.functions.text import split_tokens
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    out_schema = pa.schema({"doc_id": pa.int64(), "n_hits": pa.int64()})
+
+    def match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        parents, _, flat = split_tokens(t["text"])
+        if len(flat) < 2:
+            return out_schema.empty_table()
+        hit = (
+            pc.equal(flat.slice(0, len(flat) - 1), "spark").to_numpy(
+                zero_copy_only=False
+            )
+            & pc.equal(flat.slice(1), "join").to_numpy(zero_copy_only=False)
+            & (parents[:-1] == parents[1:])
+        )
+        n = np.bincount(parents[:-1][hit], minlength=t.num_rows).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_hits": pa.array(n[keep]),
+            }
+        )
+
+    return docs.map_batches(match, batch_format="pyarrow")
