@@ -125,6 +125,8 @@ QUERY_SET = [
     "orders_zonemap_pruned_scan",
     "mad_robust_stats_events",
     "orders_bloom_point_lookup",
+    "copartitioned_customer_orders_join",
+    "phrase_search_docs",
 ]
 
 
@@ -217,9 +219,7 @@ def run_bench() -> dict:
         q_times[name] = round(time.perf_counter() - tq, 3)
 
     result = {
-        "metric": "extraction_wall_sec",
         "value": round(t_headline, 3),
-        "unit": "sec",
         "queries": q_times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -1012,3 +1012,120 @@ def orders_bloom_point_lookup(sf_dir: str) -> ray.data.Dataset:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "copartitioned_customer_orders_join",
+    sql="""
+SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_totalprice > 450000
+""",
+)
+def copartitioned_customer_orders_join(sf_dir: str) -> ray.data.Dataset:
+    """WRITE-ONCE / JOIN-FOREVER: customer and orders are each written
+    through the resumable sink under the SAME partition law on the join
+    key (``partition_of(custkey, 8)``), then joined with ZERO shuffles —
+    ``state.manifest.read_copartitioned_join`` runs one map task per
+    partition PAIR because matching keys already share a fragment. The
+    100 TB contract this demonstrates: pay the partitioned write once,
+    and every later join of co-partitioned tables (the fact/dimension
+    refresh cycle) is embarrassingly parallel with no all-to-all. Layout
+    agreement is validated from the manifests before any byte is read."""
+    import shutil
+    import tempfile
+
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        _check_layout,
+        partition_of,
+        read_copartitioned_join,
+    )
+
+    NPARTS = 8
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    dirs = {
+        "c": tempfile.mkdtemp(prefix="ocr_ray_copart_c_"),
+        "o": tempfile.mkdtemp(prefix="ocr_ray_copart_o_"),
+    }
+    for d in dirs.values():
+        shutil.rmtree(d)
+    try:
+        def write_partitioned(ds, out, key):
+            _check_layout(out, NPARTS, write=True)
+            sink = ResumableSink(out, data_format="parquet")
+
+            def tag(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_part", pa.array(partition_of(t[key], NPARTS))
+                )
+
+            def write_part(g: pd.DataFrame) -> pa.Table:
+                part = int(g["_part"].iloc[0])
+                tbl = pa.Table.from_pandas(
+                    g.drop(columns=["_part"]), preserve_index=False
+                ).replace_schema_metadata(None)
+                return sink.write(tbl, part)
+
+            n = (
+                ds.map_batches(tag, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(write_part, batch_format="pandas")
+                .count()
+            )
+            assert n == NPARTS
+
+        write_partitioned(
+            cust.map_batches(
+                lambda t: t.rename_columns(["custkey", "c_acctbal"]),
+                batch_format="pyarrow",
+            ),
+            dirs["c"],
+            "custkey",
+        )
+        write_partitioned(
+            orders.map_batches(
+                lambda t: pa.table(
+                    {
+                        "o_orderkey": t["o_orderkey"],
+                        "custkey": t["o_custkey"],
+                        "o_totalprice": t["o_totalprice"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            dirs["o"],
+            "custkey",
+        )
+
+        joined_schema = pa.schema(
+            {
+                "custkey": pa.int64(),
+                "c_acctbal": pa.float64(),
+                "o_orderkey": pa.int64(),
+                "o_totalprice": pa.float64(),
+            }
+        )
+        joined = read_copartitioned_join(
+            dirs["c"], dirs["o"], on="custkey", schema=joined_schema
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["o_totalprice"], 450000.0))
+            return pa.table(
+                {
+                    "c_custkey": t["custkey"],
+                    "c_acctbal": t["c_acctbal"],
+                    "o_orderkey": t["o_orderkey"],
+                    "o_totalprice": t["o_totalprice"],
+                }
+            )
+
+        return joined.map_batches(project, batch_format="pyarrow").materialize()
+    finally:
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)

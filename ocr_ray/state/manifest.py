@@ -840,3 +840,81 @@ def delete_keys(out_dir: str, keys, *, key_col: str = "doc_id") -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("partition", ignore_index=True)
+
+
+def read_copartitioned_join(
+    dir_a: str,
+    dir_b: str,
+    *,
+    on: str,
+    schema: pa.Schema,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """SHUFFLE-FREE join of two resumable-sink tables written under the
+    SAME partition law on the join key (``partition_of(key, num_parts)``
+    with equal ``num_parts``): matching keys are already in matching
+    fragments, so the join is one map task per partition PAIR reading two
+    files — no all-to-all, ever. This is the write-once/join-forever
+    contract: at 100 TB you pay the partitioned write once and every
+    subsequent join of co-partitioned tables is embarrassingly parallel.
+
+    Validates both layouts agree before reading a byte; a partition
+    missing on one side joins against empty (inner drops, left keeps
+    with null fills). ``schema`` pins the joined output (the engine's
+    explicit-schema discipline: every partition emits the same block
+    type, including empty ones). Returns a streaming Dataset.
+    """
+    import ray as _ray
+
+    la = json.loads((Path(dir_a) / "_manifest" / "layout.json").read_text())
+    lb = json.loads((Path(dir_b) / "_manifest" / "layout.json").read_text())
+    if la["num_parts"] != lb["num_parts"]:
+        raise ValueError(
+            f"co-partitioned join needs equal partition counts: "
+            f"{la['num_parts']} vs {lb['num_parts']}"
+        )
+    man_a, man_b = load_manifest(dir_a), load_manifest(dir_b)
+    parts = sorted(set(man_a) | set(man_b))
+    plan = pa.table(
+        {
+            "part": pa.array(parts, type=pa.int64()),
+            "file_a": pa.array(
+                [man_a[p]["file"] if p in man_a else "" for p in parts],
+                type=pa.string(),
+            ),
+            "file_b": pa.array(
+                [man_b[p]["file"] if p in man_b else "" for p in parts],
+                type=pa.string(),
+            ),
+        }
+    )
+    names = [f.name for f in schema]
+
+    def join_pair(batch: pa.Table) -> pa.Table:
+        outs = [schema.empty_table()]
+        for fa, fb in zip(batch["file_a"].to_pylist(), batch["file_b"].to_pylist()):
+            a = pq.read_table(fa).to_pandas() if fa else None
+            b = pq.read_table(fb).to_pandas() if fb else None
+            if a is None and b is None:
+                continue
+            if a is None:
+                if how in ("inner", "left"):
+                    continue
+                a = pd.DataFrame({on: pd.Series([], dtype="int64")})
+            if b is None:
+                if how == "inner":
+                    continue
+                b = pd.DataFrame({on: pd.Series([], dtype="int64")})
+            m = a.merge(b, on=on, how=how, suffixes=("", suffix))
+            if len(m):
+                outs.append(
+                    pa.Table.from_pandas(m[names], preserve_index=False).cast(schema)
+                )
+        return pa.concat_tables(outs)
+
+    return (
+        _ray.data.from_arrow(plan)
+        .repartition(len(parts))
+        .map_batches(join_pair, batch_format="pyarrow", batch_size=None)
+    )

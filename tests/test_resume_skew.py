@@ -489,3 +489,57 @@ def test_delete_keys_rewrites_only_affected(ray_session, tmp_path):
 
     assert delete_keys(str(out), []).empty
     assert delete_keys(str(out), ["doc-9999"])["deleted"].sum() == 0
+
+
+def test_copartitioned_join_zero_shuffle_semantics(ray_session, tmp_path):
+    """Partition-pair join matches a plain merge; missing partitions on
+    one side behave per join type; mismatched layouts are refused."""
+    import pandas as pd
+
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        _check_layout,
+        partition_of,
+        read_copartitioned_join,
+    )
+
+    def write(dirname, df, key, num_parts=4, skip_parts=()):
+        out = str(tmp_path / dirname)
+        _check_layout(out, num_parts, write=True)
+        sink = ResumableSink(out, data_format="parquet")
+        parts = partition_of(df[key].tolist(), num_parts)
+        for p in range(num_parts):
+            if p in skip_parts:
+                continue
+            sub = df[parts == p]
+            sink.write(
+                pa.Table.from_pandas(sub, preserve_index=False).replace_schema_metadata(None),
+                p,
+            )
+        return out
+
+    a = pd.DataFrame({"k": np.arange(20, dtype=np.int64), "va": np.arange(20) * 10})
+    b = pd.DataFrame(
+        {"k": np.repeat(np.arange(20, dtype=np.int64), 2), "vb": np.arange(40)}
+    )
+    da = write("a", a, "k")
+    db = write("b", b, "k")
+    schema = pa.schema({"k": pa.int64(), "va": pa.int64(), "vb": pa.int64()})
+    got = (
+        read_copartitioned_join(da, db, on="k", schema=schema)
+        .to_pandas()
+        .sort_values(["k", "vb"], ignore_index=True)
+    )
+    want = a.merge(b, on="k").sort_values(["k", "vb"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+    # a partition absent on the right: inner join drops those keys
+    db2 = write("b2", b, "k", skip_parts=(0,))
+    got2 = read_copartitioned_join(da, db2, on="k", schema=schema).to_pandas()
+    dropped = partition_of(a["k"].tolist(), 4) == 0
+    assert len(got2) == 2 * (20 - int(dropped.sum()))
+
+    # layout mismatch is loud
+    dc = write("c", a, "k", num_parts=8)
+    with pytest.raises(ValueError, match="equal partition counts"):
+        read_copartitioned_join(da, dc, on="k", schema=schema)
