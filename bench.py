@@ -219,7 +219,9 @@ def run_bench() -> dict:
         q_times[name] = round(time.perf_counter() - tq, 3)
 
     result = {
+        "metric": "extraction_wall_sec",
         "value": round(t_headline, 3),
+        "unit": "sec",
         "queries": q_times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

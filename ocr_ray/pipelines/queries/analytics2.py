@@ -1148,13 +1148,11 @@ def copurchase_triangles(sf_dir: str) -> ray.data.Dataset:
         e = g[["src", "dst"]]
         m = e.merge(e, on="src", suffixes=("_1", "_2"))
         m = m[m["dst_1"] < m["dst_2"]]  # unordered neighbor pair, once
+        # dst_1 < dst_2 already matches the (min id, max id) convention
+        # the `edges` table stores, so the pair is the closing-edge key
         out = pd.DataFrame(
             {"u": m["src"], "pa_": m["dst_1"], "pb_": m["dst_2"]}
         )
-        # closing edge is stored as (min id, max id) in `edges`
-        lo = out[["pa_", "pb_"]].min(axis=1)
-        hi = out[["pa_", "pb_"]].max(axis=1)
-        out["pa_"], out["pb_"] = lo, hi
         return arrow_out(out, wedge_schema)
 
     wedges = oriented.groupby("_bucket").map_groups(

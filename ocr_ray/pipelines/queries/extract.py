@@ -167,13 +167,21 @@ def extract_snapshot_spans(sf_dir: str) -> ray.data.Dataset:
         v1 = snapshot_commit(out, note="post-extract")
 
         # destructive in-place rewrite: drop half the rows of one partition
+        # (format-dispatched like delete_keys — the sink may have committed
+        # Lance fragments when that package is importable)
         man = load_manifest(out)
         part = sorted(man)[0]
-        import pyarrow.parquet as _pq
+        fmt = man[part].get("format", "parquet")
+        if fmt == "lance":  # pragma: no cover - lance absent in this sandbox
+            import lance as _lance
 
-        frag = _pq.read_table(man[part]["file"])
+            frag = _lance.dataset(man[part]["file"]).to_table()
+        else:
+            import pyarrow.parquet as _pq
+
+            frag = _pq.read_table(man[part]["file"])
         kept = frag.slice(0, frag.num_rows // 2)
-        ResumableSink(out, data_format="parquet").write(kept, part)
+        ResumableSink(out, data_format=fmt).write(kept, part)
         v2 = snapshot_commit(out, note="post-truncate")
 
         d = snapshot_diff(out, v1, v2)

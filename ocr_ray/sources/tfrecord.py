@@ -79,9 +79,24 @@ def masked_crc32c_many(records: list[bytes]) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint32)
     lens = np.fromiter((len(r) for r in records), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    # Skew guard: the padded matrix costs n * maxlen, not total bytes. A
+    # few giant records among many small ones (a 10 MB image bytes_list in
+    # a sea of 100 B Examples) would blow the pad factor up — route length
+    # outliers through the scalar kernel and vectorize the dense rest.
+    mean_len = float(lens.mean())
+    if maxlen > max(4 * mean_len, 4096):
+        cut = max(int(4 * mean_len), 4096)
+        out = np.empty(n, dtype=np.uint32)
+        big = lens > cut
+        for i in np.flatnonzero(big):
+            out[i] = masked_crc32c(records[i])
+        small_idx = np.flatnonzero(~big)
+        if len(small_idx):
+            out[small_idx] = masked_crc32c_many([records[i] for i in small_idx])
+        return out
     total = int(lens.sum())
     flat = np.frombuffer(b"".join(records), dtype=np.uint8)
-    maxlen = int(lens.max())
     mat = np.zeros((n, maxlen), dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     rows = np.repeat(np.arange(n), lens)

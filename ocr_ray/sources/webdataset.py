@@ -88,10 +88,16 @@ def write_webdataset_shard(t: pa.Table, path: str, *, key_column: str | None) ->
     cols = {f.name: t.column(f.name).to_pylist() for f in t.schema}
     if key_column is not None:
         keys = [str(k) for k in t.column(key_column).to_pylist()]
+        if len(set(keys)) != len(keys):  # merged samples would be silent
+            raise ValueError(
+                f"webdataset sink: key_column {key_column!r} has duplicate "
+                "values in this block — samples would merge on read"
+            )
     else:
         keys = [f"{i:09d}" for i in range(t.num_rows)]
     with tarfile.open(path, "w") as tar:
         for r, key in enumerate(keys):
+            wrote = 0
             for name, kind in fields:
                 v = cols[name][r]
                 if v is None:
@@ -101,6 +107,12 @@ def write_webdataset_shard(t: pa.Table, path: str, *, key_column: str | None) ->
                 info.size = len(payload)
                 info.mtime = 0
                 tar.addfile(info, io.BytesIO(payload))
+                wrote += 1
+            if wrote == 0:  # a member-less sample vanishes on read: refuse
+                raise ValueError(
+                    f"webdataset sink: row with key {key!r} is entirely "
+                    "null — the tar layout cannot represent it"
+                )
 
 
 def write_webdataset(

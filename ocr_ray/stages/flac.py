@@ -191,20 +191,93 @@ _BPS = 16
 
 
 def _utf8_frame_number(bw: _BitWriter, n: int) -> None:
-    # FLAC's UTF-8-style variable-length code for the frame number
+    # FLAC's UTF-8-style variable-length code, general form: k extra
+    # bytes carry 6 bits each under a (k+1)-ones lead byte (up to 6
+    # extras = 36 bits, the spec's sample-number ceiling)
     if n < 0x80:
         bw.write(n, 8)
         return
-    if n < 0x800:
-        bw.write(0xC0 | (n >> 6), 8)
-        bw.write(0x80 | (n & 0x3F), 8)
-        return
-    bw.write(0xE0 | (n >> 12), 8)
-    bw.write(0x80 | ((n >> 6) & 0x3F), 8)
-    bw.write(0x80 | (n & 0x3F), 8)
+    for extra in range(1, 7):
+        lead_bits = 6 - extra  # payload bits in the lead byte
+        if n < (1 << (lead_bits + 6 * extra)):
+            lead = (0xFF << (lead_bits + 1)) & 0xFF
+            bw.write(lead | (n >> (6 * extra)), 8)
+            for i in range(extra - 1, -1, -1):
+                bw.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+            return
+    raise ValueError(f"flac: frame number {n} exceeds the 36-bit code")
 
 
-def _encode_subframe(bw: _BitWriter, x: np.ndarray) -> None:
+def _lpc_quantize(x: np.ndarray, order: int, precision: int = 12):
+    """Levinson-Durbin LPC fit + spec quantization. Returns
+    (qcoefs int64[order], shift) or None when the signal is degenerate
+    (zero autocorrelation / unstable recursion)."""
+    n = len(x)
+    if n <= order:
+        return None
+    xf = x.astype(np.float64)
+    ac = np.array([float(np.dot(xf[: n - k], xf[k:])) for k in range(order + 1)])
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        if err == 0.0:
+            return None
+        k = acc / err
+        new_a = a.copy()
+        new_a[i] = k
+        for j in range(i):
+            new_a[j] = a[j] - k * a[i - 1 - j]
+        a = new_a
+        err *= 1.0 - k * k
+        if not np.isfinite(err) or err < 0:
+            return None
+    cmax = float(np.abs(a).max())
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    # largest shift in [0, 15] keeping every coef inside precision bits
+    lim = (1 << (precision - 1)) - 1
+    shift = 15
+    while shift > 0 and cmax * (1 << shift) > lim:
+        shift -= 1
+    q = np.clip(np.round(a * (1 << shift)), -(lim + 1), lim).astype(np.int64)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _encode_lpc_subframe(bw: _BitWriter, xi: np.ndarray, order: int, precision: int = 12) -> bool:
+    """Emit an LPC subframe (type 1ooooo). Returns False if the fit is
+    degenerate (caller falls back to FIXED)."""
+    fit = _lpc_quantize(xi, order, precision)
+    if fit is None:
+        return False
+    q, shift = fit
+    n = len(xi)
+    pred = np.empty(n - order, dtype=np.int64)
+    for i in range(order, n):
+        pred[i - order] = int(np.dot(q, xi[i - order : i][::-1])) >> shift
+    resid = xi[order:] - pred
+    k = _best_rice_k(resid)
+    bw.write(0, 1)
+    bw.write(0b100000 | (order - 1), 6)
+    bw.write(0, 1)
+    for v in xi[:order].tolist():
+        bw.write(int(v), _BPS)
+    bw.write(precision - 1, 4)
+    bw.write(shift, 5)  # nonnegative; 5-bit field
+    for c in q.tolist():
+        bw.write(int(c), precision)
+    bw.write(0b00, 2)
+    bw.write(0, 4)
+    bw.write(k, 4)
+    _rice_encode(bw, resid, k)
+    return True
+
+
+def _encode_subframe(bw: _BitWriter, x: np.ndarray, *, lpc_order: int | None = None) -> None:
     xi = x.astype(np.int64)
     if np.all(xi == xi[0]):
         bw.write(0, 1)  # pad
@@ -212,6 +285,10 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray) -> None:
         bw.write(0, 1)  # no wasted bits
         bw.write(int(xi[0]), _BPS)
         return
+    if lpc_order and len(xi) > lpc_order:
+        if _encode_lpc_subframe(bw, xi, lpc_order):
+            return
+        # degenerate fit: fall through to the FIXED path
     # pick the best fixed order by sum(|residual|)
     best_order, best_cost, best_resid = 0, None, None
     max_order = min(4, len(xi) - 1)
@@ -243,10 +320,17 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray) -> None:
 
 
 def encode_flac(
-    samples: np.ndarray, *, sample_rate: int = 8000, block_size: int = 4096
+    samples: np.ndarray,
+    *,
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+    lpc_order: int | None = None,
 ) -> bytes:
     """int16 mono PCM -> FLAC bytes (subset stream: fixed blocksize,
-    fixed-predictor subframes, rice partitions of order 0)."""
+    rice partitions of order 0). Subframes are fixed-predictor by
+    default; ``lpc_order`` switches to quantized-LPC subframes
+    (Levinson-Durbin fit, spec precision/shift quantization), falling
+    back to FIXED per block when the fit is degenerate."""
     x = np.asarray(samples, dtype=np.int16)
     n = len(x)
     # STREAMINFO
@@ -283,7 +367,7 @@ def encode_flac(
         bw.write(len(blk) - 1, 16)
         hdr = bw.out  # header bytes so far (bit-aligned: all fields above)
         bw.write(crc8(bytes(hdr)), 8)
-        _encode_subframe(bw, blk)
+        _encode_subframe(bw, blk, lpc_order=lpc_order)
         bw.align()
         bw.write(crc16(bytes(bw.out)), 16)
         out += bw.bytes()
@@ -388,7 +472,7 @@ def _decode_subframe(br: _BitReader, blk_n: int, bps: int) -> np.ndarray:
         resid = _decode_residual(br, blk_n, order)
         x = np.concatenate([warm, np.zeros(len(resid), dtype=np.int64)])
         for i in range(order, blk_n):
-            pred = int(np.dot(coefs, x[i - 1 : i - order - 1 : -1] if order else []))
+            pred = int(np.dot(coefs, x[i - order : i][::-1]))
             x[i] = resid[i - order] + (pred >> shift)
     else:
         raise ValueError(f"flac: reserved subframe type {typ:#08b}")
@@ -490,6 +574,8 @@ def decode_flac(buf: bytes) -> tuple[np.ndarray, int]:
         pos = body_end + 2
         out.append(x)
         got += blk_n
+    if not out:
+        return np.empty(0, dtype=np.int16), sample_rate
     samples = np.concatenate(out)[:total]
     if samples.min() < -32768 or samples.max() > 32767:
         raise ValueError("flac: decoded samples exceed int16 range")

@@ -907,6 +907,12 @@ def read_copartitioned_join(
                     continue
                 b = pd.DataFrame({on: pd.Series([], dtype="int64")})
             m = a.merge(b, on=on, how=how, suffixes=("", suffix))
+            # a side absent from this partition contributes no columns to
+            # the merge output: null-fill them so every block matches the
+            # pinned schema (outer semantics, not a KeyError)
+            for col in names:
+                if col not in m.columns:
+                    m[col] = pd.NA
             if len(m):
                 outs.append(
                     pa.Table.from_pandas(m[names], preserve_index=False).cast(schema)

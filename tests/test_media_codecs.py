@@ -492,3 +492,56 @@ def test_flac_decoder_stage_matches_wav_stats(ray_session):
     flac_out = FlacDecoder()(attach_flac_payloads(base)).to_pandas()
     wav_out = WavDecoder()(attach_wav_payloads(base)).to_pandas()
     pd.testing.assert_frame_equal(flac_out, wav_out)
+
+
+def test_flac_lpc_subframes_roundtrip():
+    """Quantized-LPC encode (Levinson-Durbin fit, spec precision/shift)
+    round-trips losslessly at several orders, beats the fixed predictors
+    on a smooth signal, and falls back to FIXED on degenerate fits
+    (regression: the LPC decode slice was empty at i == order)."""
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+    from ocr_ray.stages.media import wav_signal
+
+    rng = np.random.default_rng(1)
+    smooth = (3000 * np.sin(np.arange(5000) / 20) + rng.normal(0, 20, 5000)).astype(
+        np.int16
+    )
+    cases = [
+        wav_signal(17),
+        smooth,
+        rng.integers(-32768, 32768, 300).astype(np.int16),
+        np.zeros(64, np.int16),  # constant: LPC request falls back
+        np.arange(100, dtype=np.int16),
+    ]
+    for order in (1, 4, 8):
+        for x in cases:
+            y, _ = decode_flac(encode_flac(x, lpc_order=order))
+            assert np.array_equal(x, y), order
+    assert len(encode_flac(smooth, lpc_order=8)) < len(encode_flac(smooth))
+
+
+def test_flac_utf8_frame_numbers_all_widths():
+    """The UTF-8-style frame-number code round-trips through every byte
+    width up to the 36-bit ceiling (regression: >= 0x10000 overflowed
+    the 3-byte form)."""
+    from ocr_ray.stages.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_utf8_number,
+        _utf8_frame_number,
+    )
+
+    for n in [0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 2**20, 2**30, 2**35]:
+        bw = _BitWriter()
+        _utf8_frame_number(bw, n)
+        bw.align()
+        assert _read_utf8_number(_BitReader(bw.bytes())) == n, n
+    with pytest.raises(ValueError, match="36-bit"):
+        _utf8_frame_number(_BitWriter(), 2**36)
+
+
+def test_flac_empty_stream_roundtrip():
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+
+    y, sr = decode_flac(encode_flac(np.array([], dtype=np.int16)))
+    assert len(y) == 0 and sr == 8000

@@ -543,3 +543,47 @@ def test_copartitioned_join_zero_shuffle_semantics(ray_session, tmp_path):
     dc = write("c", a, "k", num_parts=8)
     with pytest.raises(ValueError, match="equal partition counts"):
         read_copartitioned_join(da, dc, on="k", schema=schema)
+
+
+def test_copartitioned_left_join_null_fills_missing_side(ray_session, tmp_path):
+    """Regression: a partition present on the left but absent on the right
+    must null-fill the right columns under how='left', not KeyError."""
+    import pandas as pd
+
+    from ocr_ray.state.manifest import (
+        ResumableSink,
+        _check_layout,
+        partition_of,
+        read_copartitioned_join,
+    )
+
+    def write(dirname, df, skip=()):
+        out = str(tmp_path / dirname)
+        _check_layout(out, 4, write=True)
+        sink = ResumableSink(out, data_format="parquet")
+        parts = partition_of(df["k"].tolist(), 4)
+        for p in range(4):
+            if p in skip:
+                continue
+            sink.write(
+                pa.Table.from_pandas(df[parts == p], preserve_index=False)
+                .replace_schema_metadata(None),
+                p,
+            )
+        return out
+
+    a = pd.DataFrame({"k": np.arange(12, dtype=np.int64), "va": np.arange(12) * 10})
+    b = pd.DataFrame({"k": np.arange(12, dtype=np.int64), "vb": np.arange(12) + 100})
+    missing = 0
+    da = write("la", a)
+    db = write("lb", b, skip=(missing,))
+    schema = pa.schema({"k": pa.int64(), "va": pa.int64(), "vb": pa.int64()})
+    got = (
+        read_copartitioned_join(da, db, on="k", schema=schema, how="left")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert len(got) == 12  # every left row kept
+    dropped = partition_of(a["k"].tolist(), 4) == missing
+    assert got["vb"].isna().sum() == int(dropped.sum()) and got["vb"].isna().sum() > 0
+    assert got["va"].notna().all()

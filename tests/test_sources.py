@@ -484,3 +484,47 @@ def test_tfrecord_webdataset_read_any_is_loud(tmp_path):
         read_any(str(tmp_path / "x.tfrecord"))
     with pytest.raises(ValueError, match="pyarrow schema"):
         read_any(str(tmp_path / "x.tar"))
+
+
+def test_tfrecord_crc_many_skewed_lengths():
+    """The lockstep CRC kernel routes length outliers through the scalar
+    path (regression: one giant record padded every row to its length)
+    and still returns exact CRCs for all records."""
+    from ocr_ray.sources.tfrecord import masked_crc32c, masked_crc32c_many
+
+    recs = [bytes([i % 251]) * (10 + i % 30) for i in range(500)]
+    recs.insert(123, b"\xab" * 300_000)  # ~10^4x the mean length
+    got = masked_crc32c_many(recs)
+    for i in (0, 123, 124, 499, 250):
+        assert int(got[i]) == masked_crc32c(recs[i])
+
+
+def test_webdataset_sink_refuses_unrepresentable_rows(tmp_path):
+    """All-null rows and duplicate keys would silently lose/merge samples
+    on read — the sink refuses them loudly."""
+    from ocr_ray.sources.webdataset import write_webdataset_shard
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a", None], pa.string()),
+            "aux": pa.array([b"x", None], pa.binary()),
+        }
+    )
+    # row 2: doc_id member still written (key col is a column too) -> fine
+    write_webdataset_shard(t, str(tmp_path / "ok.tar"), key_column="doc_id")
+
+    allnull = pa.table(
+        {
+            "text": pa.array(["a", None], pa.string()),
+            "aux": pa.array([b"x", None], pa.binary()),
+        }
+    )
+    with pytest.raises(ValueError, match="entirely null"):
+        write_webdataset_shard(allnull, str(tmp_path / "bad.tar"), key_column=None)
+
+    dup = pa.table(
+        {"doc_id": pa.array([7, 7], pa.int64()), "text": pa.array(["a", "b"])}
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        write_webdataset_shard(dup, str(tmp_path / "dup.tar"), key_column="doc_id")
