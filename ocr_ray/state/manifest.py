@@ -97,6 +97,36 @@ def _span_checksum(tbl: pa.Table) -> int:
         return int(h.sum(dtype=np.uint64))
 
 
+def _column_stats(tbl: pa.Table) -> dict:
+    """{column: [min, max]} for primitive (int/float/string/date) columns
+    of a fragment — one vectorized min_max kernel per column, JSON-safe.
+    Nested/binary columns and all-null/empty columns are skipped."""
+    import pyarrow.compute as pc_
+
+    out: dict = {}
+    if tbl.num_rows == 0:
+        return out
+    for field in tbl.schema:
+        t = field.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_date(t)
+            or pa.types.is_timestamp(t)
+        ):
+            continue
+        mm = pc_.min_max(tbl[field.name])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue  # all-null column has no range
+        if pa.types.is_date(t) or pa.types.is_timestamp(t):
+            lo, hi = str(lo), str(hi)
+        out[field.name] = [lo, hi]
+    return out
+
+
 def load_manifest(out_dir: str) -> dict[int, dict]:
     """{partition_id: lineage record} for every completed fragment."""
     mdir = Path(out_dir) / "_manifest"
@@ -230,6 +260,11 @@ class ResumableSink:
             "engine": ENGINE_VERSION,
             "file": str(final),
             "format": self.data_format,
+            # automatic zone maps: per-column min/max for every primitive
+            # column (the Parquet-row-group/Iceberg-manifest discipline) —
+            # range scans on ANY such column can file-skip via
+            # read_range_pruned(column=...) with no opt-in at write time
+            "stats": _column_stats(tbl),
         }
         if extra:
             rec.update(extra)
@@ -624,33 +659,48 @@ def snapshot_diff(out_dir: str, a: int, b: int) -> dict:
     }
 
 
-def read_range_pruned(out_dir: str, *, lo=None, hi=None):
-    """Zone-map scan: stream only the fragments whose lineage
-    ``[min_value, max_value]`` interval intersects ``[lo, hi]`` — file
-    skipping decided from the manifest ALONE (no data bytes touched for
-    skipped fragments). Pair with ``sorted_export`` (which writes
-    non-overlapping value-ordered fragments and records the interval);
-    at 100 TB this is the difference between a range query scanning one
+def read_range_pruned(out_dir: str, *, lo=None, hi=None, column: str | None = None):
+    """Zone-map scan: stream only the fragments whose lineage min/max
+    interval intersects ``[lo, hi]`` — file skipping decided from the
+    manifest ALONE (no data bytes touched for skipped fragments).
+
+    Two stat sources: ``column=None`` uses the sort-key interval that
+    ``sorted_export`` records (``min_value``/``max_value`` — non-
+    overlapping tiles, maximal pruning); ``column='c'`` uses the
+    AUTOMATIC per-column stats every ``ResumableSink.write`` records
+    (``stats['c']`` — any primitive column of any sink table, pruning
+    power proportional to how clustered that column is in the layout).
+    At 100 TB this is the difference between a range query scanning one
     fragment and scanning the corpus.
 
     Returns ``(Dataset, n_skipped)``. Rows inside kept fragments still
     need the residual predicate (zone maps prune files, not rows).
-    Raises if any fragment lacks the min/max lineage fields.
+    Raises if any fragment lacks the requested stats.
     """
     recs = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition"])
     if not recs:
         raise ValueError(f"read_range_pruned: no manifest under {out_dir}")
-    missing = [r["partition"] for r in recs if "min_value" not in r or "max_value" not in r]
+
+    def bounds(r: dict):
+        if column is None:
+            if "min_value" not in r or "max_value" not in r:
+                return None
+            return r["min_value"], r["max_value"]
+        st = r.get("stats", {}).get(column)
+        return (st[0], st[1]) if st else None
+
+    missing = [r["partition"] for r in recs if bounds(r) is None]
     if missing:
+        what = f"stats for column {column!r}" if column else "sort-key min/max"
         raise ValueError(
-            f"read_range_pruned: fragments {missing} carry no zone-map "
-            "stats (write through sorted_export or pass min/max via "
-            "ResumableSink extra=...)"
+            f"read_range_pruned: fragments {missing} carry no {what} "
+            "(write through sorted_export / a current ResumableSink, or "
+            "pass min/max via extra=...)"
         )
     keep = [
         r
         for r in recs
-        if (hi is None or r["min_value"] <= hi) and (lo is None or r["max_value"] >= lo)
+        if (hi is None or bounds(r)[0] <= hi) and (lo is None or bounds(r)[1] >= lo)
     ]
     if not keep:
         import ray as _ray

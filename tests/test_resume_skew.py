@@ -361,9 +361,12 @@ def test_read_range_pruned_skips_by_manifest(ray_session, tmp_path):
     ds3, skipped3 = read_range_pruned(str(out))  # unbounded = full scan
     assert skipped3 == 0 and ds3.count() == 30
 
-    sink.write(pa.table({"v": pa.array([99])}), 7)  # no stats
-    with pytest.raises(ValueError, match="no zone-map"):
+    sink.write(pa.table({"v": pa.array([99])}), 7)  # no sort-key interval
+    with pytest.raises(ValueError, match="no sort-key min/max"):
         read_range_pruned(str(out), lo=0, hi=1)
+    # ...but the AUTOMATIC per-column stats cover the same fragment
+    ds4, skipped4 = read_range_pruned(str(out), lo=99, hi=99, column="v")
+    assert skipped4 == 3 and ds4.count() == 1
 
 
 def test_expire_snapshots_retention(ray_session, tmp_path):
@@ -587,3 +590,38 @@ def test_copartitioned_left_join_null_fills_missing_side(ray_session, tmp_path):
     dropped = partition_of(a["k"].tolist(), 4) == missing
     assert got["vb"].isna().sum() == int(dropped.sum()) and got["vb"].isna().sum() > 0
     assert got["va"].notna().all()
+
+
+def test_sink_auto_column_stats_and_pruned_read(ray_session, tmp_path):
+    """Every sink write records per-column min/max automatically; a range
+    scan on ANY primitive column can file-skip via column=..., and
+    all-null/nested columns are cleanly absent from the stats."""
+    from ocr_ray.state.manifest import ResumableSink, load_manifest, read_range_pruned
+
+    out = tmp_path / "t"
+    sink = ResumableSink(str(out), data_format="parquet")
+    for p, lo in enumerate([0, 100, 200]):
+        sink.write(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(lo, lo + 50, dtype=np.int64)),
+                    "name": pa.array([f"n{j:05d}" for j in range(lo, lo + 50)]),
+                    "blob": pa.array([b"x"] * 50, pa.binary()),
+                    "allnull": pa.array([None] * 50, pa.float64()),
+                }
+            ),
+            p,
+        )
+    rec = load_manifest(str(out))[1]
+    assert rec["stats"]["k"] == [100, 149]
+    assert rec["stats"]["name"] == ["n00100", "n00149"]
+    assert "blob" not in rec["stats"] and "allnull" not in rec["stats"]
+
+    ds, skipped = read_range_pruned(str(out), lo=120, hi=130, column="k")
+    assert skipped == 2 and sorted(ds.to_pandas()["k"])[:1] == [100]
+    ds2, skipped2 = read_range_pruned(
+        str(out), lo="n00200", hi="n00210", column="name"
+    )
+    assert skipped2 == 2 and len(ds2.to_pandas()) == 50
+    with pytest.raises(ValueError, match="stats for column 'blob'"):
+        read_range_pruned(str(out), lo=0, column="blob")
