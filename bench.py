@@ -127,6 +127,8 @@ QUERY_SET = [
     "orders_bloom_point_lookup",
     "copartitioned_customer_orders_join",
     "phrase_search_docs",
+    "orders_metadata_only_stats",
+    "orders_zorder_pruned_scan",
 ]
 
 

@@ -97,3 +97,34 @@ def doc_bucket(doc_ids, num_buckets: int) -> np.ndarray:
     else:
         h = mix64(hash_utf8_column(doc_ids))
     return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Interleave-prep: spread each 16-bit value's bits into the even bit
+    positions of a 32-bit lane (classic Morton bit tricks, vectorized)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def morton_code(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Z-ORDER (Morton) code of two numeric columns: each is min/max
+    normalized to 16 bits, then bit-interleaved into one uint32 key.
+    Sorting by this key clusters rows so that BOTH columns are locally
+    contiguous — per-fragment min/max stats then prune range predicates
+    on either column, which no single-column sort can do. Normalization
+    is linear (document the skew caveat: heavily skewed columns deserve
+    a quantile-rank transform first)."""
+    def norm16(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.float64)
+        lo, hi = float(np.min(v)), float(np.max(v))
+        return np.clip((v - lo) / max(hi - lo, 1e-300) * 65535, 0, 65535).astype(
+            np.uint64
+        )
+
+    return (_spread16(norm16(a)) | (_spread16(norm16(b)) << np.uint64(1))).astype(
+        np.int64
+    )

@@ -1129,3 +1129,170 @@ def copartitioned_customer_orders_join(sf_dir: str) -> ray.data.Dataset:
     finally:
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "orders_metadata_only_stats",
+    sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+""",
+)
+def orders_metadata_only_stats(sf_dir: str) -> pa.Table:
+    """METADATA-ONLY query: count/min/max answered from the manifest's
+    automatic per-column zone maps with ZERO data files opened. The
+    runtime gate is brutal and unambiguous: after the partitioned write,
+    every data file is DELETED from a copy of the layout, and the
+    answers must still come back (then verify bit-exact vs SQL over the
+    real table) — reading a single data byte would crash. At 100 TB this
+    is the difference between an instant manifest fold and a full scan
+    for the commonest profiling queries."""
+    import shutil
+    import tempfile
+    from pathlib import Path as _P
+
+    from ocr_ray.functions.hashing import mix64
+    from ocr_ray.state.manifest import ResumableSink, manifest_aggregate
+
+    NPARTS = 8
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = tempfile.mkdtemp(prefix="ocr_ray_meta_")
+    shutil.rmtree(out)
+    try:
+        sink = ResumableSink(out, data_format="parquet")
+
+        def tag(t: pa.Table) -> pa.Table:
+            h = mix64(
+                t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            )
+            return t.append_column(
+                "_part", pa.array((h % np.uint64(NPARTS)).astype(np.int32))
+            )
+
+        def write_part(g: pd.DataFrame) -> pa.Table:
+            part = int(g["_part"].iloc[0])
+            tbl = pa.Table.from_pandas(
+                g.drop(columns=["_part"]), preserve_index=False
+            ).replace_schema_metadata(None)
+            return sink.write(tbl, part)
+
+        n = (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(write_part, batch_format="pandas")
+            .count()
+        )
+        assert n == NPARTS
+        for f in _P(out).glob("part=*/data.parquet"):
+            f.unlink()  # the gate: metadata must suffice without data bytes
+        total = manifest_aggregate(out)
+        keys = manifest_aggregate(out, "o_orderkey")
+        price = manifest_aggregate(out, "o_totalprice")
+        return pa.table(
+            {
+                "n_rows": pa.array([total["row_count"]], pa.int64()),
+                "min_key": pa.array([keys["min"]], pa.int64()),
+                "max_key": pa.array([keys["max"]], pa.int64()),
+                "min_price": pa.array([price["min"]], pa.float64()),
+                "max_price": pa.array([price["max"]], pa.float64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "orders_zorder_pruned_scan",
+    sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_totalprice BETWEEN 200000 AND 300000
+""",
+)
+def orders_zorder_pruned_scan(sf_dir: str) -> ray.data.Dataset:
+    """Z-ORDER multi-column clustering: orders are exported in Morton
+    (o_custkey, o_totalprice) order into 32 tiles
+    (``state.manifest.zorder_export``), so the automatic per-fragment
+    stats prune range predicates on EITHER column — the property no
+    single-column sort has (its second column spans every fragment).
+    Runtime gates measure exactly that: a price-band prune AND a
+    custkey-band prune must each skip >= 4/32 fragments from the
+    manifest alone. The returned aggregate runs over the price-pruned
+    read with the residual filter; the oracle proves pruning lost no
+    rows."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.functions.relational import to_units, units_to_double
+    from ocr_ray.state.manifest import read_range_pruned, zorder_export
+
+    P_LO, P_HI = 200_000.0, 300_000.0
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = tempfile.mkdtemp(prefix="ocr_ray_zorder_")
+    shutil.rmtree(out)
+    try:
+        zorder_export(
+            ds,
+            out,
+            cols=("o_custkey", "o_totalprice"),
+            tiebreak_col="o_orderkey",
+            out_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+            num_fragments=32,
+        )
+        pruned, skipped_price = read_range_pruned(
+            out, lo=P_LO, hi=P_HI, column="o_totalprice"
+        )
+        # the second dimension prunes on the SAME layout (data-derived
+        # band: middle quarter of the key range)
+        from ocr_ray.state.manifest import load_manifest
+
+        stats = [r["stats"]["o_custkey"] for r in load_manifest(out).values()]
+        ck_lo = min(s[0] for s in stats)
+        ck_hi = max(s[1] for s in stats)
+        band = (
+            ck_lo + 0.375 * (ck_hi - ck_lo),
+            ck_lo + 0.625 * (ck_hi - ck_lo),
+        )
+        _, skipped_ck = read_range_pruned(
+            out, lo=band[0], hi=band[1], column="o_custkey"
+        )
+        if skipped_price < 4 or skipped_ck < 4:
+            raise AssertionError(
+                f"z-order should prune BOTH dimensions (price skipped "
+                f"{skipped_price}, custkey skipped {skipped_ck} of 32)"
+            )
+
+        def residual(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(t["o_totalprice"], P_LO),
+                pc.less_equal(t["o_totalprice"], P_HI),
+            )
+            t = t.filter(m)
+            return pa.table({"price_c": to_units(t["o_totalprice"])})
+
+        agg = (
+            pruned.map_batches(residual, batch_format="pyarrow")
+            .groupby(None)
+            .aggregate(
+                Count(alias_name="n_rows"), Sum("price_c", alias_name="sum_c")
+            )
+        )
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "n_rows": df["n_rows"].astype(np.int64),
+                    "sum_price": units_to_double(df["sum_c"], 2),
+                }
+            )
+
+        return agg.map_batches(finalize, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

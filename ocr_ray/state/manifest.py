@@ -974,3 +974,94 @@ def read_copartitioned_join(
         .repartition(len(parts))
         .map_batches(join_pair, batch_format="pyarrow", batch_size=None)
     )
+
+
+def manifest_aggregate(out_dir: str, column: str | None = None) -> dict:
+    """METADATA-ONLY aggregates: COUNT(*) (and MIN/MAX of ``column``)
+    answered from the lineage records alone — zero data files opened,
+    constant work regardless of table size. The lakehouse fast path for
+    ``SELECT count(*), min(c), max(c)`` with no predicate: row counts
+    sum from the manifest and the global min/max fold over the
+    per-fragment zone-map stats every sink write records.
+
+    Returns ``{"row_count": n}`` plus ``{"min": lo, "max": hi}`` when a
+    column is named. Raises if any fragment lacks stats for it (the
+    fallback is an ordinary scan — the caller decides)."""
+    recs = sorted(load_manifest(out_dir).values(), key=lambda r: r["partition"])
+    if not recs:
+        raise ValueError(f"manifest_aggregate: no manifest under {out_dir}")
+    out: dict = {"row_count": sum(r["row_count"] for r in recs)}
+    if column is not None:
+        nonempty = [r for r in recs if r["row_count"] > 0]
+        missing = [
+            r["partition"] for r in nonempty if column not in r.get("stats", {})
+        ]
+        if missing:
+            raise ValueError(
+                f"manifest_aggregate: fragments {missing} carry no stats "
+                f"for column {column!r} — fall back to a scan"
+            )
+        if nonempty:
+            out["min"] = min(r["stats"][column][0] for r in nonempty)
+            out["max"] = max(r["stats"][column][1] for r in nonempty)
+        else:
+            out["min"] = out["max"] = None
+    return out
+
+
+def zorder_export(
+    ds,
+    out_dir: str,
+    *,
+    cols: tuple,
+    tiebreak_col: str,
+    out_cols: list,
+    num_fragments: int = 32,
+):
+    """MULTI-COLUMN clustering export: rows are ordered by the Morton
+    (Z-order) interleave of two columns and tiled into ``num_fragments``
+    equal fragments via ``sorted_export`` — so the AUTOMATIC per-column
+    zone maps every sink write records become selective on BOTH columns
+    at once. A single-column sort prunes only its own column (the other
+    spans every fragment); Z-order trades a little pruning power on each
+    for real pruning on both — the standard lakehouse answer to
+    two-dimensional range queries at 100 TB.
+
+    ``cols`` must be two numeric column names present in ``out_cols``.
+    Returns the manifest DataFrame (fragments carry ``stats`` for both).
+    """
+    ca, cb = cols
+
+    # one cheap pass for the two global ranges: per-batch normalization
+    # would break the global ordering, so every task must normalize with
+    # the same bounds
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(ca), Max(ca), Min(cb), Max(cb))
+    lo_a, hi_a = float(mm[f"min({ca})"]), float(mm[f"max({ca})"])
+    lo_b, hi_b = float(mm[f"min({cb})"]), float(mm[f"max({cb})"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        a = t[ca].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t[cb].to_numpy(zero_copy_only=False).astype(np.float64)
+        from ocr_ray.functions.hashing import _spread16
+
+        def norm16(v, lo, hi):
+            return np.clip(
+                (v - lo) / max(hi - lo, 1e-300) * 65535, 0, 65535
+            ).astype(np.uint64)
+
+        z = (
+            _spread16(norm16(a, lo_a, hi_a))
+            | (_spread16(norm16(b, lo_b, hi_b)) << np.uint64(1))
+        ).astype(np.int64)
+        return t.append_column("_z", pa.array(z))
+
+    return sorted_export(
+        ds.map_batches(add_z, batch_format="pyarrow"),
+        out_dir,
+        value_col="_z",
+        tiebreak_col=tiebreak_col,
+        out_cols=[*out_cols, "_z"],
+        num_fragments=num_fragments,
+    )

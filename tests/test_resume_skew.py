@@ -625,3 +625,52 @@ def test_sink_auto_column_stats_and_pruned_read(ray_session, tmp_path):
     assert skipped2 == 2 and len(ds2.to_pandas()) == 50
     with pytest.raises(ValueError, match="stats for column 'blob'"):
         read_range_pruned(str(out), lo=0, column="blob")
+
+
+def test_zorder_export_prunes_both_columns(ray_session, tmp_path):
+    """Morton tiling makes the automatic stats selective on BOTH columns;
+    a single-column sort is the control: perfect on its own column,
+    useless (0 skipped) on the other."""
+    import pandas as pd
+    import ray.data as _rd
+
+    from ocr_ray.state.manifest import (
+        read_range_pruned,
+        sorted_export,
+        zorder_export,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 10_000, n),
+            "y": rng.integers(0, 10_000, n),
+        }
+    )
+    ds = _rd.from_pandas(df)
+    zdir = str(tmp_path / "z")
+    zorder_export(
+        ds, zdir, cols=("x", "y"), tiebreak_col="id",
+        out_cols=["id", "x", "y"], num_fragments=16,
+    )
+    _, skip_x = read_range_pruned(zdir, lo=4000, hi=6000, column="x")
+    _, skip_y = read_range_pruned(zdir, lo=4000, hi=6000, column="y")
+    assert skip_x >= 2 and skip_y >= 2, (skip_x, skip_y)
+
+    sdir = str(tmp_path / "s")
+    sorted_export(
+        _rd.from_pandas(df), sdir, value_col="x", tiebreak_col="id",
+        out_cols=["id", "x", "y"], num_fragments=16,
+    )
+    _, cskip_x = read_range_pruned(sdir, lo=4000, hi=6000, column="x")
+    _, cskip_y = read_range_pruned(sdir, lo=4000, hi=6000, column="y")
+    assert cskip_x >= 10 and cskip_y == 0  # the control: one-dim layouts
+
+    # pruned read returns every in-range row (completeness, not just counts)
+    got, _ = read_range_pruned(zdir, lo=4000, hi=6000, column="x")
+    rows = got.to_pandas()
+    rows = rows[(rows["x"] >= 4000) & (rows["x"] <= 6000)]
+    want = df[(df["x"] >= 4000) & (df["x"] <= 6000)]
+    assert sorted(rows["id"]) == sorted(want["id"])
