@@ -151,7 +151,14 @@ def histogram_quantiles(
     return out
 
 
-def grouped_exact_median(ds, *, group_col: str, value_col: str, bins: int = 4096) -> pd.DataFrame:
+def grouped_exact_median(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    bins: int = 4096,
+    value_range: tuple | None = None,
+) -> pd.DataFrame:
     """EXACT per-group median without ever holding a whole group in one
     task (the round-1 ``groupby.map_groups`` held O(table/groups) rows —
     the canonical low-cardinality-key skew killer). Three streaming passes:
@@ -172,8 +179,17 @@ def grouped_exact_median(ds, *, group_col: str, value_col: str, bins: int = 4096
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    if value_range is not None:
+        # caller already knows a bounding range (e.g. deviations from a
+        # prior median lie in [0, max-min]) — skip one barrier. Bounds
+        # only affect BIN PLACEMENT, never exactness: pass 3 recounts the
+        # bracketing bins' true values, and bin_of clamps outliers into
+        # the edge bins, so a loose range degrades selectivity, not
+        # correctness.
+        lo, hi = float(value_range[0]), float(value_range[1])
+    else:
+        mm = ds.aggregate(Min(value_col), Max(value_col))
+        lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
     span = max(hi - lo, 1e-300)
 
     def bin_of(v: np.ndarray) -> np.ndarray:

@@ -1690,8 +1690,14 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
     from ocr_ray.functions.relational import broadcast
     from ocr_ray.functions.sketch import grouped_exact_median
 
+    from ray.data.aggregate import Max, Min
+
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    med = grouped_exact_median(ds, group_col="event_type", value_col="value")
+    mm = ds.aggregate(Min("value"), Max("value"))
+    v_lo, v_hi = float(mm["min(value)"]), float(mm["max(value)"])
+    med = grouped_exact_median(
+        ds, group_col="event_type", value_col="value", value_range=(v_lo, v_hi)
+    )
     med_ref = broadcast(dict(zip(med["event_type"], med["median"])))
 
     def deviations(t: pa.Table) -> pa.Table:
@@ -1709,10 +1715,14 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
             }
         )
 
+    # |value - med| is bounded by the value span — the known range skips
+    # the deviations pass's own min/max barrier (bin placement only;
+    # exactness unaffected, see grouped_exact_median)
     mad = grouped_exact_median(
         ds.map_batches(deviations, batch_format="pyarrow"),
         group_col="event_type",
         value_col="dev",
+        value_range=(0.0, max(v_hi - v_lo, 1e-300)),
     )
     joined = med.merge(mad, on="event_type", suffixes=("", "_mad")).sort_values(
         "event_type", ignore_index=True
