@@ -129,6 +129,7 @@ QUERY_SET = [
     "phrase_search_docs",
     "orders_metadata_only_stats",
     "orders_zorder_pruned_scan",
+    "segment_cc_docs",
 ]
 
 

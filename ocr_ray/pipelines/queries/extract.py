@@ -269,3 +269,33 @@ def extract_delete_doc_spans(sf_dir: str) -> ray.data.Dataset:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "segment_cc_docs",
+    sql="SELECT doc_id, text AS recovered_text FROM documents",
+)
+def segment_cc_docs(sf_dir: str) -> ray.data.Dataset:
+    """The north rule's segmentation leg stated literally: documents
+    render as 2D glyph BITMAP PAGES (deterministic connected-blob font,
+    word-wrapped layout) and the engine recovers the text by REAL
+    CONNECTED-COMPONENT segmentation — vectorized min-label propagation
+    over the pixel grid — clustering the component boxes into LINE/WORD
+    boxes from geometry alone, and recognizing each component by
+    feature-vector nearest-template matching (bbox-normalized pixel
+    mask, Hamming distance). The oracle is brutal: recovered_text must
+    equal the source text byte-for-byte for every document, so any bug
+    in labeling, box clustering, reading order, word-gap detection or
+    template matching fails the hash (``stages/ccseg.py``)."""
+    from ocr_ray.pipelines.queries._shared import read_docs
+    from ocr_ray.sizing import pool_size
+    from ocr_ray.stages.ccseg import CcSegmenter, attach_page_bitmaps
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    pages = docs.map_batches(attach_page_bitmaps, batch_format="pyarrow", batch_size=256)
+    return pages.map_batches(
+        CcSegmenter,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )
