@@ -228,6 +228,116 @@ def decode_png(buf: bytes) -> np.ndarray:
     return _unfilter(raw, w, h, channels)
 
 
+def parse_png_raw(buf: bytes) -> tuple[bytes, int, int, int]:
+    """Chunk walk + inflate only: (filtered scanline bytes, w, h,
+    channels). Shares decode_png's validation via a tiny shim — the
+    lockstep batch path needs the raw planes before unfiltering."""
+    # reuse decode_png's walk by monkey-free duplication of its tail is
+    # avoided: decode_png == parse + _unfilter, so parse is the prefix.
+    if buf[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(buf):
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        pos += 12 + length
+        if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant for the batch path")
+    channels = 1 if color_type == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w * channels + 1):
+        raise ValueError(
+            f"decompressed length {len(raw)} != expected {h * (w * channels + 1)}"
+        )
+    return raw, w, h, channels
+
+
+def unfilter_lockstep(raws: list[bytes], w: int, h: int, channels: int) -> np.ndarray:
+    """Unfilter MANY same-shape PNG rasters in lockstep: the vertical
+    dependence forces a row loop and Average/Paeth force a pixel scan,
+    but both are independent BETWEEN images — so iterate over (y, x)
+    positions and vectorize across the batch (the ADPCM decoder's
+    stream-lockstep orientation). h*w python steps per BATCH instead of
+    per image. Returns (n, h, w[, channels]) uint8."""
+    n = len(raws)
+    stride = w * channels
+    bpp = channels
+    mats = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(n, h, stride + 1)
+    ftypes = mats[:, :, 0]
+    bad = ftypes > 4
+    if bad.any():
+        i, y = np.argwhere(bad)[0]
+        raise ValueError(f"unknown PNG filter type {ftypes[i, y]} on row {y}")
+    rows_all = mats[:, :, 1:].astype(np.int64)
+    out = np.zeros((n, h, stride), dtype=np.int64)
+    zero_prev = np.zeros((n, stride), dtype=np.int64)
+    for y in range(h):
+        f = rows_all[:, y]
+        p = out[:, y - 1] if y else zero_prev
+        t = ftypes[:, y]
+        r = np.empty((n, stride), dtype=np.int64)
+        m = t == 0
+        if m.any():
+            r[m] = f[m]
+        m = t == 1
+        if m.any():
+            r[m] = np.cumsum(f[m].reshape(-1, w, bpp), axis=1).reshape(-1, stride) % 256
+        m = t == 2
+        if m.any():
+            r[m] = (f[m] + p[m]) % 256
+        m34 = t >= 3
+        if m34.any():
+            idx = np.flatnonzero(m34)
+            fl = f[idx].reshape(-1, w, bpp)
+            pl = p[idx].reshape(-1, w, bpp)
+            rl = np.empty_like(fl)
+            left = np.zeros((len(idx), bpp), dtype=np.int64)
+            up_left = np.zeros((len(idx), bpp), dtype=np.int64)
+            is4 = (t[idx] == 4)[:, None]
+            for x in range(w):
+                px = pl[:, x]
+                avg_sel = (left + px) // 2
+                pred = left + px - up_left
+                da = np.abs(pred - left)
+                db = np.abs(pred - px)
+                dc = np.abs(pred - up_left)
+                paeth_sel = np.where(
+                    (da <= db) & (da <= dc), left, np.where(db <= dc, px, up_left)
+                )
+                left = (fl[:, x] + np.where(is4, paeth_sel, avg_sel)) % 256
+                rl[:, x] = left
+                up_left = px
+            r[idx] = rl.reshape(len(idx), stride)
+        out[:, y] = r
+    img = out.astype(np.uint8)
+    return img.reshape(n, h, w) if channels == 1 else img.reshape(n, h, w, channels)
+
+
 # ---------------------------------------------------------------------------
 # Fixture + actor stage (same contract as PPM/JPEG)
 # ---------------------------------------------------------------------------
@@ -261,9 +371,22 @@ class PngDecoder:
     the two image codecs are drop-in alternatives in a pipeline spec."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
         w_l, h_l, means = [], [], []
-        for buf in batch["payload"].to_pylist():
-            img = decode_png(buf)
+        imgs: list[np.ndarray] = []
+        try:
+            parsed = [parse_png_raw(buf) for buf in payloads]
+        except ValueError:
+            parsed = None  # a non-batchable variant: per-image path
+        if parsed and len({p[1:] for p in parsed}) == 1:
+            # same-shape batch: unfilter all images in LOCKSTEP (h*w
+            # python steps per batch, not per image)
+            raws, (w, h, ch) = [p[0] for p in parsed], parsed[0][1:]
+            stack = unfilter_lockstep(raws, w, h, ch)
+            imgs = list(stack)
+        else:
+            imgs = [decode_png(buf) for buf in payloads]
+        for img in imgs:
             if img.ndim == 2:  # gray -> broadcast to 3 lanes for schema parity
                 img = np.repeat(img[:, :, None], 3, axis=2)
             h_l.append(img.shape[0])

@@ -545,3 +545,45 @@ def test_flac_empty_stream_roundtrip():
 
     y, sr = decode_flac(encode_flac(np.array([], dtype=np.int16)))
     assert len(y) == 0 and sr == 8000
+
+
+def test_png_lockstep_unfilter_matches_scalar():
+    """The batch lockstep unfilter is bit-identical to per-image decode
+    across all five filter types (random, fixture, gradient and gray
+    images), and the decoder stage picks it for same-shape batches."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.png import (
+        PngDecoder,
+        attach_png_payloads,
+        parse_png_raw,
+        unfilter_lockstep,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (8, 16, 3), dtype=np.uint8) for _ in range(10)]
+    imgs += [png_image(m) for m in range(10)]
+    y, x = np.mgrid[0:8, 0:16]
+    imgs.append(
+        np.repeat((((x + y) // 2) % 256).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+    bufs = [encode_png(i) for i in imgs]
+    parsed = [parse_png_raw(b) for b in bufs]
+    stack = unfilter_lockstep([p[0] for p in parsed], *parsed[0][1:])
+    for i, img in enumerate(imgs):
+        assert np.array_equal(stack[i], decode_png(bufs[i])), i
+
+    grays = [rng.integers(0, 256, (8, 16), dtype=np.uint8) for _ in range(4)]
+    pg = [parse_png_raw(encode_png(g)) for g in grays]
+    sg = unfilter_lockstep([p[0] for p in pg], *pg[0][1:])
+    assert all(np.array_equal(sg[i], grays[i]) for i in range(4))
+
+    # stage equivalence over the fixture payload path
+    base = pa.table(
+        {"doc_id": ["doc-1", "doc-2"], "media_ref": ["m-3", "m-17"]}
+    )
+    out = PngDecoder()(attach_png_payloads(base)).to_pandas()
+    for ref, mr, mg, mb in zip(("m-3", "m-17"), out["mean_r"], out["mean_g"], out["mean_b"]):
+        img = png_image(int(ref[2:])).reshape(-1, 3)
+        want = img.sum(axis=0, dtype=np.int64) / float(img.shape[0])
+        assert np.allclose([mr, mg, mb], want)
