@@ -148,3 +148,91 @@ def test_repetition_stats_matches_counter_reference(texts):
         assert abs(row["dup_word_frac"] - (1.0 - len(set(toks)) / len(toks))) < 1e-12
         expect_bi = max(bigrams.values()) / (len(toks) - 1) if len(toks) > 1 else 0.0
         assert abs(row["top_bigram_frac"] - expect_bi) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=600),
+    st.sampled_from([None, 2, 6]),
+)
+def test_flac_roundtrip_property(samples, lpc_order):
+    """encode->decode is the identity for arbitrary int16 PCM, with and
+    without LPC subframes (hypothesis hunts predictor/rice/bit edges)."""
+    import numpy as np
+
+    from ocr_ray.stages.flac import decode_flac, encode_flac
+
+    x = np.asarray(samples, dtype=np.int16)
+    y, sr = decode_flac(encode_flac(x, block_size=64, lpc_order=lpc_order))
+    assert sr == 8000 and np.array_equal(x, y)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.binary(max_size=60)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_tfrecord_roundtrip_property(rows):
+    """Arbitrary (nullable string, int64, binary) rows survive the
+    protobuf + CRC framing bit-exactly (floats excluded: the float32
+    wire type is documented-lossy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_ray.sources.tfrecord import (
+        _decode_example,
+        _iter_records,
+        write_tfrecord_file,
+    )
+
+    t = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "i": pa.array([r[1] for r in rows], pa.int64()),
+            "b": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    import tempfile, os
+
+    f = tempfile.mktemp(suffix=".tfrecord")
+    try:
+        write_tfrecord_file(t, f)
+        data = open(f, "rb").read()
+        back = [_decode_example(r) for r in _iter_records(data, f, True)]
+        for row, (s, i, b) in zip(back, rows):
+            got_s = row.get("s")
+            assert (got_s.decode() if got_s is not None else None) == s
+            assert row.get("i") == i
+            assert row.get("b") == b
+    finally:
+        if os.path.exists(f):
+            os.remove(f)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_ccseg_roundtrip_property(words):
+    """Connected-component page segmentation recovers arbitrary printable
+    word sequences byte-exactly (hypothesis hunts wrap/gap/order edges)."""
+    from ocr_ray.stages.ccseg import recognize_page, render_page
+
+    text = " ".join(words)
+    bits, h, w = render_page(text)
+    assert recognize_page(bits, h, w) == text
