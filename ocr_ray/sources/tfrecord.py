@@ -32,6 +32,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # --------------------------------------------------------------------------
@@ -314,6 +315,191 @@ def _column_kind(t: pa.DataType) -> str:
     raise ValueError(f"tfrecord sink: unsupported column type {t}")
 
 
+# --------------------------------------------------------------------------
+# vectorized Example encoding
+# --------------------------------------------------------------------------
+# A tf.train.Example is one map entry per non-null cell; with a fixed
+# schema the entry structure repeats, so everything varies only in the
+# VALUE bytes and the nested LENGTH varints. The encoder below builds
+# each column's entries with ragged numpy scatters and gathers all
+# columns into row-major records with ONE fancy-index per column — no
+# per-row python in the sink's hot path. Varints above 2 bytes (values
+# needing >= 3 varint bytes, i.e. huge strings or wide ints) route the
+# whole block through the scalar encoder — correctness first, the fast
+# path covers the common shapes.
+
+
+_ARANGE = np.empty(0, dtype=np.int64)
+
+
+def _arange(n: int) -> np.ndarray:
+    """Recycled iota buffer: this host faults fresh large allocations
+    ~1000x slow (see BENCH/BASELINE.md round-2b), so the ragged-copy
+    index base reuses one growing buffer instead of re-allocating per
+    column."""
+    global _ARANGE
+    if len(_ARANGE) < n:
+        _ARANGE = np.arange(max(n, 2 * len(_ARANGE)), dtype=np.int64)
+    return _ARANGE[:n]
+
+
+def _ragged_dst(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat destination indices for ragged copies: for each i, the run
+    starts[i] .. starts[i]+lens[i]."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    firsts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.repeat(starts - firsts, lens) + _arange(total)
+
+
+def _varint_lens(v: np.ndarray) -> np.ndarray:
+    """Byte length of the unsigned varint of each value (v >= 0)."""
+    out = np.ones(len(v), dtype=np.int64)
+    x = v >> np.uint64(7)
+    while (x > 0).any():
+        out += (x > 0).astype(np.int64)
+        x = x >> np.uint64(7)
+    return out
+
+
+def _write_varints(buf: np.ndarray, starts: np.ndarray, v: np.ndarray, lens: np.ndarray) -> None:
+    """Scatter the varint bytes of v (uint64) at buf[starts...], given
+    precomputed lens. Vectorized per byte-position (max 10 rounds)."""
+    maxlen = int(lens.max()) if len(lens) else 0
+    x = v.copy()
+    for k in range(maxlen):
+        alive = lens > k
+        b = (x & np.uint64(0x7F)).astype(np.uint8)
+        more = lens > k + 1
+        b = np.where(more, b | np.uint8(0x80), b)
+        buf[starts[alive] + k] = b[alive]
+        x = x >> np.uint64(7)
+
+
+def _encode_rows_vector(t: pa.Table, kinds) -> list[bytes] | None:
+    """Vectorized encode of every row's Example. Returns None when the
+    block needs the scalar fallback (a piece requiring a >2-byte varint
+    or a non-castable column)."""
+    n = t.num_rows
+    col_entries: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    for (name, kind), col in zip(kinds, (t.column(i) for i in range(t.num_columns))):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        valid = ~np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+        m = len(name)
+        if m >= 128:
+            return None
+        if kind in ("string", "binary"):
+            offs_col = pc.cast(
+                col, pa.large_binary() if kind == "binary" else pa.large_string()
+            )
+            arr = offs_col.combine_chunks() if isinstance(offs_col, pa.ChunkedArray) else offs_col
+            raw = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+            # a sliced array's offsets window starts at arr.offset; the
+            # offset VALUES stay absolute into the data buffer, so the
+            # windowed view is all the slice-correction needed
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            L = (offs[1:] - offs[:-1]).astype(np.int64)
+            L = np.where(valid, L, 0)
+            if (L >= 16384).any():
+                return None  # needs 3-byte varints: scalar path
+            lv = np.where(L >= 128, 2, 1)  # varint_len(L)
+            bl_len = 1 + lv + L                      # BytesList bytes
+            f_len = 1 + np.where(bl_len >= 128, 2, 1) + bl_len  # Feature bytes
+            tag_feat = 0x0A  # Feature.bytes_list
+        elif kind in ("int", "bool"):
+            # fill nulls BEFORE to_numpy: a null-bearing int column
+            # converts via float64 and silently rounds wide ints
+            iv = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+            u = iv.astype(np.int64).view(np.uint64)
+            L = _varint_lens(u)                      # varint64 bytes
+            lv = np.ones(n, dtype=np.int64)          # L <= 10 < 128
+            bl_len = 1 + lv + L                      # Int64List
+            f_len = 1 + 1 + bl_len                   # bl_len <= 13 < 128
+            tag_feat = 0x1A  # Feature.int64_list
+        elif kind == "float":
+            fv = pc.cast(col, pa.float32()).to_numpy(zero_copy_only=False)
+            L = np.full(n, 4, dtype=np.int64)
+            lv = np.ones(n, dtype=np.int64)
+            bl_len = np.full(n, 6, dtype=np.int64)   # 0x0A 0x04 + 4 bytes
+            f_len = np.full(n, 8, dtype=np.int64)
+            tag_feat = 0x12  # Feature.float_list
+        else:  # pragma: no cover - _column_kind validated
+            return None
+        if (f_len >= 16384).any():
+            return None
+        fv_lv = np.where(f_len >= 128, 2, 1)
+        body_len = (1 + 1 + m) + (1 + fv_lv + f_len)  # name field + value field
+        if (body_len >= 16384).any():
+            return None
+        entry_len = 1 + np.where(body_len >= 128, 2, 1) + body_len
+        entry_len = np.where(valid, entry_len, 0)
+
+        buf = np.zeros(int(entry_len.sum()), dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(entry_len)[:-1]]).astype(np.int64)
+        vi = valid
+        s = starts[vi]
+        # entry header: 0x0A varint(body_len)
+        buf[s] = 0x0A
+        _write_varints(buf, s + 1, body_len[vi].astype(np.uint64), np.where(body_len[vi] >= 128, 2, 1))
+        p0 = s + 1 + np.where(body_len[vi] >= 128, 2, 1)
+        # name field: 0x0A varint(m) name-bytes
+        buf[p0] = 0x0A
+        buf[p0 + 1] = m
+        nm = np.frombuffer(name, dtype=np.uint8)
+        buf[(p0[:, None] + 2 + np.arange(m)[None, :]).ravel()] = np.tile(nm, len(p0))
+        p1 = p0 + 2 + m
+        # value field: 0x12 varint(f_len) feature
+        buf[p1] = 0x12
+        _write_varints(buf, p1 + 1, f_len[vi].astype(np.uint64), fv_lv[vi])
+        p2 = p1 + 1 + fv_lv[vi]
+        # feature: tag varint(bl_len) 0x0A varint(L) payload
+        buf[p2] = tag_feat
+        _write_varints(buf, p2 + 1, bl_len[vi].astype(np.uint64), np.where(bl_len[vi] >= 128, 2, 1))
+        p3 = p2 + 1 + np.where(bl_len[vi] >= 128, 2, 1)
+        buf[p3] = 0x0A
+        _write_varints(buf, p3 + 1, L[vi].astype(np.uint64), lv[vi])
+        p4 = p3 + 1 + lv[vi]
+        if kind in ("string", "binary"):
+            src_starts = offs[:-1].astype(np.int64)[vi]
+            dst = _ragged_dst(p4, L[vi])
+            srcm = _ragged_dst(src_starts, L[vi])
+            buf[dst] = raw[srcm]
+        elif kind in ("int", "bool"):
+            _write_varints(buf, p4, u[vi], L[vi])
+        else:  # float
+            fb = fv.astype("<f4").view(np.uint8).reshape(n, 4)[vi]
+            buf[(p4[:, None] + np.arange(4)[None, :]).ravel()] = fb.ravel()
+        col_entries.append((buf, starts, entry_len))
+
+    # per-row record body length = sum of entry lens; Example wrapper
+    body = np.zeros(n, dtype=np.int64)
+    for _, _, el in col_entries:
+        body += el
+    if (body >= 16384).any():
+        return None
+    bv = np.where(body >= 128, 2, 1)
+    rec_len = 1 + bv + body
+    out = np.zeros(int(rec_len.sum()), dtype=np.uint8)
+    rstarts = np.concatenate([[0], np.cumsum(rec_len)[:-1]]).astype(np.int64)
+    out[rstarts] = 0x0A  # Example.features
+    _write_varints(out, rstarts + 1, body.astype(np.uint64), bv)
+    pos = rstarts + 1 + bv
+    for buf, starts, el in col_entries:
+        dst = _ragged_dst(pos, el)
+        src = _ragged_dst(starts, el)
+        out[dst] = buf[src]
+        pos = pos + el
+    ob = out.tobytes()
+    ends = np.cumsum(rec_len)
+    rstarts_l = ends - rec_len
+    return [ob[a:b] for a, b in zip(rstarts_l, ends)]
+
+
 def write_tfrecord_file(t: pa.Table, path: str) -> None:
     """One Arrow table -> one TFRecord file of tf.train.Example records.
 
@@ -322,16 +508,18 @@ def write_tfrecord_file(t: pa.Table, path: str) -> None:
     absent feature (Example has no null encoding) and read back as null.
     """
     kinds = [(f.name.encode(), _column_kind(f.type)) for f in t.schema]
-    cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
-    recs = []
-    for r in range(t.num_rows):
-        feats = []
-        for (name, kind), col in zip(kinds, cols):
-            v = col[r]
-            if v is None:
-                continue
-            feats.append((name, _ENCODERS[kind](v)))
-        recs.append(_example(feats))
+    recs = _encode_rows_vector(t, kinds) if t.num_rows else []
+    if recs is None:  # oversized pieces: scalar fallback, same bytes
+        cols = [t.column(i).to_pylist() for i in range(t.num_columns)]
+        recs = []
+        for r in range(t.num_rows):
+            feats = []
+            for (name, kind), col in zip(kinds, cols):
+                v = col[r]
+                if v is None:
+                    continue
+                feats.append((name, _ENCODERS[kind](v)))
+            recs.append(_example(feats))
     hdrs = [struct.pack("<Q", len(rec)) for rec in recs]
     hcrcs = masked_crc32c_many(hdrs)
     dcrcs = masked_crc32c_many(recs)
