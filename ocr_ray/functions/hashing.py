@@ -110,21 +110,32 @@ def _spread16(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def morton_code(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Z-ORDER (Morton) code of two numeric columns: each is min/max
-    normalized to 16 bits, then bit-interleaved into one uint32 key.
-    Sorting by this key clusters rows so that BOTH columns are locally
-    contiguous — per-fragment min/max stats then prune range predicates
-    on either column, which no single-column sort can do. Normalization
-    is linear (document the skew caveat: heavily skewed columns deserve
-    a quantile-rank transform first)."""
-    def norm16(v: np.ndarray) -> np.ndarray:
+def morton_code(
+    a: np.ndarray,
+    b: np.ndarray,
+    *,
+    bounds_a: tuple,
+    bounds_b: tuple,
+) -> np.ndarray:
+    """Z-ORDER (Morton) code of two numeric columns: each is normalized
+    to 16 bits against its EXPLICIT global [lo, hi] bounds, then
+    bit-interleaved into one uint32 key. Sorting by this key clusters
+    rows so that BOTH columns are locally contiguous — per-fragment
+    min/max stats then prune range predicates on either column, which no
+    single-column sort can do.
+
+    Bounds are required, not inferred: callers run inside map_batches,
+    and per-batch min/max would normalize every batch differently and
+    break the global ordering. Normalization is linear (skew caveat:
+    heavily skewed columns deserve a quantile-rank transform first)."""
+
+    def norm16(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
         v = v.astype(np.float64)
-        lo, hi = float(np.min(v)), float(np.max(v))
         return np.clip((v - lo) / max(hi - lo, 1e-300) * 65535, 0, 65535).astype(
             np.uint64
         )
 
-    return (_spread16(norm16(a)) | (_spread16(norm16(b)) << np.uint64(1))).astype(
-        np.int64
-    )
+    return (
+        _spread16(norm16(a, *map(float, bounds_a)))
+        | (_spread16(norm16(b, *map(float, bounds_b))) << np.uint64(1))
+    ).astype(np.int64)

@@ -411,11 +411,14 @@ def _encode_rows_vector(t: pa.Table, kinds) -> list[bytes] | None:
             tag_feat = 0x0A  # Feature.bytes_list
         elif kind in ("int", "bool"):
             # fill nulls BEFORE to_numpy: a null-bearing int column
-            # converts via float64 and silently rounds wide ints
-            iv = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
-                zero_copy_only=False
-            )
-            u = iv.astype(np.int64).view(np.uint64)
+            # converts via float64 and silently rounds wide ints. Unsigned
+            # columns go via uint64 (an int64 cast rejects values >= 2^63
+            # that the wire format carries fine as raw 64-bit varints).
+            wide = pa.uint64() if pa.types.is_unsigned_integer(col.type) else pa.int64()
+            iv = pc.fill_null(pc.cast(col, wide), 0).to_numpy(zero_copy_only=False)
+            u = iv.astype(np.uint64) if iv.dtype.kind == "u" else iv.astype(
+                np.int64
+            ).view(np.uint64)
             L = _varint_lens(u)                      # varint64 bytes
             lv = np.ones(n, dtype=np.int64)          # L <= 10 < 128
             bl_len = 1 + lv + L                      # Int64List

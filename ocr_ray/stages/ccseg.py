@@ -117,9 +117,18 @@ def _layout(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     PAGE_W, glyphs on CHAR_PITCH with WORD_GAP-wide word separations."""
     codes, ys, xs = [], [], []
     y = x = 0
+    max_word = (PAGE_W + 1) // CHAR_PITCH
     for word in text.split(" "):
         if not word:
             continue
+        if len(word) > max_word:
+            # no hyphenation: a word wider than the page would scatter
+            # pixels past the raster edge and corrupt the next row via
+            # the flat index — refuse loudly instead
+            raise ValueError(
+                f"render_page: word of {len(word)} chars exceeds the "
+                f"{max_word}-char page width"
+            )
         w_px = len(word) * CHAR_PITCH - 1
         if x > 0 and x + w_px > PAGE_W:
             y += LINE_PITCH
@@ -146,7 +155,10 @@ def _layout(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
 
 def render_page(text: str) -> tuple[bytes, int, int]:
     """text -> (packed page bits, height, width). One flat fancy-index
-    scatter for all glyph pixels."""
+    scatter for all glyph pixels. Whitespace canonicalization: runs of
+    spaces render (and therefore recover) as single word gaps — the
+    page carries word boundaries, not raw whitespace. Words wider than
+    the page are refused (no hyphenation)."""
     glyphs, _ = font()
     codes, y0, x0, H, W = _layout(text)
     page = np.zeros(H * W, dtype=bool)

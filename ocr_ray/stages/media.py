@@ -92,8 +92,10 @@ class MediaDecoder:
             raise NotImplementedError(
                 "general image/audio decoding requires libs not present in "
                 "this environment (PIL/ffmpeg); run with fake_decode=True. "
-                "Real pure-numpy codecs exist for PPM/WAV/Y4M (this module) "
-                "and baseline JPEG (stages/jpeg.py); MP3/H.264 stay stubbed."
+                "Real pure-numpy codecs exist for PPM/WAV/Y4M (this module), "
+                "baseline JPEG (stages/jpeg.py), PNG (stages/png.py), GIF87a "
+                "(stages/gif.py), IMA-ADPCM (stages/adpcm.py) and FLAC "
+                "(stages/flac.py); MP3/H.264 stay stubbed."
             )
         self.fake_decode = fake_decode
 

@@ -181,7 +181,16 @@ def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array ((h,w) gray or (h,w,3) RGB). Full chunk
     walk with CRC-32 verification; 8-bit color types 0 and 2,
     non-interlaced, zlib/DEFLATE only (i.e. everything encode_png emits,
-    plus multi-IDAT streams)."""
+    plus multi-IDAT streams). Thin composition: ``parse_png_raw`` (walk,
+    validate, inflate) + ``_unfilter``."""
+    raw, w, h, channels = parse_png_raw(buf)
+    return _unfilter(raw, w, h, channels)
+
+
+def parse_png_raw(buf: bytes) -> tuple[bytes, int, int, int]:
+    """Chunk walk + inflate: (filtered scanline bytes, w, h, channels).
+    THE single validation path — decode_png and the lockstep batch path
+    both build on it, so chunk/CRC/variant rules live in one place."""
     if buf[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -211,7 +220,6 @@ def decode_png(buf: bytes) -> np.ndarray:
         elif tag == b"IEND":
             seen_iend = True
             break
-        # ancillary chunks are skipped (CRC still verified above)
     if ihdr is None or not seen_iend:
         raise ValueError("missing IHDR or IEND")
     w, h, depth, color_type, comp, filt, interlace = ihdr
@@ -223,51 +231,6 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError("unknown compression/filter method")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
-    channels = 1 if color_type == 0 else 3
-    raw = zlib.decompress(bytes(idat))
-    return _unfilter(raw, w, h, channels)
-
-
-def parse_png_raw(buf: bytes) -> tuple[bytes, int, int, int]:
-    """Chunk walk + inflate only: (filtered scanline bytes, w, h,
-    channels). Shares decode_png's validation via a tiny shim — the
-    lockstep batch path needs the raw planes before unfiltering."""
-    # reuse decode_png's walk by monkey-free duplication of its tail is
-    # avoided: decode_png == parse + _unfilter, so parse is the prefix.
-    if buf[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    seen_iend = False
-    while pos < len(buf):
-        if pos + 8 > len(buf):
-            raise ValueError("truncated chunk header")
-        (length,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4 : pos + 8]
-        body = buf[pos + 8 : pos + 8 + length]
-        if len(body) != length or pos + 12 + length > len(buf):
-            raise ValueError(f"truncated {tag!r} chunk")
-        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {tag!r} chunk")
-        pos += 12 + length
-        if tag == b"IHDR":
-            if ihdr is not None:
-                raise ValueError("duplicate IHDR")
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            if ihdr is None:
-                raise ValueError("IDAT before IHDR")
-            idat += body
-        elif tag == b"IEND":
-            seen_iend = True
-            break
-    if ihdr is None or not seen_iend:
-        raise ValueError("missing IHDR or IEND")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("unsupported PNG variant for the batch path")
     channels = 1 if color_type == 0 else 3
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (w * channels + 1):
@@ -293,14 +256,18 @@ def unfilter_lockstep(raws: list[bytes], w: int, h: int, channels: int) -> np.nd
     if bad.any():
         i, y = np.argwhere(bad)[0]
         raise ValueError(f"unknown PNG filter type {ftypes[i, y]} on row {y}")
-    rows_all = mats[:, :, 1:].astype(np.int64)
-    out = np.zeros((n, h, stride), dtype=np.int64)
-    zero_prev = np.zeros((n, stride), dtype=np.int64)
+    # int32 planes: filter arithmetic stays < 2^15 and the filter-1
+    # cumsum tops out at w*255 — int32 halves the int64 footprint on
+    # large batches (the per-image path peaks at one image; this one
+    # holds the whole batch)
+    rows_all = mats[:, :, 1:].astype(np.int32)
+    out = np.zeros((n, h, stride), dtype=np.int32)
+    zero_prev = np.zeros((n, stride), dtype=np.int32)
     for y in range(h):
         f = rows_all[:, y]
         p = out[:, y - 1] if y else zero_prev
         t = ftypes[:, y]
-        r = np.empty((n, stride), dtype=np.int64)
+        r = np.empty((n, stride), dtype=np.int32)
         m = t == 0
         if m.any():
             r[m] = f[m]
@@ -316,8 +283,8 @@ def unfilter_lockstep(raws: list[bytes], w: int, h: int, channels: int) -> np.nd
             fl = f[idx].reshape(-1, w, bpp)
             pl = p[idx].reshape(-1, w, bpp)
             rl = np.empty_like(fl)
-            left = np.zeros((len(idx), bpp), dtype=np.int64)
-            up_left = np.zeros((len(idx), bpp), dtype=np.int64)
+            left = np.zeros((len(idx), bpp), dtype=np.int32)
+            up_left = np.zeros((len(idx), bpp), dtype=np.int32)
             is4 = (t[idx] == 4)[:, None]
             for x in range(w):
                 px = pl[:, x]
@@ -384,7 +351,9 @@ class PngDecoder:
             raws, (w, h, ch) = [p[0] for p in parsed], parsed[0][1:]
             stack = unfilter_lockstep(raws, w, h, ch)
             imgs = list(stack)
-        else:
+        elif parsed:  # mixed shapes: reuse the parsed+inflated planes
+            imgs = [_unfilter(*p) for p in parsed]
+        else:  # a non-batchable variant somewhere: per-image full path
             imgs = [decode_png(buf) for buf in payloads]
         for img in imgs:
             if img.ndim == 2:  # gray -> broadcast to 3 lanes for schema parity

@@ -689,7 +689,18 @@ def read_range_pruned(out_dir: str, *, lo=None, hi=None, column: str | None = No
         st = r.get("stats", {}).get(column)
         return (st[0], st[1]) if st else None
 
-    missing = [r["partition"] for r in recs if bounds(r) is None]
+    def _coerce(v, sample):
+        # date/timestamp stats are stored as their str() form; coerce
+        # caller-supplied datetime/date bounds the same way (ISO-style
+        # strings order lexicographically)
+        if isinstance(sample, str) and v is not None and not isinstance(v, str):
+            return str(v)
+        return v
+
+    # empty fragments carry no stats by construction (nothing to bound) —
+    # they are trivially skippable, never an error
+    nonempty = [r for r in recs if r["row_count"] > 0]
+    missing = [r["partition"] for r in nonempty if bounds(r) is None]
     if missing:
         what = f"stats for column {column!r}" if column else "sort-key min/max"
         raise ValueError(
@@ -697,11 +708,12 @@ def read_range_pruned(out_dir: str, *, lo=None, hi=None, column: str | None = No
             "(write through sorted_export / a current ResumableSink, or "
             "pass min/max via extra=...)"
         )
-    keep = [
-        r
-        for r in recs
-        if (hi is None or bounds(r)[0] <= hi) and (lo is None or bounds(r)[1] >= lo)
-    ]
+    keep = []
+    for r in nonempty:
+        b0, b1 = bounds(r)
+        lo_c, hi_c = _coerce(lo, b0), _coerce(hi, b0)
+        if (hi_c is None or b0 <= hi_c) and (lo_c is None or b1 >= lo_c):
+            keep.append(r)
     if not keep:
         import ray as _ray
 
@@ -1042,19 +1054,14 @@ def zorder_export(
     lo_b, hi_b = float(mm[f"min({cb})"]), float(mm[f"max({cb})"])
 
     def add_z(t: pa.Table) -> pa.Table:
-        a = t[ca].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = t[cb].to_numpy(zero_copy_only=False).astype(np.float64)
-        from ocr_ray.functions.hashing import _spread16
+        from ocr_ray.functions.hashing import morton_code
 
-        def norm16(v, lo, hi):
-            return np.clip(
-                (v - lo) / max(hi - lo, 1e-300) * 65535, 0, 65535
-            ).astype(np.uint64)
-
-        z = (
-            _spread16(norm16(a, lo_a, hi_a))
-            | (_spread16(norm16(b, lo_b, hi_b)) << np.uint64(1))
-        ).astype(np.int64)
+        z = morton_code(
+            t[ca].to_numpy(zero_copy_only=False),
+            t[cb].to_numpy(zero_copy_only=False),
+            bounds_a=(lo_a, hi_a),
+            bounds_b=(lo_b, hi_b),
+        )
         return t.append_column("_z", pa.array(z))
 
     return sorted_export(

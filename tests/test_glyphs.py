@@ -121,3 +121,13 @@ def test_ccseg_stage_batch(ray_session):
     )
     out = CcSegmenter()(attach_page_bitmaps(batch))
     assert out["recovered_text"].to_pylist() == ["alpha beta", "gamma", "x y z"]
+
+
+def test_ccseg_refuses_page_wide_words():
+    import pytest
+
+    from ocr_ray.stages.ccseg import render_page
+
+    with pytest.raises(ValueError, match="exceeds the"):
+        render_page("a" * 65)
+    render_page("a" * 64)  # exactly page-wide fits

@@ -674,3 +674,44 @@ def test_zorder_export_prunes_both_columns(ray_session, tmp_path):
     rows = rows[(rows["x"] >= 4000) & (rows["x"] <= 6000)]
     want = df[(df["x"] >= 4000) & (df["x"] <= 6000)]
     assert sorted(rows["id"]) == sorted(want["id"])
+
+
+def test_read_range_pruned_empty_fragment_and_date_bounds(ray_session, tmp_path):
+    """Regressions from review: an EMPTIED fragment (post-delete) is
+    trivially skipped, not a stats error; datetime bounds coerce to the
+    str() form date/timestamp stats are stored as."""
+    import datetime
+
+    from ocr_ray.state.manifest import ResumableSink, read_range_pruned
+
+    out = tmp_path / "t"
+    sink = ResumableSink(str(out), data_format="parquet")
+    sink.write(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 5)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        0,
+    )
+    sink.write(
+        pa.table({"k": pa.array([], pa.int64()), "ts": pa.array([], pa.timestamp("us"))}),
+        1,
+    )  # empty fragment: no stats, must be skippable
+    ds, skipped = read_range_pruned(str(out), lo=0, hi=10, column="k")
+    assert skipped == 1 and ds.count() == 2
+    ds2, skipped2 = read_range_pruned(
+        str(out),
+        lo=datetime.datetime(2024, 1, 1),
+        hi=datetime.datetime(2024, 1, 3),
+        column="ts",
+    )
+    assert skipped2 == 1 and ds2.count() == 2
+    ds3, skipped3 = read_range_pruned(
+        str(out), lo=datetime.datetime(2025, 1, 1), column="ts"
+    )
+    assert skipped3 == 2 and ds3.count() == 0

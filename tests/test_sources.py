@@ -528,3 +528,23 @@ def test_webdataset_sink_refuses_unrepresentable_rows(tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         write_webdataset_shard(dup, str(tmp_path / "dup.tar"), key_column="doc_id")
+
+
+def test_tfrecord_uint64_beyond_int63(tmp_path):
+    """Regression: uint64 values >= 2^63 encode as raw 64-bit varints
+    (the int64 cast used to crash the vectorized path)."""
+    from ocr_ray.sources.tfrecord import (
+        _decode_example,
+        _iter_records,
+        write_tfrecord_file,
+    )
+
+    t = pa.table({"u": pa.array([2**63 + 5, 1, 2**64 - 1, None], pa.uint64())})
+    f = tmp_path / "u.tfrecord"
+    write_tfrecord_file(t, str(f))
+    rows = [
+        _decode_example(r) for r in _iter_records(f.read_bytes(), str(f), True)
+    ]
+    # the wire carries two's-complement int64; re-fold to uint64
+    got = [None if "u" not in r else (r["u"] & (2**64 - 1)) for r in rows]
+    assert got == [2**63 + 5, 1, 2**64 - 1, None]
