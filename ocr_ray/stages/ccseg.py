@@ -23,8 +23,8 @@ All kernels are numpy-vectorized:
   sweeps — a handful for glyph-sized blobs) — the classic
   data-parallel CC formulation, the same alternating-contraction idea
   as ``functions/graph.connected_components`` but on the pixel grid;
-* BOX EXTRACTION and line/word clustering are pandas/numpy folds over
-  the (label, y, x) pixel table.
+* BOX EXTRACTION and line/word clustering are pure-numpy folds
+  (minimum.at/add.at over component indices, one lexsort).
 
 Scale shape: one page is one document (tens of KB of bitmap); the stage
 is a stateful actor pool (font + template masks built once per actor in
@@ -35,7 +35,6 @@ same per-item orientation as the media codec legs.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 ALPHABET_LO, ALPHABET_HI = 32, 126  # ' ' .. '~' (space is layout, not glyph)
@@ -247,42 +246,39 @@ def recognize_page(bits: bytes, H: int, W: int) -> str:
     if len(ys) == 0:
         return ""
     lab = labels[ys, xs]
-    df = pd.DataFrame({"lab": lab, "y": ys, "x": xs})
-    boxes = df.groupby("lab").agg(
-        y0=("y", "min"), y1=("y", "max"), x0=("x", "min"), x1=("x", "max")
-    )
-    # per-component bbox-normalized feature mask, vectorized over pixels
-    y0 = boxes["y0"].reindex(df["lab"]).to_numpy()
-    x0 = boxes["x0"].reindex(df["lab"]).to_numpy()
-    bit = np.int64(1) << ((df["y"].to_numpy() - y0) * CELL_W + (df["x"].to_numpy() - x0))
-    feat = pd.Series(bit).groupby(df["lab"].to_numpy()).sum()
-    boxes["mask"] = feat
+    # component boxes + feature masks: pure numpy folds (a per-page
+    # pandas groupby costs more than the whole CC labeling)
+    _, inv = np.unique(lab, return_inverse=True)
+    k = int(inv.max()) + 1
+    y0 = np.full(k, 1 << 30, dtype=np.int64)
+    x0 = np.full(k, 1 << 30, dtype=np.int64)
+    np.minimum.at(y0, inv, ys)
+    np.minimum.at(x0, inv, xs)
+    # each pixel's bbox-bit is unique within its component, so sum == or
+    bit = np.int64(1) << ((ys - y0[inv]) * CELL_W + (xs - x0[inv]))
+    feat = np.zeros(k, dtype=np.int64)
+    np.add.at(feat, inv, bit)
     # nearest template by Hamming distance on the 35-bit masks
-    m = boxes["mask"].to_numpy(dtype=np.int64)
-    xor = m[:, None] ^ masks[None, :]
+    xor = feat[:, None] ^ masks[None, :]
     ham = np.zeros(xor.shape, dtype=np.int64)
     for shift in (0, 8, 16, 24, 32):
         ham += _POPCOUNT[(xor >> shift) & 0xFF]
-    boxes["char"] = np.argmin(ham, axis=1)
+    chars = np.argmin(ham, axis=1)
     # reading order: lines by y0 (render pitch), then STRICTLY by x
     # within a line (a glyph's top pixel row varies per blob — sorting
     # by y0 inside a line would scramble character order)
-    boxes = boxes.assign(line=boxes["y0"] // LINE_PITCH).sort_values(
-        ["line", "x0"], kind="mergesort"
-    )
-    lines: list[str] = []
-    for _, line in boxes.groupby("line", sort=True):
-        xs_ = line["x0"].to_numpy()
-        gaps = np.diff(xs_)
-        word_break = gaps > CHAR_PITCH  # a word gap is wider than the pitch
-        chars = [chr(int(c) + ALPHABET_LO + 1) for c in line["char"]]
-        out = [chars[0]] if chars else []
-        for i, ch in enumerate(chars[1:]):
-            if word_break[i]:
+    line = y0 // LINE_PITCH
+    order = np.lexsort((x0, line))
+    line_s, x_s, char_s = line[order], x0[order], chars[order]
+    out: list[str] = []
+    for i in range(len(order)):
+        if i:
+            if line_s[i] != line_s[i - 1]:
                 out.append(" ")
-            out.append(ch)
-        lines.append("".join(out))
-    return " ".join(lines)
+            elif x_s[i] - x_s[i - 1] > CHAR_PITCH:
+                out.append(" ")  # a word gap is wider than the pitch
+        out.append(chr(int(char_s[i]) + ALPHABET_LO + 1))
+    return "".join(out)
 
 
 class CcSegmenter:
