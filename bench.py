@@ -130,6 +130,7 @@ QUERY_SET = [
     "orders_metadata_only_stats",
     "orders_zorder_pruned_scan",
     "segment_cc_docs",
+    "evolved_schema_docs",
 ]
 
 

@@ -257,3 +257,99 @@ def webdataset_roundtrip_documents(sf_dir: str) -> ray.data.Dataset:
         return agg.map_batches(finalize, batch_format="pandas").materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "evolved_schema_docs",
+    sql="""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN length(text) ELSE 0 END) AS BIGINT)
+    AS gen1_chars,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS gen2_chars
+FROM documents GROUP BY lang
+""",
+)
+def evolved_schema_docs(sf_dir: str) -> ray.data.Dataset:
+    """SCHEMA EVOLUTION across corpus generations, end to end: even docs
+    export as generation 1 ``(doc_id, lang, text)``, odd docs as
+    generation 2 ``(doc_id, lang, n_chars)`` — different files, different
+    schemas, one directory — and ``read_parquet_evolved`` aligns both to
+    the union schema (per-generation column pruning, null fill for the
+    columns a generation lacks). The rollup aggregates one column from
+    EACH generation, so a misaligned read (dropped generation, wrong null
+    fill, column mixup) breaks the hash. This is the long-lived-corpus
+    reality: schemas drift across years of appends and the reader, not a
+    migration job, absorbs it."""
+    import pyarrow.compute as _pc
+
+    from ocr_ray.sources.readers import read_parquet_evolved
+
+    src = read_docs(sf_dir, columns=["doc_id", "lang", "text", "n_chars"])
+    out = _roundtrip_dir("evolved")
+    try:
+        def export_gen(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            even = _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 0)
+            g1 = t.filter(even).select(["doc_id", "lang", "text"])
+            g2 = t.filter(_pc.invert(even)).select(["doc_id", "lang", "n_chars"])
+            import uuid as _uuid
+
+            n = 0
+            for gen, tbl in (("g1", g1), ("g2", g2)):
+                if tbl.num_rows:
+                    _pq.write_table(
+                        tbl, f"{out}/{gen}-{_uuid.uuid4().hex}.parquet"
+                    )
+                    n += tbl.num_rows
+            return pa.table({"rows": pa.array([n], pa.int64())})
+
+        assert src.map_batches(
+            export_gen, batch_format="pyarrow", batch_size=None
+        ).sum("rows")
+
+        back = read_parquet_evolved(out, columns=["doc_id", "lang", "text", "n_chars"])
+
+        def rollup(t: pa.Table) -> pa.Table:
+            even = _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), 0)
+            tl = _pc.if_else(
+                even, _pc.coalesce(_pc.utf8_length(t["text"]), 0), 0
+            )
+            nc = _pc.if_else(
+                _pc.invert(even), _pc.coalesce(t["n_chars"], 0), 0
+            )
+            return pa.table(
+                {
+                    "lang": t["lang"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "g1c": _pc.cast(tl, pa.int64()),
+                    "g2c": _pc.cast(nc, pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            back.map_batches(rollup, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(
+                Sum("one", alias_name="n_docs"),
+                Sum("g1c", alias_name="gen1_chars"),
+                Sum("g2c", alias_name="gen2_chars"),
+            )
+        )
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "n_docs": df["n_docs"].astype(np.int64),
+                    "gen1_chars": df["gen1_chars"].astype(np.int64),
+                    "gen2_chars": df["gen2_chars"].astype(np.int64),
+                }
+            )
+
+        return agg.map_batches(finalize, batch_format="pandas").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
