@@ -288,14 +288,10 @@ def segment_cc_docs(sf_dir: str) -> ray.data.Dataset:
     in labeling, box clustering, reading order, word-gap detection or
     template matching fails the hash (``stages/ccseg.py``)."""
     from ocr_ray.pipelines.queries._shared import read_docs
-    from ocr_ray.sizing import pool_size
-    from ocr_ray.stages.ccseg import CcSegmenter, attach_page_bitmaps
+    from ocr_ray.stages.ccseg import attach_page_bitmaps, segment_batch
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
     pages = docs.map_batches(attach_page_bitmaps, batch_format="pyarrow", batch_size=256)
-    return pages.map_batches(
-        CcSegmenter,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    # task pool, not actor pool: the font/template state is process-cached
+    # (ccseg.font()), so tasks pay zero spin-up and scale with free CPUs
+    return pages.map_batches(segment_batch, batch_format="pyarrow", batch_size=256)

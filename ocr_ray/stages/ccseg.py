@@ -304,3 +304,12 @@ class CcSegmenter:
                 "recovered_text": pa.array(texts, type=pa.string()),
             }
         )
+
+
+def segment_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of ``CcSegmenter``: the only per-worker state (font
+    + template masks) is module-level cached per PROCESS, so plain tasks
+    reuse it across batches with zero actor-pool spin-up — prefer this
+    when the stage carries no heavyweight state (the actor class remains
+    for pipelines that extend it with real model state)."""
+    return CcSegmenter()(batch)
