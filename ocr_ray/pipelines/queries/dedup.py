@@ -10,7 +10,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import query, read_docs
 

@@ -9,7 +9,6 @@ import ray
 import ray.data
 
 from ocr_ray.functions import text as textfn
-from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import query, read_docs
 

@@ -17,7 +17,6 @@ import ray
 import ray.data
 
 from ocr_ray.sizing import pool_size
-from ocr_ray.sources import read_table
 
 from ocr_ray.pipelines.queries._shared import query, read_docs
 from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL

@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ocr_ray.stages.media import WAV_N, wav_signal, _ref_numbers
+from ocr_ray.stages.media import wav_signal, _ref_numbers
 
 # --------------------------------------------------------------------------
 # CRCs (FLAC uses non-reflected CRC-8/0x07 init 0 and CRC-16/0x8005 init 0)
