@@ -131,6 +131,7 @@ QUERY_SET = [
     "orders_zorder_pruned_scan",
     "segment_cc_docs",
     "evolved_schema_docs",
+    "media_wav_decimated_features",
 ]
 
 

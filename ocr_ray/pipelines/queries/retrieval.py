@@ -739,3 +739,65 @@ def media_y4m_features(sf_dir: str) -> ray.data.Dataset:
     return _media_codec_pipeline(sf_dir, attach_y4m_payloads, Y4mDecoder)
 
 
+
+
+_WAV_DECIMATE_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+idx AS (SELECT unnest(generate_series(0, 31)) AS i),
+pair AS (
+  SELECT d, m, i,
+    (((m * 53 + 17 * (2 * i)) % 4001) - 2000) AS a,
+    (((m * 53 + 17 * (2 * i + 1)) % 4001) - 2000) AS b
+  FROM media CROSS JOIN idx
+),
+dec AS (SELECT d, m, (a + b) // 2 AS v FROM pair)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(32 AS BIGINT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_amp, CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM dec GROUP BY d, m
+"""
+
+
+@query("media_wav_decimated_features", sql=_WAV_DECIMATE_SQL)
+def media_wav_decimated_features(sf_dir: str) -> ray.data.Dataset:
+    """Audio RESAMPLING leg (the 16k->8k step every speech pipeline
+    runs): real WAV decode, then decimate-by-2 with pair averaging
+    (truncating integer mean — matching SQL ``//`` semantics exactly,
+    which floor-div numpy would NOT) and integer-exact stats over the
+    halved-rate clip. The oracle reproduces the decimator arithmetic, so
+    an off-by-one in pairing, a floor-vs-trunc slip, or a tail-sample
+    mishandling fails the hash."""
+    from ocr_ray.stages.media import WavDecoder, attach_wav_payloads, decode_wav
+
+    class DecimatingDecoder:
+        """Actor-pool stage: WAV decode + 2:1 decimation + clip stats."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_l, s_l, ss_l = [], [], []
+            for buf in batch["payload"].to_pylist():
+                x, _sr = decode_wav(buf)
+                xi = x.astype(np.int64)
+                pairs = xi[: len(xi) - (len(xi) % 2)].reshape(-1, 2)
+                s = pairs.sum(axis=1)
+                # truncating mean (SQL // semantics), not numpy floor-div
+                dec = np.sign(s) * (np.abs(s) // 2)
+                n_l.append(len(dec))
+                s_l.append(int(dec.sum()))
+                ss_l.append(int((dec * dec).sum()))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "media_ref": batch["media_ref"],
+                    "n_samples": pa.array(np.asarray(n_l, dtype=np.int64)),
+                    "sum_amp": pa.array(np.asarray(s_l, dtype=np.int64)),
+                    "sum_sq": pa.array(np.asarray(ss_l, dtype=np.int64)),
+                }
+            )
+
+    return _media_codec_pipeline(sf_dir, attach_wav_payloads, DecimatingDecoder)
