@@ -30,3 +30,4 @@ from ocr_ray.pipelines.queries.retrieval import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.analytics2 import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.weblayout import *  # noqa: F401,F403
 from ocr_ray.pipelines.queries.formats_io import *  # noqa: F401,F403
+from ocr_ray.pipelines.queries.timeseries import *  # noqa: F401,F403

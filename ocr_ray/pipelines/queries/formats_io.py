@@ -27,9 +27,11 @@ from ocr_ray.pipelines.queries._shared import query, read_docs
 from ocr_ray.sources import read_table
 from ocr_ray.sources.avro import read_avro, write_avro
 from ocr_ray.sources.formats import (
+    read_csv_dir,
     read_ipc,
     read_jsonl_gz,
     read_orc,
+    write_csv_dir,
     write_ipc,
     write_jsonl_gz,
     write_orc,
@@ -115,6 +117,31 @@ def avro_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
         n = write_avro(src, out).sum("rows")
         assert n and n > 0
         return _events_rollup(read_avro(out)).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("csv_roundtrip_events", sql=_EVENTS_AGG_SQL)
+def csv_roundtrip_events(sf_dir: str) -> ray.data.Dataset:
+    """events -> block-parallel CSV export -> per-file distributed
+    read-back with a pinned schema -> rollup. CSV is untyped text, so
+    this leg proves (a) Arrow's shortest-roundtrip float serialization
+    survives parse (2-decimal doubles bit-exact vs the DECIMAL oracle)
+    and (b) the explicit ``column_types`` schema prevents per-file type
+    drift (an all-integral part file would otherwise infer int64)."""
+    src = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    out = _roundtrip_dir("csv")
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("user_id", pa.int64()),
+        ]
+    )
+    try:
+        n = write_csv_dir(src, out).sum("rows")
+        assert n and n > 0
+        return _events_rollup(read_csv_dir(out, schema=schema)).materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -1,0 +1,126 @@
+"""Query registry section: per-key time-series state machines.
+
+These are the operators whose per-row value depends RECURSIVELY on the
+previous row of the same key in time order — the per-key state a
+streaming job carries between events. The distributed shape is the
+sessionization idiom (hash-bucket by key, one shuffle, a vectorized
+in-bucket pass), but the in-bucket body is a *recurrence*, vectorized
+ACROSS groups per time step instead of across rows: step ``t`` updates
+every group's ``t``-th row with one fused numpy expression, so the loop
+length is the longest group (tens), not the row count (billions at
+100 TB). The oracles are recursive CTEs performing the IDENTICAL IEEE
+double operation sequence row by row — the halving recurrence uses only
+one rounding addition and an exact division by two per step, so the
+engine and DuckDB produce bit-identical doubles and the value hash is
+exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ocr_ray.pipelines.queries._shared import arrow_out, query
+from ocr_ray.sources import read_table
+
+
+@query(
+    "ewma_customer_orders",
+    sql="""
+WITH RECURSIVE o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS rn
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, o_custkey, rn, o_totalprice AS ewma FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.o_orderkey, o.o_custkey, o.rn, (o.o_totalprice + r.ewma) / 2
+  FROM o JOIN r ON o.o_custkey = r.o_custkey AND o.rn = r.rn + 1
+)
+SELECT o_orderkey, o_custkey, CAST(rn AS BIGINT) AS rn, ewma FROM r
+""",
+)
+def ewma_customer_orders(sf_dir: str) -> ray.data.Dataset:
+    """Exponentially-weighted moving average of each customer's order
+    totals over order-date order (alpha = 1/2): ``s_1 = x_1``,
+    ``s_t = (x_t + s_{t-1}) / 2`` — the canonical per-key recursive
+    feature a fraud/trend pipeline maintains per entity.
+
+    Distribution: ONE hash-bucket shuffle on custkey, then a per-bucket
+    body that sorts (custkey, date, orderkey) and runs the recurrence
+    vectorized across groups — iteration ``t`` updates the ``t``-th row
+    of every group at once (rows of a group are contiguous after the
+    sort, so the predecessor is always ``idx - 1``), giving
+    ``O(max_group_len)`` numpy steps per bucket. State never leaves the
+    bucket; at 100 TB the only coordination is the one shuffle.
+
+    Bit-exactness: alpha = 1/2 makes each step one rounding IEEE add and
+    one exact halving, the same two ops the recursive-CTE oracle performs
+    per row — no reassociation anywhere, so doubles match exactly.
+    """
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    NB = 64
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("rn", pa.int64()),
+            ("ewma", pa.float64()),
+        ]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(NB)).astype(np.int32))
+        )
+
+    def ewma_body(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        cust = g["o_custkey"].to_numpy()
+        x = g["o_totalprice"].to_numpy(dtype=np.float64)
+        new_grp = np.empty(len(g), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = cust[1:] != cust[:-1]
+        # rn = position within group, 1-based
+        idx_all = np.arange(len(g), dtype=np.int64)
+        start_of_grp = np.maximum.accumulate(np.where(new_grp, idx_all, 0))
+        rn = idx_all - start_of_grp + 1
+        s = x.copy()
+        max_rn = int(rn.max())
+        for t in range(2, max_rn + 1):
+            idx = np.flatnonzero(rn == t)
+            if idx.size == 0:
+                break
+            # same two IEEE ops as the oracle's recursive step
+            s[idx] = (x[idx] + s[idx - 1]) / 2
+        return arrow_out(
+            pd.DataFrame(
+                {
+                    "o_orderkey": g["o_orderkey"].to_numpy(),
+                    "o_custkey": cust,
+                    "rn": rn,
+                    "ewma": s,
+                }
+            ),
+            out_schema,
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(ewma_body, batch_format="pandas")
+    )

@@ -1,7 +1,9 @@
 from ocr_ray.sources.formats import (  # noqa: F401
+    read_csv_dir,
     read_ipc,
     read_jsonl_gz,
     read_orc,
+    write_csv_dir,
     write_ipc,
     write_jsonl_gz,
     write_orc,

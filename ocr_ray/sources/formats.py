@@ -151,6 +151,61 @@ def write_ipc(ds: ray.data.Dataset, path: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------
+# CSV
+# --------------------------------------------------------------------------
+
+
+def read_csv_dir(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """CSV ingest (the lowest-common-denominator export format). CSV has
+    no footer and no row-group structure, so parallelism is per-FILE —
+    the same contract as gzipped JSONL; a large estate arrives as many
+    part files and that is the partitioning. Parsing happens inside read
+    tasks via Arrow's multithreaded CSV reader; an explicit ``schema``
+    pins column types (CSV is untyped text — without it, a file of
+    all-integral doubles infers int64 and poisons the union downstream).
+    Column pruning is pushed into the parse (``include_columns``), so
+    unneeded columns are never materialized."""
+    from pyarrow import csv as pacsv
+
+    files = _expand_files(path, (".csv",))
+    convert = pacsv.ConvertOptions(
+        include_columns=columns or None,
+        column_types=schema,
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [
+            pacsv.read_csv(fp, convert_options=convert)
+            for fp in batch["path"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    ids = ray.data.from_items([{"path": f} for f in files])
+    return ids.map_batches(parse, batch_size=1, batch_format="pyarrow")
+
+
+def write_csv_dir(ds: ray.data.Dataset, path: str) -> ray.data.Dataset:
+    """Block-parallel CSV sink: one ``part-*.csv`` per block, serialized
+    by Arrow's CSV writer inside the task that holds the block. Returns
+    the per-file manifest Dataset (path, rows)."""
+    from pyarrow import csv as pacsv
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.csv")
+        pacsv.write_csv(t, name)
+        return pa.table({"path": [name], "rows": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write_block, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # Compressed JSONL
 # --------------------------------------------------------------------------
 
