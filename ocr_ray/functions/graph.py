@@ -472,6 +472,108 @@ def _pagerank_engine(
     return ranks, step
 
 
+def kcore(
+    edges,
+    *,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 16,
+    max_rounds: int = 10,
+):
+    """k-core decomposition by iterative peeling to FIXPOINT: repeatedly
+    drop nodes of degree < k (and their edges) until every remaining node
+    has degree >= k. Returns ``(survivors, rounds)`` where survivors is a
+    Dataset of ``(node, core_deg)`` — each surviving node with its degree
+    inside the core — and rounds is the number of peel iterations run.
+
+    Input must be SYMMETRIZED directed edges (both (u,v) and (v,u)
+    present), so per-node degree is a single groupby on ``src_col``.
+
+    Distributed shape, per round: one bucketed degree aggregate (O(edges),
+    key cardinality = node count, so the high-cardinality bucketed fold),
+    then the shrinking edge set is filtered by TWO bucketed semi joins
+    (src alive, dst alive) and materialized as the next round's fixpoint
+    state — the same "pairs << corpus, state is distributed blocks" bound
+    as the other iterative passes here. Convergence is detected from two
+    O(1) driver-side counts (nodes vs alive nodes); no per-row state ever
+    reaches the driver.
+
+    ``max_rounds`` guards the bounded-unroll SQL oracle: if peeling has
+    not converged within it, raise rather than return a result an
+    R-round-unrolled oracle could silently disagree with. Dense graphs
+    converge in a handful of rounds; pathological chain graphs (diameter-
+    long peels) are the documented exception and need a larger bound.
+    """
+    from ocr_ray.functions.relational import bucketed_aggregate, hash_join
+
+    edge_schema = pa.schema({src_col: pa.int64(), dst_col: pa.int64()})
+    node_schema = pa.schema({"node": pa.int64()})
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                src_col: pc.cast(t[src_col], pa.int64()),
+                dst_col: pc.cast(t[dst_col], pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    for rounds in range(1, max_rounds + 1):
+        deg = bucketed_aggregate(
+            e,
+            keys=[src_col],
+            aggs={"core_deg": (dst_col, "size")},
+            num_buckets=num_buckets,
+        ).materialize()
+        kk = pa.scalar(int(k), type=pa.int64())
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(pc.cast(t["core_deg"], pa.int64()), kk)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_nodes, n_alive = deg.count(), alive.count()
+        if n_alive == n_nodes or n_alive == 0:
+            out = alive.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pc.cast(t[src_col], pa.int64()),
+                        "core_deg": pc.cast(t["core_deg"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            return out, rounds
+        alive_nodes = alive.map_batches(
+            lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        e = hash_join(
+            e,
+            alive_nodes,
+            on=src_col,
+            right_on="node",
+            how="semi",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=node_schema,
+        )
+        e = hash_join(
+            e,
+            alive_nodes,
+            on=dst_col,
+            right_on="node",
+            how="semi",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=node_schema,
+        ).materialize()
+    raise RuntimeError(
+        f"kcore: no fixpoint within {max_rounds} rounds — raise max_rounds "
+        "(and the oracle's unroll depth) for this graph"
+    )
+
+
 def pagerank(
     edges,
     *,

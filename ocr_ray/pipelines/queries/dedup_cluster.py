@@ -201,6 +201,117 @@ def purchase_graph_pagerank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 10) -> str:
+    """Bounded-unroll k-core oracle: R chained (semi-join + degree) CTE
+    rounds over the repeat-purchase graph. Pure integer arithmetic, and
+    peeling is monotone — once converged the remaining rounds are
+    identity, so an R-round unroll equals the fixpoint whenever the
+    engine (which asserts convergence within the same bound,
+    ``functions/graph.py:kcore``) returns at all."""
+    # every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, so an
+    # R-round unroll would re-expand e0 exponentially (2^R base scans —
+    # observed as fd exhaustion at R = 10)
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (
+  SELECT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 HAVING count(DISTINCT o.o_orderkey) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT c AS src, s2 AS dst FROM pairs
+  UNION ALL
+  SELECT s2 AS src, c AS dst FROM pairs
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (SELECT src, count(*) AS deg FROM e{r} GROUP BY src),
+a{r} AS (SELECT src AS node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN a{r} u ON u.node = e.src JOIN a{r} v ON v.node = e.dst
+)"""
+        )
+    last = rounds
+    return (
+        ",\n".join(parts)
+        + f""",
+dF AS (SELECT src, count(*) AS deg FROM e{last} GROUP BY src)
+SELECT src AS node, CAST(deg AS BIGINT) AS core_deg FROM dF WHERE deg >= {k}"""
+    )
+
+
+@query("purchase_graph_kcore", sql=_kcore_sql(2, 10))
+def purchase_graph_kcore(sf_dir: str) -> ray.data.Dataset:
+    """2-core of the REPEAT-purchase graph (customer↔supplier edges only
+    where the pair shares >= 2 distinct orders — the loyalty backbone,
+    much sparser than the raw copurchase graph): iterative peeling drops
+    degree-<2 nodes and their edges until fixpoint, leaving each
+    surviving node with its in-core degree.
+
+    Distributed shape: orders⋈lineitem bucketed join with in-bucket
+    triple dedup (the join key co-locates each order, so the in-bucket
+    distinct is globally distinct), a (cust, supp)-keyed bucketed fold
+    counting distinct orders per pair, then ``functions/graph.kcore`` —
+    per peel round one bucketed degree fold + two bucketed semi joins
+    over the SHRINKING edge set, convergence detected from O(1) counts.
+    The oracle unrolls the same rounds as chained CTEs (peeling is
+    monotone: converged rounds are identity), and the engine raises if
+    fixpoint needs more rounds than the unroll bound."""
+    from ocr_ray.functions import graph as graphfn
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def local_triples(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": 2 * df["o_custkey"].to_numpy(dtype=np.int64),
+                "v": 2 * df["l_suppkey"].to_numpy(dtype=np.int64) + 1,
+                "okey": df["o_orderkey"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    triples = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_buckets=default_buckets(),
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        right_schema=pa.schema({"l_orderkey": pa.int64(), "l_suppkey": pa.int64()}),
+        bucket_post=local_triples,
+        post_schema=pa.schema(
+            {"u": pa.int64(), "v": pa.int64(), "okey": pa.int64()}
+        ),
+    )
+
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    per_pair = bucketed_aggregate(
+        triples, keys=["u", "v"], aggs={"n_orders": ("okey", "size")}
+    )
+
+    def sym_repeat(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater_equal(pc.cast(t["n_orders"], pa.int64()), pa.scalar(2))
+        )
+        u = keep["u"].to_numpy(zero_copy_only=False)
+        v = keep["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    edges = per_pair.map_batches(sym_repeat, batch_format="pyarrow")
+    survivors, _rounds = graphfn.kcore(edges, k=2, max_rounds=10)
+    return survivors
+
+
 @query("minhash_dedup_clusters", sql=_MINHASH_CLUSTERS_SQL)
 def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """MinHash near-dup pairs promoted to dedup clusters: the verified

@@ -263,3 +263,53 @@ def test_bfs_levels_matches_python_reference():
     out = bfs_levels(empty, iterations=2, num_buckets=2)
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "dist"}
+
+
+def _sym(pairs):
+    out = []
+    for a, b in pairs:
+        out.append((a, b))
+        out.append((b, a))
+    return out
+
+
+def test_kcore_triangle_plus_tail():
+    """Triangle {1,2,3} with a tail 3-4-5: 2-core keeps exactly the
+    triangle (degree 2 each); the tail peels over two rounds."""
+    from ocr_ray.functions.graph import kcore
+
+    ds = _edges_ds(_sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]))
+    out, rounds = kcore(ds, k=2, src_col="u", dst_col="v", num_buckets=4, max_rounds=10)
+    got = {r["node"]: r["core_deg"] for r in out.take_all()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert rounds >= 2  # the tail needs one peel per hop
+
+
+def test_kcore_empty_core_and_fixpoint_first_round():
+    from ocr_ray.functions.graph import kcore
+
+    # a path graph has no 3-core
+    path = _edges_ds(_sym([(1, 2), (2, 3), (3, 4)]))
+    out, _ = kcore(path, k=3, src_col="u", dst_col="v", num_buckets=2, max_rounds=10)
+    assert out.count() == 0
+
+    # a 4-clique IS its own 3-core: fixpoint in one round
+    clique = _sym([(a, b) for a in range(4) for b in range(4) if a < b])
+    out, rounds = kcore(_edges_ds(clique), k=3, src_col="u", dst_col="v", num_buckets=2, max_rounds=10)
+    assert rounds == 1
+    assert {r["node"]: r["core_deg"] for r in out.take_all()} == {
+        0: 3, 1: 3, 2: 3, 3: 3
+    }
+
+
+def test_kcore_round_bound_raises_on_long_chain():
+    """A long path peeled with k=2 loses one node per end per round —
+    more rounds than the bound, which must raise (the bounded-unroll
+    oracle contract), not silently return a pre-fixpoint state."""
+    import pytest
+
+    from ocr_ray.functions.graph import kcore
+
+    chain = _sym([(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(_edges_ds(chain), k=2, src_col="u", dst_col="v", num_buckets=2, max_rounds=3)
