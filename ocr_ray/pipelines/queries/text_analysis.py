@@ -455,3 +455,33 @@ def phrase_search_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(match, batch_format="pyarrow")
+
+
+@query("wordpiece_encode_docs", sql=None)
+def wordpiece_encode_docs(sf_dir: str) -> ray.data.Dataset:
+    """WordPiece tokenizer APPLICATION — the greedy longest-match-first
+    complement of ``bpe_encode_docs`` (same vocabulary family, different
+    segmentation algorithm: BPE replays merge order, WordPiece takes the
+    longest vocab prefix at each position). Vocab derives
+    deterministically from a 12-merge BPE fit (merge strings + the full
+    merge alphabet), ships once per actor, and the encode is a stateful
+    actor-pool stage with a per-actor word-type cache. No SQL oracle
+    (greedy matching isn't SQL-expressible); exactness is enforced at
+    run time — the fit verifies against the pure-Python BPE reference,
+    and the encoder re-encodes a deterministic sample of word types with
+    the independent reference scanner, raising on any count divergence
+    (full-coverage equality is asserted in tests/test_wordpiece.py)."""
+    from ocr_ray.functions.bpe import bpe_train
+    from ocr_ray.functions.wordpiece import WordpieceEncoder, wordpiece_vocab
+    from ocr_ray.sizing import pool_size
+
+    fit = bpe_train(read_docs(sf_dir, columns=["text"]), num_merges=12, verify=True)
+    vocab = wordpiece_vocab(list(zip(fit["left"], fit["right"])))
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        WordpieceEncoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+        fn_constructor_kwargs={"vocab": vocab},
+    )
