@@ -272,3 +272,56 @@ def extract_pdf_text(sf_dir: str) -> ray.data.Dataset:
         batch_size=256,
         concurrency=pool_size(),
     )
+
+
+_TABLE_SQL = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+dims AS (
+  SELECT doc_id, w, len(w) AS n,
+         greatest(len(w) // 3, 1) AS ncells,
+         2 + doc_id % 3 AS ncol
+  FROM s
+),
+cells AS (
+  SELECT doc_id,
+    CAST(k // ncol AS BIGINT) AS row_idx,
+    CAST(k % ncol AS BIGINT) AS col_idx,
+    array_to_string(
+      CASE WHEN k = ncells - 1 THEN w[3*k+1:n] ELSE w[3*k+1:3*k+3] END,
+      ' ') AS cell_text
+  FROM dims, UNNEST(generate_series(0, CAST(ncells - 1 AS BIGINT))) AS t(k)
+)
+SELECT doc_id, row_idx, col_idx, cell_text FROM cells
+"""
+
+
+@query("extract_html_tables", sql=_TABLE_SQL)
+def extract_html_tables(sf_dir: str) -> ray.data.Dataset:
+    """STRUCTURED-table extraction from real HTML — the data-vs-layout
+    table classification problem on top of the shared tokenizer: each
+    document's words are typeset into a full page holding a DATA table
+    (caption, colgroup, thead, entity-encoded cells, in-table comments,
+    pretty-printed whitespace) next to a 100%-linked nav LAYOUT table,
+    and ``HtmlTableExtractor`` must emit exactly the body cells of the
+    data table as (doc_id, row_idx, col_idx, cell_text) — rejecting the
+    layout table by link density, requiring ``<th>`` headers, excluding
+    the header row and caption from the grid, and decoding entities in
+    cell text. The oracle reproduces the renderer's closed-form word
+    partition (3-word cells, remainder in the last cell, row-major at
+    2 + doc_id % 3 columns) with list slicing, so a tokenizer,
+    classification, ordering, or decode bug breaks the value hash
+    (``stages/tables.py``)."""
+    from ocr_ray.stages.tables import HtmlTableExtractor, attach_table_payloads
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_table_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        HtmlTableExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )
