@@ -325,3 +325,42 @@ def extract_html_tables(sf_dir: str) -> ray.data.Dataset:
         batch_size=256,
         concurrency=pool_size(),
     )
+
+
+_TWOCOL_SQL = """
+WITH s AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, text AS extracted_text,
+  CAST(((n + 3) // 4 + 19) // 20 AS BIGINT) AS n_pages,
+  CAST((n + 3) // 4 AS BIGINT) AS n_lines
+FROM s
+"""
+
+
+@query("extract_pdf_columns", sql=_TWOCOL_SQL)
+def extract_pdf_columns(sf_dir: str) -> ray.data.Dataset:
+    """Two-COLUMN layout parse (north rule: "PDF/layout parse … reading
+    order"): each document is typeset as a real multi-page newspaper
+    layout — 4-word lines filling the left column top-to-bottom, then
+    the right, with rotated stream-emission order and the rotating
+    literal/hex/TJ string forms — and ``PdfTwoColExtractor`` recovers
+    reading order by CLUSTERING chunk x-positions into columns (x-gap
+    split) and reading columns left-to-right, top-to-bottom. A naive
+    (-y, x) sort interleaves the columns and scrambles every page, so
+    the oracle's full-text equality pins the column heuristic itself;
+    page/line counts check the closed-form pagination
+    (``stages/pdf.py:encode_twocol_pdf``)."""
+    from ocr_ray.stages.pdf import PdfTwoColExtractor, attach_twocol_payloads
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_twocol_payloads, batch_format="pyarrow", batch_size=128
+    )
+    return with_payloads.map_batches(
+        PdfTwoColExtractor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_size(),
+    )

@@ -742,3 +742,155 @@ class PdfTextExtractor:
                 "n_chunks": pa.array(np.asarray(nc_l, dtype=np.int64)),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Two-column (newspaper) layout leg: column detection for reading order
+# ---------------------------------------------------------------------------
+
+COL_WORDS_PER_LINE = 4
+COL_ROWS = 10
+X_COLS = (72.0, 320.0)
+COLUMN_GAP_MIN = 60.0  # x gap that separates two columns
+
+
+def encode_twocol_pdf(doc_id: int, text: str) -> bytes:
+    """Typeset a document in TWO newspaper columns per page: 4-word
+    lines fill the LEFT column top-to-bottom (10 rows), then the RIGHT
+    column, then the next page. Reading order is column-major, so a
+    naive (-y, x) sort interleaves the columns and scrambles the text —
+    the extractor must detect the column structure. Content-stream
+    emission order is rotated as in ``encode_pdf`` (stream order is
+    neither reading order nor row order), and the string-form rotation
+    (hex / literal / TJ-array) applies per chunk."""
+    d = int(doc_id)
+    words = text.split(" ")
+    lines = [
+        words[i : i + COL_WORDS_PER_LINE]
+        for i in range(0, len(words), COL_WORDS_PER_LINE)
+    ]
+    per_page = 2 * COL_ROWS
+    pages = [lines[i : i + per_page] for i in range(0, len(lines), per_page)]
+    if not pages:
+        pages = [[]]
+    n_pages = len(pages)
+
+    page_ids = [5 + 2 * p for p in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+
+    base = 0
+    line_bases = []
+    for ln in lines:
+        line_bases.append(base)
+        base += len(ln)
+
+    for p, page_lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf"]
+        k = len(page_lines)
+        for j in range(k):
+            jl = (j + d) % k if k else 0  # rotated emission order
+            g = per_page * p + jl
+            col, row = divmod(jl, COL_ROWS)
+            x = X_COLS[col]
+            y = Y_TOP - LEADING * row
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(
+                _chunk_ops(" ".join(page_lines[jl]), d, g, line_bases[g])
+            )
+        ops.append("ET")
+        stream = zlib.compress("\n".join(ops).encode("utf-8"), 6)
+        objs[4 + 2 * p] = (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+        objs[5 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {4 + 2 * p} 0 R >>"
+        ).encode()
+    return _serialize_pdf(objs)
+
+
+def detect_columns(xs: list[float]) -> list[float]:
+    """1-D cluster of chunk x-positions into column anchors: sort the
+    distinct x values and split wherever adjacent values are more than
+    ``COLUMN_GAP_MIN`` apart; each cluster's anchor is its minimum.
+    Returns anchors left-to-right (single-column pages yield one)."""
+    uniq = sorted(set(xs))
+    if not uniq:
+        return []
+    anchors = [uniq[0]]
+    for a, b in zip(uniq, uniq[1:]):
+        if b - a > COLUMN_GAP_MIN:
+            anchors.append(b)
+    return anchors
+
+
+def decode_twocol_pdf(buf: bytes) -> tuple[str, int, int]:
+    """PDF bytes -> (reading-order text, n_pages, n_lines) with COLUMN
+    detection: chunks cluster into columns by x-gap, columns read
+    left-to-right, each top-to-bottom — the layout heuristic a
+    single-sort reading order cannot express."""
+    doc = PdfDocument(buf)
+    pages = doc.pages()
+    parts: list[str] = []
+    n_lines = 0
+    for page in pages:
+        content = doc.obj(page["Contents"])
+        chunks = _content_chunks(content["__stream__"])
+        if not chunks:
+            continue
+        anchors = detect_columns([c[0] for c in chunks])
+
+        def col_of(x: float) -> int:
+            ci = 0
+            for i, a in enumerate(anchors):
+                if x >= a - 1e-6:
+                    ci = i
+            return ci
+
+        ordered = sorted(chunks, key=lambda c: (col_of(c[0]), -c[1], c[0]))
+        parts.extend(c[2] for c in ordered)
+        n_lines += len(chunks)
+    return " ".join(parts), len(pages), n_lines
+
+
+def attach_twocol_payloads(batch: pa.Table) -> pa.Table:
+    """Fixture stage: (doc_id, text) -> (doc_id, payload), two-column
+    typeset; the text column is dropped."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    pdfs = [encode_twocol_pdf(d, t) for d, t in zip(ids, texts)]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(pdfs, type=pa.large_binary()),
+        }
+    )
+
+
+class PdfTwoColExtractor:
+    """Actor-pool stage: two-column PDF parse + column-aware reading
+    order. Output schema: doc_id, extracted_text, n_pages, n_lines."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, np_l, nl_l = [], [], []
+        for buf in batch["payload"].to_pylist():
+            text, n_pages, n_lines = decode_twocol_pdf(buf)
+            texts.append(text)
+            np_l.append(n_pages)
+            nl_l.append(n_lines)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "extracted_text": pa.array(texts, type=pa.string()),
+                "n_pages": pa.array(np.asarray(np_l, dtype=np.int64)),
+                "n_lines": pa.array(np.asarray(nl_l, dtype=np.int64)),
+            }
+        )

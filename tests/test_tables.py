@@ -62,3 +62,49 @@ def test_entity_decode_in_cells_roundtrips_fixture():
     page = render_table_page(0, text)
     [grid] = extract_tables(page)
     assert " ".join(c for row in grid for c in row) == text
+
+
+# ---------------------------------------------------------------------------
+# two-column PDF reading order (stages/pdf.py twocol leg)
+# ---------------------------------------------------------------------------
+
+
+def test_detect_columns_gaps_and_single_column():
+    from ocr_ray.stages.pdf import detect_columns
+
+    assert detect_columns([72.0, 72.0, 320.0, 320.5]) == [72.0, 320.0]
+    assert detect_columns([72.0, 80.0, 100.0]) == [72.0]  # small steps merge
+    assert detect_columns([]) == []
+    assert detect_columns([10.0, 200.0, 400.0]) == [10.0, 200.0, 400.0]
+
+
+def test_twocol_naive_sort_would_scramble():
+    """The fixture is only a fixture if naive (-y, x) ordering FAILS:
+    interleaving columns must not reproduce the text (guards against the
+    renderer degenerating into a single column)."""
+    from ocr_ray.stages.pdf import (
+        PdfDocument,
+        _content_chunks,
+        encode_twocol_pdf,
+    )
+
+    text = " ".join(f"w{i}" for i in range(120))  # 30 lines: 2 full cols + page 2
+    doc = PdfDocument(encode_twocol_pdf(3, text))
+    chunks = []
+    for pi, page in enumerate(doc.pages()):
+        for x, y, s in _content_chunks(doc.obj(page["Contents"])["__stream__"]):
+            chunks.append((pi, -y, x, s))
+    naive = " ".join(c[3] for c in sorted(chunks))
+    assert naive != text
+
+
+def test_twocol_roundtrip_various_lengths():
+    from ocr_ray.stages.pdf import decode_twocol_pdf, encode_twocol_pdf
+
+    for d, n in ((0, 1), (1, 4), (2, 39), (3, 40), (9, 81), (11, 200)):
+        text = " ".join(f"t{d}w{i}" for i in range(n))
+        out, n_pages, n_lines = decode_twocol_pdf(encode_twocol_pdf(d, text))
+        assert out == text, (d, n)
+        want_lines = (n + 3) // 4
+        assert n_lines == want_lines
+        assert n_pages == max(1, (want_lines + 19) // 20)
