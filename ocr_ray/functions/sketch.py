@@ -239,36 +239,32 @@ def grouped_exact_median(
 
     needed_ref = ray.put(needed)
 
-    class CellFilter:
-        def __init__(self, ref):
-            needed_map = ray.get(ref)
-            self.pairs = [(g, b) for g, bs in needed_map.items() for b in bs]
+    # task-pool stage with the per-worker _prepared cache: an ACTOR pool
+    # here costs its spin-up (2-4 s) per median call — two calls per MAD
+    # query — for state that is just a broadcast (group, bin) set
+    from ocr_ray.functions.relational import _prepared
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-            b = bin_of(v)
-            groups = t[group_col].to_pylist()
-            keep = pd.MultiIndex.from_arrays([groups, b]).isin(self.pairs)
-            ft = t.filter(pa.array(keep))
-            return pa.table(
-                {
-                    group_col: ft[group_col],
-                    "bin": pa.array(b[keep]),
-                    "value": pc.cast(ft[value_col], pa.float64()),
-                }
-            )
-
-    from ocr_ray.sizing import pool_size
-
-    cells = (
-        ds.map_batches(
-            CellFilter,
-            batch_format="pyarrow",
-            fn_constructor_args=(needed_ref,),
-            concurrency=pool_size(),
+    def cell_filter(t: pa.Table) -> pa.Table:
+        pairs = _prepared(
+            ("median_cells", needed_ref.hex()),
+            lambda: frozenset(
+                (g, b) for g, bs in ray.get(needed_ref).items() for b in bs
+            ),
         )
-        .to_pandas()
-    )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bin_of(v)
+        groups = t[group_col].to_pylist()
+        keep = pd.MultiIndex.from_arrays([groups, b]).isin(pairs)
+        ft = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                group_col: ft[group_col],
+                "bin": pa.array(b[keep]),
+                "value": pc.cast(ft[value_col], pa.float64()),
+            }
+        )
+
+    cells = ds.map_batches(cell_filter, batch_format="pyarrow").to_pandas()
 
     out_g, out_m, out_n = [], [], []
     for g, p in plan.items():
