@@ -563,3 +563,48 @@ def grouped_percentile_cont(
         rows.append(row)
     cols = [group_col] + [f"p_{int(round(q * 100))}" for q in qs] + ["n"]
     return pd.DataFrame(rows, columns=cols).sort_values(group_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+# xor-seeds for the CM hash rows (row 0 is the bare splitmix64)
+CM_SEEDS = (
+    0,
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+)
+
+
+def cm_slots_for(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), CM_DEPTH) flat slot ids ``d * CM_WIDTH + w`` where
+    ``w = splitmix64(key ^ seed_d) % CM_WIDTH`` — the deterministic
+    hash family shared with the SQL oracle."""
+    u = keys.astype(np.uint64, copy=False)
+    out = np.empty((len(u), CM_DEPTH), dtype=np.int64)
+    for d, seed in enumerate(CM_SEEDS):
+        h = _mix64(u ^ np.uint64(seed))
+        out[:, d] = d * CM_WIDTH + (h % np.uint64(CM_WIDTH)).astype(np.int64)
+    return out
+
+
+def cm_partial(batch: pa.Table, *, key_col: str = "user_id") -> pa.Table:
+    """Per-batch Count-Min partial: nonzero (slot, count) rows of the
+    depth x width counter matrix — the map-side combine; counters merge
+    downstream by slot sum (CM sketches are mergeable by addition)."""
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    slots = cm_slots_for(keys).ravel()
+    counts = np.bincount(slots, minlength=CM_DEPTH * CM_WIDTH).astype(np.int64)
+    nz = np.flatnonzero(counts)
+    return pa.table({"slot": pa.array(nz), "count": pa.array(counts[nz])})
+
+
+def cm_estimate(counters: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates ``min_d counter[d][h_d(key)]`` from the merged
+    flat counter vector (length CM_DEPTH * CM_WIDTH)."""
+    slots = cm_slots_for(keys)
+    return counters[slots].min(axis=1)

@@ -1870,3 +1870,110 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+@query(
+    "countmin_user_events",
+    sql="""
+WITH seeds(d, s) AS (VALUES
+  (0, 0::UBIGINT),
+  (1, '11400714819323198485'::UBIGINT),
+  (2, '14029467366897019727'::UBIGINT),
+  (3, '1609587929392839161'::UBIGINT)),
+du AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+x0 AS (SELECT user_id, d, xor(CAST(user_id AS UBIGINT), s) AS x FROM du, seeds),
+x1 AS (SELECT * EXCLUDE (x), xor(x, x >> 30) AS x FROM x0),
+x2 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM x1),
+x3 AS (SELECT * EXCLUDE (x), xor(x, x >> 27) AS x FROM x2),
+x4 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM x3),
+x5 AS (SELECT * EXCLUDE (x), xor(x, x >> 31) AS h FROM x4),
+slotmap AS (SELECT user_id, d, CAST(h % 1024 AS BIGINT) AS w FROM x5),
+cnt AS (SELECT user_id, COUNT(*) AS c FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id),
+counters AS (
+  SELECT m.d, m.w, SUM(c.c) AS cnt
+  FROM slotmap m JOIN cnt c USING (user_id) GROUP BY 1, 2),
+top AS (SELECT user_id, c AS exact_count FROM cnt
+        ORDER BY c DESC, user_id LIMIT 20),
+est AS (
+  SELECT t.user_id, t.exact_count, MIN(co.cnt) AS cm
+  FROM top t JOIN slotmap m USING (user_id)
+  JOIN counters co ON co.d = m.d AND co.w = m.w
+  GROUP BY 1, 2)
+SELECT user_id, CAST(exact_count AS BIGINT) AS exact_count,
+  CAST(cm AS BIGINT) AS cm_estimate
+FROM est
+""",
+)
+def countmin_user_events(sf_dir: str) -> pa.Table:
+    """Count-Min sketch (depth 4 x width 1024) of per-user event counts,
+    reported for the exact top-20 users next to their true counts — the
+    mergeable frequency sketch a streaming pipeline keeps when exact
+    per-key counters don't fit.
+
+    Distributed shape: ONE pass of per-batch partial counter matrices
+    (``cm_partial`` — nonzero (slot, count) rows, so the shuffle carries
+    <= 4096 rows per batch regardless of batch size), merged by a tiny
+    bucketed slot-sum; the 32 KB merged matrix and the exact top-20
+    (bucketed per-user fold + per-block partial top-k) resolve
+    driver-side. ORACLE-CHECKED BIT-EXACT, not bound-checked: the sketch
+    is deterministic integer arithmetic — splitmix64 rows seeded by XOR
+    constants, counter sums, min-over-rows — all reproduced in HUGEINT
+    SQL, so a hash, merge, or min bug changes the value hash. The
+    eps-delta overestimate guarantee (estimate >= exact, within eN at
+    the chosen width) is asserted in tests/test_sketch_cm.py."""
+    from ocr_ray.functions.relational import bucketed_aggregate
+    from ocr_ray.functions.sketch import CM_DEPTH, CM_WIDTH, cm_estimate, cm_partial
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["user_id"]))
+
+    clean = ds.map_batches(valid, batch_format="pyarrow")
+
+    merged = bucketed_aggregate(
+        clean.map_batches(
+            lambda t: cm_partial(t, key_col="user_id"), batch_format="pyarrow"
+        ),
+        keys=["slot"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()  # <= CM_DEPTH * CM_WIDTH rows, bounded
+    counters = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
+    counters[merged["slot"].to_numpy(dtype=np.int64)] = merged["count"].to_numpy(
+        dtype=np.int64
+    )
+
+    per_user = bucketed_aggregate(
+        clean, keys=["user_id"], aggs={"c": ("user_id", "size")}
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        out = arrow_topk(t, [("c", "descending"), ("user_id", "ascending")], 20)
+        return pa.table(
+            {
+                "user_id": pc.cast(out["user_id"], pa.int64()),
+                "c": pc.cast(out["c"], pa.int64()),
+            }
+        )
+
+    top = (
+        per_user.map_batches(local_top, batch_format="pyarrow")
+        .sort(["c", "user_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    users = top["user_id"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "user_id": pa.array(users),
+            "exact_count": pa.array(top["c"].to_numpy(dtype=np.int64)),
+            "cm_estimate": pa.array(cm_estimate(counters, users)),
+        }
+    )
