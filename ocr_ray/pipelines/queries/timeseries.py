@@ -124,3 +124,88 @@ def ewma_customer_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("_bucket")
         .map_groups(ewma_body, batch_format="pandas")
     )
+
+
+@query(
+    "locf_last_purchase",
+    sql="""
+SELECT user_id, event_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_purchase_value
+FROM events
+""",
+)
+def locf_last_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Per-key LAST-OBSERVATION-CARRIED-FORWARD: every event annotated
+    with the value of its user's most recent 'purchase' at or before it
+    (NULL until the first purchase) — the gap-repair primitive feature
+    stores run per entity, and the windowed form of an as-of self-join.
+
+    Distribution: the sessionization idiom (one user-hash bucket
+    shuffle, in-bucket sort), with the carry computed by ONE vectorized
+    segment-scan — candidate indices encoded as
+    ``group_rank * stride + local_index`` so a single global
+    ``np.maximum.accumulate`` respects group boundaries (a decoded rank
+    from another group means "no purchase yet"); no per-group loop, no
+    cross-bucket state. The carried value is copied, never operated on,
+    so floats compare bit-exact against the IGNORE NULLS window oracle.
+    """
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    NB = 64
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("last_purchase_value", pa.float64()),
+        ]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(NB)).astype(np.int32))
+        )
+
+    def locf_body(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy(dtype=np.float64)
+        is_p = g["event_type"].to_numpy() == "purchase"
+        n = len(g)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = uid[1:] != uid[:-1]
+        grp_rank = np.cumsum(new_grp) - 1
+        idx = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        local = idx - start
+        stride = np.int64(n + 1)
+        enc = grp_rank * stride + np.where(is_p, local + 1, 0)
+        acc = np.maximum.accumulate(enc)
+        have = (acc // stride == grp_rank) & (acc % stride > 0)
+        src = start + (acc % stride) - 1  # row of the carried purchase
+        out_val = np.where(have, val[np.clip(src, 0, n - 1)], np.nan)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": pa.array(
+                    g["event_id"].to_numpy(dtype=np.int64)
+                ),
+                "last_purchase_value": pa.array(
+                    out_val, type=pa.float64(), from_pandas=True
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(locf_body, batch_format="pandas")
+    )
