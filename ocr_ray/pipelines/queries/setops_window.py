@@ -1977,3 +1977,135 @@ def countmin_user_events(sf_dir: str) -> pa.Table:
             "cm_estimate": pa.array(cm_estimate(counters, users)),
         }
     )
+
+
+@query(
+    "approx_common_users",
+    sql="""
+WITH h0 AS (SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x
+            FROM events WHERE user_id IS NOT NULL),
+h1 AS (SELECT * EXCLUDE (x), xor(x, x >> 30) AS x FROM h0),
+h2 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '13787848793156543929'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h1),
+h3 AS (SELECT * EXCLUDE (x), xor(x, x >> 27) AS x FROM h2),
+h4 AS (SELECT * EXCLUDE (x), CAST((
+    CAST(x % 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT
+    + (CAST(x // 4294967296 AS HUGEINT) * '10723151780598845931'::HUGEINT % 4294967296) * 4294967296
+  ) % '18446744073709551616'::HUGEINT AS UBIGINT) AS x FROM h3),
+h5 AS (SELECT * EXCLUDE (x), xor(x, x >> 31) AS h FROM h4),
+rr AS (SELECT event_type,
+         CAST(h >> 56 AS BIGINT) AS register,
+         CASE WHEN CAST(h % 72057594037927936 AS BIGINT) = 0 THEN 57
+              ELSE 1 + CAST(floor(log2(CAST(
+                 CAST(h % 72057594037927936 AS BIGINT)
+                 & (-CAST(h % 72057594037927936 AS BIGINT)) AS DOUBLE))) AS BIGINT)
+         END AS rho
+       FROM h5),
+m AS (SELECT event_type, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+sets AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+  UNION ALL
+  SELECT event_type, event_type FROM types
+),
+mu AS (
+  SELECT s.ta, s.tb, m.register, MAX(m.rho) AS rho
+  FROM sets s JOIN m ON m.event_type IN (s.ta, s.tb)
+  GROUP BY 1, 2, 3
+),
+agg AS (SELECT ta, tb,
+          CAST(SUM(1::BIGINT << (57 - rho)) AS HUGEINT) AS s_present,
+          COUNT(*) AS n_present
+        FROM mu GROUP BY 1, 2),
+e2 AS (SELECT ta, tb,
+   256 - n_present AS zeros,
+   0.7213 / (1 + 1.079 / 256) * 65536 * 144115188075855872
+     / CAST(s_present + CAST(256 - n_present AS HUGEINT)
+            * '144115188075855872'::HUGEINT AS DOUBLE) AS raw
+ FROM agg),
+estu AS (SELECT ta, tb,
+  CAST(floor(CASE WHEN raw <= 640.0 AND zeros > 0
+                  THEN 256 * ln(256.0 / zeros) ELSE raw END + 0.5) AS BIGINT)
+    AS approx
+ FROM e2)
+SELECT p.ta AS type_a, p.tb AS type_b,
+  ea.approx AS approx_a, eb.approx AS approx_b, eu.approx AS approx_union,
+  ea.approx + eb.approx - eu.approx AS approx_common
+FROM (SELECT ta, tb FROM sets WHERE ta < tb) p
+JOIN estu eu ON eu.ta = p.ta AND eu.tb = p.tb
+JOIN estu ea ON ea.ta = p.ta AND ea.tb = p.ta
+JOIN estu eb ON eb.ta = p.tb AND eb.tb = p.tb
+""",
+)
+def approx_common_users(sf_dir: str) -> pa.Table:
+    """HLL SET OPERATIONS: approximate distinct users per event-type
+    PAIR — union by elementwise register max (the one set operation HLL
+    supports natively) and intersection by inclusion-exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the sketch algebra an
+    engagement-overlap dashboard runs when exact pairwise distincts
+    are too expensive.
+
+    Distribution: the SAME one-pass per-batch register partials as
+    ``approx_distinct_users`` (combiner shuffles <= types x 256 rows per
+    batch), one tiny (type, register) groupby-max; all 15 set unions
+    and estimates fold driver-side from the 5 x 256 register table —
+    nothing about the pair count touches the corpus again. Bit-exact
+    oracle: register merge is integer max, the harmonic denominator an
+    exact dyadic-rational sum, and inclusion-exclusion integer
+    subtraction, so DuckDB reproduces every estimate to the last bit
+    (accuracy vs exact overlap asserted in tests/test_sketch_cm.py)."""
+    from ocr_ray.functions.sketch import hll_estimate, hll_partial_registers
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    partials = ds.map_batches(hll_partial_registers, batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        partials.groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    types = sorted(merged["event_type"].unique())
+    frames = [merged]
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            u = (
+                merged[merged["event_type"].isin([a, b])]
+                .groupby("register", as_index=False)["rho"]
+                .max()
+            )
+            u["event_type"] = f"{a}|{b}"
+            frames.append(u[["event_type", "register", "rho"]])
+    est = hll_estimate(pd.concat(frames, ignore_index=True))
+    lut = dict(zip(est["event_type"], est["approx_users"]))
+
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ea, eb, eu = lut[a], lut[b], lut[f"{a}|{b}"]
+            rows.append((a, b, ea, eb, eu, ea + eb - eu))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "type_a",
+            "type_b",
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            "approx_common",
+        ],
+    )
+    return pa.table(
+        {
+            "type_a": pa.array(out["type_a"], type=pa.string()),
+            "type_b": pa.array(out["type_b"], type=pa.string()),
+            "approx_a": pa.array(out["approx_a"].to_numpy(dtype=np.int64)),
+            "approx_b": pa.array(out["approx_b"].to_numpy(dtype=np.int64)),
+            "approx_union": pa.array(out["approx_union"].to_numpy(dtype=np.int64)),
+            "approx_common": pa.array(out["approx_common"].to_numpy(dtype=np.int64)),
+        }
+    )

@@ -54,3 +54,38 @@ def test_slots_deterministic_and_in_range():
     for d in range(CM_DEPTH):
         col = s1[:, d]
         assert ((col >= d * CM_WIDTH) & (col < (d + 1) * CM_WIDTH)).all()
+
+
+def test_hll_intersection_accuracy_vs_exact(sf_smoke):
+    """Inclusion-exclusion HLL overlap stays within the additive error of
+    its three +-2%-ish estimates on the smoke corpus."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import QUERY_FNS
+
+    out = QUERY_FNS["approx_common_users"](sf_smoke).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_smoke}/events.parquet'"
+    )
+    exact = con.execute(
+        """
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        """
+    ).df()
+    lut = {(r.ta, r.tb): r.n for r in exact.itertuples()}
+    assert len(out) == 10  # C(5,2) event-type pairs
+    for r in out.itertuples():
+        true = lut.get((r.type_a, r.type_b), 0)
+        # union/singles are 256-register HLLs (~6.5% rse); the difference
+        # of three estimates carries ~3x that — allow 25% + small floor
+        assert abs(r.approx_common - true) <= max(0.25 * true, 30), (
+            r.type_a,
+            r.type_b,
+            r.approx_common,
+            true,
+        )
