@@ -132,6 +132,17 @@ QUERY_SET = [
     "segment_cc_docs",
     "evolved_schema_docs",
     "media_wav_decimated_features",
+    # round-3 session-3 additions
+    "csv_roundtrip_events",
+    "ewma_customer_orders",
+    "locf_last_purchase",
+    "purchase_graph_kcore",
+    "extract_html_tables",
+    "extract_pdf_columns",
+    "wordpiece_encode_docs",
+    "countmin_user_events",
+    "approx_common_users",
+    "media_bmp_features",
 ]
 
 
