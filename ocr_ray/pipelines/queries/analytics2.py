@@ -1203,3 +1203,159 @@ def copurchase_triangles(sf_dir: str) -> ray.data.Dataset:
         ["n_tri", "part"], ascending=[False, True], kind="mergesort"
     ).head(20)
     return ray.data.from_arrow(arrow_out(top.reset_index(drop=True), out_schema))
+
+
+@query(
+    "item_similarity_topk",
+    sql="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, COUNT(*) AS n FROM d GROUP BY 1),
+sym AS (SELECT pa AS i, pb AS j, c FROM pairs UNION ALL SELECT pb, pa, c FROM pairs),
+sc AS (
+  SELECT s.i, s.j, s.c,
+    CAST(s.c AS DOUBLE) / sqrt(CAST(ti.n * tj.n AS DOUBLE)) AS cosine
+  FROM sym s JOIN tot ti ON ti.l_partkey = s.i JOIN tot tj ON tj.l_partkey = s.j
+)
+SELECT i AS part_i, j AS part_j, CAST(c AS BIGINT) AS n_co, cosine
+FROM sc QUALIFY row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) <= 8
+""",
+)
+def item_similarity_topk(sf_dir: str) -> ray.data.Dataset:
+    """Item-item COSINE similarity top-8 per part over co-purchase
+    baskets — the collaborative-filtering neighborhood build
+    (sim(i,j) = co_orders / sqrt(n_i * n_j)): what a recommender
+    pipeline materializes from transaction logs before serving.
+
+    Distributed shape: the ``copurchase_part_pairs`` basket expansion
+    (order-bucketed vectorized self-merge, blow-up bounded per basket)
+    -> exact pair counts in PAIR-hash buckets -> cosine scoring as a
+    stateless map with the per-part totals BROADCAST once (parts are a
+    bounded dimension; the totals dict ships via ray.put, never joins)
+    -> a final part_i-bucket fold takes each item's top-8. Three
+    bucketed shuffles total, all over the pairs table (<< corpus).
+    Bit-exactness: counts are integers; the only float math is one
+    int->double cast, one correctly-rounded sqrt, one division — the
+    identical three-op sequence the oracle runs, so cosines hash equal.
+    """
+    from ocr_ray.functions.relational import _prepared, broadcast, bucketed_aggregate
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nb = np.uint64(buckets_for_input(ds))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return t.append_column("_bucket", pa.array((h % nb).astype(np.int32)))
+
+    bucketed = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+    )
+
+    pair_schema = pa.schema(
+        {"part_a": pa.int64(), "part_b": pa.int64(), "n_co": pa.int64()}
+    )
+
+    def pairs_body(g: pd.DataFrame) -> pa.Table:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .reset_index(name="n_co")
+            .rename(columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"})
+        )
+        return arrow_out(out, pair_schema)
+
+    pair_partials = bucketed.map_groups(pairs_body, batch_format="pandas")
+    pairs = bucketed_aggregate(
+        pair_partials, keys=["part_a", "part_b"], aggs={"n_co": ("n_co", "sum")}
+    )
+
+    # per-part totals: distinct (order, part) is exact inside the order
+    # bucket, partial part counts fold to a bounded dimension-sized table
+    tot_schema = pa.schema({"part": pa.int64(), "n": pa.int64()})
+
+    def totals_body(g: pd.DataFrame) -> pa.Table:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = d.groupby("l_partkey", sort=False).size().reset_index(name="n")
+        return arrow_out(out.rename(columns={"l_partkey": "part"}), tot_schema)
+
+    totals = bucketed_aggregate(
+        bucketed.map_groups(totals_body, batch_format="pandas"),
+        keys=["part"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+    tot_ref = broadcast(
+        dict(
+            zip(
+                totals["part"].to_numpy(dtype=np.int64),
+                totals["n"].to_numpy(dtype=np.int64),
+            )
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        lut = _prepared(
+            ("item_sim_totals", tot_ref.hex()),
+            lambda: (lambda m: (np.array(list(m.keys()), dtype=np.int64),
+                                np.array(list(m.values()), dtype=np.int64)))(
+                ray.get(tot_ref)
+            ),
+        )
+        keys, vals = lut
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        c = t["n_co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = vals[np.searchsorted(keys, a)]
+        nb_ = vals[np.searchsorted(keys, b)]
+        cos = c.astype(np.float64) / np.sqrt((na * nb_).astype(np.float64))
+        return pa.table(
+            {
+                "part_i": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "part_j": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "n_co": pa.array(np.concatenate([c, c])),
+                "cosine": pa.array(np.concatenate([cos, cos])),
+            }
+        )
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+
+    def bucket_i(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["part_i"].to_numpy(zero_copy_only=False))
+        return t.append_column("_ib", pa.array((h % nb).astype(np.int32)))
+
+    out_schema = pa.schema(
+        {
+            "part_i": pa.int64(),
+            "part_j": pa.int64(),
+            "n_co": pa.int64(),
+            "cosine": pa.float64(),
+        }
+    )
+
+    def topk_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["part_i", "cosine", "part_j"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return arrow_out(
+            g.groupby("part_i", sort=False).head(8)[
+                ["part_i", "part_j", "n_co", "cosine"]
+            ],
+            out_schema,
+        )
+
+    return (
+        scored.map_batches(bucket_i, batch_format="pyarrow")
+        .groupby("_ib")
+        .map_groups(topk_body, batch_format="pandas")
+    )
