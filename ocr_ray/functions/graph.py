@@ -833,3 +833,149 @@ def bfs_levels(
             .materialize()
         )
     return state
+
+
+def sssp_weighted(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    source: int | None = None,
+    iterations: int = 4,
+    num_buckets: int = 16,
+    unreached: int = 999_999,
+):
+    """Bounded-round single-source shortest paths (Bellman-Ford) over a
+    weighted directed edge set — ``bfs_levels`` lifted from the
+    (min, +1) recurrence to the min-plus semiring::
+
+        dist_0(v)     = 0 if v == source else `unreached`
+        dist_{k+1}(v) = min(dist_k(v), min_{u->v}(dist_k(u) + w(u,v)))
+
+    All-integer, so K distributed rounds equal K unrolled SQL CTEs
+    bit-for-bit. The sentinel survives relaxation because any candidate
+    through an unreached src is ``unreached + w > unreached`` and loses
+    the min (weights must be positive and small vs the sentinel — this
+    is asserted). Per-iteration shape is identical to BFS: one bucketed
+    edges⋈state join with the per-dst min(dist+w) combined in the join
+    bucket, one small fold over (partials ∪ prior state), O(nodes)
+    state pinned at ``num_buckets`` blocks between rounds.
+    """
+    from ocr_ray.functions.relational import hash_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[weight_col], pa.int64())
+        wn = w.to_numpy(zero_copy_only=False)
+        if len(wn) and (wn.min() <= 0 or wn.max() >= unreached // 2):
+            raise ValueError(
+                f"sssp_weighted: weights must be in (0, {unreached // 2}) "
+                f"for the sentinel to survive relaxation; got "
+                f"[{wn.min()}, {wn.max()}]"
+            )
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.int64()),
+                "dst": pc.cast(t[dst_col], pa.int64()),
+                "w": w,
+            }
+        )
+
+    e = (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .materialize()
+    )
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        u = t["src"].to_numpy(zero_copy_only=False)
+        v = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([u, v])), type=pa.int64())}
+        )
+
+    def bucketize_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(_bucketize(t["node"].to_numpy(zero_copy_only=False), num_buckets)),
+        )
+
+    def distinct_nodes(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.unique(g["node"].to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    nodes = (
+        e.map_batches(both_ends, batch_format="pyarrow")
+        .map_batches(bucketize_node, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(distinct_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema({"node": pa.int64(), "dist": pa.int64()}).empty_table()
+        )
+    if source is None:
+        source = int(nodes.min("node"))
+    src_id = int(source)
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        d = np.where(n == src_id, 0, unreached).astype(np.int64)
+        return pa.table({"node": t["node"], "dist": pa.array(d)})
+
+    state = nodes.map_batches(init_dist, batch_format="pyarrow")
+
+    edge_schema = pa.schema({"src": pa.int64(), "dst": pa.int64(), "w": pa.int64()})
+    state_schema = pa.schema({"node": pa.int64(), "dist": pa.int64()})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": df["dst"].to_numpy(dtype=np.int64),
+                "dist": df["dist"].to_numpy(dtype=np.int64)
+                + df["w"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby("node", as_index=False)["dist"].min()
+
+    def fold(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dist, node))
+        node, dist = node[order], dist[order]
+        first = _run_starts(node)
+        return pa.table(
+            {
+                "node": pa.array(node[first], type=pa.int64()),
+                "dist": pa.array(dist[first], type=pa.int64()),
+            }
+        )
+
+    for _ in range(iterations):
+        cand = hash_join(
+            e,
+            state,
+            on="src",
+            right_on="node",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=state_schema,
+            bucket_post=combine,
+            post_schema=state_schema,
+        )
+        state = (
+            cand.union(state)
+            .map_batches(bucketize_node, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .repartition(num_buckets)
+            .materialize()
+        )
+    return state

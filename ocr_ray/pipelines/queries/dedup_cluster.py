@@ -333,3 +333,111 @@ def minhash_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+
+
+def _sssp_sql(iterations: int = 4) -> str:
+    """Unrolled Bellman-Ford oracle: K MATERIALIZED rounds of
+    min-plus relaxation over the quantity-weighted purchase graph —
+    integer arithmetic only, so K distributed rounds reproduce it
+    bit-for-bit (same contract as the BFS/PageRank unrolls)."""
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (
+  SELECT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s2,
+         CAST(MIN(l.l_quantity) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT c AS src, s2 AS dst, w FROM pairs
+  UNION ALL
+  SELECT s2 AS src, c AS dst, w FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+s0 AS (SELECT MIN(node) AS s FROM nodes),
+d0 AS (
+  SELECT node, CASE WHEN node = (SELECT s FROM s0) THEN 0 ELSE 999999 END AS dist
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+  FROM edges e JOIN d{k - 1} d ON d.node = e.src GROUP BY e.dst
+),
+d{k} AS MATERIALIZED (
+  SELECT n.node, LEAST(p.dist, COALESCE(c.dist, 999999)) AS dist
+  FROM nodes n JOIN d{k - 1} p ON p.node = n.node
+  LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{iterations}"
+    )
+
+
+@query("purchase_graph_sssp", sql=_sssp_sql(4))
+def purchase_graph_sssp(sf_dir: str) -> ray.data.Dataset:
+    """Weighted single-source shortest paths (4 Bellman-Ford rounds)
+    over the purchase graph with edge weight = the pair's minimum line
+    quantity — ``bfs_levels`` lifted to the min-plus semiring
+    (``functions/graph.py:sssp_weighted``). Source = MIN(node)
+    (deterministic, oracle-derivable). All-integer relaxation, so the
+    four distributed rounds equal four unrolled MATERIALIZED CTEs
+    bit-for-bit; nodes beyond 4 hops keep the 999999 sentinel in both
+    engines (candidates through unreached nodes always lose the min)."""
+    from ocr_ray.functions import graph as graphfn
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "u": 2 * df["o_custkey"].to_numpy(dtype=np.int64),
+                "v": 2 * df["l_suppkey"].to_numpy(dtype=np.int64) + 1,
+                "w": df["l_quantity"].to_numpy(dtype=np.int64),
+            }
+        )
+        # join key (orderkey) co-locates each order, but a (cust, supp)
+        # pair spans orders -> this is a PARTIAL min, folded exactly below
+        return out.groupby(["u", "v"], as_index=False)["w"].min()
+
+    partial = hash_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        num_buckets=default_buckets(),
+        left_schema=pa.schema({"o_orderkey": pa.int64(), "o_custkey": pa.int64()}),
+        right_schema=pa.schema(
+            {
+                "l_orderkey": pa.int64(),
+                "l_suppkey": pa.int64(),
+                "l_quantity": pa.float64(),
+            }
+        ),
+        bucket_post=local_min,
+        post_schema=pa.schema({"u": pa.int64(), "v": pa.int64(), "w": pa.int64()}),
+    )
+    pairs = bucketed_aggregate(partial, keys=["u", "v"], aggs={"w": ("w", "min")})
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), type=pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    return graphfn.sssp_weighted(edges, iterations=4)

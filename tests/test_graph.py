@@ -313,3 +313,50 @@ def test_kcore_round_bound_raises_on_long_chain():
     chain = _sym([(i, i + 1) for i in range(30)])
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(_edges_ds(chain), k=2, src_col="u", dst_col="v", num_buckets=2, max_rounds=3)
+
+
+def test_sssp_weighted_matches_hand_relaxation():
+    from ocr_ray.functions.graph import sssp_weighted
+
+    # 1 --2--> 2 --3--> 3; 1 --10--> 3; shortest 1->3 is 5, found at round 2
+    rows = [(1, 2, 2), (2, 3, 3), (1, 3, 10), (3, 4, 1)]
+    sym = rows + [(b, a, w) for a, b, w in rows]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _, _ in sym], pa.int64()),
+                "dst": pa.array([b for _, b, _ in sym], pa.int64()),
+                "w": pa.array([w for _, _, w in sym], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(ds, iterations=4, num_buckets=4).take_all()
+    }
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+    # 2 rounds only: node 4 still reachable via 1->2->3? no — needs 3 hops
+    got2 = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(ds, iterations=2, num_buckets=4).take_all()
+    }
+    assert got2[3] == 5 and got2[4] == 11  # via the direct 10-edge + 1
+
+
+def test_sssp_weight_validation():
+    import pytest
+
+    from ocr_ray.functions.graph import sssp_weighted
+
+    bad = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1], pa.int64()),
+                "dst": pa.array([2], pa.int64()),
+                "w": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="weights must be"):
+        sssp_weighted(bad, iterations=1, num_buckets=2)
