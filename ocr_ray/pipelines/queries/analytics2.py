@@ -1359,3 +1359,101 @@ def item_similarity_topk(sf_dir: str) -> ray.data.Dataset:
         .groupby("_ib")
         .map_groups(topk_body, batch_format="pandas")
     )
+
+
+@query(
+    "winsorize_order_prices",
+    sql="""
+WITH c AS (
+  SELECT o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+  FROM orders
+),
+b AS (
+  SELECT o_orderstatus,
+    quantile_disc(price_c, 0.05) AS lo, quantile_disc(price_c, 0.95) AS hi
+  FROM c GROUP BY o_orderstatus
+)
+SELECT c.o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CASE WHEN c.price_c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+  CAST(SUM(CASE WHEN c.price_c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+  CAST(SUM(LEAST(GREATEST(c.price_c, b.lo), b.hi)) AS BIGINT) AS sum_winsorized_c,
+  CAST(b.lo AS BIGINT) AS p05_c, CAST(b.hi AS BIGINT) AS p95_c
+FROM c JOIN b USING (o_orderstatus)
+GROUP BY c.o_orderstatus, b.lo, b.hi
+""",
+)
+def winsorize_order_prices(sf_dir: str) -> ray.data.Dataset:
+    """WINSORIZATION — the robust-preprocessing transform (clip each
+    group's values at its own p05/p95 before aggregating, so a fat tail
+    can't dominate a feature): per-status exact discrete quantiles via
+    the distributed-selection machinery (no task holds a group), the
+    six boundary values broadcast, then ONE stateless clipped-sum pass
+    folded per status. Everything is integer cents — fit boundaries,
+    clip, sums — so the oracle (quantile_disc + LEAST/GREATEST in SQL)
+    matches bit-exactly with no float anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_ray.functions.sketch import grouped_exact_quantiles
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "price_c": to_units(t["o_totalprice"]),
+            }
+        )
+
+    cents = ds.map_batches(prep, batch_format="pyarrow")
+    fitted = grouped_exact_quantiles(
+        cents, group_col="o_orderstatus", value_col="price_c", qs=(0.05, 0.95)
+    )
+    bounds = {
+        r["o_orderstatus"]: (np.int64(r["q_5"]), np.int64(r["q_95"]))
+        for _, r in fitted.iterrows()
+    }
+
+    def clip(t: pa.Table) -> pa.Table:
+        status = t["o_orderstatus"].to_pylist()
+        v = t["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([bounds[s][0] for s in status], dtype=np.int64)
+        hi = np.array([bounds[s][1] for s in status], dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "clipped": pa.array(np.clip(v, lo, hi)),
+                "is_lo": pa.array((v < lo).astype(np.int64)),
+                "is_hi": pa.array((v > hi).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        cents.map_batches(clip, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("is_lo", alias_name="n_clipped_lo"),
+            Sum("is_hi", alias_name="n_clipped_hi"),
+            Sum("clipped", alias_name="sum_winsorized_c"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        lo = np.array([bounds[s][0] for s in df["o_orderstatus"]], dtype=np.int64)
+        hi = np.array([bounds[s][1] for s in df["o_orderstatus"]], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "n_orders": df["n_orders"].astype(np.int64),
+                "n_clipped_lo": df["n_clipped_lo"].astype(np.int64),
+                "n_clipped_hi": df["n_clipped_hi"].astype(np.int64),
+                "sum_winsorized_c": df["sum_winsorized_c"].astype(np.int64),
+                "p05_c": lo,
+                "p95_c": hi,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
