@@ -364,3 +364,39 @@ def extract_pdf_columns(sf_dir: str) -> ray.data.Dataset:
         batch_size=128,
         concurrency=pool_size(),
     )
+
+
+_HYPH_SQL = """
+SELECT doc_id, text AS extracted_text FROM documents
+"""
+
+
+@query("extract_pdf_dehyphenated", sql=_HYPH_SQL)
+def extract_pdf_dehyphenated(sf_dir: str) -> ray.data.Dataset:
+    """DE-HYPHENATION — the typesetting inverse every justified-text
+    extractor needs: documents are typeset at a fixed 12-char line
+    width where words that don't fit are SPLIT with a trailing hyphen
+    (recursively for words longer than a line), and
+    ``PdfDehyphenExtractor`` must rejoin them — reading-order sort,
+    then iterated merge of hyphen-terminated lines into the next
+    line's first token. Corpus words never contain '-', so every
+    trailing hyphen is a break (the invariant is documented at the
+    renderer). The oracle is losslessness itself: extracted text ==
+    source text bit-exact; a single missed or spurious join breaks the
+    hash (~6 joins/doc on this corpus). Counts are asserted in
+    tests/test_tables.py (``stages/pdf.py:encode_hyphen_pdf``)."""
+    from ocr_ray.stages.pdf import PdfDehyphenExtractor, attach_hyphen_payloads
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_hyphen_payloads, batch_format="pyarrow", batch_size=128
+    )
+    extracted = with_payloads.map_batches(
+        PdfDehyphenExtractor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_size(),
+    )
+    return extracted.map_batches(
+        lambda t: t.select(["doc_id", "extracted_text"]), batch_format="pyarrow"
+    )

@@ -894,3 +894,152 @@ class PdfTwoColExtractor:
                 "n_lines": pa.array(np.asarray(nl_l, dtype=np.int64)),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Hyphenation leg: line-width typesetting with word splits the extractor
+# must rejoin (de-hyphenation)
+# ---------------------------------------------------------------------------
+
+HYPH_LINE_CHARS = 12
+HYPH_LINES_PER_PAGE = 12
+
+
+def _hyphen_lines(words: list[str]) -> list[str]:
+    """Greedy fixed-width line fill: words join with single spaces; a
+    word that does not fit is SPLIT with a trailing hyphen whenever at
+    least two of its characters (plus the hyphen) fit, else it moves to
+    the next line whole (splitting recurses for words longer than a full
+    line). Corpus words never contain '-', so every trailing hyphen is a
+    break — the invariant de-hyphenation relies on."""
+    lines: list[str] = []
+    cur = ""
+    for w in words:
+        rest = w
+        while True:
+            need = (1 if cur else 0) + len(rest)
+            room = HYPH_LINE_CHARS - len(cur)
+            if need <= room:
+                cur = f"{cur} {rest}" if cur else rest
+                break
+            # room for at least 2 chars + '-' after the separator?
+            avail = room - (1 if cur else 0)
+            if avail >= 3 and len(rest) >= 4:
+                head, rest = rest[: avail - 1], rest[avail - 1 :]
+                cur = (f"{cur} {head}" if cur else head) + "-"
+            lines.append(cur)
+            cur = ""
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def encode_hyphen_pdf(doc_id: int, text: str) -> bytes:
+    """Typeset with fixed line width and hyphenated word breaks — the
+    layout every justified-text PDF exhibits and every extractor must
+    undo. Single column; rotated stream-emission order and rotating
+    string forms as in ``encode_pdf``."""
+    d = int(doc_id)
+    lines = _hyphen_lines(text.split(" "))
+    pages = [
+        lines[i : i + HYPH_LINES_PER_PAGE]
+        for i in range(0, len(lines), HYPH_LINES_PER_PAGE)
+    ]
+    if not pages:
+        pages = [[""]]
+    n_pages = len(pages)
+
+    page_ids = [5 + 2 * p for p in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for p, page_lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf"]
+        k = len(page_lines)
+        for j in range(k):
+            jl = (j + d) % k if k else 0
+            g = HYPH_LINES_PER_PAGE * p + jl
+            y = Y_TOP - LEADING * jl
+            ops.append(f"1 0 0 1 {X_LEFT:g} {y:g} Tm")
+            ops.append(_chunk_ops(page_lines[jl], d, g, g * 8))
+        ops.append("ET")
+        stream = zlib.compress("\n".join(ops).encode("utf-8"), 6)
+        objs[4 + 2 * p] = (
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+        objs[5 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {4 + 2 * p} 0 R >>"
+        ).encode()
+    return _serialize_pdf(objs)
+
+
+def decode_hyphen_pdf(buf: bytes) -> tuple[str, int, int]:
+    """PDF bytes -> (de-hyphenated reading-order text, n_pages,
+    n_hyphen_joins): reading-order sort, then every line ending in '-'
+    merges with the following line's first token (no space, hyphen
+    dropped) — iterated, so a word split across three lines rejoins."""
+    doc = PdfDocument(buf)
+    pages = doc.pages()
+    lines: list[str] = []
+    for pi, page in enumerate(pages):
+        content = doc.obj(page["Contents"])
+        chunks = _content_chunks(content["__stream__"])
+        chunks.sort(key=lambda c: (-c[1], c[0]))
+        lines.extend(c[2] for c in chunks)
+    joins = 0
+    out_words: list[str] = []
+    carry = ""
+    for line in lines:
+        if not line:
+            continue
+        words = line.split(" ")
+        if carry:
+            words[0] = carry + words[0]
+            carry = ""
+        if words and words[-1].endswith("-"):
+            joins += 1
+            carry = words.pop()[:-1]
+        out_words.extend(w for w in words if w)
+    if carry:
+        out_words.append(carry)
+    return " ".join(out_words), len(pages), joins
+
+
+def attach_hyphen_payloads(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    pdfs = [encode_hyphen_pdf(d, t) for d, t in zip(ids, texts)]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(pdfs, type=pa.large_binary()),
+        }
+    )
+
+
+class PdfDehyphenExtractor:
+    """Actor-pool stage: fixed-width hyphenated typesetting -> original
+    text. Output schema: doc_id, extracted_text, n_pages, n_joins."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts, np_l, nj_l = [], [], []
+        for buf in batch["payload"].to_pylist():
+            text, n_pages, n_joins = decode_hyphen_pdf(buf)
+            texts.append(text)
+            np_l.append(n_pages)
+            nj_l.append(n_joins)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "extracted_text": pa.array(texts, type=pa.string()),
+                "n_pages": pa.array(np.asarray(np_l, dtype=np.int64)),
+                "n_joins": pa.array(np.asarray(nj_l, dtype=np.int64)),
+            }
+        )

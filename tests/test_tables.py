@@ -145,3 +145,32 @@ def test_bmp_rejects_wrong_formats():
     struct.pack_into("<H", buf, 28, 8)  # bpp = 8
     with pytest.raises(ValueError, match="24-bit"):
         decode_bmp(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# de-hyphenation PDF leg (stages/pdf.py hyphen leg)
+# ---------------------------------------------------------------------------
+
+
+def test_hyphen_lines_width_and_split_rules():
+    from ocr_ray.stages.pdf import HYPH_LINE_CHARS, _hyphen_lines
+
+    lines = _hyphen_lines("abcdefghij klm nop qrstuvwxyz".split(" "))
+    assert all(len(ln) <= HYPH_LINE_CHARS for ln in lines)
+    # a word longer than a whole line must split recursively
+    lines2 = _hyphen_lines(["x" * 30])
+    assert all(len(ln) <= HYPH_LINE_CHARS for ln in lines2)
+    rejoined = "".join(ln[:-1] if ln.endswith("-") else ln for ln in lines2)
+    assert rejoined == "x" * 30
+
+
+def test_dehyphen_roundtrip_and_join_count():
+    from ocr_ray.stages.pdf import decode_hyphen_pdf, encode_hyphen_pdf
+
+    text = "supercalifragilistic word antidisestablishmentarianism tail"
+    out, n_pages, n_joins = decode_hyphen_pdf(encode_hyphen_pdf(5, text))
+    assert out == text
+    assert n_joins >= 2  # both long words must have split at width 12
+    # short-word doc: no joins
+    out2, _, nj2 = decode_hyphen_pdf(encode_hyphen_pdf(0, "a bb cc dd"))
+    assert out2 == "a bb cc dd" and nj2 == 0
