@@ -400,3 +400,61 @@ def extract_pdf_dehyphenated(sf_dir: str) -> ray.data.Dataset:
     return extracted.map_batches(
         lambda t: t.select(["doc_id", "extracted_text"]), batch_format="pyarrow"
     )
+
+
+_LINKS_SQL = _NPARA_CTE + """,
+base AS (SELECT doc_id, 5 + doc_id % 4 AS L, n_para // 3 AS n_aside FROM q),
+nav AS (
+  SELECT doc_id, k AS link_idx,
+    '/cat/' || k || '?d=' || doc_id || '&p=1' AS href,
+    'nav' || k AS anchor
+  FROM base, UNNEST(generate_series(0, L - 1)) AS t(k)
+),
+fixed AS (
+  SELECT doc_id, L + o AS link_idx, href, anchor
+  FROM base, (VALUES
+    (0, '/', 'home'), (1, '/sec', 'sec'),
+    (2, '/r0', 'read'), (3, '/r1', 'more'), (4, '/r2', 'stories'),
+    (5, '/r3', 'here'), (6, '/r4', 'now')) AS v(o, href, anchor)
+),
+asides AS (
+  SELECT doc_id, L + 7 + j AS link_idx,
+    '/buy?d=' || doc_id || '&m=' || (3 * j + 2) AS href,
+    'buy now ' || (doc_id % 7) AS anchor
+  FROM base, UNNEST(generate_series(0, n_aside - 1)) AS t(j)
+  WHERE n_aside > 0
+),
+footer AS (
+  SELECT doc_id, L + 7 + n_aside AS link_idx, '/about' AS href, 'about' AS anchor
+  FROM base
+)
+SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx, href, anchor
+FROM (SELECT * FROM nav UNION ALL SELECT * FROM fixed
+      UNION ALL SELECT * FROM asides UNION ALL SELECT * FROM footer)
+"""
+
+
+@query("extract_html_links", sql=_LINKS_SQL)
+def extract_html_links(sf_dir: str) -> ray.data.Dataset:
+    """LINK extraction — the crawler frontier primitive: every anchor of
+    the rendered page as (doc_id, link_idx, href, anchor_text), in DOM
+    order, with attribute-value entity decoding (``&amp;`` inside query
+    strings) and whitespace-normalized anchor text. The fixture page's
+    link inventory is closed-form — L = 5 + d%4 nav links, two crumbs,
+    five related links, one promo per three paragraphs, one footer link
+    — so the oracle enumerates the exact (index, href, anchor) set per
+    document and any tokenizer, attribute-parsing, entity, ordering, or
+    rawtext bug (the <style> sheet contains a ``p > a`` selector that
+    must never surface) changes the hash (``stages/html.py:extract_links``)."""
+    from ocr_ray.stages.html import HtmlLinkExtractor, attach_html_payloads
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_html_payloads, batch_format="pyarrow", batch_size=256
+    )
+    return with_payloads.map_batches(
+        HtmlLinkExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_size(),
+    )

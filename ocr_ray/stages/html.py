@@ -602,3 +602,59 @@ class HtmlMainExtractor:
                 "n_boiler_words": pa.array(np.asarray(bw, dtype=np.int64)),
             }
         )
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """All anchors of a page in DOM order as (href, anchor_text) —
+    the crawler's frontier-extraction primitive. Hrefs come from the
+    attribute parser (entity references in attribute values decode —
+    ``&amp;`` in query strings is the classic case); anchor text is the
+    entity-decoded, whitespace-normalized text between the tags.
+    Anchors inside script/style never surface (rawtext is consumed by
+    the tokenizer); nested anchors close the open one (HTML5 parse
+    behavior for misnested <a>)."""
+    out: list[tuple[str, str]] = []
+    href: str | None = None
+    words: list[str] = []
+    for tok in tokenize_html(html):
+        if tok[0] == "start" and tok[1] == "a":
+            if href is not None:
+                out.append((href, " ".join(words)))
+            href = tok[3].get("href")
+            words = []
+        elif tok[0] == "end" and tok[1] == "a":
+            if href is not None:
+                out.append((href, " ".join(words)))
+            href, words = None, []
+        elif tok[0] == "text" and href is not None:
+            words.extend(decode_entities(tok[1]).split())
+    if href is not None:
+        out.append((href, " ".join(words)))
+    return out
+
+
+class HtmlLinkExtractor:
+    """Actor-pool stage: payload -> one row per anchor
+    (doc_id, link_idx, href, anchor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        idxs: list[int] = []
+        hrefs: list[str] = []
+        anchors: list[str] = []
+        for d, page in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for i, (href, anchor) in enumerate(extract_links(page)):
+                ids.append(d)
+                idxs.append(i)
+                hrefs.append(href)
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "link_idx": pa.array(np.asarray(idxs, dtype=np.int64)),
+                "href": pa.array(hrefs, type=pa.string()),
+                "anchor": pa.array(anchors, type=pa.string()),
+            }
+        )

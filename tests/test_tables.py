@@ -174,3 +174,25 @@ def test_dehyphen_roundtrip_and_join_count():
     # short-word doc: no joins
     out2, _, nj2 = decode_hyphen_pdf(encode_hyphen_pdf(0, "a bb cc dd"))
     assert out2 == "a bb cc dd" and nj2 == 0
+
+
+# ---------------------------------------------------------------------------
+# link extraction (stages/html.py:extract_links)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_traps():
+    from ocr_ray.stages.html import extract_links
+
+    html = (
+        '<style>p > a { color: red } /* <a href="/trap">x</a> */</style>'
+        '<script>var a = \'<a href="/trap2">y</a>\';</script>'
+        '<a href="/one?x=1&amp;y=2">first &amp; main</a>'
+        "<p>no link text</p>"
+        '<a href="/two"><a href="/three">nested closes open</a>'
+    )
+    links = extract_links(html)
+    assert links[0] == ("/one?x=1&y=2", "first & main")
+    hrefs = [h for h, _ in links]
+    assert "/trap" not in hrefs and "/trap2" not in hrefs
+    assert "/two" in hrefs and "/three" in hrefs
