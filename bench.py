@@ -143,6 +143,11 @@ QUERY_SET = [
     "countmin_user_events",
     "approx_common_users",
     "media_bmp_features",
+    "item_similarity_topk",
+    "purchase_graph_sssp",
+    "winsorize_order_prices",
+    "extract_pdf_dehyphenated",
+    "extract_html_links",
 ]
 
 

@@ -485,3 +485,114 @@ def wordpiece_encode_docs(sf_dir: str) -> ray.data.Dataset:
         concurrency=pool_size(),
         fn_constructor_kwargs={"vocab": vocab},
     )
+
+
+@query(
+    "proximity_search_docs",
+    sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+),
+a AS (SELECT doc_id, i FROM tok WHERE w = 'spark'),
+b AS (SELECT doc_id, i FROM tok WHERE w = 'scan'),
+d AS (
+  SELECT a.doc_id, MIN(ABS(a.i - b.i)) AS min_dist,
+         COUNT(*) AS n_pairs_within
+  FROM a JOIN b ON a.doc_id = b.doc_id AND ABS(a.i - b.i) <= 3
+  GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist,
+  CAST(n_pairs_within AS BIGINT) AS n_pairs_within
+FROM d
+""",
+)
+def proximity_search_docs(sf_dir: str) -> ray.data.Dataset:
+    """PROXIMITY search ('spark' NEAR/3 'scan') — the retrieval operator
+    between bag-of-words and exact phrase: documents where the terms
+    co-occur within a token-distance bound, with the minimum distance
+    and the count of qualifying position pairs.
+
+    One stateless vectorized pass, zero shuffles: tokenize per batch
+    (offset arithmetic on the flat token array), take each doc's two
+    position lists, and because positions are ascending, the pair
+    search is a double ``searchsorted`` per doc — window [i-3, i+3]
+    membership counted without materializing the cross product (the
+    SQL oracle's join is quadratic per doc; the engine is
+    O(n log n))."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.functions.text import split_tokens
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    out_schema = pa.schema(
+        {"doc_id": pa.int64(), "min_dist": pa.int64(), "n_pairs_within": pa.int64()}
+    )
+    K = 3
+
+    def near(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        parents, _, flat = split_tokens(t["text"])
+        if len(flat) == 0:
+            return out_schema.empty_table()
+        # 1-based position within each doc
+        idx = np.arange(len(flat), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(np.concatenate([[-1], parents])))
+        doc_start = np.zeros(len(flat), dtype=np.int64)
+        doc_start[starts] = idx[starts]
+        doc_start = np.maximum.accumulate(doc_start)
+        pos = idx - doc_start + 1
+        is_a = pc.equal(flat, "spark").to_numpy(zero_copy_only=False)
+        is_b = pc.equal(flat, "scan").to_numpy(zero_copy_only=False)
+        # composite sort key keeps each doc's positions contiguous+sorted
+        pa_docs, pa_pos = parents[is_a], pos[is_a]
+        pb_docs, pb_pos = parents[is_b], pos[is_b]
+        if len(pa_docs) == 0 or len(pb_docs) == 0:
+            return out_schema.empty_table()
+        BIG = np.int64(1) << 32
+        ka = pa_docs.astype(np.int64) * BIG + pa_pos
+        kb = pb_docs.astype(np.int64) * BIG + pb_pos
+        # for each 'spark' position: count/min-dist of 'scan' within +-K
+        # in the SAME doc via two searchsorted probes
+        lo = np.searchsorted(kb, pa_docs.astype(np.int64) * BIG + pa_pos - K)
+        hi = np.searchsorted(kb, pa_docs.astype(np.int64) * BIG + pa_pos + K, side="right")
+        n_within = hi - lo
+        # min distance among the window hits: positions are ascending, so
+        # the nearest 'scan' to each 'spark' is one of the two elements
+        # bracketing its insertion point (NOT the window ends — a window
+        # can hold closer interior hits)
+        md = np.full(len(ka), np.int64(1 << 30))
+        j = np.searchsorted(kb, ka)
+        for pick in (j, j - 1):
+            valid = (pick >= lo) & (pick < hi) & (n_within > 0)
+            d_ = np.abs(kb[np.clip(pick, 0, len(kb) - 1)] - ka)
+            md = np.where(valid & (d_ < md), d_, md)
+        have = n_within > 0
+        if not have.any():
+            return out_schema.empty_table()
+        # fold per doc
+        df = pd.DataFrame(
+            {
+                "parent": pa_docs[have],
+                "min_dist": md[have],
+                "n": n_within[have],
+            }
+        )
+        red = df.groupby("parent", sort=False).agg(
+            min_dist=("min_dist", "min"), n_pairs_within=("n", "sum")
+        )
+        doc_ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[red.index.to_numpy()]),
+                "min_dist": pa.array(red["min_dist"].to_numpy(dtype=np.int64)),
+                "n_pairs_within": pa.array(
+                    red["n_pairs_within"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(near, batch_format="pyarrow")

@@ -99,3 +99,31 @@ def test_query_counts_vs_recount(sf_smoke):
             if w
         )
         assert got[d] == want, d
+
+
+def test_proximity_interior_nearest(tmp_path, sf_smoke):
+    """A window can contain a CLOSER interior hit than either end — the
+    min_dist must come from the bracketing elements of the insertion
+    point, not the window bounds."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, QUERY_FNS
+
+    # scans at distances 4, 1, 2 from the single spark: min_dist = 1,
+    # and only the 1- and 2-away hits fall inside the NEAR/3 window
+    text = "scan pad x scan spark w scan tail filler words here now"
+    d = tmp_path / "prox"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])}),
+        str(d / "documents.parquet"),
+    )
+    out = QUERY_FNS["proximity_search_docs"](str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.execute(ORACLE_SQL["proximity_search_docs"]).df()
+    assert len(out) == 1 and len(want) == 1
+    assert int(out.min_dist[0]) == int(want.min_dist[0]) == 1
+    assert int(out.n_pairs_within[0]) == int(want.n_pairs_within[0]) == 2
