@@ -442,18 +442,55 @@ def _pagerank_engine(
             }
         )
 
+    n_nodes_total = nodes.count()
+    use_broadcast = n_nodes_total <= 4_000_000
+
+    def bcast_parts(ranks_ds):
+        """Broadcast-frontier round: the O(nodes) rank state ships once
+        via ray.put; per-dst partial sums of rank//deg are computed
+        map-side over the edge blocks (sorted-key searchsorted lookup),
+        saving the edges⋈ranks shuffle per iteration. Identical integer
+        recurrence — the unrolled-CTE oracle holds on either path."""
+        rd = ranks_ds.to_pandas()
+        keys = rd["node"].to_numpy(dtype=np.int64)
+        vals = rd["rank"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], vals[order]))
+
+        def part_batch(t: pa.Table) -> pa.Table:
+            from ocr_ray.functions.relational import _prepared
+
+            k, v = _prepared(("pr_state", ref.hex()), lambda: ray.get(ref))
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            deg = t["deg"].to_numpy(zero_copy_only=False)
+            share = v[np.searchsorted(k, src)] // deg
+            df = pd.DataFrame({"node": dst, "part": share})
+            red = df.groupby("node", as_index=False)["part"].sum()
+            return pa.table(
+                {
+                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
+                    "part": pa.array(red["part"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        return edges_deg.map_batches(part_batch, batch_format="pyarrow")
+
     def step(ranks):
-        parts = hash_join(
-            edges_deg,
-            ranks,
-            on="src",
-            right_on="node",
-            num_buckets=num_buckets,
-            left_schema=edge_schema,
-            right_schema=rank_schema,
-            bucket_post=combine,
-            post_schema=part_schema,
-        )
+        if use_broadcast:
+            parts = bcast_parts(ranks)
+        else:
+            parts = hash_join(
+                edges_deg,
+                ranks,
+                on="src",
+                right_on="node",
+                num_buckets=num_buckets,
+                left_schema=edge_schema,
+                right_schema=rank_schema,
+                bucket_post=combine,
+                post_schema=part_schema,
+            )
         # union a zero partial for every node so in-degree-0 nodes keep
         # their teleport rank instead of vanishing from the state.
         allparts = parts.union(nodes.map_batches(zero_parts, batch_format="pyarrow"))
@@ -544,30 +581,42 @@ def kcore(
                 batch_format="pyarrow",
             )
             return out, rounds
-        alive_nodes = alive.map_batches(
-            lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64())}),
-            batch_format="pyarrow",
-        )
-        e = hash_join(
-            e,
-            alive_nodes,
-            on=src_col,
-            right_on="node",
-            how="semi",
-            num_buckets=num_buckets,
-            left_schema=edge_schema,
-            right_schema=node_schema,
-        )
-        e = hash_join(
-            e,
-            alive_nodes,
-            on=dst_col,
-            right_on="node",
-            how="semi",
-            num_buckets=num_buckets,
-            left_schema=edge_schema,
-            right_schema=node_schema,
-        ).materialize()
+        if n_alive <= 4_000_000:
+            # broadcast-small-side path: the alive set ships once via
+            # ray.put and both endpoint filters run as task-pool maps —
+            # saves TWO bucketed shuffles per peel round (measured ~1 s
+            # each at sf0.1). 4M int64 keys ~= 32 MB, comfortably within
+            # the broadcast budget; larger graphs take the shuffle path.
+            from ocr_ray.functions.relational import semi_filter
+
+            ids = alive.to_pandas()[src_col].to_numpy(dtype=np.int64)
+            ref = ray.put(ids)
+            e = semi_filter(semi_filter(e, ref, src_col), ref, dst_col).materialize()
+        else:
+            alive_nodes = alive.map_batches(
+                lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            e = hash_join(
+                e,
+                alive_nodes,
+                on=src_col,
+                right_on="node",
+                how="semi",
+                num_buckets=num_buckets,
+                left_schema=edge_schema,
+                right_schema=node_schema,
+            )
+            e = hash_join(
+                e,
+                alive_nodes,
+                on=dst_col,
+                right_on="node",
+                how="semi",
+                num_buckets=num_buckets,
+                left_schema=edge_schema,
+                right_schema=node_schema,
+            ).materialize()
     raise RuntimeError(
         f"kcore: no fixpoint within {max_rounds} rounds — raise max_rounds "
         "(and the oracle's unroll depth) for this graph"
@@ -812,18 +861,54 @@ def bfs_levels(
             }
         )
 
+    n_nodes_total = nodes.count()
+    use_broadcast = n_nodes_total <= 4_000_000
+
+    def bcast_candidates(state_ds):
+        """Broadcast-frontier round (same contract as the sssp variant):
+        dist state ships once via ray.put; per-dst min(dist+1) computed
+        map-side over edge blocks, saving the edges⋈state shuffle. Same
+        integers as the join path — the unrolled-CTE oracle holds on
+        either."""
+        sd = state_ds.to_pandas()
+        keys = sd["node"].to_numpy(dtype=np.int64)
+        vals = sd["dist"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], vals[order]))
+
+        def cand_batch(t: pa.Table) -> pa.Table:
+            from ocr_ray.functions.relational import _prepared
+
+            k, v = _prepared(("bfs_state", ref.hex()), lambda: ray.get(ref))
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            d = v[np.searchsorted(k, src)] + 1
+            df = pd.DataFrame({"node": dst, "dist": d})
+            red = df.groupby("node", as_index=False)["dist"].min()
+            return pa.table(
+                {
+                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
+                    "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        return e.map_batches(cand_batch, batch_format="pyarrow")
+
     for _ in range(iterations):
-        cand = hash_join(
-            e,
-            state,
-            on="src",
-            right_on="node",
-            num_buckets=num_buckets,
-            left_schema=edge_schema,
-            right_schema=state_schema,
-            bucket_post=combine,
-            post_schema=state_schema,
-        )
+        if use_broadcast:
+            cand = bcast_candidates(state)
+        else:
+            cand = hash_join(
+                e,
+                state,
+                on="src",
+                right_on="node",
+                num_buckets=num_buckets,
+                left_schema=edge_schema,
+                right_schema=state_schema,
+                bucket_post=combine,
+                post_schema=state_schema,
+            )
         state = (
             cand.union(state)
             .map_batches(bucketize_node, batch_format="pyarrow")
@@ -958,18 +1043,56 @@ def sssp_weighted(
             }
         )
 
+    n_nodes_total = nodes.count()
+    use_broadcast = n_nodes_total <= 4_000_000
+
+    def bcast_candidates(state_ds):
+        """Broadcast-frontier round: the O(nodes) dist state ships once
+        via ray.put and candidates are computed map-side over the edge
+        blocks (sorted-key searchsorted lookup + per-dst min inside the
+        batch) — saves the edges⋈state shuffle per round; the small
+        fold over (candidates ∪ state) is unchanged. Same integers as
+        the join path, so the oracle contract holds on either."""
+        sd = state_ds.to_pandas()
+        keys = sd["node"].to_numpy(dtype=np.int64)
+        vals = sd["dist"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], vals[order]))
+
+        def cand_batch(t: pa.Table) -> pa.Table:
+            from ocr_ray.functions.relational import _prepared
+
+            k, v = _prepared(("sssp_state", ref.hex()), lambda: ray.get(ref))
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            d = v[np.searchsorted(k, src)] + w
+            df = pd.DataFrame({"node": dst, "dist": d})
+            red = df.groupby("node", as_index=False)["dist"].min()
+            return pa.table(
+                {
+                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
+                    "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        return e.map_batches(cand_batch, batch_format="pyarrow")
+
     for _ in range(iterations):
-        cand = hash_join(
-            e,
-            state,
-            on="src",
-            right_on="node",
-            num_buckets=num_buckets,
-            left_schema=edge_schema,
-            right_schema=state_schema,
-            bucket_post=combine,
-            post_schema=state_schema,
-        )
+        if use_broadcast:
+            cand = bcast_candidates(state)
+        else:
+            cand = hash_join(
+                e,
+                state,
+                on="src",
+                right_on="node",
+                num_buckets=num_buckets,
+                left_schema=edge_schema,
+                right_schema=state_schema,
+                bucket_post=combine,
+                post_schema=state_schema,
+            )
         state = (
             cand.union(state)
             .map_batches(bucketize_node, batch_format="pyarrow")
