@@ -308,7 +308,9 @@ def purchase_graph_kcore(sf_dir: str) -> ray.data.Dataset:
         )
 
     edges = per_pair.map_batches(sym_repeat, batch_format="pyarrow")
-    survivors, _rounds = graphfn.kcore(edges, k=2, max_rounds=10)
+    survivors, _rounds = graphfn.kcore(
+        edges, k=2, num_buckets=default_buckets(), max_rounds=10
+    )
     return survivors
 
 
@@ -440,4 +442,6 @@ def purchase_graph_sssp(sf_dir: str) -> ray.data.Dataset:
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow")
-    return graphfn.sssp_weighted(edges, iterations=4)
+    return graphfn.sssp_weighted(
+        edges, iterations=4, num_buckets=default_buckets()
+    )

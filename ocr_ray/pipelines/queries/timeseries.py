@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from ocr_ray.pipelines.queries._shared import arrow_out, query
+from ocr_ray.sizing import buckets_for_input
 from ocr_ray.sources import read_table
 
 
@@ -68,7 +69,7 @@ def ewma_customer_orders(sf_dir: str) -> ray.data.Dataset:
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
 
-    NB = 64
+    NB = buckets_for_input(ds)
     out_schema = pa.schema(
         [
             ("o_orderkey", pa.int64()),
@@ -156,7 +157,7 @@ def locf_last_purchase(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"]
     )
 
-    NB = 64
+    NB = buckets_for_input(ds)
     out_schema = pa.schema(
         [
             ("user_id", pa.int64()),
