@@ -148,6 +148,7 @@ QUERY_SET = [
     "winsorize_order_prices",
     "extract_pdf_dehyphenated",
     "extract_html_links",
+    "proximity_search_docs",
 ]
 
 

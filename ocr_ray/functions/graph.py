@@ -274,6 +274,7 @@ def _pagerank_engine(
     dst_col: str,
     scale: int,
     num_buckets: int,
+    broadcast_threshold: int = 4_000_000,
 ):
     """Fixed-point integer PageRank over a distributed edge set.
 
@@ -443,7 +444,7 @@ def _pagerank_engine(
         )
 
     n_nodes_total = nodes.count()
-    use_broadcast = n_nodes_total <= 4_000_000
+    use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_parts(ranks_ds):
         """Broadcast-frontier round: the O(nodes) rank state ships once
@@ -460,7 +461,7 @@ def _pagerank_engine(
         def part_batch(t: pa.Table) -> pa.Table:
             from ocr_ray.functions.relational import _prepared
 
-            k, v = _prepared(("pr_state", ref.hex()), lambda: ray.get(ref))
+            k, v = _prepared(("pr_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             deg = t["deg"].to_numpy(zero_copy_only=False)
@@ -517,6 +518,7 @@ def kcore(
     dst_col: str = "dst",
     num_buckets: int = 16,
     max_rounds: int = 10,
+    broadcast_threshold: int = 4_000_000,
 ):
     """k-core decomposition by iterative peeling to FIXPOINT: repeatedly
     drop nodes of degree < k (and their edges) until every remaining node
@@ -557,7 +559,11 @@ def kcore(
 
     e = edges.map_batches(norm, batch_format="pyarrow").materialize()
 
-    for rounds in range(1, max_rounds + 1):
+    # max_rounds + 1 degree CHECKS bracket max_rounds peel filters, so a
+    # graph converging on exactly the last permitted filter still returns
+    # (matching an R-round-unrolled oracle's final degree pass) instead of
+    # raising one check short
+    for rounds in range(1, max_rounds + 2):
         deg = bucketed_aggregate(
             e,
             keys=[src_col],
@@ -581,7 +587,9 @@ def kcore(
                 batch_format="pyarrow",
             )
             return out, rounds
-        if n_alive <= 4_000_000:
+        if rounds > max_rounds:
+            break  # out of filter budget; the bound below reports it
+        if n_alive <= broadcast_threshold:
             # broadcast-small-side path: the alive set ships once via
             # ray.put and both endpoint filters run as task-pool maps —
             # saves TWO bucketed shuffles per peel round (measured ~1 s
@@ -631,9 +639,15 @@ def pagerank(
     iterations: int = 3,
     scale: int = 10**9,
     num_buckets: int = 16,
+    broadcast_threshold: int = 4_000_000,
 ):
     ranks, step = _pagerank_engine(
-        edges, src_col=src_col, dst_col=dst_col, scale=scale, num_buckets=num_buckets
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        scale=scale,
+        num_buckets=num_buckets,
+        broadcast_threshold=broadcast_threshold,
     )
     for _ in range(iterations):
         ranks = step(ranks)
@@ -760,6 +774,7 @@ def bfs_levels(
     iterations: int = 3,
     num_buckets: int = 16,
     unreached: int = 999,
+    broadcast_threshold: int = 4_000_000,
 ):
     """Bounded-round distributed BFS distances over a directed edge set.
 
@@ -862,7 +877,7 @@ def bfs_levels(
         )
 
     n_nodes_total = nodes.count()
-    use_broadcast = n_nodes_total <= 4_000_000
+    use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):
         """Broadcast-frontier round (same contract as the sssp variant):
@@ -879,7 +894,7 @@ def bfs_levels(
         def cand_batch(t: pa.Table) -> pa.Table:
             from ocr_ray.functions.relational import _prepared
 
-            k, v = _prepared(("bfs_state", ref.hex()), lambda: ray.get(ref))
+            k, v = _prepared(("bfs_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             d = v[np.searchsorted(k, src)] + 1
@@ -930,6 +945,7 @@ def sssp_weighted(
     iterations: int = 4,
     num_buckets: int = 16,
     unreached: int = 999_999,
+    broadcast_threshold: int = 4_000_000,
 ):
     """Bounded-round single-source shortest paths (Bellman-Ford) over a
     weighted directed edge set — ``bfs_levels`` lifted from the
@@ -1044,7 +1060,7 @@ def sssp_weighted(
         )
 
     n_nodes_total = nodes.count()
-    use_broadcast = n_nodes_total <= 4_000_000
+    use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):
         """Broadcast-frontier round: the O(nodes) dist state ships once
@@ -1062,7 +1078,7 @@ def sssp_weighted(
         def cand_batch(t: pa.Table) -> pa.Table:
             from ocr_ray.functions.relational import _prepared
 
-            k, v = _prepared(("sssp_state", ref.hex()), lambda: ray.get(ref))
+            k, v = _prepared(("sssp_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             w = t["w"].to_numpy(zero_copy_only=False)

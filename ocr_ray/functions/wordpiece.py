@@ -24,6 +24,8 @@ length.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -81,8 +83,8 @@ class WordpieceEncoder:
     ``wordpiece_encode_reference``).
 
     Runtime exactness gate (the op has no SQL oracle — greedy matching is
-    not SQL-expressible): every word whose FNV hash lands in the
-    ``1/verify_mod`` sample is re-encoded with the plain-Python reference
+    not SQL-expressible): every word whose CRC-32 lands in the
+    deterministic ``1/verify_mod`` sample is re-encoded with the plain-Python reference
     scanner (no length cap, no cache — an independent code path) and a
     count mismatch raises. Full-coverage comparison lives in the unit
     tests; the in-flight sample keeps the same guarantee live on real
@@ -114,7 +116,7 @@ class WordpieceEncoder:
             pos = end
         else:
             out = (n_pieces, 0)
-        if self.verify_mod and len(self.cache) % self.verify_mod == 0:
+        if self.verify_mod and zlib.crc32(word.encode()) % self.verify_mod == 0:
             ref = wordpiece_encode_reference(word, self.vocab)
             ref_counts = (len(ref), int(UNK in ref))
             if ref_counts != out:

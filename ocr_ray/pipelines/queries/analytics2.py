@@ -1301,16 +1301,16 @@ def item_similarity_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
     def score(t: pa.Table) -> pa.Table:
-        lut = _prepared(
-            ("item_sim_totals", tot_ref.hex()),
-            lambda: (lambda m: (np.array(list(m.keys()), dtype=np.int64),
-                                np.array(list(m.values()), dtype=np.int64)))(
-                ray.get(tot_ref)
-            ),
+        def _build():
+            m = ray.get(tot_ref)
+            k = np.array(list(m.keys()), dtype=np.int64)
+            v = np.array(list(m.values()), dtype=np.int64)
+            order = np.argsort(k, kind="stable")
+            return k[order], v[order]  # sorted ONCE per worker, not per batch
+
+        keys, vals = _prepared(
+            ("item_sim_totals", tot_ref.hex()), _build, category_cap=4
         )
-        keys, vals = lut
-        order = np.argsort(keys, kind="stable")
-        keys, vals = keys[order], vals[order]
         a = t["part_a"].to_numpy(zero_copy_only=False)
         b = t["part_b"].to_numpy(zero_copy_only=False)
         c = t["n_co"].to_numpy(zero_copy_only=False).astype(np.int64)

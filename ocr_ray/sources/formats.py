@@ -176,6 +176,11 @@ def read_csv_dir(
     convert = pacsv.ConvertOptions(
         include_columns=columns or None,
         column_types=schema,
+        # NULL fidelity: Arrow's writer quotes every VALID string (empty
+        # included) and emits nulls bare, so bare-empty -> NULL and
+        # quoted-empty -> "" round-trips both exactly
+        strings_can_be_null=True,
+        quoted_strings_can_be_null=False,
     )
 
     def parse(batch: pa.Table) -> pa.Table:

@@ -100,6 +100,7 @@ def render_table_page(doc_id: int, text: str) -> str:
 class _TableCtx:
     __slots__ = (
         "rows",
+        "cur_row",
         "cell",
         "in_cell",
         "in_caption",
@@ -112,6 +113,7 @@ class _TableCtx:
 
     def __init__(self) -> None:
         self.rows: list[list[str]] = []
+        self.cur_row: list[str] = []
         self.cell: list[str] | None = None
         self.in_cell = False
         self.in_caption = False
@@ -120,6 +122,16 @@ class _TableCtx:
         self.link_words = 0
         self.link_depth = 0
         self.header_row = False  # current row contains <th>
+
+    def close_row(self) -> None:
+        """Header-vs-data is decided at ROW close, so a row mixing <th>
+        and <td> is treated the same regardless of cell order (a row
+        containing any header cell is a header row and is excluded
+        whole — the consistent reading of row-header markup)."""
+        if self.cur_row and not self.header_row:
+            self.rows.append(self.cur_row)
+        self.cur_row = []
+        self.header_row = False
 
 
 def extract_tables(html: str) -> list[list[list[str]]]:
@@ -142,11 +154,8 @@ def extract_tables(html: str) -> list[list[list[str]]]:
                 continue
             ctx = stack[-1]
             if name == "tr":
-                ctx.rows.append([])
-                ctx.header_row = False
+                ctx.close_row()
             elif name in ("td", "th"):
-                if not ctx.rows:
-                    ctx.rows.append([])
                 ctx.in_cell = True
                 ctx.cell = []
                 if name == "th":
@@ -163,7 +172,8 @@ def extract_tables(html: str) -> list[list[list[str]]]:
             ctx = stack[-1]
             if name == "table":
                 done = stack.pop()
-                grid = [r for r in done.rows if r]
+                done.close_row()
+                grid = done.rows
                 linked = (
                     done.words > 0
                     and done.link_words / done.words >= MAX_LINK_DENSITY
@@ -172,10 +182,11 @@ def extract_tables(html: str) -> list[list[list[str]]]:
                     accepted.append(grid)
             elif name in ("td", "th"):
                 if ctx.in_cell and ctx.cell is not None:
-                    if not ctx.header_row and ctx.rows:
-                        ctx.rows[-1].append(" ".join(ctx.cell))
+                    ctx.cur_row.append(" ".join(ctx.cell))
                 ctx.in_cell = False
                 ctx.cell = None
+            elif name == "tr":
+                ctx.close_row()
             elif name == "caption":
                 ctx.in_caption = False
             elif name == "a" and ctx.link_depth:

@@ -360,3 +360,83 @@ def test_sssp_weight_validation():
     )
     with pytest.raises(Exception, match="weights must be"):
         sssp_weighted(bad, iterations=1, num_buckets=2)
+
+
+def test_kcore_converging_on_last_permitted_filter_returns():
+    """max_rounds counts FILTERS; an 8-node path peeled with k=2 empties
+    on exactly the 4th filter — max_rounds=4 must return the (empty)
+    fixpoint, not raise one convergence check short (review finding)."""
+    from ocr_ray.functions.graph import kcore
+
+    path8 = _sym([(i, i + 1) for i in range(1, 8)])
+    # 3 filters peel the path to nothing; the 4th CHECK sees the empty
+    # core — max_rounds=3 (exactly the filter budget) must return via
+    # that extra bracketing check instead of raising
+    out, rounds = kcore(
+        _edges_ds(path8), k=2, src_col="u", dst_col="v", num_buckets=2, max_rounds=3
+    )
+    assert out.count() == 0
+    assert rounds == 4  # 3 filters + the final convergence check
+
+
+def test_graph_shuffle_paths_match_broadcast_paths():
+    """broadcast_threshold=0 forces the bucketed-join branches (otherwise
+    unreachable under 4M nodes) — results must equal the broadcast
+    rounds exactly (all-integer recurrences)."""
+    from ocr_ray.functions.graph import bfs_levels, kcore, pagerank, sssp_weighted
+
+    tri_tail = _sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    ds = _edges_ds(tri_tail)
+    out_b, _ = kcore(ds, k=2, src_col="u", dst_col="v", num_buckets=2)
+    out_s, _ = kcore(
+        ds, k=2, src_col="u", dst_col="v", num_buckets=2, broadcast_threshold=0
+    )
+    assert {r["node"]: r["core_deg"] for r in out_b.take_all()} == {
+        r["node"]: r["core_deg"] for r in out_s.take_all()
+    }
+
+    w_rows = [(1, 2, 2), (2, 3, 3), (1, 3, 10), (3, 4, 1)]
+    w_sym = w_rows + [(b, a, w) for a, b, w in w_rows]
+    wds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _, _ in w_sym], pa.int64()),
+                "dst": pa.array([b for _, b, _ in w_sym], pa.int64()),
+                "w": pa.array([w for _, _, w in w_sym], pa.int64()),
+            }
+        )
+    )
+    d_b = {r["node"]: r["dist"] for r in sssp_weighted(wds, iterations=4, num_buckets=4).take_all()}
+    d_s = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(
+            wds, iterations=4, num_buckets=4, broadcast_threshold=0
+        ).take_all()
+    }
+    assert d_b == d_s == {1: 0, 2: 2, 3: 5, 4: 6}
+
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, b in _sym([(1, 2), (2, 3)])], pa.int64()),
+                "dst": pa.array([b for a, b in _sym([(1, 2), (2, 3)])], pa.int64()),
+            }
+        )
+    )
+    b_b = {r["node"]: r["dist"] for r in bfs_levels(eds, iterations=3, num_buckets=2).take_all()}
+    b_s = {
+        r["node"]: r["dist"]
+        for r in bfs_levels(
+            eds, iterations=3, num_buckets=2, broadcast_threshold=0
+        ).take_all()
+    }
+    assert b_b == b_s == {1: 0, 2: 1, 3: 2}
+
+    p_b = {r["node"]: r["rank"] for r in pagerank(eds, iterations=2, num_buckets=2).take_all()}
+    p_s = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            eds, iterations=2, num_buckets=2, broadcast_threshold=0
+        ).take_all()
+    }
+    assert p_b == p_s

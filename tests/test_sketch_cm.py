@@ -89,3 +89,28 @@ def test_hll_intersection_accuracy_vs_exact(sf_smoke):
             r.approx_common,
             true,
         )
+
+
+def test_csv_roundtrip_preserves_null_vs_empty_strings(tmp_path):
+    """Nulls and empty strings are DIFFERENT values and both survive the
+    CSV round trip (review finding: default ConvertOptions folds NULL
+    into '')."""
+    import pyarrow as pa
+    import ray
+
+    from ocr_ray.sources.formats import read_csv_dir, write_csv_dir
+
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "s": pa.array(["a", None, "", "b"]),
+                "x": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    out = str(tmp_path / "csv")
+    assert write_csv_dir(src, out).sum("rows") == 4
+    schema = pa.schema([("s", pa.string()), ("x", pa.int64())])
+    back = read_csv_dir(out, schema=schema).to_pandas().sort_values("x")
+    got = [None if v != v or v is None else v for v in back["s"]]
+    assert got == ["a", None, "", "b"]

@@ -196,3 +196,21 @@ def test_extract_links_traps():
     hrefs = [h for h, _ in links]
     assert "/trap" not in hrefs and "/trap2" not in hrefs
     assert "/two" in hrefs and "/three" in hrefs
+
+
+def test_row_header_rows_excluded_consistently():
+    """A row mixing <th> and <td> is a header row REGARDLESS of cell
+    order — both orders must behave identically (review finding: the
+    old code kept a td closed before the th and dropped one after)."""
+    from ocr_ray.stages.tables import extract_tables
+
+    th_first = (
+        "<table><tr><th>label</th><td>42</td></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    td_first = (
+        "<table><tr><td>42</td><th>label</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    assert extract_tables(th_first) == [[["a", "b"]]]
+    assert extract_tables(td_first) == [[["a", "b"]]]
