@@ -210,3 +210,83 @@ def locf_last_purchase(sf_dir: str) -> ray.data.Dataset:
         .groupby("_bucket")
         .map_groups(locf_body, batch_format="pandas")
     )
+
+
+@query(
+    "cumulative_unique_users",
+    sql="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+per_day AS (SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  CAST(n_new_users AS BIGINT) AS n_new_users,
+  CAST(SUM(n_new_users) OVER (ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_total_users
+FROM per_day
+""",
+)
+def cumulative_unique_users(sf_dir: str) -> pa.Table:
+    """Cumulative DISTINCT users by day — the audience-growth curve
+    (``COUNT(DISTINCT) OVER`` that SQL engines refuse to run directly):
+    decomposed exactly into first-seen-day per user + a running sum.
+
+    Distribution: one user-bucketed fold takes each user's min day (key
+    cardinality = users, so the high-cardinality bucketed path); the
+    per-day new-user counts that remain are bounded by the DATE SPINE
+    (days, not users — a few thousand rows at any corpus size), so the
+    running sum folds driver-side like the other spine-sized finals.
+    All integers; bit-exact by construction."""
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t["user_id"]))
+        day = pa.compute.cast(
+            pa.compute.floor_temporal(t["ts"], unit="day"), pa.date32()
+        )
+        return pa.table(
+            {
+                "user_id": pa.compute.cast(t["user_id"], pa.int64()),
+                "day": pa.compute.cast(day, pa.int32()),
+            }
+        )
+
+    first_seen = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"day": ("day", "min")},
+    )
+
+    def per_day_partial(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    # spine-sized (days) final: exact running sum driver-side
+    from ray.data.aggregate import Sum
+
+    per_day = (
+        first_seen.map_batches(per_day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_new_users"))
+        .to_pandas()
+        .sort_values("day", ignore_index=True)
+    )
+    days = pd.to_datetime(per_day["day"].to_numpy(dtype=np.int64), unit="D")
+    new = per_day["n_new_users"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days.strftime("%Y-%m-%d"), type=pa.string()),
+            "n_new_users": pa.array(new),
+            "n_total_users": pa.array(np.cumsum(new)),
+        }
+    )
