@@ -290,3 +290,121 @@ def cumulative_unique_users(sf_dir: str) -> pa.Table:
             "n_total_users": pa.array(np.cumsum(new)),
         }
     )
+
+
+@query(
+    "interval_coalesce_users",
+    sql="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+),
+f AS (
+  SELECT user_id, s, e,
+    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS brk
+  FROM w
+),
+g AS (
+  SELECT user_id, s, e,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+),
+isl AS (
+  SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+  CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
+""",
+)
+def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
+    """Interval COALESCING (gaps-and-islands with geometry): each event
+    opens a 30-minute presence interval; overlapping intervals per user
+    merge into maximal islands, and the output is each user's island
+    count and total covered time — the utilization/uptime primitive
+    that sessionization's activity-gap count cannot express (sessions
+    count BREAKS; this measures COVERAGE).
+
+    Distribution: the sessionization idiom (one user-hash bucket
+    shuffle), with the in-bucket body fully vectorized: sort by
+    (user, start), running max of interval end via the encoded
+    segment-scan (group_rank * stride + end-rank so one global
+    ``maximum.accumulate`` respects user boundaries), island breaks
+    where start > previous running max, per-island fold with
+    ``reduceat``. Integer microseconds end to end — bit-exact vs the
+    window-function oracle."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    NB = buckets_for_input(ds)
+    HALF_HOUR = np.int64(1_800_000_000)
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_intervals", pa.int64()),
+            ("covered_us", pa.int64()),
+        ]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(NB)).astype(np.int32))
+        )
+
+    def coalesce_body(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = s + HALF_HOUR
+        n = len(g)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = uid[1:] != uid[:-1]
+        # running max of e within each user, EXCLUSIVE of the current row:
+        # encode (group_rank, e) so one global accumulate respects groups
+        grp_rank = np.cumsum(new_grp) - 1
+        # segment-wise inclusive running max: one global accumulate over
+        # (group_rank * OFF + relative_e); OFF is the value span + 1, so
+        # a later group's smallest code exceeds any earlier group's code
+        # without overflowing int64 (span ~1e13 us x thousands of groups)
+        rel = e - e.min()
+        OFF = rel.max() + np.int64(1)
+        inc = np.maximum.accumulate(grp_rank * OFF + rel)
+        run_incl = (inc - grp_rank * OFF) + e.min()  # inclusive running max
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[0] = 0
+        prev_max[1:] = run_incl[:-1]
+        brk = new_grp | (s > prev_max)
+        island_starts = np.flatnonzero(brk)
+        # per-island lo = s at island start; hi = running max at island end
+        ends = np.concatenate([island_starts[1:] - 1, [n - 1]])
+        lo = s[island_starts]
+        hi = run_incl[ends]
+        owner = uid[island_starts]
+        # per-user fold over islands (islands are contiguous per user)
+        u_starts = np.flatnonzero(np.concatenate([[True], owner[1:] != owner[:-1]]))
+        n_iv = np.diff(np.concatenate([u_starts, [len(owner)]]))
+        covered = np.add.reduceat(hi - lo, u_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(owner[u_starts].astype(np.int64)),
+                "n_intervals": pa.array(n_iv.astype(np.int64)),
+                "covered_us": pa.array(covered.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(coalesce_body, batch_format="pandas")
+    )
