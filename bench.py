@@ -149,6 +149,8 @@ QUERY_SET = [
     "extract_pdf_dehyphenated",
     "extract_html_links",
     "proximity_search_docs",
+    "cumulative_unique_users",
+    "interval_coalesce_users",
 ]
 
 

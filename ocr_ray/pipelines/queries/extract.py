@@ -295,3 +295,107 @@ def segment_cc_docs(sf_dir: str) -> ray.data.Dataset:
     # task pool, not actor pool: the font/template state is process-cached
     # (ccseg.font()), so tasks pay zero spin-up and scale with free CPUs
     return pages.map_batches(segment_batch, batch_format="pyarrow", batch_size=256)
+
+
+_CAPTION_SQL = """
+WITH src AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), w AS (
+  SELECT d, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM src
+), spans AS (
+  SELECT d, (i - 1) // 8 AS si, string_agg(word, ' ' ORDER BY i) AS s
+  FROM w GROUP BY d, (i - 1) // 8
+), tagged AS (
+  SELECT d, si,
+    CASE WHEN (d + si) % 7 = 0 THEN 'boilerplate'
+         WHEN (d + si) % 5 = 3 THEN 'media'
+         ELSE 'text' END AS kind,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3 THEN '' ELSE s END AS text,
+    CASE WHEN (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+         THEN printf('m-%d', (d * 1000 + si) % 9973) ELSE '' END AS media_ref
+  FROM spans
+), final AS (
+  SELECT d, kind, text, media_ref,
+    row_number() OVER (PARTITION BY d ORDER BY si) - 1 AS off
+  FROM tagged WHERE kind <> 'boilerplate'
+), paired AS (
+  SELECT d, kind, media_ref, off,
+    LEAD(kind) OVER (PARTITION BY d ORDER BY off) AS next_kind,
+    LEAD(text) OVER (PARTITION BY d ORDER BY off) AS next_text
+  FROM final
+)
+SELECT printf('doc-%08d', d) AS doc_id, media_ref,
+  CAST(off AS INTEGER) AS "offset",
+  CASE WHEN next_kind = 'text' THEN next_text ELSE '' END AS caption
+FROM paired WHERE kind = 'media'
+"""
+
+
+@query("extract_media_captions", sql=_CAPTION_SQL)
+def extract_media_captions(sf_dir: str) -> ray.data.Dataset:
+    """Image-text PAIRING over the interleaved corpus — the multimodal
+    training-set primitive (LAION-style): every media span paired with
+    the text span that FOLLOWS it in reading order (the figure-caption
+    heuristic; empty when the next span is media or the document ends).
+
+    The pairing runs on the REAL extraction output in its NESTED form
+    (``extract_documents`` — spans already reassembled per doc), so
+    adjacency is list-local and costs ZERO shuffles beyond extraction's
+    own: one vectorized pass over the flattened span buffers (parent
+    offsets from the list layout, next-span = flat index + 1 within the
+    same parent). The oracle replays synthesis + extraction + LEAD, so a
+    recognition, ordering, or pairing bug all break the hash."""
+    from ocr_ray.corpus import ensure_corpus
+    from ocr_ray.pipelines.extract import extract_documents
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    docs = extract_documents(read_documents(corpus), num_buckets=default_buckets())
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+            ("caption", pa.string()),
+        ]
+    )
+
+    def pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False)
+        n_flat = len(flat)
+        parents = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+        text = pc.struct_field(flat, "text")
+        media = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+        off = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+        is_media = kind == "media"
+        idx = np.flatnonzero(is_media)
+        nxt = idx + 1
+        same_doc = (nxt < n_flat) & (parents[np.clip(nxt, 0, n_flat - 1)] == parents[idx])
+        next_is_text = np.zeros(len(idx), dtype=bool)
+        ok = np.flatnonzero(same_doc)
+        next_is_text[ok] = kind[nxt[same_doc]] == "text"
+        caption = np.full(len(idx), "", dtype=object)
+        take_from = nxt[next_is_text]
+        caption[next_is_text] = text.take(
+            pa.array(take_from, type=pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents[idx]]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "media_ref": pa.array(media[idx], type=pa.string()),
+                "offset": pa.array(off[idx].astype(np.int32), type=pa.int32()),
+                "caption": pa.array(caption, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(pair, batch_format="pyarrow")
