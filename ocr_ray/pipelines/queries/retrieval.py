@@ -844,3 +844,99 @@ def media_bmp_features(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.stages.bmp import BmpDecoder, attach_bmp_payloads
 
     return _media_codec_pipeline(sf_dir, attach_bmp_payloads, BmpDecoder)
+
+
+_PHASH_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+ms AS (SELECT m, COUNT(*) AS n_spans FROM media GROUP BY m),
+px AS (SELECT unnest(generate_series(0, 15)) AS x),
+py AS (SELECT unnest(generate_series(0, 7)) AS y),
+gray AS (
+  SELECT ms.m, py.y, px.x,
+    ((ms.m * 37 + 11 + 13 * py.y + 7 * px.x) % 256
+     + (ms.m * 37 + 11 + 13 * py.y + 7 * px.x + 29) % 256
+     + (ms.m * 37 + 11 + 13 * py.y + 7 * px.x + 58) % 256) // 3 AS g
+  FROM ms CROSS JOIN px CROSS JOIN py
+),
+bits AS (
+  SELECT a.m, a.y * 15 + a.x AS k,
+    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a JOIN gray b ON b.m = a.m AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 15
+),
+hashes AS (
+  SELECT m,
+    CAST(SUM(CASE WHEN k < 60 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT)
+      AS dhash_lo,
+    CAST(SUM(CASE WHEN k >= 60 THEN bit * (1::BIGINT << (k - 60)) ELSE 0 END) AS BIGINT)
+      AS dhash_hi
+  FROM bits GROUP BY m
+)
+SELECT h.dhash_lo, h.dhash_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(s.n_spans) AS BIGINT) AS n_spans,
+  CAST(MIN(h.m) AS BIGINT) AS canonical_m
+FROM hashes h JOIN ms s ON s.m = h.m
+GROUP BY h.dhash_lo, h.dhash_hi
+"""
+
+
+@query("media_phash_dedup", sql=_PHASH_SQL)
+def media_phash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """MULTIMODAL dedup by perceptual hash: every media span's PPM
+    payload is REALLY decoded and difference-hashed (16x8 grayscale,
+    one bit per horizontal neighbor pair), and images collapse into
+    dedup groups by exact dHash — the image-level analogue of the text
+    dedup family (the corpus's image generator cycles mod 256, so
+    distinct media_refs genuinely collide into shared groups). Output
+    per group: the 120-bit hash (two int64 words), distinct-image and
+    total-span counts, canonical (min) image id.
+
+    Distributed shape: actor-pool decode+hash (one row per span), a
+    first m-keyed bucketed fold (span counts per image, one hash per
+    image), then a hash-keyed bucketed fold for the groups — pairs <<
+    corpus at every step. The oracle replays pixel synthesis, integer
+    grayscale, bit packing, and both folds in SQL, so a decode, hash,
+    or grouping bug breaks the value hash."""
+    from ocr_ray.functions.relational import bucketed_aggregate
+    from ocr_ray.stages.media import PpmDHashDecoder, attach_ppm_payloads
+
+    spans = _media_codec_pipeline(sf_dir, attach_ppm_payloads, PpmDHashDecoder)
+
+    per_image = bucketed_aggregate(
+        spans,
+        keys=["m"],
+        aggs={
+            "n_spans": ("m", "size"),
+            "dhash_lo": ("dhash_lo", "min"),
+            "dhash_hi": ("dhash_hi", "min"),
+        },
+    )
+    groups = bucketed_aggregate(
+        per_image,
+        keys=["dhash_lo", "dhash_hi"],
+        aggs={
+            "n_images": ("m", "size"),
+            "n_spans": ("n_spans", "sum"),
+            "canonical_m": ("m", "min"),
+        },
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dhash_lo": pc.cast(t["dhash_lo"], pa.int64()),
+                "dhash_hi": pc.cast(t["dhash_hi"], pa.int64()),
+                "n_images": pc.cast(t["n_images"], pa.int64()),
+                "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                "canonical_m": pc.cast(t["canonical_m"], pa.int64()),
+            }
+        )
+
+    return groups.map_batches(finalize, batch_format="pyarrow")

@@ -608,3 +608,35 @@ class Y4mDecoder:
                 "luma_sum_last": pa.array(np.asarray(sum_last, dtype=np.int64)),
             }
         )
+
+
+class PpmDHashDecoder:
+    """Actor-pool stage: REAL PPM decode -> perceptual difference hash.
+
+    dHash on the native 16x8 raster: integer grayscale ``(r+g+b)//3``,
+    one bit per horizontally adjacent pair (``gray[y][x+1] > gray[y][x]``,
+    bit index ``k = y*15 + x``), packed into two non-negative int64s
+    (``lo`` = bits 0..59, ``hi`` = bits 60..119). Output one row per
+    media span: (doc_id, media_ref, m, dhash_lo, dhash_hi) — the
+    image-level fingerprint multimodal dedup groups on."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        lo = np.zeros(len(payloads), dtype=np.int64)
+        hi = np.zeros(len(payloads), dtype=np.int64)
+        for i, buf in enumerate(payloads):
+            img = decode_ppm(buf).astype(np.int64)
+            gray = img.sum(axis=2) // 3
+            bits = (gray[:, 1:] > gray[:, :-1]).ravel()  # y-major, k = y*15+x
+            k = np.flatnonzero(bits)
+            lo[i] = int(((np.int64(1) << k[k < 60]).sum()))
+            hi[i] = int(((np.int64(1) << (k[k >= 60] - 60)).sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "m": pa.array(_ref_numbers(batch["media_ref"])),
+                "dhash_lo": pa.array(lo),
+                "dhash_hi": pa.array(hi),
+            }
+        )
