@@ -151,6 +151,8 @@ QUERY_SET = [
     "proximity_search_docs",
     "cumulative_unique_users",
     "interval_coalesce_users",
+    "extract_media_captions",
+    "media_phash_dedup",
 ]
 
 
