@@ -408,3 +408,97 @@ def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
         .groupby("_bucket")
         .map_groups(coalesce_body, batch_format="pandas")
     )
+
+
+@query(
+    "cusum_daily_value",
+    sql="""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x_c
+  FROM events GROUP BY 1, 2
+),
+drift AS (
+  SELECT event_type, SUM(x_c) // COUNT(*) AS k_c FROM daily GROUP BY 1
+),
+seq AS (
+  SELECT d.event_type, d.day, d.x_c, dr.k_c,
+    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN drift dr USING (event_type)
+),
+r AS (
+  SELECT event_type, day, x_c, rn,
+    GREATEST(0, x_c - k_c) AS cusum_c
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.x_c, s.rn,
+    GREATEST(0, r.cusum_c + s.x_c - s.k_c)
+  FROM seq s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(x_c AS BIGINT) AS daily_c, CAST(cusum_c AS BIGINT) AS cusum_c
+FROM r
+""",
+)
+def cusum_daily_value(sf_dir: str) -> pa.Table:
+    """CUSUM change-point statistic per event type — the classic
+    drift detector a monitoring pipeline keeps per metric:
+    ``s_t = max(0, s_{t-1} + (x_t - k))`` over the daily value series,
+    with drift ``k`` = the type's integer mean daily total.
+
+    Distribution: ONE distributed (type, day) aggregate in integer
+    cents — the only pass that touches the corpus; what remains is
+    SPINE-sized (types x days, thousands of rows at any corpus scale),
+    so the per-type recurrence folds driver-side like the other
+    spine-sized finals (documented bound, same as
+    ``cumulative_unique_users``). All-integer recurrence — the
+    recursive-CTE oracle reproduces it bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.functions.relational import to_units
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pa.compute.cast(
+            pa.compute.floor_temporal(t["ts"], unit="day"), pa.date32()
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pa.compute.cast(day, pa.int32()),
+                "x_c": to_units(t["value"]),
+            }
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("x_c", alias_name="x_c"))
+        .to_pandas()
+        .sort_values(["event_type", "day"], ignore_index=True)
+    )
+    x = daily["x_c"].to_numpy(dtype=np.int64)
+    et = daily["event_type"].to_numpy()
+    new_grp = np.concatenate([[True], et[1:] != et[:-1]])
+    # per-type integer drift
+    grp_id = np.cumsum(new_grp) - 1
+    k_per_grp = np.array(
+        [x[grp_id == g].sum() // (grp_id == g).sum() for g in range(grp_id[-1] + 1)],
+        dtype=np.int64,
+    )
+    k = k_per_grp[grp_id]
+    s = np.zeros(len(x), dtype=np.int64)
+    for i in range(len(x)):
+        prev = 0 if new_grp[i] else s[i - 1]
+        v = prev + x[i] - k[i]
+        s[i] = v if v > 0 else 0
+    days = pd.to_datetime(daily["day"].to_numpy(dtype=np.int64), unit="D")
+    return pa.table(
+        {
+            "event_type": pa.array(daily["event_type"], type=pa.string()),
+            "day": pa.array(days.strftime("%Y-%m-%d"), type=pa.string()),
+            "daily_c": pa.array(x),
+            "cusum_c": pa.array(s),
+        }
+    )
