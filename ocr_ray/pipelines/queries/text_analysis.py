@@ -596,3 +596,56 @@ def proximity_search_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(near, batch_format="pyarrow")
+
+
+_CONFUSION_SQL = _CLASSIFY_SQL.replace(
+    "SELECT doc_id, c AS label, score FROM ranked WHERE rn = 1",
+    """pred AS (SELECT doc_id, c AS label FROM ranked WHERE rn = 1)
+SELECT p.label, d.lang, COUNT(*) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY p.label, d.lang""",
+).replace(
+    """ranked AS (
+  SELECT doc_id, c, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+  FROM scores
+)
+pred AS""",
+    """ranked AS (
+  SELECT doc_id, c, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+  FROM scores
+),
+pred AS""",
+)
+
+
+@query("classifier_confusion", sql=_CONFUSION_SQL)
+def classifier_confusion(sf_dir: str) -> ray.data.Dataset:
+    """MODEL EVALUATION: the confusion matrix of the hashed-feature
+    classifier's predictions against the corpus ``lang`` column — the
+    joint (predicted label, lang) counts an evaluation stage
+    materializes after every scoring run. The prediction rides the SAME
+    stateless batch as the lang column (no join: classifier output is
+    row-aligned with its input batch), so the whole evaluation is one
+    map + one low-cardinality groupby; every cell is an integer count,
+    oracle-checked through the full classifier chain + the final join
+    in SQL."""
+    from ray.data.aggregate import Count
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def pred_with_lang(t: pa.Table) -> pa.Table:
+        out = textfn.classify_hashed(t.select(["doc_id", "text"]))
+        return pa.table(
+            {
+                "label": out["label"],
+                "lang": t["lang"],
+            }
+        )
+
+    return (
+        ds.map_batches(pred_with_lang, batch_format="pyarrow")
+        .groupby(["label", "lang"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
