@@ -153,6 +153,8 @@ QUERY_SET = [
     "interval_coalesce_users",
     "extract_media_captions",
     "media_phash_dedup",
+    "cusum_daily_value",
+    "classifier_confusion",
 ]
 
 
