@@ -373,14 +373,17 @@ def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
         # running max of e within each user, EXCLUSIVE of the current row:
         # encode (group_rank, e) so one global accumulate respects groups
         grp_rank = np.cumsum(new_grp) - 1
-        # segment-wise inclusive running max: one global accumulate over
-        # (group_rank * OFF + relative_e); OFF is the value span + 1, so
-        # a later group's smallest code exceeds any earlier group's code
-        # without overflowing int64 (span ~1e13 us x thousands of groups)
-        rel = e - e.min()
-        OFF = rel.max() + np.int64(1)
-        inc = np.maximum.accumulate(grp_rank * OFF + rel)
-        run_incl = (inc - grp_rank * OFF) + e.min()  # inclusive running max
+        # segment-wise inclusive running max via RANK encoding: encode
+        # (group_rank * n + rank_of_e) so one global accumulate respects
+        # group boundaries. Ranks (not raw microseconds) keep the code
+        # below n^2 — overflow-proof at any time span x group count,
+        # unlike a value-offset encoding (groups x span can pass 2^63)
+        order = np.argsort(e, kind="stable")
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        e_sorted = e[order]
+        inc = np.maximum.accumulate(grp_rank * np.int64(n) + rank)
+        run_incl = e_sorted[inc - grp_rank * np.int64(n)]  # inclusive running max
         prev_max = np.empty(n, dtype=np.int64)
         prev_max[0] = 0
         prev_max[1:] = run_incl[:-1]
