@@ -444,6 +444,20 @@ def _pagerank_engine(
         )
 
     n_nodes_total = nodes.count()
+    # the per-round FOLD handles the O(nodes) state, which is orders of
+    # magnitude smaller than the edge set num_buckets is sized for — at
+    # small node counts a corpus-sized bucket count is pure sort-barrier
+    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
+    # ~250k state rows, floored at 8, capped at the edge knob.
+    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
+
+    def bucketize_state(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
+            ),
+        )
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_parts(ranks_ds):
@@ -500,10 +514,10 @@ def _pagerank_engine(
         # sort, whose reduce-partition count tracks input block count —
         # per-iteration cost grows linearly in rounds (see note on ``e``).
         return (
-            allparts.map_batches(bucketize_node, batch_format="pyarrow")
+            allparts.map_batches(bucketize_state, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pyarrow")
-            .repartition(num_buckets)
+            .repartition(state_buckets)
             .materialize()
         )
 
@@ -877,6 +891,20 @@ def bfs_levels(
         )
 
     n_nodes_total = nodes.count()
+    # the per-round FOLD handles the O(nodes) state, which is orders of
+    # magnitude smaller than the edge set num_buckets is sized for — at
+    # small node counts a corpus-sized bucket count is pure sort-barrier
+    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
+    # ~250k state rows, floored at 8, capped at the edge knob.
+    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
+
+    def bucketize_state(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
+            ),
+        )
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):
@@ -926,10 +954,10 @@ def bfs_levels(
             )
         state = (
             cand.union(state)
-            .map_batches(bucketize_node, batch_format="pyarrow")
+            .map_batches(bucketize_state, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pyarrow")
-            .repartition(num_buckets)
+            .repartition(state_buckets)
             .materialize()
         )
     return state
@@ -1060,6 +1088,20 @@ def sssp_weighted(
         )
 
     n_nodes_total = nodes.count()
+    # the per-round FOLD handles the O(nodes) state, which is orders of
+    # magnitude smaller than the edge set num_buckets is sized for — at
+    # small node counts a corpus-sized bucket count is pure sort-barrier
+    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
+    # ~250k state rows, floored at 8, capped at the edge knob.
+    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
+
+    def bucketize_state(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
+            ),
+        )
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):
@@ -1111,10 +1153,10 @@ def sssp_weighted(
             )
         state = (
             cand.union(state)
-            .map_batches(bucketize_node, batch_format="pyarrow")
+            .map_batches(bucketize_state, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pyarrow")
-            .repartition(num_buckets)
+            .repartition(state_buckets)
             .materialize()
         )
     return state
