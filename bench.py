@@ -155,6 +155,7 @@ QUERY_SET = [
     "media_phash_dedup",
     "cusum_daily_value",
     "classifier_confusion",
+    "build_web_corpus",
 ]
 
 

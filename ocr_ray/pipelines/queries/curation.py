@@ -15,7 +15,7 @@ from ocr_ray.functions import text as textfn
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import load_small_table, query, read_docs, read_embeddings
+from ocr_ray.pipelines.queries._shared import ORACLE_SQL, load_small_table, query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import embedding_neardup_pairs
 
 
@@ -355,6 +355,15 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     from ocr_ray.functions.dedup import add_md5, dedup_by_key
 
     ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    return _curate_pipeline(ds)
+
+
+def _curate_pipeline(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The curation chain over any (doc_id, text) Dataset — shared by
+    ``curate_corpus`` (parquet in) and ``build_web_corpus`` (WARC in);
+    both share the one end-to-end oracle because the WARC extraction
+    leg is itself lossless (oracle-checked)."""
+    from ocr_ray.functions.dedup import add_md5, dedup_by_key
 
     def dup_union(t: pa.Table) -> pa.Table:
         shifted = pc.add(t["doc_id"], pa.scalar(2_000_000, type=pa.int64()))
@@ -1107,3 +1116,47 @@ def validate_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+
+
+@query("build_web_corpus", sql=None)
+def build_web_corpus(sf_dir: str) -> ray.data.Dataset:
+    """CAPSTONE composite — the whole web-corpus build as ONE streaming
+    Dataset: genuine WARC/1.0 ingest (HTTP parse, gzip/chunked decode,
+    HTML boilerplate strip via ``WarcMainExtractor``) feeding the full
+    curation chain (quality + repetition gates, exact dedup on content
+    hash, PII scrub, deterministic split) — crawl archive in, training
+    partition out, with one shuffle total (the dedup fold).
+
+    Exactness: the WARC->text leg is lossless (its own oracle), so this
+    registers the SAME oracle SQL as ``curate_corpus`` at runtime —
+    see the assignment below the function; the driver's hash compare
+    covers the entire four-protocol-layer + curation path, and a bug
+    anywhere in WARC framing, HTTP decoding, HTML stripping, scoring,
+    dedup, redaction, or the split changes the output hash."""
+    from ocr_ray.stages.warc import WarcMainExtractor, attach_warc_payloads
+
+    ds = read_docs(sf_dir, columns=["doc_id", "text"])
+    with_payloads = ds.map_batches(
+        attach_warc_payloads, batch_format="pyarrow", batch_size=128
+    )
+    extracted = with_payloads.map_batches(
+        WarcMainExtractor,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=pool_size(),
+    )
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "text": pc.cast(t["extracted_text"], pa.string()),
+            }
+        )
+
+    return _curate_pipeline(extracted.map_batches(as_docs, batch_format="pyarrow"))
+
+
+# same end-to-end oracle as curate_corpus: the WARC leg is lossless, so
+# the curation SQL is the composite's expected output too
+ORACLE_SQL["build_web_corpus"] = ORACLE_SQL["curate_corpus"]
