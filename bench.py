@@ -156,6 +156,7 @@ QUERY_SET = [
     "cusum_daily_value",
     "classifier_confusion",
     "build_web_corpus",
+    "media_audio_fingerprint_dedup",
 ]
 
 

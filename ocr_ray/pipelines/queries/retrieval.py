@@ -940,3 +940,81 @@ def media_phash_dedup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return groups.map_batches(finalize, batch_format="pyarrow")
+
+
+_AFP_SQL = """
+WITH src AS (SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT d, generate_subscripts(ws, 1) AS i FROM src),
+spans AS (SELECT d, (i - 1) // 8 AS si FROM w GROUP BY d, (i - 1) // 8),
+media AS (
+  SELECT d, si, (d * 1000 + si) % 9973 AS m FROM spans
+  WHERE (d + si) % 7 <> 0 AND (d + si) % 5 = 3
+),
+ms AS (SELECT m, COUNT(*) AS n_spans FROM media GROUP BY m),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+samp AS (
+  SELECT ms.m, idx.i, ((ms.m * 53 + 17 * idx.i) % 4001) - 2000 AS s
+  FROM ms CROSS JOIN idx
+),
+frames AS (
+  SELECT m, i // 4 AS f, SUM(s * s) AS energy FROM samp GROUP BY m, i // 4
+),
+bits AS (
+  SELECT a.m, a.f AS k, CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+  FROM frames a JOIN frames b ON b.m = a.m AND b.f = a.f + 1
+  WHERE a.f < 15
+),
+fp AS (
+  SELECT m, CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS afp
+  FROM bits GROUP BY m
+)
+SELECT f.afp,
+  CAST(COUNT(*) AS BIGINT) AS n_clips,
+  CAST(SUM(s.n_spans) AS BIGINT) AS n_spans,
+  CAST(MIN(f.m) AS BIGINT) AS canonical_m
+FROM fp f JOIN ms s ON s.m = f.m
+GROUP BY f.afp
+"""
+
+
+@query("media_audio_fingerprint_dedup", sql=_AFP_SQL)
+def media_audio_fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
+    """AUDIO dedup by acoustic fingerprint — the WAV sibling of
+    ``media_phash_dedup``: every media span's RIFF/PCM payload is REALLY
+    decoded and energy-contour hashed (16 integer frame energies, one
+    bit per adjacent pair), and clips collapse into dedup groups by
+    exact fingerprint (the generator cycles mod 4001, so distinct
+    media_refs genuinely share audio). Same two bucketed folds as the
+    image leg; the oracle replays signal synthesis, frame energies, bit
+    packing, and both folds in SQL."""
+    from ocr_ray.functions.relational import bucketed_aggregate
+    from ocr_ray.stages.media import WavFingerprintDecoder, attach_wav_payloads
+
+    spans = _media_codec_pipeline(sf_dir, attach_wav_payloads, WavFingerprintDecoder)
+
+    per_clip = bucketed_aggregate(
+        spans,
+        keys=["m"],
+        aggs={"n_spans": ("m", "size"), "afp": ("afp", "min")},
+    )
+    groups = bucketed_aggregate(
+        per_clip,
+        keys=["afp"],
+        aggs={
+            "n_clips": ("m", "size"),
+            "n_spans": ("n_spans", "sum"),
+            "canonical_m": ("m", "min"),
+        },
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "afp": pc.cast(t["afp"], pa.int64()),
+                "n_clips": pc.cast(t["n_clips"], pa.int64()),
+                "n_spans": pc.cast(t["n_spans"], pa.int64()),
+                "canonical_m": pc.cast(t["canonical_m"], pa.int64()),
+            }
+        )
+
+    return groups.map_batches(finalize, batch_format="pyarrow")

@@ -640,3 +640,32 @@ class PpmDHashDecoder:
                 "dhash_hi": pa.array(hi),
             }
         )
+
+
+class WavFingerprintDecoder:
+    """Actor-pool stage: REAL WAV decode -> acoustic fingerprint.
+
+    Chromaprint-style energy-contour hash on the decoded PCM: 16 frames
+    of 4 samples, integer frame energy (sum of squares), one bit per
+    adjacent frame pair (``energy[f+1] > energy[f]``), packed into an
+    int64 (15 bits). Output one row per media span: (doc_id, media_ref,
+    m, afp) — the clip-level fingerprint audio dedup groups on."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fps = np.zeros(len(payloads), dtype=np.int64)
+        for i, buf in enumerate(payloads):
+            samples, _sr = decode_wav(buf)
+            s = samples.astype(np.int64)
+            energy = (s * s).reshape(-1, 4).sum(axis=1)
+            bits = energy[1:] > energy[:-1]
+            k = np.flatnonzero(bits)
+            fps[i] = int((np.int64(1) << k).sum())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "m": pa.array(_ref_numbers(batch["media_ref"])),
+                "afp": pa.array(fps),
+            }
+        )
