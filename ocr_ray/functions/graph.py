@@ -67,6 +67,27 @@ def _distinct_pairs(u: np.ndarray, v: np.ndarray, names: tuple[str, str]) -> pa.
     )
 
 
+
+def _state_bucketizer(n_nodes_total: int, num_buckets: int):
+    """Bucket count + bucketizer for the per-round O(nodes) STATE fold of
+    the iterative engines. The state is orders of magnitude smaller than
+    the edge set ``num_buckets`` is sized for — at small node counts a
+    corpus-sized bucket count is pure sort-barrier floor (measured 4x on
+    the sf0.1 purchase graph). One bucket per ~250k state rows, floored
+    at 8, capped at the edge knob."""
+    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
+
+    def bucketize_state(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
+            ),
+        )
+
+    return state_buckets, bucketize_state
+
+
 def _star_round(edges, *, large: bool, num_buckets: int):
     """One large-star or small-star round: re-key, one coarse-bucket
     groupby, vectorized per-center min + edge emission, per-bucket dedup.
@@ -444,20 +465,7 @@ def _pagerank_engine(
         )
 
     n_nodes_total = nodes.count()
-    # the per-round FOLD handles the O(nodes) state, which is orders of
-    # magnitude smaller than the edge set num_buckets is sized for — at
-    # small node counts a corpus-sized bucket count is pure sort-barrier
-    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
-    # ~250k state rows, floored at 8, capped at the edge knob.
-    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
-
-    def bucketize_state(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_bucket",
-            pa.array(
-                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
-            ),
-        )
+    state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_parts(ranks_ds):
@@ -509,7 +517,7 @@ def _pagerank_engine(
         # union a zero partial for every node so in-degree-0 nodes keep
         # their teleport rank instead of vanishing from the state.
         allparts = parts.union(nodes.map_batches(zero_parts, batch_format="pyarrow"))
-        # repartition pins the O(nodes) state at num_buckets blocks; without
+        # repartition pins the O(nodes) state at state_buckets blocks; without
         # it the union feeds (join blocks + node blocks) into the next
         # sort, whose reduce-partition count tracks input block count —
         # per-iteration cost grows linearly in rounds (see note on ``e``).
@@ -578,6 +586,9 @@ def kcore(
     # (matching an R-round-unrolled oracle's final degree pass) instead of
     # raising one check short
     for rounds in range(1, max_rounds + 2):
+        # unlike the other engines' O(nodes) STATE folds, this fold's
+        # INPUT is the (shrinking) edge set itself — corpus-sized rows,
+        # so the edge bucket knob is the right granularity here
         deg = bucketed_aggregate(
             e,
             keys=[src_col],
@@ -891,20 +902,7 @@ def bfs_levels(
         )
 
     n_nodes_total = nodes.count()
-    # the per-round FOLD handles the O(nodes) state, which is orders of
-    # magnitude smaller than the edge set num_buckets is sized for — at
-    # small node counts a corpus-sized bucket count is pure sort-barrier
-    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
-    # ~250k state rows, floored at 8, capped at the edge knob.
-    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
-
-    def bucketize_state(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_bucket",
-            pa.array(
-                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
-            ),
-        )
+    state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):
@@ -1088,20 +1086,7 @@ def sssp_weighted(
         )
 
     n_nodes_total = nodes.count()
-    # the per-round FOLD handles the O(nodes) state, which is orders of
-    # magnitude smaller than the edge set num_buckets is sized for — at
-    # small node counts a corpus-sized bucket count is pure sort-barrier
-    # floor (measured 4x on the sf0.1 purchase graph). One bucket per
-    # ~250k state rows, floored at 8, capped at the edge knob.
-    state_buckets = min(num_buckets, max(8, 1 + n_nodes_total // 250_000))
-
-    def bucketize_state(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_bucket",
-            pa.array(
-                _bucketize(t["node"].to_numpy(zero_copy_only=False), state_buckets)
-            ),
-        )
+    state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
     def bcast_candidates(state_ds):

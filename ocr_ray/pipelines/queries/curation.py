@@ -15,7 +15,7 @@ from ocr_ray.functions import text as textfn
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import ORACLE_SQL, load_small_table, query, read_docs, read_embeddings
+from ocr_ray.pipelines.queries._shared import load_small_table, query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import embedding_neardup_pairs
 
 
@@ -302,9 +302,7 @@ def weighted_sample_docs(sf_dir: str) -> ray.data.Dataset:
     return top.map_batches(exact_order, batch_format="pandas")
 
 
-@query(
-    "curate_corpus",
-    sql=f"""
+_CURATE_SQL = f"""
 WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -340,8 +338,10 @@ x AS (SELECT doc_id, quality,
   FROM r)
 SELECT doc_id, redacted, quality, 'train' AS split FROM x
 WHERE (doc_id * 2654435761) % 4294967296 % 100 < 90
-""",
-)
+"""
+
+
+@query("curate_corpus", sql=_CURATE_SQL)
 def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     """Flagship composite curation pipeline — what a training-data user
     actually runs, as ONE streaming Dataset: seed exact duplicates
@@ -352,8 +352,6 @@ def curate_corpus(sf_dir: str) -> ray.data.Dataset:
     split, and keep the train partition. Every stage is embarrassingly
     parallel except the single dedup shuffle; the DuckDB oracle replays
     the whole chain end-to-end, bit-exact including the float gates."""
-    from ocr_ray.functions.dedup import add_md5, dedup_by_key
-
     ds = read_docs(sf_dir, columns=["doc_id", "text"])
     return _curate_pipeline(ds)
 
@@ -1118,7 +1116,7 @@ def validate_lineitem(sf_dir: str) -> pa.Table:
 
 
 
-@query("build_web_corpus", sql=None)
+@query("build_web_corpus", sql=_CURATE_SQL)
 def build_web_corpus(sf_dir: str) -> ray.data.Dataset:
     """CAPSTONE composite — the whole web-corpus build as ONE streaming
     Dataset: genuine WARC/1.0 ingest (HTTP parse, gzip/chunked decode,
@@ -1128,8 +1126,7 @@ def build_web_corpus(sf_dir: str) -> ray.data.Dataset:
     partition out, with one shuffle total (the dedup fold).
 
     Exactness: the WARC->text leg is lossless (its own oracle), so this
-    registers the SAME oracle SQL as ``curate_corpus`` at runtime —
-    see the assignment below the function; the driver's hash compare
+    shares ``curate_corpus``'s oracle SQL verbatim; the driver's hash compare
     covers the entire four-protocol-layer + curation path, and a bug
     anywhere in WARC framing, HTTP decoding, HTML stripping, scoring,
     dedup, redaction, or the split changes the output hash."""
@@ -1156,7 +1153,3 @@ def build_web_corpus(sf_dir: str) -> ray.data.Dataset:
 
     return _curate_pipeline(extracted.map_batches(as_docs, batch_format="pyarrow"))
 
-
-# same end-to-end oracle as curate_corpus: the WARC leg is lossless, so
-# the curation SQL is the composite's expected output too
-ORACLE_SQL["build_web_corpus"] = ORACLE_SQL["curate_corpus"]

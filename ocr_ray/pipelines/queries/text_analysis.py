@@ -636,6 +636,9 @@ def classifier_confusion(sf_dir: str) -> ray.data.Dataset:
     ds = read_docs(sf_dir, columns=["doc_id", "text", "lang"])
 
     def pred_with_lang(t: pa.Table) -> pa.Table:
+        # classify_hashed drops NULL-text rows; filter FIRST so label and
+        # lang stay row-aligned (the oracle's unnest drops them too)
+        t = t.filter(pc.is_valid(t["text"]))
         out = textfn.classify_hashed(t.select(["doc_id", "text"]))
         return pa.table(
             {

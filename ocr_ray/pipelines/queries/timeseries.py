@@ -297,7 +297,7 @@ def cumulative_unique_users(sf_dir: str) -> pa.Table:
     sql="""
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 w AS (
   SELECT user_id, s, e,
@@ -354,6 +354,10 @@ def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
     )
 
     def bucketize(t: pa.Table) -> pa.Table:
+        # NULL user_ids would each become their own NaN group in pandas
+        # (NaN != NaN) while SQL partitions them together — drop them on
+        # both sides instead (the oracle filters identically)
+        t = t.filter(pa.compute.is_valid(t["user_id"]))
         h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
         return t.append_column(
             "_bucket", pa.array((h % np.uint64(NB)).astype(np.int32))
@@ -372,18 +376,11 @@ def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
         new_grp[1:] = uid[1:] != uid[:-1]
         # running max of e within each user, EXCLUSIVE of the current row:
         # encode (group_rank, e) so one global accumulate respects groups
-        grp_rank = np.cumsum(new_grp) - 1
-        # segment-wise inclusive running max via RANK encoding: encode
-        # (group_rank * n + rank_of_e) so one global accumulate respects
-        # group boundaries. Ranks (not raw microseconds) keep the code
-        # below n^2 — overflow-proof at any time span x group count,
-        # unlike a value-offset encoding (groups x span can pass 2^63)
-        order = np.argsort(e, kind="stable")
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.arange(n, dtype=np.int64)
-        e_sorted = e[order]
-        inc = np.maximum.accumulate(grp_rank * np.int64(n) + rank)
-        run_incl = e_sorted[inc - grp_rank * np.int64(n)]  # inclusive running max
+        # CONSTANT-width intervals: after the (user, start) sort, e is
+        # non-decreasing within each user, so the inclusive running max
+        # is e itself — no segment-scan needed (variable-width intervals
+        # would need the encoded-accumulate trick used by locf)
+        run_incl = e
         prev_max = np.empty(n, dtype=np.int64)
         prev_max[0] = 0
         prev_max[1:] = run_incl[:-1]
@@ -481,13 +478,31 @@ def cusum_daily_value(sf_dir: str) -> pa.Table:
         .to_pandas()
         .sort_values(["event_type", "day"], ignore_index=True)
     )
+    if len(daily) == 0:
+        return pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("day", pa.string()),
+                ("daily_c", pa.int64()),
+                ("cusum_c", pa.int64()),
+            ]
+        ).empty_table()
     x = daily["x_c"].to_numpy(dtype=np.int64)
     et = daily["event_type"].to_numpy()
     new_grp = np.concatenate([[True], et[1:] != et[:-1]])
     # per-type integer drift
     grp_id = np.cumsum(new_grp) - 1
+    # DuckDB's // TRUNCATES toward zero; numpy's floors — match SQL
+    # explicitly so a negative per-type total stays bit-exact
+    def _trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
     k_per_grp = np.array(
-        [x[grp_id == g].sum() // (grp_id == g).sum() for g in range(grp_id[-1] + 1)],
+        [
+            _trunc_div(int(x[grp_id == g].sum()), int((grp_id == g).sum()))
+            for g in range(grp_id[-1] + 1)
+        ],
         dtype=np.int64,
     )
     k = k_per_grp[grp_id]
