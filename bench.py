@@ -157,6 +157,7 @@ QUERY_SET = [
     "classifier_confusion",
     "build_web_corpus",
     "media_audio_fingerprint_dedup",
+    "extract_delete_mor_spans",
 ]
 
 

@@ -399,3 +399,72 @@ def extract_media_captions(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(pair, batch_format="pyarrow")
+
+
+@query("extract_delete_mor_spans", sql=_EXTRACT_DELETE_SQL)
+def extract_delete_mor_spans(sf_dir: str) -> ray.data.Dataset:
+    """MERGE-ON-READ variant of the targeted delete (same victims, same
+    oracle as ``extract_delete_doc_spans``): instead of rewriting
+    fragments, ``delete_keys_mor`` records deletion-vector sidecars
+    (O(deleted keys), data files untouched) and ``read_with_deletes``
+    applies them as a broadcast anti-filter inside the read — the
+    Iceberg/Delta deletion-vector trade for delete-heavy tables. The
+    runtime gate then COMPACTS (``compact_deletes`` folds vectors into
+    the files) and asserts the physical table now matches the MoR view
+    row-for-row, proving the two delete paths agree end to end."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from ocr_ray.pipelines.extract import extract_and_write
+    from ocr_ray.sources.readers import read_documents as _read_docs
+    from ocr_ray.stages.explode import explode_documents
+    from ocr_ray.state.manifest import (
+        compact_deletes,
+        delete_keys_mor,
+        load_manifest,
+        read_fragments,
+        read_with_deletes,
+    )
+
+    corpus = ensure_corpus(sf_dir, glyphs=False)
+    raw = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = raw["doc_id"].to_numpy(zero_copy_only=False)
+    victims = [f"doc-{int(d):08d}" for d in ids if int(d) % 97 == 0]
+
+    out = tempfile.mkdtemp(prefix="ocr_ray_mor_")
+    shutil.rmtree(out)
+    try:
+        manifest, _ = extract_and_write(
+            _read_docs(corpus), out, num_parts=8, num_buckets=8
+        )
+        total = int(manifest["row_count"].sum())
+        # MoR delete: sidecars only — assert no data file was rewritten
+        before = {
+            p: r["file"] for p, r in load_manifest(out).items()
+        }
+        delete_keys_mor(out, victims)
+        # idempotence: a retried delete merges to the same vectors
+        delete_keys_mor(out, victims)
+        after = {p: r["file"] for p, r in load_manifest(out).items()}
+        if before != after:
+            raise AssertionError("MoR delete rewrote data fragments")
+        live = read_with_deletes(out).materialize()
+        if live.count() != total - len(victims):
+            raise AssertionError("MoR view row count does not reflect the delete")
+        # compact: vectors fold into the files; physical == MoR view
+        compact_deletes(out)
+        physical = read_fragments(
+            [r["file"] for r in load_manifest(out).values()]
+        )
+        if physical.count() != total - len(victims):
+            raise AssertionError("compaction result disagrees with the MoR view")
+        return (
+            live.map_batches(
+                explode_documents, batch_format="pyarrow", fn_kwargs={"sentinels": False}
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1072,3 +1072,113 @@ def zorder_export(
         out_cols=[*out_cols, "_z"],
         num_fragments=num_fragments,
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (deletion vectors)
+# ---------------------------------------------------------------------------
+
+
+def delete_keys_mor(out_dir: str, keys, *, key_col: str = "doc_id") -> pd.DataFrame:
+    """MERGE-ON-READ delete: record the keys in per-partition DELETION
+    VECTOR sidecars instead of rewriting data files — the Iceberg/Delta
+    deletion-vector pattern, the right trade when deletes are frequent
+    and reads can afford a filter (``delete_keys`` stays the
+    copy-on-write path; ``compact_deletes`` folds vectors back into the
+    data). O(deleted keys) work regardless of table size: only the
+    sidecars of the partitions the partition law maps the keys to are
+    touched (temp + atomic rename, idempotent merge with any existing
+    vector — a retried delete is a no-op).
+
+    Returns a DataFrame (partition, n_delete_keys) with each affected
+    partition's TOTAL vector size after the merge.
+    """
+    man = load_manifest(out_dir)
+    if not man:
+        raise ValueError(f"delete_keys_mor: no manifest under {out_dir}")
+    lp = Path(out_dir) / "_manifest" / "layout.json"
+    if not lp.exists():
+        raise ValueError(f"delete_keys_mor: no layout record under {out_dir}")
+    num_parts = json.loads(lp.read_text())["num_parts"]
+    keys = list(keys)
+    if not keys:
+        return pd.DataFrame(columns=["partition", "n_delete_keys"])
+    parts = partition_of(keys, num_parts)
+    rows = []
+    mdir = Path(out_dir) / "_manifest"
+    for p in sorted(set(parts.tolist())):
+        if p not in man:
+            continue
+        new_keys = {k for k, kp in zip(keys, parts.tolist()) if kp == p}
+        dv_path = mdir / f"deletes-part-{p:05d}.json"
+        if dv_path.exists():
+            new_keys |= set(json.loads(dv_path.read_text())["keys"])
+        tmp = dv_path.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {"partition": p, "key_col": key_col, "keys": sorted(new_keys)}
+            )
+        )
+        os.replace(tmp, dv_path)
+        rows.append((p, len(new_keys)))
+    return pd.DataFrame(rows, columns=["partition", "n_delete_keys"])
+
+
+def load_delete_vectors(out_dir: str) -> dict[int, list]:
+    """{partition: deleted keys} from every deletion-vector sidecar."""
+    mdir = Path(out_dir) / "_manifest"
+    out: dict[int, list] = {}
+    if not mdir.is_dir():
+        return out
+    for f in mdir.glob("deletes-part-*.json"):
+        rec = json.loads(f.read_text())
+        out[int(rec["partition"])] = rec["keys"]
+    return out
+
+
+def read_with_deletes(out_dir: str):
+    """Streaming read of a MoR table: fragments stream as usual and the
+    UNION of all deletion vectors (each key lives in exactly one
+    partition, so the union is duplicate-free) broadcasts once as an
+    anti-membership filter inside the read tasks — no data file is
+    rewritten, no extra shuffle. Vector size is bounded by deleted keys,
+    the same broadcast budget as the semi/anti join family."""
+    import ray as _ray
+
+    from ocr_ray.functions.relational import semi_filter
+
+    man = load_manifest(out_dir)
+    if not man:
+        raise ValueError(f"read_with_deletes: no manifest under {out_dir}")
+    ds = read_fragments([man[p]["file"] for p in sorted(man)])
+    dvs = load_delete_vectors(out_dir)
+    if not dvs:
+        return ds
+    first = next(iter(sorted(dvs)))
+    key_col = json.loads(
+        (Path(out_dir) / "_manifest" / f"deletes-part-{first:05d}.json").read_text()
+    )["key_col"]
+    all_keys: list = []
+    for ks in dvs.values():
+        all_keys.extend(ks)
+    return semi_filter(ds, _ray.put(all_keys), key_col, anti=True)
+
+
+def compact_deletes(out_dir: str, *, key_col: str = "doc_id") -> pd.DataFrame:
+    """Fold the deletion vectors into the data files (MoR -> CoW): apply
+    ``delete_keys`` for the union of all vectors, then remove the
+    sidecars — after which ``read_with_deletes`` and a plain fragment
+    read agree. Returns ``delete_keys``' rewrite report."""
+    dvs = load_delete_vectors(out_dir)
+    if not dvs:
+        return pd.DataFrame(
+            columns=["partition", "rows_before", "rows_after", "deleted"]
+        )
+    all_keys: list = []
+    for ks in dvs.values():
+        all_keys.extend(ks)
+    report = delete_keys(out_dir, all_keys, key_col=key_col)
+    mdir = Path(out_dir) / "_manifest"
+    for f in mdir.glob("deletes-part-*.json"):
+        f.unlink()
+    return report

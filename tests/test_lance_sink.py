@@ -164,3 +164,47 @@ def test_layout_merges_keys_introduced_after_creation(tmp_path):
     assert saved["data_format"] == "parquet"
     with pytest.raises(ValueError, match="data_format"):
         _check_layout(str(tmp_path), 8, write=True, extra={"data_format": "lance"})
+
+
+def test_mor_delete_vectors_and_compaction(ray_session, tmp_path):
+    """Deletion vectors: sidecar-only delete, idempotent merge, MoR read
+    equals post-compaction physical read, vectors removed after fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ocr_ray.state.manifest import (
+        compact_deletes,
+        delete_keys_mor,
+        load_delete_vectors,
+        load_manifest,
+        read_fragments,
+        read_with_deletes,
+        write_extracted_resumable,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:08d}" for i in range(40)]),
+            "spans": pa.array([[{"kind": "text", "text": f"t{i}", "media_ref": "", "offset": 0}] for i in range(40)]),
+        }
+    )
+    out = str(tmp_path / "mor")
+    write_extracted_resumable(ray.data.from_arrow(docs), out, num_parts=4)
+
+    victims = [f"doc-{i:08d}" for i in (0, 7, 19, 33)]
+    rep = delete_keys_mor(out, victims)
+    assert int(rep["n_delete_keys"].sum()) == 4
+    rep2 = delete_keys_mor(out, victims)  # idempotent merge
+    assert int(rep2["n_delete_keys"].sum()) == 4
+    assert len(load_delete_vectors(out)) == len(set(rep["partition"]))
+
+    live = read_with_deletes(out)
+    ids = set(r["doc_id"] for r in live.select_columns(["doc_id"]).take_all())
+    assert ids == {f"doc-{i:08d}" for i in range(40)} - set(victims)
+
+    compact_deletes(out)
+    assert load_delete_vectors(out) == {}
+    phys = read_fragments([r["file"] for r in load_manifest(out).values()])
+    ids2 = set(r["doc_id"] for r in phys.select_columns(["doc_id"]).take_all())
+    assert ids2 == ids
