@@ -158,6 +158,7 @@ QUERY_SET = [
     "build_web_corpus",
     "media_audio_fingerprint_dedup",
     "extract_delete_mor_spans",
+    "capped_sessions",
 ]
 
 

@@ -520,3 +520,109 @@ def cusum_daily_value(sf_dir: str) -> pa.Table:
             "cusum_c": pa.array(s),
         }
     )
+
+
+@query(
+    "capped_sessions",
+    sql="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, rn, t, t AS sess_start FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.t,
+    CASE WHEN s.t - r.t <= 1800000000
+          AND s.t - r.sess_start <= 7200000000
+         THEN r.sess_start ELSE s.t END
+  FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id,
+  CAST(COUNT(DISTINCT sess_start) AS BIGINT) AS n_sessions,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MAX(t - sess_start) AS BIGINT) AS max_sess_span_us
+FROM r GROUP BY user_id
+""",
+)
+def capped_sessions(sf_dir: str) -> ray.data.Dataset:
+    """DURATION-CAPPED sessionization (the analytics-suite rule
+    ``user_sessions`` can't express): a session breaks on a 30-minute
+    inactivity gap OR when it has lasted two hours since its start —
+    the cap makes the boundary depend RECURSIVELY on the running
+    session start, not just the previous event, so no window function
+    computes it; it is a per-key state machine.
+
+    Distribution: the sessionization idiom (one user-hash bucket
+    shuffle), with the recurrence vectorized ACROSS users per event
+    step (the EWMA pattern): step ``t`` resolves every user's ``t``-th
+    event with one fused numpy expression, so the loop length is the
+    busiest user's event count, not the row count. All integer
+    microseconds — the recursive-CTE oracle replays the identical
+    state machine bit-for-bit."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    NB = buckets_for_input(ds)
+    GAP = np.int64(1_800_000_000)
+    CAP = np.int64(7_200_000_000)
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_events", pa.int64()),
+            ("max_sess_span_us", pa.int64()),
+        ]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.is_valid(t["user_id"]))
+        h = pd.util.hash_array(t["user_id"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(NB)).astype(np.int32))
+        )
+
+    def sessions_body(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = uid[1:] != uid[:-1]
+        idx_all = np.arange(n, dtype=np.int64)
+        start_of_grp = np.maximum.accumulate(np.where(new_grp, idx_all, 0))
+        rn = idx_all - start_of_grp  # 0-based position within user
+        sess = t.copy()  # sess_start; first event of each user starts one
+        max_rn = int(rn.max())
+        for k in range(1, max_rn + 1):
+            idx = np.flatnonzero(rn == k)
+            if idx.size == 0:
+                break
+            prev = idx - 1
+            cont = (t[idx] - t[prev] <= GAP) & (t[idx] - sess[prev] <= CAP)
+            sess[idx] = np.where(cont, sess[prev], t[idx])
+        # per-user fold: distinct session starts, events, max span
+        brk = new_grp | (sess != np.concatenate([[0], sess[:-1]]))
+        brk[new_grp] = True
+        u_starts = np.flatnonzero(new_grp)
+        n_events = np.diff(np.concatenate([u_starts, [n]]))
+        n_sessions = np.add.reduceat(brk.astype(np.int64), u_starts)
+        span = t - sess
+        max_span = np.maximum.reduceat(span, u_starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[u_starts].astype(np.int64)),
+                "n_sessions": pa.array(n_sessions),
+                "n_events": pa.array(n_events),
+                "max_sess_span_us": pa.array(max_span.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sessions_body, batch_format="pandas")
+    )
