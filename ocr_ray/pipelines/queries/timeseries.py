@@ -335,12 +335,13 @@ def interval_coalesce_users(sf_dir: str) -> ray.data.Dataset:
 
     Distribution: the sessionization idiom (one user-hash bucket
     shuffle), with the in-bucket body fully vectorized: sort by
-    (user, start), running max of interval end via the encoded
-    segment-scan (group_rank * stride + end-rank so one global
-    ``maximum.accumulate`` respects user boundaries), island breaks
-    where start > previous running max, per-island fold with
-    ``reduceat``. Integer microseconds end to end — bit-exact vs the
-    window-function oracle."""
+    (user, start) — intervals here are CONSTANT width, so interval end
+    is non-decreasing within each user and the running max is the end
+    column itself (variable-width intervals would need the encoded
+    segment-scan used by ``locf_last_purchase``) — island breaks where
+    start > previous end-so-far, per-island fold with ``reduceat``.
+    Integer microseconds end to end — bit-exact vs the window-function
+    oracle."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     NB = buckets_for_input(ds)
