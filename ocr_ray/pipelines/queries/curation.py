@@ -1136,12 +1136,9 @@ def build_web_corpus(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_warc_payloads, batch_format="pyarrow", batch_size=128
     )
-    extracted = with_payloads.map_batches(
-        WarcMainExtractor,
-        batch_format="pyarrow",
-        batch_size=4,
-        concurrency=pool_size(),
-    )
+    from ocr_ray.pipelines.queries._shared import stateless_stage
+
+    extracted = stateless_stage(with_payloads, WarcMainExtractor, batch_size=4)
 
     def as_docs(t: pa.Table) -> pa.Table:
         return pa.table(

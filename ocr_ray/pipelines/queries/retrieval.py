@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import query, read_docs, read_embeddings
+from ocr_ray.pipelines.queries._shared import stateless_stage, query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import _BRUTE_TOPK_SQL, _query_vectors
 from ocr_ray.pipelines.queries.curation import _BM25_SC_SQL, bm25_search
 
@@ -234,12 +234,7 @@ def _media_codec_pipeline(sf_dir: str, attach_fn, decoder_cls) -> ray.data.Datas
         lambda t: t.filter(pc.equal(t["kind"], "media")), batch_format="pyarrow"
     )
     with_payloads = flat.map_batches(attach_fn, batch_format="pyarrow", batch_size=512)
-    return with_payloads.map_batches(
-        decoder_cls,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, decoder_cls, batch_size=512)
 
 
 @query("media_ppm_features", sql=_PPM_SQL)

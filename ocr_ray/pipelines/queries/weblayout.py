@@ -18,7 +18,7 @@ import ray.data
 
 from ocr_ray.sizing import pool_size
 
-from ocr_ray.pipelines.queries._shared import query, read_docs
+from ocr_ray.pipelines.queries._shared import query, read_docs, stateless_stage
 from ocr_ray.pipelines.queries.extract import _EXTRACT_SQL
 
 # Shared CTE: the page renderer's paragraph closed form (12-word
@@ -63,12 +63,7 @@ def extract_html_main(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_html_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        HtmlMainExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, HtmlMainExtractor, batch_size=256)
 
 
 @query("extract_html_spans", sql=_EXTRACT_SQL)
@@ -94,12 +89,7 @@ def extract_html_spans(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_span_html_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        HtmlSpanExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, HtmlSpanExtractor, batch_size=256)
 
 
 @query("extract_pdf_spans", sql=_EXTRACT_SQL)
@@ -125,12 +115,7 @@ def extract_pdf_spans(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_span_pdf_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        PdfSpanExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, PdfSpanExtractor, batch_size=256)
 
 
 @query("extract_warc_spans", sql=_EXTRACT_SQL)
@@ -152,12 +137,7 @@ def extract_warc_spans(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_span_warc_payloads, batch_format="pyarrow", batch_size=128
     )
-    return with_payloads.map_batches(
-        WarcSpanExtractor,
-        batch_format="pyarrow",
-        batch_size=4,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, WarcSpanExtractor, batch_size=4)
 
 
 @query("extract_mixed_spans", sql=_EXTRACT_SQL)
@@ -180,12 +160,7 @@ def extract_mixed_spans(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_mixed_payloads, batch_format="pyarrow", batch_size=128
     )
-    return with_payloads.map_batches(
-        MixedSpanExtractor,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, MixedSpanExtractor, batch_size=64)
 
 
 _WARC_SQL = _NPARA_CTE + """
@@ -220,12 +195,7 @@ def extract_warc_main(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_warc_payloads, batch_format="pyarrow", batch_size=128
     )
-    return with_payloads.map_batches(
-        WarcMainExtractor,
-        batch_format="pyarrow",
-        batch_size=4,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, WarcMainExtractor, batch_size=4)
 
 
 _PDF_SQL = """
@@ -266,12 +236,7 @@ def extract_pdf_text(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_pdf_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        PdfTextExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, PdfTextExtractor, batch_size=256)
 
 
 _TABLE_SQL = """
@@ -319,12 +284,7 @@ def extract_html_tables(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_table_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        HtmlTableExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, HtmlTableExtractor, batch_size=256)
 
 
 _TWOCOL_SQL = """
@@ -358,12 +318,7 @@ def extract_pdf_columns(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_twocol_payloads, batch_format="pyarrow", batch_size=128
     )
-    return with_payloads.map_batches(
-        PdfTwoColExtractor,
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, PdfTwoColExtractor, batch_size=128)
 
 
 _HYPH_SQL = """
@@ -391,12 +346,7 @@ def extract_pdf_dehyphenated(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_hyphen_payloads, batch_format="pyarrow", batch_size=128
     )
-    extracted = with_payloads.map_batches(
-        PdfDehyphenExtractor,
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=pool_size(),
-    )
+    extracted = stateless_stage(with_payloads, PdfDehyphenExtractor, batch_size=128)
     return extracted.map_batches(
         lambda t: t.select(["doc_id", "extracted_text"]), batch_format="pyarrow"
     )
@@ -452,9 +402,4 @@ def extract_html_links(sf_dir: str) -> ray.data.Dataset:
     with_payloads = ds.map_batches(
         attach_html_payloads, batch_format="pyarrow", batch_size=256
     )
-    return with_payloads.map_batches(
-        HtmlLinkExtractor,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=pool_size(),
-    )
+    return stateless_stage(with_payloads, HtmlLinkExtractor, batch_size=256)
