@@ -346,7 +346,7 @@ def attach_adpcm_payloads(batch: pa.Table) -> pa.Table:
 
 
 class AdpcmDecoder:
-    """Actor-pool stage: REAL IMA-ADPCM decode + integer-exact clip stats
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL IMA-ADPCM decode + integer-exact clip stats
     (n_samples, sum and sum-of-squares of the DECODED samples). Equal-
     length clips in a batch decode in lockstep (one vectorized pass over
     the sample axis); ragged batches fall back to per-item decode.

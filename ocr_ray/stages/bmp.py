@@ -96,7 +96,7 @@ def attach_bmp_payloads(batch: pa.Table) -> pa.Table:
 
 
 class BmpDecoder:
-    """Actor-pool stage: REAL BMP decode + per-channel statistics (same
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL BMP decode + per-channel statistics (same
     output contract as ``PpmDecoder``)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -282,7 +282,7 @@ def recognize_page(bits: bytes, H: int, W: int) -> str:
 
 
 class CcSegmenter:
-    """Actor-pool stage: page bitmap -> recovered text via CC
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): page bitmap -> recovered text via CC
     segmentation + nearest-template recognition (font/templates built
     once per actor)."""
 

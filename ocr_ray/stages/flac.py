@@ -601,7 +601,7 @@ def attach_flac_payloads(batch: pa.Table) -> pa.Table:
 
 
 class FlacDecoder:
-    """Actor-pool stage: REAL FLAC decode (both CRCs verified) +
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL FLAC decode (both CRCs verified) +
     integer-exact clip statistics, same output schema as ``WavDecoder``
     so the two legs share one oracle."""
 

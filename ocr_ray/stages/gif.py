@@ -276,7 +276,7 @@ def attach_gif_payloads(batch: pa.Table) -> pa.Table:
 
 
 class GifDecoder:
-    """Actor-pool stage: REAL GIF decode (sub-block walk, LZW, palette
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL GIF decode (sub-block walk, LZW, palette
     lookup) + grayscale statistics. Output schema mirrors the other image
     decoders (width/height + per-image stats)."""
 

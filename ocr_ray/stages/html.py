@@ -533,7 +533,7 @@ def attach_span_html_payloads(batch: pa.Table) -> pa.Table:
 
 
 class HtmlSpanExtractor:
-    """Actor-pool stage: recover the flagship span sequence (kind, text,
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): recover the flagship span sequence (kind, text,
     media_ref, order) from rendered pages by DOM traversal + boilerplate
     classification. Output: one row per content span, offsets assigned by
     reading order — the same flat schema (and oracle) as the flagship
@@ -577,7 +577,7 @@ def attach_html_payloads(batch: pa.Table) -> pa.Table:
 
 
 class HtmlMainExtractor:
-    """Actor-pool stage: real main-content extraction from raw HTML.
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): real main-content extraction from raw HTML.
 
     Per-payload parsing is inherently sequential (same contract as the
     codec decoders); batches stay small and the pool provides the
@@ -634,7 +634,7 @@ def extract_links(html: str) -> list[tuple[str, str]]:
 
 
 class HtmlLinkExtractor:
-    """Actor-pool stage: payload -> one row per anchor
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): payload -> one row per anchor
     (doc_id, link_idx, href, anchor)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -407,7 +407,7 @@ def attach_jpeg_payloads(batch: pa.Table) -> pa.Table:
 
 
 class JpegDecoder:
-    """Actor-pool stage: REAL baseline-JPEG decode + integer-exact image
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL baseline-JPEG decode + integer-exact image
     statistics (dims, luma sum, first/last pixel). Decoding is per item
     (each payload is its own bytestream) inside small batches of wide
     binary rows — the real-codec shape shared by PpmDecoder/WavDecoder."""

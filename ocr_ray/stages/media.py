@@ -313,7 +313,7 @@ def attach_ppm_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PpmDecoder:
-    """Actor-pool stage: REAL PPM decode + per-channel statistics.
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL PPM decode + per-channel statistics.
 
     Decoding is inherently per-item (each payload is its own file), which
     is exactly the real-codec shape: small batches of wide binary rows,
@@ -430,7 +430,7 @@ def attach_wav_payloads(batch: pa.Table) -> pa.Table:
 
 
 class WavDecoder:
-    """Actor-pool stage: REAL WAV decode + integer-exact clip statistics
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL WAV decode + integer-exact clip statistics
     (n_samples, sample_rate, sum and sum-of-squares of samples — held in
     int64, so the oracle comparison is exact; RMS/dBFS are one float op
     away for consumers)."""
@@ -457,7 +457,7 @@ class WavDecoder:
 
 
 class WalshDecoder:
-    """Actor-pool stage: REAL WAV decode + Walsh–Hadamard sequency
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL WAV decode + Walsh–Hadamard sequency
     correlates over the decoded PCM — frequency-domain features through
     an integer-exact transform. The square-wave (±1) basis plays the
     role of DFT sinusoids: correlate k alternates sign every 2^k
@@ -579,7 +579,7 @@ def attach_y4m_payloads(batch: pa.Table) -> pa.Table:
 
 
 class Y4mDecoder:
-    """Actor-pool stage: REAL video decode + per-clip frame statistics
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL video decode + per-clip frame statistics
     (frame count, dims, fps, integer-exact total and per-FIRST/LAST-frame
     luma sums — a frame-stride or plane-offset bug fails the oracle)."""
 
@@ -611,7 +611,7 @@ class Y4mDecoder:
 
 
 class PpmDHashDecoder:
-    """Actor-pool stage: REAL PPM decode -> perceptual difference hash.
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL PPM decode -> perceptual difference hash.
 
     dHash on the native 16x8 raster: integer grayscale ``(r+g+b)//3``,
     one bit per horizontally adjacent pair (``gray[y][x+1] > gray[y][x]``,
@@ -643,7 +643,7 @@ class PpmDHashDecoder:
 
 
 class WavFingerprintDecoder:
-    """Actor-pool stage: REAL WAV decode -> acoustic fingerprint.
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL WAV decode -> acoustic fingerprint.
 
     Chromaprint-style energy-contour hash on the decoded PCM: 16 frames
     of 4 samples, integer frame energy (sum of squares), one bit per

@@ -79,7 +79,7 @@ def attach_mixed_payloads(batch: pa.Table) -> pa.Table:
 
 
 class MixedSpanExtractor:
-    """Actor-pool stage: sniff each payload's format, route it through
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): sniff each payload's format, route it through
     the matching parser stack (DOM traversal / PDF object graph / WARC +
     HTTP + DOM), and emit the flagship span sequence — one flat row per
     content span, offsets in reading order."""

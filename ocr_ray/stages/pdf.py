@@ -680,7 +680,7 @@ def attach_span_pdf_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PdfSpanExtractor:
-    """Actor-pool stage: recover the flagship span sequence (kind, text,
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): recover the flagship span sequence (kind, text,
     media_ref, order) from typeset PDFs — object-graph XObject resolution
     for media refs, position-band chrome strip, reading-order sort. Same
     flat output schema (and oracle) as the flagship ``extract_spans``."""
@@ -723,7 +723,7 @@ def attach_pdf_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PdfTextExtractor:
-    """Actor-pool stage: full PDF parse (xref, object graph, inflate,
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): full PDF parse (xref, object graph, inflate,
     text operators) + reading-order reassembly. Output schema: doc_id,
     extracted_text, n_pages, n_chunks."""
 
@@ -876,7 +876,7 @@ def attach_twocol_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PdfTwoColExtractor:
-    """Actor-pool stage: two-column PDF parse + column-aware reading
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): two-column PDF parse + column-aware reading
     order. Output schema: doc_id, extracted_text, n_pages, n_lines."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1025,7 +1025,7 @@ def attach_hyphen_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PdfDehyphenExtractor:
-    """Actor-pool stage: fixed-width hyphenated typesetting -> original
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): fixed-width hyphenated typesetting -> original
     text. Output schema: doc_id, extracted_text, n_pages, n_joins."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:

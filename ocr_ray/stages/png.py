@@ -333,7 +333,7 @@ def attach_png_payloads(batch: pa.Table) -> pa.Table:
 
 
 class PngDecoder:
-    """Actor-pool stage: REAL PNG decode (inflate + unfilter + CRC walk) +
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): REAL PNG decode (inflate + unfilter + CRC walk) +
     per-channel statistics, identical output schema to ``PpmDecoder`` so
     the two image codecs are drop-in alternatives in a pipeline spec."""
 

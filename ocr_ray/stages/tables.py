@@ -222,7 +222,7 @@ def attach_table_payloads(batch: pa.Table) -> pa.Table:
 
 
 class HtmlTableExtractor:
-    """Actor-pool stage: payload -> one row per data-table body cell
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): payload -> one row per data-table body cell
     (doc_id, row_idx, col_idx, cell_text), row-major."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -293,7 +293,7 @@ def attach_span_warc_payloads(batch: pa.Table) -> pa.Table:
 
 
 class WarcSpanExtractor:
-    """Actor-pool stage: WARC walk -> HTTP decode -> DOM span-sequence
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): WARC walk -> HTTP decode -> DOM span-sequence
     recovery. One output row per content span, same flat schema (and
     oracle) as the flagship ``extract_spans``."""
 
@@ -328,7 +328,7 @@ class WarcSpanExtractor:
 
 
 class WarcMainExtractor:
-    """Actor-pool stage: WARC walk -> response records only -> HTTP parse
+    """Decode/extract stage (task-pooled with per-worker instance reuse via ``stateless_stage`` — an actor pool would pay its spin-up per query): WARC walk -> response records only -> HTTP parse
     (chunked/gzip) -> HTML main-content extraction. One output row per
     archived response. Output schema: doc_id, extracted_text, n_blocks,
     n_content_blocks, n_boiler_words, http_status, content_encoding,
