@@ -468,17 +468,20 @@ def _pagerank_engine(
     state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
-    def bcast_parts(ranks_ds):
-        """Broadcast-frontier round: the O(nodes) rank state ships once
-        via ray.put; per-dst partial sums of rank//deg are computed
-        map-side over the edge blocks (sorted-key searchsorted lookup),
-        saving the edges⋈ranks shuffle per iteration. Identical integer
-        recurrence — the unrolled-CTE oracle holds on either path."""
+    def _bcast_step(ranks_ds):
+        """Broadcast-frontier iteration with a DRIVER-side fold (same
+        design as the bfs/sssp broadcast paths): rank state ships once
+        via ray.put, per-dst partial sums of rank//deg are computed
+        map-side over the edge blocks, the bounded partials collect and
+        SUM on the driver (sum is associative -> identical integers to
+        the join path, parity-tested), and the teleport formula applies
+        vectorized — no sort barrier per iteration."""
         rd = ranks_ds.to_pandas()
         keys = rd["node"].to_numpy(dtype=np.int64)
         vals = rd["rank"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
-        ref = ray.put((keys[order], vals[order]))
+        keys, vals = keys[order], vals[order]
+        ref = ray.put((keys, vals))
 
         def part_batch(t: pa.Table) -> pa.Table:
             from ocr_ray.functions.relational import _prepared
@@ -497,11 +500,24 @@ def _pagerank_engine(
                 }
             )
 
-        return edges_deg.map_batches(part_batch, batch_format="pyarrow")
+        parts = edges_deg.map_batches(part_batch, batch_format="pyarrow").to_pandas()
+        sums = np.zeros(len(keys), dtype=np.int64)
+        if len(parts):
+            pn = parts["node"].to_numpy(dtype=np.int64)
+            pp = parts["part"].to_numpy(dtype=np.int64)
+            o2 = np.argsort(pn, kind="stable")
+            pn, pp = pn[o2], pp[o2]
+            starts = np.flatnonzero(_run_starts(pn))
+            per_node = np.add.reduceat(pp, starts)
+            sums[np.searchsorted(keys, pn[starts])] = per_node
+        new_rank = teleport + (85 * sums) // 100
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(keys), "rank": pa.array(new_rank)})
+        )
 
     def step(ranks):
         if use_broadcast:
-            parts = bcast_parts(ranks)
+            return _bcast_step(ranks)
         else:
             parts = hash_join(
                 edges_deg,
@@ -905,51 +921,65 @@ def bfs_levels(
     state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
-    def bcast_candidates(state_ds):
-        """Broadcast-frontier round (same contract as the sssp variant):
-        dist state ships once via ray.put; per-dst min(dist+1) computed
-        map-side over edge blocks, saving the edges⋈state shuffle. Same
-        integers as the join path — the unrolled-CTE oracle holds on
-        either."""
-        sd = state_ds.to_pandas()
+    if use_broadcast:
+        # Broadcast-frontier rounds with a DRIVER-side fold (same design
+        # as sssp_weighted's broadcast path): no sort barrier per round —
+        # one map over edge blocks, a bounded collect of per-batch
+        # per-dst minima, a numpy min fold into the driver-resident
+        # state. Min is associative -> identical integers to the join
+        # path (parity-tested).
+        sd = state.to_pandas()
         keys = sd["node"].to_numpy(dtype=np.int64)
         vals = sd["dist"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
-        ref = ray.put((keys[order], vals[order]))
+        keys, vals = keys[order], vals[order]
 
-        def cand_batch(t: pa.Table) -> pa.Table:
-            from ocr_ray.functions.relational import _prepared
+        for _ in range(iterations):
+            ref = ray.put((keys, vals))
 
-            k, v = _prepared(("bfs_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            d = v[np.searchsorted(k, src)] + 1
-            df = pd.DataFrame({"node": dst, "dist": d})
-            red = df.groupby("node", as_index=False)["dist"].min()
-            return pa.table(
-                {
-                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
-                    "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
-                }
-            )
+            def cand_batch(t: pa.Table) -> pa.Table:
+                from ocr_ray.functions.relational import _prepared
 
-        return e.map_batches(cand_batch, batch_format="pyarrow")
+                k, v = _prepared(
+                    ("bfs_state", ref.hex()), lambda: ray.get(ref), category_cap=2
+                )
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                d = v[np.searchsorted(k, src)] + 1
+                df = pd.DataFrame({"node": dst, "dist": d})
+                red = df.groupby("node", as_index=False)["dist"].min()
+                return pa.table(
+                    {
+                        "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
+                        "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
+                    }
+                )
+
+            cand = e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
+            cn = cand["node"].to_numpy(dtype=np.int64)
+            cd = cand["dist"].to_numpy(dtype=np.int64)
+            o2 = np.argsort(cn, kind="stable")
+            cn, cd = cn[o2], cd[o2]
+            starts = np.flatnonzero(_run_starts(cn))
+            per_node = np.minimum.reduceat(cd, starts)
+            pos = np.searchsorted(keys, cn[starts])
+            vals[pos] = np.minimum(vals[pos], per_node)
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(keys), "dist": pa.array(vals)})
+        )
 
     for _ in range(iterations):
-        if use_broadcast:
-            cand = bcast_candidates(state)
-        else:
-            cand = hash_join(
-                e,
-                state,
-                on="src",
-                right_on="node",
-                num_buckets=num_buckets,
-                left_schema=edge_schema,
-                right_schema=state_schema,
-                bucket_post=combine,
-                post_schema=state_schema,
-            )
+        cand = hash_join(
+            e,
+            state,
+            on="src",
+            right_on="node",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=state_schema,
+            bucket_post=combine,
+            post_schema=state_schema,
+        )
         state = (
             cand.union(state)
             .map_batches(bucketize_state, batch_format="pyarrow")
@@ -1089,53 +1119,74 @@ def sssp_weighted(
     state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
-    def bcast_candidates(state_ds):
-        """Broadcast-frontier round: the O(nodes) dist state ships once
-        via ray.put and candidates are computed map-side over the edge
-        blocks (sorted-key searchsorted lookup + per-dst min inside the
-        batch) — saves the edges⋈state shuffle per round; the small
-        fold over (candidates ∪ state) is unchanged. Same integers as
-        the join path, so the oracle contract holds on either."""
-        sd = state_ds.to_pandas()
+    if use_broadcast:
+        # Broadcast-frontier rounds with a DRIVER-side fold: the state is
+        # already collected on the driver to ship each round's broadcast,
+        # so the per-round relaxation needs NO sort barrier at all — one
+        # map over the edge blocks (sorted-key searchsorted lookup +
+        # per-dst min inside each batch), a bounded collect of the
+        # per-batch partials (<= nodes x blocks rows), and a numpy min
+        # fold. Min is associative, so the integers equal the join path's
+        # bit-for-bit (parity-tested; the >threshold path is unchanged).
+        sd = state.to_pandas()
         keys = sd["node"].to_numpy(dtype=np.int64)
         vals = sd["dist"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
-        ref = ray.put((keys[order], vals[order]))
+        keys, vals = keys[order], vals[order]
 
-        def cand_batch(t: pa.Table) -> pa.Table:
-            from ocr_ray.functions.relational import _prepared
+        for _ in range(iterations):
+            ref = ray.put((keys, vals))
 
-            k, v = _prepared(("sssp_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            w = t["w"].to_numpy(zero_copy_only=False)
-            d = v[np.searchsorted(k, src)] + w
-            df = pd.DataFrame({"node": dst, "dist": d})
-            red = df.groupby("node", as_index=False)["dist"].min()
-            return pa.table(
-                {
-                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
-                    "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
-                }
+            def cand_batch(t: pa.Table) -> pa.Table:
+                from ocr_ray.functions.relational import _prepared
+
+                k, v = _prepared(
+                    ("sssp_state", ref.hex()), lambda: ray.get(ref), category_cap=2
+                )
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                w = t["w"].to_numpy(zero_copy_only=False)
+                d = v[np.searchsorted(k, src)] + w
+                df = pd.DataFrame({"node": dst, "dist": d})
+                red = df.groupby("node", as_index=False)["dist"].min()
+                return pa.table(
+                    {
+                        "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
+                        "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
+                    }
+                )
+
+            cand = (
+                e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
             )
-
-        return e.map_batches(cand_batch, batch_format="pyarrow")
+            cn = cand["node"].to_numpy(dtype=np.int64)
+            cd = cand["dist"].to_numpy(dtype=np.int64)
+            # fold candidate mins into the state: sort by node, per-run min
+            o2 = np.argsort(cn, kind="stable")
+            cn, cd = cn[o2], cd[o2]
+            starts = np.flatnonzero(_run_starts(cn))
+            per_node = np.minimum.reduceat(cd, starts)
+            pos = np.searchsorted(keys, cn[starts])
+            vals[pos] = np.minimum(vals[pos], per_node)
+        # state lived on the driver all along: one Arrow block IS the
+        # pinned layout (and from_arrow is materialized, so num_blocks
+        # and immediate consumption both work without an execution)
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(keys), "dist": pa.array(vals)})
+        )
 
     for _ in range(iterations):
-        if use_broadcast:
-            cand = bcast_candidates(state)
-        else:
-            cand = hash_join(
-                e,
-                state,
-                on="src",
-                right_on="node",
-                num_buckets=num_buckets,
-                left_schema=edge_schema,
-                right_schema=state_schema,
-                bucket_post=combine,
-                post_schema=state_schema,
-            )
+        cand = hash_join(
+            e,
+            state,
+            on="src",
+            right_on="node",
+            num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=state_schema,
+            bucket_post=combine,
+            post_schema=state_schema,
+        )
         state = (
             cand.union(state)
             .map_batches(bucketize_state, batch_format="pyarrow")
