@@ -956,6 +956,8 @@ def bfs_levels(
                 )
 
             cand = e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
+            if len(cand) == 0:
+                continue  # defensive: a nonempty edge set always emits
             cn = cand["node"].to_numpy(dtype=np.int64)
             cd = cand["dist"].to_numpy(dtype=np.int64)
             o2 = np.argsort(cn, kind="stable")
@@ -1159,6 +1161,8 @@ def sssp_weighted(
             cand = (
                 e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
             )
+            if len(cand) == 0:
+                continue  # defensive: a nonempty edge set always emits
             cn = cand["node"].to_numpy(dtype=np.int64)
             cd = cand["dist"].to_numpy(dtype=np.int64)
             # fold candidate mins into the state: sort by node, per-run min
