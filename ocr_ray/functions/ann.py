@@ -674,33 +674,38 @@ def pq_topk(ds, queries_ref, books_ref, *, k: int = 5, shortlist: int = 64):
     cand = partial.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k=shortlist), batch_format="pandas"
     )
-    # shortlist is Q x shortlist rows — a broadcastable candidate set
+    # shortlist is Q x shortlist rows — a broadcastable candidate set.
+    # Both membership tests below are vectorized: sorted int64 arrays +
+    # np.isin, never per-row Python `in` over a set (that was a per-row
+    # interpreter loop across the full rescore scan).
     cdf = cand.to_pandas()
-    cand_ids = set(cdf["vec_id"].astype(int))
+    cand_ids = np.unique(cdf["vec_id"].to_numpy(dtype=np.int64))
     ids_ref = ray.put(cand_ids)
 
     def keep_cands(batch: pa.Table) -> pa.Table:
         wanted = _prepared((ids_ref.hex(), "pq_cands"), lambda: ray.get(ids_ref))
         vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.fromiter((int(v) in wanted for v in vids), dtype=bool, count=len(vids))
+        mask = np.isin(vids, wanted, assume_unique=False)
         return batch.filter(pa.array(mask))
 
     # exact rescore scans only candidate rows; per-query membership is
     # enforced by a final in-group filter (a candidate of query A is not
-    # a candidate of query B)
-    allowed = {
-        (int(q), int(v)) for q, v in zip(cdf["query_id"], cdf["vec_id"])
-    }
+    # a candidate of query B). (q, v) pairs pack into one int64 key.
+    q_arr = cdf["query_id"].to_numpy(dtype=np.int64)
+    v_arr = cdf["vec_id"].to_numpy(dtype=np.int64)
+    assert q_arr.size == 0 or (
+        q_arr.min() >= 0 and v_arr.min() >= 0 and q_arr.max() < (1 << 31) and v_arr.max() < (1 << 31)
+    ), "pq_topk pair packing requires non-negative ids < 2^31"
+    allowed = np.unique((q_arr << np.int64(31)) | v_arr)
     allowed_ref = ray.put(allowed)
     exact = brute_topk(ds.map_batches(keep_cands, batch_format="pyarrow"), queries_ref, k=shortlist)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         ok = _prepared((allowed_ref.hex(), "pq_allowed"), lambda: ray.get(allowed_ref))
-        m = [
-            (int(q), int(v)) in ok
-            for q, v in zip(g["query_id"], g["vec_id"])
-        ]
-        g = g[np.asarray(m, dtype=bool)]
+        keys = (g["query_id"].to_numpy(dtype=np.int64) << np.int64(31)) | g[
+            "vec_id"
+        ].to_numpy(dtype=np.int64)
+        g = g[np.isin(keys, ok)]
         g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)

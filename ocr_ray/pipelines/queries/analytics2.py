@@ -125,9 +125,14 @@ def regr_price_by_qty(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # map-side COMBINE (the q1 partial+final idiom): fold each batch to
+        # <= |returnflag| partial-sum rows BEFORE the shuffle — without it
+        # the Ray aggregate sorts the whole table to produce 3 rows (the
+        # r3-measured Dataset.aggregate pathology; this query was the one
+        # bench regression in BENCH_r03).
         xc = to_units(t["l_quantity"])
         yc = to_units(t["l_extendedprice"])
-        return pa.table(
+        tbl = pa.table(
             {
                 "returnflag": t["l_returnflag"],
                 "xc": xc,
@@ -136,12 +141,16 @@ def regr_price_by_qty(sf_dir: str) -> ray.data.Dataset:
                 "xy": pc.multiply_checked(xc, yc),
             }
         )
+        part = tbl.group_by("returnflag").aggregate(
+            [([], "count_all"), ("xc", "sum"), ("yc", "sum"), ("xx", "sum"), ("xy", "sum")]
+        )
+        return part.rename_columns(["returnflag", "n", "xc", "yc", "xx", "xy"])
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("returnflag")
         .aggregate(
-            Count(alias_name="n_rows"),
+            Sum("n", alias_name="n_rows"),
             Sum("xc", alias_name="sx"),
             Sum("yc", alias_name="sy"),
             Sum("xx", alias_name="sxx"),
