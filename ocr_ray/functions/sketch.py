@@ -151,6 +151,19 @@ def histogram_quantiles(
     return out
 
 
+def _bitpattern_bin_of(v: np.ndarray) -> np.ndarray:
+    """Data-INDEPENDENT monotone binning for the distributed-selection
+    primitives: the top 18 bits of the sign-flipped IEEE-754 pattern
+    (sign, exponent, top-6 mantissa bits). Order-preserving, ~64 bins
+    per occupied octave, and — unlike uniform [lo, hi] binning — it
+    needs no min/max pre-pass, which removes one full data pass per
+    selection. int64 inputs cast to float64 exactly below 2^53."""
+    u = np.ascontiguousarray(v.astype(np.float64)).view(np.uint64)
+    neg = (u >> np.uint64(63)) == 1
+    k = np.where(neg, ~u, u | np.uint64(1 << 63))
+    return (k >> np.uint64(64 - 18)).astype(np.int64)
+
+
 def grouped_exact_median(
     ds,
     *,
@@ -177,25 +190,26 @@ def grouped_exact_median(
     """
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
 
     if value_range is not None:
         # caller already knows a bounding range (e.g. deviations from a
-        # prior median lie in [0, max-min]) — skip one barrier. Bounds
+        # prior median lie in [0, max-min]) — uniform bins over it. Bounds
         # only affect BIN PLACEMENT, never exactness: pass 3 recounts the
         # bracketing bins' true values, and bin_of clamps outliers into
         # the edge bins, so a loose range degrades selectivity, not
         # correctness.
         lo, hi = float(value_range[0]), float(value_range[1])
-    else:
-        mm = ds.aggregate(Min(value_col), Max(value_col))
-        lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    span = max(hi - lo, 1e-300)
+        span = max(hi - lo, 1e-300)
 
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        # clamp the FLOAT before the int cast (out-of-range would overflow
-        # and wrap to bin 0); callers filter NaN first
-        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
+        def bin_of(v: np.ndarray) -> np.ndarray:
+            # clamp the FLOAT before the int cast (out-of-range would
+            # overflow and wrap to bin 0); callers filter NaN first
+            return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
+
+    else:
+        # no range known: barrier-free monotone bit-pattern binning
+        bin_of = _bitpattern_bin_of
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -213,12 +227,13 @@ def grouped_exact_median(
             }
         )
 
-    merged = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby([group_col, "bin"])
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=[group_col, "bin"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()
 
     needed: dict[str, set[int]] = {}
     plan: dict[str, dict] = {}
@@ -337,18 +352,8 @@ def grouped_exact_quantiles(
     """
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
-    from ocr_ray.sizing import pool_size
-
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    span = max(hi - lo, 1e-300)
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        # clamp the FLOAT before the int cast (out-of-range would overflow
-        # and wrap to bin 0); callers filter NaN first
-        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
+    bin_of = _bitpattern_bin_of
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -366,12 +371,13 @@ def grouped_exact_quantiles(
             }
         )
 
-    merged = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby([group_col, "bin"])
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=[group_col, "bin"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()
 
     # plan: per group, the order-statistic target index of every quantile
     # and the bin that contains it (+ count of values below that bin)
@@ -440,16 +446,8 @@ def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int
     whole group). Returns ``{group: (n, {pos: value})}``."""
     import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    span = max(hi - lo, 1e-300)
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        # clamp the FLOAT before the int cast (out-of-range would overflow
-        # and wrap to bin 0); callers filter NaN first
-        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
+    bin_of = _bitpattern_bin_of
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -467,12 +465,13 @@ def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int
             }
         )
 
-    merged = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby([group_col, "bin"])
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=[group_col, "bin"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()
 
     needed: dict[str, set[int]] = {}
     plan: dict[str, dict] = {}
@@ -608,3 +607,158 @@ def cm_estimate(counters: np.ndarray, keys: np.ndarray) -> np.ndarray:
     flat counter vector (length CM_DEPTH * CM_WIDTH)."""
     slots = cm_slots_for(keys)
     return counters[slots].min(axis=1)
+
+
+def grouped_winsorize_stats(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    q_lo: float,
+    q_hi: float,
+) -> pd.DataFrame:
+    """EXACT per-group winsorization statistics in TWO data passes total
+    — two passes fewer than fitting quantiles and then clipping (the
+    VERDICT-r3 chained-selection item):
+
+    1. per-(group, bin) histogram carrying COUNT and integer SUM —
+       map-side combined, distributed ``groupby.sum`` (bins come from a
+       data-independent monotone bit-pattern key, so no min/max
+       pre-pass barrier exists);
+    2. broadcast-filter fetch of only the bracketing cells.
+
+    The clipped sum needs no extra pass: with per-bin sums,
+    ``sum_winsorized = total - sum(v < p_lo) - sum(v > p_hi)
+    + n_lo * p_lo + n_hi * p_hi`` where the partial sums split into
+    whole-bin prefixes (from the histogram) plus exact in-cell
+    corrections (from the fetched bracketing cells). ``value_col`` must
+    be int64 (integer units) so every sum is exact; quantiles use
+    ``quantile_disc`` semantics (order statistic ``ceil(q*n) - 1``).
+
+    Returns ``(group_col, n, n_clipped_lo, n_clipped_hi,
+    sum_winsorized, p_lo, p_hi)`` — all int64.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ocr_ray.functions.relational import _prepared, bucketed_aggregate
+
+    bin_of = _bitpattern_bin_of
+
+    def hist(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t[value_col])
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)  # NULL contributes to no quantile (SQL)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {group_col: t[group_col].to_pylist(), "bin": bin_of(v), "v": v}
+        )
+        red = (
+            df.groupby([group_col, "bin"], sort=False)["v"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(red[group_col], type=pa.string()),
+                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+                "count": pa.array(red["size"].to_numpy(dtype=np.int64)),
+                "vsum": pa.array(red["sum"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=[group_col, "bin"],
+        aggs={"count": ("count", "sum"), "vsum": ("vsum", "sum")},
+    ).to_pandas()
+
+    needed: dict[str, set[int]] = {}
+    plan: dict[str, dict] = {}
+    for g, sub in merged.groupby(group_col):
+        sub = sub.sort_values("bin")
+        bvals = sub["bin"].to_numpy(dtype=np.int64)
+        counts = sub["count"].to_numpy(dtype=np.int64)
+        sums = sub["vsum"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        cumsum_v = np.cumsum(sums)
+        n = int(cum[-1])
+        total_sum = int(cumsum_v[-1])
+        ginfo: dict = {"n": n, "total_sum": total_sum, "targets": {}}
+        for q in (q_lo, q_hi):
+            pos = max(int(np.ceil(q * n)) - 1, 0)
+            j = int(np.searchsorted(cum, pos + 1))
+            b = int(bvals[j])
+            needed.setdefault(str(g), set()).add(b)
+            ginfo["targets"][q] = {
+                "pos": pos,
+                "bin": b,
+                "below": int(cum[j - 1]) if j > 0 else 0,
+                "below_sum": int(cumsum_v[j - 1]) if j > 0 else 0,
+                "through_sum": int(cumsum_v[j]),
+                "through": int(cum[j]),
+            }
+        plan[str(g)] = ginfo
+
+    needed_ref = ray.put(needed)
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        pairs = _prepared(
+            ("winsorcells", needed_ref.hex()),
+            lambda: frozenset(
+                (g, b) for g, bs in ray.get(needed_ref).items() for b in bs
+            ),
+        )
+        valid = pc.is_valid(t[value_col])
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = bin_of(v)
+        groups = t[group_col].to_pylist()
+        keep = pd.MultiIndex.from_arrays([groups, b]).isin(pairs)
+        ft = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                group_col: ft[group_col],
+                "bin": pa.array(b[keep]),
+                "value": pc.cast(ft[value_col], pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(cell_filter, batch_format="pyarrow").to_pandas()
+
+    rows: list[dict] = []
+    for g, p in plan.items():
+        gc = cells[cells[group_col] == g]
+        n, total_sum = p["n"], p["total_sum"]
+        picked: dict[float, dict] = {}
+        for q, ti in p["targets"].items():
+            vals = np.sort(gc.loc[gc["bin"] == ti["bin"], "value"].to_numpy(dtype=np.int64))
+            pv = int(vals[ti["pos"] - ti["below"]])
+            picked[q] = {"p": pv, "vals": vals, "ti": ti}
+        lo_i, hi_i = picked[q_lo], picked[q_hi]
+        p_lo_v, p_hi_v = lo_i["p"], hi_i["p"]
+        # values strictly below p_lo: whole bins below the bracketing bin
+        # plus the exact in-cell prefix (int sums — no float anywhere)
+        in_lo = lo_i["vals"][lo_i["vals"] < p_lo_v]
+        n_below = lo_i["ti"]["below"] + len(in_lo)
+        sum_below = lo_i["ti"]["below_sum"] + int(in_lo.sum())
+        in_hi = hi_i["vals"][hi_i["vals"] > p_hi_v]
+        n_above = (n - hi_i["ti"]["through"]) + len(in_hi)
+        sum_above = (total_sum - hi_i["ti"]["through_sum"]) + int(in_hi.sum())
+        sum_w = total_sum - sum_below - sum_above + n_below * p_lo_v + n_above * p_hi_v
+        rows.append(
+            {
+                group_col: g,
+                "n": n,
+                "n_clipped_lo": n_below,
+                "n_clipped_hi": n_above,
+                "sum_winsorized": sum_w,
+                "p_lo": p_lo_v,
+                "p_hi": p_hi_v,
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[group_col, "n", "n_clipped_lo", "n_clipped_hi", "sum_winsorized", "p_lo", "p_hi"],
+    )

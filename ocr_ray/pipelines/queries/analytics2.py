@@ -1393,18 +1393,20 @@ FROM c JOIN b USING (o_orderstatus)
 GROUP BY c.o_orderstatus, b.lo, b.hi
 """,
 )
-def winsorize_order_prices(sf_dir: str) -> ray.data.Dataset:
+def winsorize_order_prices(sf_dir: str) -> pa.Table:
     """WINSORIZATION — the robust-preprocessing transform (clip each
     group's values at its own p05/p95 before aggregating, so a fat tail
-    can't dominate a feature): per-status exact discrete quantiles via
-    the distributed-selection machinery (no task holds a group), the
-    six boundary values broadcast, then ONE stateless clipped-sum pass
-    folded per status. Everything is integer cents — fit boundaries,
-    clip, sums — so the oracle (quantile_disc + LEAST/GREATEST in SQL)
-    matches bit-exactly with no float anywhere."""
-    from ray.data.aggregate import Count, Sum
-
-    from ocr_ray.functions.sketch import grouped_exact_quantiles
+    can't dominate a feature): ``grouped_winsorize_stats`` computes the
+    per-status exact discrete quantiles AND the clipped sums in the
+    SAME histogram-selection passes (per-bin integer sums + exact
+    in-cell corrections) — no separate clip pass, no second shuffle,
+    and the monotone bit-pattern binning needs no min/max barrier, so
+    the whole query is TWO passes over the pruned 2-column read (the
+    VERDICT-r3 chained-selection pass cut: was min/max + histogram +
+    cell fetch + clip/aggregate = 4). Everything is integer cents, so
+    the oracle (quantile_disc + LEAST/GREATEST in SQL) matches
+    bit-exactly with no float anywhere."""
+    from ocr_ray.functions.sketch import grouped_winsorize_stats
 
     ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
 
@@ -1417,52 +1419,17 @@ def winsorize_order_prices(sf_dir: str) -> ray.data.Dataset:
         )
 
     cents = ds.map_batches(prep, batch_format="pyarrow")
-    fitted = grouped_exact_quantiles(
-        cents, group_col="o_orderstatus", value_col="price_c", qs=(0.05, 0.95)
+    stats = grouped_winsorize_stats(
+        cents, group_col="o_orderstatus", value_col="price_c", q_lo=0.05, q_hi=0.95
+    ).sort_values("o_orderstatus", ignore_index=True)
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(stats["o_orderstatus"], type=pa.string()),
+            "n_orders": pa.array(stats["n"].to_numpy(dtype=np.int64)),
+            "n_clipped_lo": pa.array(stats["n_clipped_lo"].to_numpy(dtype=np.int64)),
+            "n_clipped_hi": pa.array(stats["n_clipped_hi"].to_numpy(dtype=np.int64)),
+            "sum_winsorized_c": pa.array(stats["sum_winsorized"].to_numpy(dtype=np.int64)),
+            "p05_c": pa.array(stats["p_lo"].to_numpy(dtype=np.int64)),
+            "p95_c": pa.array(stats["p_hi"].to_numpy(dtype=np.int64)),
+        }
     )
-    bounds = {
-        r["o_orderstatus"]: (np.int64(r["q_5"]), np.int64(r["q_95"]))
-        for _, r in fitted.iterrows()
-    }
-
-    def clip(t: pa.Table) -> pa.Table:
-        status = t["o_orderstatus"].to_pylist()
-        v = t["price_c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lo = np.array([bounds[s][0] for s in status], dtype=np.int64)
-        hi = np.array([bounds[s][1] for s in status], dtype=np.int64)
-        return pa.table(
-            {
-                "o_orderstatus": t["o_orderstatus"],
-                "clipped": pa.array(np.clip(v, lo, hi)),
-                "is_lo": pa.array((v < lo).astype(np.int64)),
-                "is_hi": pa.array((v > hi).astype(np.int64)),
-            }
-        )
-
-    agg = (
-        cents.map_batches(clip, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("is_lo", alias_name="n_clipped_lo"),
-            Sum("is_hi", alias_name="n_clipped_hi"),
-            Sum("clipped", alias_name="sum_winsorized_c"),
-        )
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        lo = np.array([bounds[s][0] for s in df["o_orderstatus"]], dtype=np.int64)
-        hi = np.array([bounds[s][1] for s in df["o_orderstatus"]], dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "o_orderstatus": df["o_orderstatus"],
-                "n_orders": df["n_orders"].astype(np.int64),
-                "n_clipped_lo": df["n_clipped_lo"].astype(np.int64),
-                "n_clipped_hi": df["n_clipped_hi"].astype(np.int64),
-                "sum_winsorized_c": df["sum_winsorized_c"].astype(np.int64),
-                "p05_c": lo,
-                "p95_c": hi,
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pandas")

@@ -1685,27 +1685,25 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
     holds a whole group): (1) per-type exact median; (2) the tiny
     per-type median table broadcasts, a stateless map derives
     ``|value - med|``, and a SECOND histogram selection takes the
-    median of deviations. Floats only in the derived subtraction (same
-    op order as SQL), so both medians compare bit-exact."""
+    median of deviations. Both selections use the barrier-free
+    bit-pattern binning, so the whole query is FOUR passes (was six:
+    a min/max barrier per selection plus one up front — the VERDICT-r3
+    chained-selection pass cut). Floats only in the derived subtraction
+    (same op order as SQL), so both medians compare bit-exact."""
     from ocr_ray.functions.relational import broadcast
     from ocr_ray.functions.sketch import grouped_exact_median
 
-    from ray.data.aggregate import Max, Min
-
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    mm = ds.aggregate(Min("value"), Max("value"))
-    v_lo, v_hi = float(mm["min(value)"]), float(mm["max(value)"])
-    med = grouped_exact_median(
-        ds, group_col="event_type", value_col="value", value_range=(v_lo, v_hi)
-    )
+    med = grouped_exact_median(ds, group_col="event_type", value_col="value")
     med_ref = broadcast(dict(zip(med["event_type"], med["median"])))
 
     def deviations(t: pa.Table) -> pa.Table:
         meds = ray.get(med_ref)
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        m = np.array(
-            [meds.get(s, np.nan) for s in t["event_type"].to_pylist()],
-            dtype=np.float64,
+        m = (
+            pd.Series(t["event_type"].to_pylist(), dtype=object)
+            .map(meds)
+            .to_numpy(dtype=np.float64, na_value=np.nan)
         )
         ok = np.isfinite(v)
         return pa.table(
@@ -1715,14 +1713,10 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
             }
         )
 
-    # |value - med| is bounded by the value span — the known range skips
-    # the deviations pass's own min/max barrier (bin placement only;
-    # exactness unaffected, see grouped_exact_median)
     mad = grouped_exact_median(
         ds.map_batches(deviations, batch_format="pyarrow"),
         group_col="event_type",
         value_col="dev",
-        value_range=(0.0, max(v_hi - v_lo, 1e-300)),
     )
     joined = med.merge(mad, on="event_type", suffixes=("", "_mad")).sort_values(
         "event_type", ignore_index=True

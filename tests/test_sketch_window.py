@@ -289,3 +289,51 @@ def test_scd2_history_invariants(queries, sf_smoke):
         totals, on="o_custkey"
     )
     assert (merged["n_orders"] == merged["n"]).all()
+
+
+def test_grouped_winsorize_stats_exact_vs_pandas(ray_session):
+    """The two-pass winsorize primitive vs a brute-force pandas oracle:
+    negatives (bit-pattern binning sign branch), NULLs (skipped like
+    SQL), heavy ties at a quantile boundary, and a single-value group."""
+    import ray as _ray
+
+    from ocr_ray.functions.sketch import grouped_winsorize_stats
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(-50_000, 5_000_000, size=4000),
+            np.full(500, 123_456),  # tie block
+            np.full(1, 77),  # singleton group below
+        ]
+    ).astype(np.int64)
+    groups = np.array(
+        ["a"] * 2000 + ["b"] * 2000 + ["a"] * 500 + ["solo"], dtype=object
+    )
+    df = pd.DataFrame({"g": groups, "v": vals})
+    # sprinkle NULLs into group b
+    df_null = pd.DataFrame({"g": ["b"] * 7, "v": [pd.NA] * 7})
+    full = pd.concat([df, df_null], ignore_index=True)
+    ds = _ray.data.from_pandas(full).map_batches(
+        lambda t: t, batch_format="pyarrow", batch_size=512
+    )
+
+    got = (
+        grouped_winsorize_stats(ds, group_col="g", value_col="v", q_lo=0.05, q_hi=0.95)
+        .set_index("g")
+        .sort_index()
+    )
+
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy(dtype=np.int64))
+        n = len(v)
+        p_lo = int(v[max(int(np.ceil(0.05 * n)) - 1, 0)])
+        p_hi = int(v[max(int(np.ceil(0.95 * n)) - 1, 0)])
+        clipped = np.clip(v, p_lo, p_hi)
+        row = got.loc[g]
+        assert int(row["n"]) == n
+        assert int(row["p_lo"]) == p_lo
+        assert int(row["p_hi"]) == p_hi
+        assert int(row["n_clipped_lo"]) == int((v < p_lo).sum())
+        assert int(row["n_clipped_hi"]) == int((v > p_hi).sum())
+        assert int(row["sum_winsorized"]) == int(clipped.sum())
