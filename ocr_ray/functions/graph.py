@@ -190,6 +190,82 @@ def _checksum(edges) -> tuple:
     return (int(parts["n"].sum()), int(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64)))
 
 
+# ---------------------------------------------------------------------------
+# Raw-task broadcast rounds (below broadcast_threshold)
+# ---------------------------------------------------------------------------
+# Each iteration of the broadcast-frontier engines is ONE wave of plain Ray
+# tasks over the materialized edge blocks (fetched as Arrow refs once) with
+# a driver-side fold — not a Dataset execution. A streaming-executor launch
+# costs ~0.3-0.5 s of dispatch per round and that barrier samples host
+# noise (sssp measured 3.2-12.6 s across load windows, VERDICT r3); a task
+# wave over the same blocks is ~10x cheaper and far less window-sensitive.
+# The per-block arithmetic is identical to the Dataset path and min/sum
+# folds are associative, so integers stay bit-equal to the shuffle path
+# (parity-tested). State ships to tasks as an ObjectRef argument — plasma
+# deduplicates it per node, the broadcast-once discipline.
+
+
+def _fold_pairs(nodes: np.ndarray, vals: np.ndarray, op) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node reduce of concatenated (node, value) partials."""
+    order = np.lexsort((vals, nodes))
+    n, v = nodes[order], vals[order]
+    starts = np.flatnonzero(_run_starts(n))
+    return n[starts], op.reduceat(v, starts)
+
+
+@ray.remote
+def _minplus_block(block: pa.Table, kv, step_w):
+    """Per-dst candidate minima of one edge block: dist[src] + w (sssp,
+    step_w=None reads the block's ``w`` column) or + step_w (bfs)."""
+    if block.num_rows == 0:  # empty map_groups outputs have no schema
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k, v = kv
+    srcn = block["src"].to_numpy(zero_copy_only=False)
+    dstn = block["dst"].to_numpy(zero_copy_only=False)
+    add = (
+        block["w"].to_numpy(zero_copy_only=False)
+        if step_w is None
+        else np.int64(step_w)
+    )
+    d = v[np.searchsorted(k, srcn)] + add
+    return _fold_pairs(dstn, d, np.minimum)
+
+
+@ray.remote
+def _rankshare_block(block: pa.Table, kv):
+    """Per-dst partial sums of rank[src] // deg for one edge block."""
+    if block.num_rows == 0:  # empty map_groups outputs have no schema
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k, v = kv
+    srcn = block["src"].to_numpy(zero_copy_only=False)
+    dstn = block["dst"].to_numpy(zero_copy_only=False)
+    deg = block["deg"].to_numpy(zero_copy_only=False)
+    share = v[np.searchsorted(k, srcn)] // deg
+    return _fold_pairs(dstn, share, np.add)
+
+
+@ray.remote
+def _degree_block(block: pa.Table, src_col: str):
+    """(distinct src, count) of one edge block — a degree partial."""
+    if block.num_rows == 0:  # empty map_groups outputs have no schema
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    srcn = block[src_col].to_numpy(zero_copy_only=False)
+    u, c = np.unique(srcn, return_counts=True)
+    return u, c.astype(np.int64)
+
+
+@ray.remote
+def _filter_block_alive(block: pa.Table, ids: np.ndarray, src_col: str, dst_col: str):
+    """Edge rows whose BOTH endpoints are in the sorted alive-id array.
+    Returned table stays in the object store (callers keep the ref)."""
+    if block.num_rows == 0:  # empty map_groups outputs have no schema
+        return block
+    srcn = block[src_col].to_numpy(zero_copy_only=False)
+    dstn = block[dst_col].to_numpy(zero_copy_only=False)
+    keep = np.isin(srcn, ids) & np.isin(dstn, ids)
+    return block.filter(pa.array(keep))
+
+
 def connected_components(
     pairs,
     *,
@@ -468,11 +544,15 @@ def _pagerank_engine(
     state_buckets, bucketize_state = _state_bucketizer(n_nodes_total, num_buckets)
     use_broadcast = n_nodes_total <= broadcast_threshold
 
+    edge_block_refs: list = []  # lazily cached for the broadcast path
+
     def _bcast_step(ranks_ds):
         """Broadcast-frontier iteration with a DRIVER-side fold (same
         design as the bfs/sssp broadcast paths): rank state ships once
-        via ray.put, per-dst partial sums of rank//deg are computed
-        map-side over the edge blocks, the bounded partials collect and
+        via ray.put, per-dst partial sums of rank//deg are computed by
+        ONE wave of raw Ray tasks over the materialized edge blocks
+        (refs fetched once — no Dataset execution per iteration, the
+        window-noise amplifier of VERDICT r3), the bounded partials
         SUM on the driver (sum is associative -> identical integers to
         the join path, parity-tested), and the teleport formula applies
         vectorized — no sort barrier per iteration."""
@@ -483,33 +563,16 @@ def _pagerank_engine(
         keys, vals = keys[order], vals[order]
         ref = ray.put((keys, vals))
 
-        def part_batch(t: pa.Table) -> pa.Table:
-            from ocr_ray.functions.relational import _prepared
-
-            k, v = _prepared(("pr_state", ref.hex()), lambda: ray.get(ref), category_cap=2)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            deg = t["deg"].to_numpy(zero_copy_only=False)
-            share = v[np.searchsorted(k, src)] // deg
-            df = pd.DataFrame({"node": dst, "part": share})
-            red = df.groupby("node", as_index=False)["part"].sum()
-            return pa.table(
-                {
-                    "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
-                    "part": pa.array(red["part"].to_numpy(dtype=np.int64)),
-                }
-            )
-
-        parts = edges_deg.map_batches(part_batch, batch_format="pyarrow").to_pandas()
+        if not edge_block_refs:
+            edge_block_refs.extend(edges_deg.to_arrow_refs())
+        parts = ray.get([_rankshare_block.remote(b, ref) for b in edge_block_refs])
+        parts = [(n, p) for n, p in parts if len(n)]
         sums = np.zeros(len(keys), dtype=np.int64)
-        if len(parts):
-            pn = parts["node"].to_numpy(dtype=np.int64)
-            pp = parts["part"].to_numpy(dtype=np.int64)
-            o2 = np.argsort(pn, kind="stable")
-            pn, pp = pn[o2], pp[o2]
-            starts = np.flatnonzero(_run_starts(pn))
-            per_node = np.add.reduceat(pp, starts)
-            sums[np.searchsorted(keys, pn[starts])] = per_node
+        if parts:
+            pn = np.concatenate([n for n, _ in parts])
+            pp = np.concatenate([p for _, p in parts])
+            pn, per_node = _fold_pairs(pn, pp, np.add)
+            sums[np.searchsorted(keys, pn)] = per_node
         new_rank = teleport + (85 * sums) // 100
         return ray.data.from_arrow(
             pa.table({"node": pa.array(keys), "rank": pa.array(new_rank)})
@@ -601,7 +664,48 @@ def kcore(
     # graph converging on exactly the last permitted filter still returns
     # (matching an R-round-unrolled oracle's final degree pass) instead of
     # raising one check short
+    refs: list | None = None  # raw-task peel state (below threshold)
     for rounds in range(1, max_rounds + 2):
+        if refs is not None:
+            # raw-task peel rounds: one wave of degree-partial tasks over
+            # the (chained) filtered block refs, driver fold bounded by
+            # the alive node count (<= broadcast_threshold by
+            # construction), then one wave of endpoint-filter tasks whose
+            # outputs stay in the object store as the next round's
+            # blocks. No Dataset execution per round at all — the
+            # per-round executor launches were the window-noise
+            # amplifier (VERDICT r3). Same arithmetic as the Dataset
+            # path: per-src counts and >= k filter, so rounds and
+            # outputs match the bounded-unroll oracle exactly.
+            parts = ray.get([_degree_block.remote(b, src_col) for b in refs])
+            parts = [(u, c) for u, c in parts if len(u)]
+            if parts:
+                un = np.concatenate([u for u, _ in parts])
+                cn = np.concatenate([c for _, c in parts])
+                un, degs = _fold_pairs(un, cn, np.add)
+            else:
+                un = np.empty(0, dtype=np.int64)
+                degs = np.empty(0, dtype=np.int64)
+            alive_mask = degs >= k
+            n_nodes, n_alive = len(un), int(alive_mask.sum())
+            if n_alive == n_nodes or n_alive == 0:
+                out = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(un[alive_mask], type=pa.int64()),
+                            "core_deg": pa.array(degs[alive_mask], type=pa.int64()),
+                        }
+                    )
+                )
+                return out, rounds
+            if rounds > max_rounds:
+                break  # out of filter budget; the bound below reports it
+            ids_ref = ray.put(un[alive_mask])  # sorted by construction
+            refs = [
+                _filter_block_alive.remote(b, ids_ref, src_col, dst_col)
+                for b in refs
+            ]
+            continue
         # unlike the other engines' O(nodes) STATE folds, this fold's
         # INPUT is the (shrinking) edge set itself — corpus-sized rows,
         # so the edge bucket knob is the right granularity here
@@ -631,16 +735,16 @@ def kcore(
         if rounds > max_rounds:
             break  # out of filter budget; the bound below reports it
         if n_alive <= broadcast_threshold:
-            # broadcast-small-side path: the alive set ships once via
-            # ray.put and both endpoint filters run as task-pool maps —
-            # saves TWO bucketed shuffles per peel round (measured ~1 s
-            # each at sf0.1). 4M int64 keys ~= 32 MB, comfortably within
-            # the broadcast budget; larger graphs take the shuffle path.
-            from ocr_ray.functions.relational import semi_filter
-
-            ids = alive.to_pandas()[src_col].to_numpy(dtype=np.int64)
-            ref = ray.put(ids)
-            e = semi_filter(semi_filter(e, ref, src_col), ref, dst_col).materialize()
+            # switch to the raw-task peel: alive ids ship once via
+            # ray.put (<= 32 MB at the 4M threshold) and the current
+            # edge blocks are filtered by one task wave; subsequent
+            # rounds run entirely as task waves (branch above).
+            ids = np.sort(alive.to_pandas()[src_col].to_numpy(dtype=np.int64))
+            ids_ref = ray.put(ids)
+            refs = [
+                _filter_block_alive.remote(b, ids_ref, src_col, dst_col)
+                for b in e.to_arrow_refs()
+            ]
         else:
             alive_nodes = alive.map_batches(
                 lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64())}),
@@ -923,48 +1027,28 @@ def bfs_levels(
 
     if use_broadcast:
         # Broadcast-frontier rounds with a DRIVER-side fold (same design
-        # as sssp_weighted's broadcast path): no sort barrier per round —
-        # one map over edge blocks, a bounded collect of per-batch
-        # per-dst minima, a numpy min fold into the driver-resident
-        # state. Min is associative -> identical integers to the join
-        # path (parity-tested).
+        # as sssp_weighted's broadcast path): each round is one wave of
+        # raw Ray tasks over the materialized edge blocks + a numpy min
+        # fold — no Dataset execution per round (the window-noise
+        # amplifier, VERDICT r3). Min is associative -> identical
+        # integers to the join path (parity-tested).
         sd = state.to_pandas()
         keys = sd["node"].to_numpy(dtype=np.int64)
         vals = sd["dist"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
 
+        blocks = e.to_arrow_refs()  # fetched once; tasks read zero-copy
         for _ in range(iterations):
             ref = ray.put((keys, vals))
-
-            def cand_batch(t: pa.Table) -> pa.Table:
-                from ocr_ray.functions.relational import _prepared
-
-                k, v = _prepared(
-                    ("bfs_state", ref.hex()), lambda: ray.get(ref), category_cap=2
-                )
-                src = t["src"].to_numpy(zero_copy_only=False)
-                dst = t["dst"].to_numpy(zero_copy_only=False)
-                d = v[np.searchsorted(k, src)] + 1
-                df = pd.DataFrame({"node": dst, "dist": d})
-                red = df.groupby("node", as_index=False)["dist"].min()
-                return pa.table(
-                    {
-                        "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
-                        "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
-                    }
-                )
-
-            cand = e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
-            if len(cand) == 0:
+            parts = ray.get([_minplus_block.remote(b, ref, 1) for b in blocks])
+            parts = [(n, d) for n, d in parts if len(n)]
+            if not parts:
                 continue  # defensive: a nonempty edge set always emits
-            cn = cand["node"].to_numpy(dtype=np.int64)
-            cd = cand["dist"].to_numpy(dtype=np.int64)
-            o2 = np.argsort(cn, kind="stable")
-            cn, cd = cn[o2], cd[o2]
-            starts = np.flatnonzero(_run_starts(cn))
-            per_node = np.minimum.reduceat(cd, starts)
-            pos = np.searchsorted(keys, cn[starts])
+            cn = np.concatenate([n for n, _ in parts])
+            cd = np.concatenate([d for _, d in parts])
+            cn, per_node = _fold_pairs(cn, cd, np.minimum)
+            pos = np.searchsorted(keys, cn)
             vals[pos] = np.minimum(vals[pos], per_node)
         return ray.data.from_arrow(
             pa.table({"node": pa.array(keys), "dist": pa.array(vals)})
@@ -1124,53 +1208,32 @@ def sssp_weighted(
     if use_broadcast:
         # Broadcast-frontier rounds with a DRIVER-side fold: the state is
         # already collected on the driver to ship each round's broadcast,
-        # so the per-round relaxation needs NO sort barrier at all — one
-        # map over the edge blocks (sorted-key searchsorted lookup +
-        # per-dst min inside each batch), a bounded collect of the
-        # per-batch partials (<= nodes x blocks rows), and a numpy min
-        # fold. Min is associative, so the integers equal the join path's
-        # bit-for-bit (parity-tested; the >threshold path is unchanged).
+        # so each relaxation round is ONE wave of raw Ray tasks over the
+        # materialized edge blocks (per-dst min inside each block) plus a
+        # numpy min fold of the bounded partials (<= nodes x blocks
+        # rows). No Dataset execution per round at all — the
+        # streaming-executor launch was the window-noise amplifier
+        # (VERDICT r3). Min is associative, so the integers equal the
+        # join path's bit-for-bit (parity-tested; >threshold unchanged).
         sd = state.to_pandas()
         keys = sd["node"].to_numpy(dtype=np.int64)
         vals = sd["dist"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
 
+        blocks = e.to_arrow_refs()  # fetched once; tasks read zero-copy
         for _ in range(iterations):
             ref = ray.put((keys, vals))
-
-            def cand_batch(t: pa.Table) -> pa.Table:
-                from ocr_ray.functions.relational import _prepared
-
-                k, v = _prepared(
-                    ("sssp_state", ref.hex()), lambda: ray.get(ref), category_cap=2
-                )
-                src = t["src"].to_numpy(zero_copy_only=False)
-                dst = t["dst"].to_numpy(zero_copy_only=False)
-                w = t["w"].to_numpy(zero_copy_only=False)
-                d = v[np.searchsorted(k, src)] + w
-                df = pd.DataFrame({"node": dst, "dist": d})
-                red = df.groupby("node", as_index=False)["dist"].min()
-                return pa.table(
-                    {
-                        "node": pa.array(red["node"].to_numpy(dtype=np.int64)),
-                        "dist": pa.array(red["dist"].to_numpy(dtype=np.int64)),
-                    }
-                )
-
-            cand = (
-                e.map_batches(cand_batch, batch_format="pyarrow").to_pandas()
+            parts = ray.get(
+                [_minplus_block.remote(b, ref, None) for b in blocks]
             )
-            if len(cand) == 0:
+            parts = [(n, d) for n, d in parts if len(n)]
+            if not parts:
                 continue  # defensive: a nonempty edge set always emits
-            cn = cand["node"].to_numpy(dtype=np.int64)
-            cd = cand["dist"].to_numpy(dtype=np.int64)
-            # fold candidate mins into the state: sort by node, per-run min
-            o2 = np.argsort(cn, kind="stable")
-            cn, cd = cn[o2], cd[o2]
-            starts = np.flatnonzero(_run_starts(cn))
-            per_node = np.minimum.reduceat(cd, starts)
-            pos = np.searchsorted(keys, cn[starts])
+            cn = np.concatenate([n for n, _ in parts])
+            cd = np.concatenate([d for _, d in parts])
+            cn, per_node = _fold_pairs(cn, cd, np.minimum)
+            pos = np.searchsorted(keys, cn)
             vals[pos] = np.minimum(vals[pos], per_node)
         # state lived on the driver all along: one Arrow block IS the
         # pinned layout (and from_arrow is materialized, so num_blocks
