@@ -216,7 +216,12 @@ def _apply_merge(t: pa.Table, *, left: str, right: str) -> pa.Table:
 
 
 def bpe_train(
-    ds, *, num_merges: int, text_col: str = "text", verify: bool = False
+    ds,
+    *,
+    num_merges: int,
+    text_col: str = "text",
+    verify: bool = False,
+    return_word_counts: bool = False,
 ) -> pd.DataFrame:
     """Learn ``num_merges`` BPE merges over a text Dataset. Returns the
     merge table (rank, left, right, pair_count) — the tokenizer artifact.
@@ -262,6 +267,13 @@ def bpe_train(
                 "bpe_train verify failed: distributed merges "
                 f"{got[:3]}...({len(got)}) != reference {ref[:3]}...({len(ref)})"
             )
+    if return_word_counts:
+        # callers building a gate_ok column replay the reference on the
+        # SAME word-count table without a second corpus pass
+        if wc_dict is None:
+            wdf = wc.to_pandas()
+            wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
+        return out, wc_dict
     return out
 
 

@@ -764,23 +764,55 @@ def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
     word→count cache bounds work by unique word types per batch. No SQL
     oracle (data-dependent iterative fit); exactness is enforced at RUN
     time: the fit verifies its merges against the pure-Python reference
-    (``verify=True`` raises on divergence) and the encoder checks the
+    (``verify=True`` raises on divergence), the encoder checks the
     lossless roundtrip invariant (subwords concatenate back to the word)
-    for every unique word it tokenizes. Per-doc token counts are further
-    asserted equal to an independent encoder in tests/test_dedup_ann.py."""
-    from ocr_ray.functions.bpe import BpeEncoder, bpe_train
+    for every unique word it tokenizes, and the output is SELF-VERIFYING:
+    a deterministic sample of documents (doc_id % 97 == 0) is re-encoded
+    with the independent reference encoder and every row carries
+    ``gate_ok`` = that sampled comparison held. Per-doc token counts are
+    further asserted equal to the reference in tests/test_dedup_ann.py."""
+    from ocr_ray.functions.bpe import BpeEncoder, bpe_encode_reference, bpe_train
 
     fit = bpe_train(
         read_docs(sf_dir, columns=["text"]), num_merges=12, verify=True
     )
     merges = list(zip(fit["left"], fit["right"]))
     ds = read_docs(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(
+    out = ds.map_batches(
         BpeEncoder,
         batch_format="pyarrow",
         batch_size=256,
         concurrency=pool_size(),
         fn_constructor_kwargs={"merges": merges},
+    ).materialize()
+
+    # gate: deterministic doc sample re-encoded with the INDEPENDENT
+    # reference encoder (written without merge_pair_rows); sample-bounded
+    # driver work, one broadcast-filtered fetch of the sampled rows
+    def sample_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    txt = (
+        ds.map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    gate = True
+    for doc_id, n_eng in zip(eng["doc_id"], eng["n_bpe_tokens"]):
+        n_ref = sum(
+            len(bpe_encode_reference(w, merges))
+            for w in (txt.get(doc_id) or "").split(" ")
+            if w
+        )
+        if n_ref != int(n_eng):
+            gate = False
+            break
+    gate = bool(gate)
+    return out.map_batches(
+        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
+        batch_format="pyarrow",
     )
 
 

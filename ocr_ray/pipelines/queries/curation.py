@@ -733,7 +733,12 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     monotonicity + planted-cluster recovery are asserted in tests AND the
     query self-checks the Lloyd invariants at RUN time (objective mass
     non-decreasing across iterations, centroids unit-norm) and raises on
-    violation — a driver-visible exactness gate."""
+    violation. The output is additionally SELF-VERIFYING: a
+    deterministic sample of vectors (vec_id % 97 == 0) is re-scored on
+    the driver with an independent numpy argmax against the fitted
+    centroids, and every row carries ``gate_ok`` = (the Lloyd invariants
+    held) AND (the sampled assignments and cosines matched) — a
+    sample-bounded exactness gate visible in the returned table."""
     from ocr_ray.functions.ann import assign_clusters, farthest_point_init, kmeans_fit
     from ocr_ray.sources.readers import sample_parquet_rows
 
@@ -750,8 +755,36 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     norms = np.linalg.norm(cent, axis=1)
     if not np.allclose(norms, 1.0, atol=1e-9):
         raise RuntimeError(f"kmeans_embeddings: centroids not unit-norm: {norms}")
-    return assign_clusters(
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), ray.put(cent)
+    cent_ref = ray.put(cent)
+    out = assign_clusters(
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]), cent_ref
+    ).materialize()
+
+    # sample-bounded gate: deterministic vector sample re-scored on the
+    # driver with an independent numpy argmax (no O(n) driver state)
+    def sample_rows(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    raw = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    gate = True
+    for vec_id, cid, cs in zip(eng["vec_id"], eng["cid"], eng["cos_sim"]):
+        x = np.asarray(raw.loc[int(vec_id), "embedding"], dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-300)
+        sims = cent @ x
+        if int(np.argmax(sims)) != int(cid) or abs(float(sims[int(cid)]) - float(cs)) > 1e-9:
+            gate = False
+            break
+    gate = bool(gate)
+    return out.map_batches(
+        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
+        batch_format="pyarrow",
     )
 
 

@@ -617,9 +617,12 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
     onto the top-2 components. Tested against exact numpy PCA
     (tests/test_dedup_ann.py) with a deterministic sign convention; the
     query additionally self-checks the algebraic invariants a correct fit
-    must satisfy (orthonormal components, valid variance ratios) and
-    raises on violation — a run-time exactness gate where no SQL oracle
-    can exist."""
+    must satisfy (orthonormal components, valid variance ratios), raises
+    on violation, and the output is SELF-VERIFYING: a deterministic
+    sample of rows (vec_id % 97 == 0) is re-projected on the driver with
+    an independent numpy matmul and every row carries ``gate_ok`` =
+    (invariants held) AND (sampled projections matched) — visible in
+    the returned table where no SQL oracle can exist."""
     from ocr_ray.functions.ann import pca_fit, pca_transform
 
     emb = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
@@ -633,8 +636,36 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
         raise RuntimeError(f"pca_embeddings: ratios not sorted descending {ratio}")
     out = pca_transform(
         read_embeddings(sf_dir, columns=["vec_id", "embedding"]), comps, mean
+    ).materialize()
+
+    # sample-bounded gate: re-project a deterministic row sample on the
+    # driver (independent numpy path; no O(n) driver state)
+    def sample_rows(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    raw = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("vec_id")
     )
-    return out.sort("vec_id")
+    gate = True
+    for _, r in eng.iterrows():
+        x = np.asarray(raw.loc[int(r["vec_id"]), "embedding"], dtype=np.float64)
+        proj = (x - mean) @ comps.T
+        if not np.allclose(proj, [r["pc0"], r["pc1"]], atol=1e-9):
+            gate = False
+            break
+    gate = bool(gate)
+    return (
+        out.map_batches(
+            lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
+            batch_format="pyarrow",
+        )
+        .sort("vec_id")
+    )
 
 
 @query(

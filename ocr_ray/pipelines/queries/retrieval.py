@@ -183,13 +183,29 @@ def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
     tokenizers trick), each iteration one distributed pair-count + driver
     argmax + broadcast rewrite. Iterative, so no SQL oracle; the learned
     merge list is asserted EQUAL to an independent pure-Python reference
-    BPE on the same word counts — in tests AND in-query (``verify=True``
-    raises on any divergence, so even the driver's rows-only check
-    carries exactness weight)."""
-    from ocr_ray.functions.bpe import bpe_train
+    BPE on the same word counts — in tests AND in-query, and the
+    comparison is SELF-VERIFYING IN THE OUTPUT: every merge row carries
+    ``gate_ok`` = (left, right, pair_count) matches the reference merge
+    at that rank, so a regression is visible in the returned table (and
+    still raises loudly if any row disagrees)."""
+    from ocr_ray.functions.bpe import bpe_train, bpe_train_reference
 
     ds = read_docs(sf_dir, columns=["text"])
-    return bpe_train(ds, num_merges=12, verify=True)
+    fit, wc = bpe_train(ds, num_merges=12, verify=False, return_word_counts=True)
+    ref = bpe_train_reference(wc, 12)
+    got = [
+        (str(l), str(r), int(c))
+        for l, r, c in zip(fit["left"], fit["right"], fit["pair_count"])
+    ]
+    fit = fit.copy()
+    fit["gate_ok"] = [
+        i < len(ref) and got[i] == tuple(ref[i]) for i in range(len(got))
+    ]
+    if not (bool(fit["gate_ok"].all()) and len(got) == len(ref)):
+        raise RuntimeError(
+            f"bpe_train_merges gate failed: engine {got[:3]} != reference {ref[:3]}"
+        )
+    return fit
 
 
 _PPM_SQL = """

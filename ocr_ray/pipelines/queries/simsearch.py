@@ -29,6 +29,64 @@ def _query_vectors(sf_dir: str, n: int = 8):
     return tbl["vec_id"].to_numpy(dtype=np.int64), qmat
 
 
+def _rank_order_gate(out, sf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int):
+    """Per-row ``gate_ok`` for the approximate-ANN entries (the queries
+    with no SQL oracle): re-fetch ONLY the returned vectors (one
+    broadcast-filtered scan, <= Q*k rows), recompute their EXACT cosines
+    against the query matrix on the driver, and check per query that
+    (a) ranks are dense 1..n and (b) the returned order equals the
+    exact-cosine order (desc, vec_id tiebreak; 1e-12 float tolerance for
+    BLAS reduction-order ulps). A merge/rescore/rank regression shows up
+    as ``gate_ok = false`` rows in the result table itself."""
+    from ocr_ray.functions.ann import _as_matrix, _normalize
+
+    res = out.to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
+    need = np.unique(res["vec_id"].to_numpy(dtype=np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, need)))
+
+    vt = (
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vmat = _normalize(np.stack(vt["embedding"].to_numpy()).astype(np.float64))
+    vpos = {int(v): i for i, v in enumerate(vt["vec_id"])}
+    qn = _normalize(qmat)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    gate = np.zeros(len(res), dtype=bool)
+    for q, sub in res.groupby("query_id", sort=False):
+        idx = sub.index.to_numpy()
+        ranks = sub["rank"].to_numpy(dtype=np.int64)
+        vids = sub["vec_id"].to_numpy(dtype=np.int64)
+        ok = bool((ranks == np.arange(1, len(sub) + 1)).all())
+        if ok and int(q) in qpos and all(int(v) in vpos for v in vids):
+            cos = vmat[[vpos[int(v)] for v in vids]] @ qn[qpos[int(q)]]
+            # descending cosine with ascending-vec_id tiebreak
+            ok = bool(
+                np.all(
+                    (cos[:-1] >= cos[1:] - 1e-12)
+                    & ((np.abs(cos[:-1] - cos[1:]) > 1e-12) | (vids[:-1] < vids[1:]))
+                )
+            )
+        else:
+            ok = False
+        gate[idx] = ok
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(dtype=np.int64)),
+                "vec_id": pa.array(res["vec_id"].to_numpy(dtype=np.int64)),
+                "rank": pa.array(res["rank"].to_numpy(dtype=np.int64)),
+                "gate_ok": pa.array(gate),
+            }
+        )
+    )
+
+
 # ONE definition of the exact cosine-top-5 oracle, shared by every query
 # whose result must equal brute force (embedding_topk itself, the IVF
 # probe-all path, and the quantized exact-rescore path).
@@ -81,10 +139,10 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     cent = make_centroids(np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16)
     centroids_ref = ray.put(cent)
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=4)
-    return out.map_batches(
+    out = ivf_topk(ds, queries_ref, centroids_ref, k=5, nprobe=4).map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
     )
+    return _rank_order_gate(out, sf_dir, qids, qmat, k=5)
 
 
 @query("ann_ivf_exact_topk", sql=_BRUTE_TOPK_SQL)
@@ -237,4 +295,5 @@ def ann_pq_topk(sf_dir: str) -> ray.data.Dataset:
     )
     books_ref = ray.put(books)
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    return pq_topk(ds, queries_ref, books_ref, k=5, shortlist=64)
+    out = pq_topk(ds, queries_ref, books_ref, k=5, shortlist=64)
+    return _rank_order_gate(out, sf_dir, qids, qmat, k=5)

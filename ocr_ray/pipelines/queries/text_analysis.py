@@ -468,22 +468,59 @@ def wordpiece_encode_docs(sf_dir: str) -> ray.data.Dataset:
     actor-pool stage with a per-actor word-type cache. No SQL oracle
     (greedy matching isn't SQL-expressible); exactness is enforced at
     run time — the fit verifies against the pure-Python BPE reference,
-    and the encoder re-encodes a deterministic sample of word types with
-    the independent reference scanner, raising on any count divergence
-    (full-coverage equality is asserted in tests/test_wordpiece.py)."""
+    the encoder re-encodes a deterministic sample of word types with
+    the independent reference scanner, raising on any count divergence,
+    and the output is SELF-VERIFYING: a deterministic document sample
+    (doc_id % 97 == 0) is re-encoded end to end with the reference
+    scanner on the driver and every row carries ``gate_ok`` = that
+    comparison held (full-coverage equality: tests/test_wordpiece.py)."""
     from ocr_ray.functions.bpe import bpe_train
-    from ocr_ray.functions.wordpiece import WordpieceEncoder, wordpiece_vocab
+    from ocr_ray.functions.wordpiece import (
+        UNK,
+        WordpieceEncoder,
+        wordpiece_encode_reference,
+        wordpiece_vocab,
+    )
     from ocr_ray.sizing import pool_size
 
     fit = bpe_train(read_docs(sf_dir, columns=["text"]), num_merges=12, verify=True)
     vocab = wordpiece_vocab(list(zip(fit["left"], fit["right"])))
     ds = read_docs(sf_dir, columns=["doc_id", "text"])
-    return ds.map_batches(
+    out = ds.map_batches(
         WordpieceEncoder,
         batch_format="pyarrow",
         batch_size=256,
         concurrency=pool_size(),
         fn_constructor_kwargs={"vocab": vocab},
+    ).materialize()
+
+    def sample_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    txt = (
+        ds.map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    vset = frozenset(vocab)
+    gate = True
+    for doc_id, n_p, n_u in zip(eng["doc_id"], eng["n_pieces"], eng["n_unk"]):
+        rp = ru = 0
+        for w in (txt.get(doc_id) or "").split(" "):
+            if not w:
+                continue
+            pieces = wordpiece_encode_reference(w, vset)
+            rp += len(pieces)
+            ru += int(UNK in pieces)
+        if (rp, ru) != (int(n_p), int(n_u)):
+            gate = False
+            break
+    gate = bool(gate)
+    return out.map_batches(
+        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
+        batch_format="pyarrow",
     )
 
 
