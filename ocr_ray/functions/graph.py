@@ -203,6 +203,15 @@ def _checksum(edges) -> tuple:
 # folds are associative, so integers stay bit-equal to the shuffle path
 # (parity-tested). State ships to tasks as an ObjectRef argument — plasma
 # deduplicates it per node, the broadcast-once discipline.
+#
+# DRIVER MEMORY BOUND (pinned by tests/test_graph.py): the driver holds
+# the O(nodes) state — two int64 columns, i.e. 16 bytes/node = 64 MiB at
+# the default broadcast_threshold of 4M nodes — plus one round's
+# concatenated per-block partials, <= min(edges, blocks x alive_nodes)
+# (node, value) pairs, each block contributing at most its distinct dst
+# set. Above the threshold every engine falls back to the bucketed
+# shuffle path (parity-tested), so raising the threshold is the ONLY way
+# to grow driver state — which is why the default is pinned by a test.
 
 
 def _fold_pairs(nodes: np.ndarray, vals: np.ndarray, op) -> tuple[np.ndarray, np.ndarray]:

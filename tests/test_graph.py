@@ -440,3 +440,19 @@ def test_graph_shuffle_paths_match_broadcast_paths():
         ).take_all()
     }
     assert p_b == p_s
+
+
+def test_driver_fold_state_bound_pinned_at_threshold():
+    """VERDICT r3 item 8: below broadcast_threshold the iterative engines
+    fold O(nodes) int64 state on the driver. Pin the default so it cannot
+    drift upward unexamined: 4M nodes x two int64 columns = 64 MiB of
+    driver state, asserted <= 128 MiB. Raising any engine's default past
+    that budget must consciously edit this test."""
+    import inspect
+
+    from ocr_ray.functions import graph
+
+    for fn in (graph.pagerank, graph.bfs_levels, graph.sssp_weighted, graph.kcore):
+        thr = inspect.signature(fn).parameters["broadcast_threshold"].default
+        assert thr == 4_000_000, (fn.__name__, thr)
+        assert 2 * 8 * thr <= (128 << 20), (fn.__name__, thr)
