@@ -239,25 +239,54 @@ def bpe_train(
         wdf = wc.to_pandas()
         wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
     sym = wc.map_batches(_to_symbol_table, batch_format="pyarrow").materialize()
-    # argmax path: the symbol table is vocabulary-bounded; when it fits a
-    # driver fold comfortably (<256 MB), each iteration's pair-count top-1
-    # folds per-block partials on the driver instead of paying one
-    # all-to-all shuffle per merge (same auto_join-style size gate).
+    # Size gate (same auto_join-style discipline): the symbol table is
+    # vocabulary-bounded. When it fits the driver comfortably (<256 MB),
+    # the WHOLE merge loop runs driver-side on one collected Arrow table
+    # with the same vectorized kernels (_pair_partial counting,
+    # merge_pair_rows rewrite, identical tiebreak) — one collect instead
+    # of 2 Dataset executions PER merge (24 executions for a 12-merge
+    # fit, ~2s of pure dispatch at sf0.1). At a vocabulary too big for
+    # the driver the distributed per-iteration path below stands.
     try:
         small_vocab = (sym.size_bytes() or 0) < (256 << 20)
     except Exception:
         small_vocab = False
 
     merges = []
-    for rank in range(num_merges):
-        best = best_pair(sym, shuffle=not small_vocab)
-        if best is None or best[2] < 2:
-            break
-        left, right, cnt = best
-        merges.append((rank + 1, left, right, cnt))
-        sym = sym.map_batches(
-            _apply_merge, batch_format="pyarrow", fn_kwargs={"left": left, "right": right}
-        ).materialize()  # bounded by vocabulary size, not corpus size
+    if small_vocab:
+        sym_tbl = pa.concat_tables(
+            [t for t in ray.get(sym.to_arrow_refs()) if t.num_rows],
+            promote_options="default",
+        ) if sym.count() else pa.table(
+            {"n": pa.array([], pa.int64()), "syms": pa.array([], pa.list_(pa.string()))}
+        )
+        for rank in range(num_merges):
+            parts = _pair_partial(sym_tbl).to_pandas()
+            if len(parts) == 0:
+                break
+            red = parts.groupby(["left", "right"], as_index=False)["cnt"].sum()
+            top = red.sort_values(
+                ["cnt", "left", "right"], ascending=[False, True, True], kind="mergesort"
+            ).head(1)
+            left, right, cnt = (
+                str(top["left"].iloc[0]),
+                str(top["right"].iloc[0]),
+                int(top["cnt"].iloc[0]),
+            )
+            if cnt < 2:
+                break
+            merges.append((rank + 1, left, right, cnt))
+            sym_tbl = _apply_merge(sym_tbl, left=left, right=right)
+    else:
+        for rank in range(num_merges):
+            best = best_pair(sym, shuffle=True)
+            if best is None or best[2] < 2:
+                break
+            left, right, cnt = best
+            merges.append((rank + 1, left, right, cnt))
+            sym = sym.map_batches(
+                _apply_merge, batch_format="pyarrow", fn_kwargs={"left": left, "right": right}
+            ).materialize()  # bounded by vocabulary size, not corpus size
     out = pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
     if verify:
         ref = bpe_train_reference(wc_dict or {}, num_merges)
