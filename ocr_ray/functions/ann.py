@@ -693,9 +693,15 @@ def pq_topk(ds, queries_ref, books_ref, *, k: int = 5, shortlist: int = 64):
     # a candidate of query B). (q, v) pairs pack into one int64 key.
     q_arr = cdf["query_id"].to_numpy(dtype=np.int64)
     v_arr = cdf["vec_id"].to_numpy(dtype=np.int64)
-    assert q_arr.size == 0 or (
-        q_arr.min() >= 0 and v_arr.min() >= 0 and q_arr.max() < (1 << 31) and v_arr.max() < (1 << 31)
-    ), "pq_topk pair packing requires non-negative ids < 2^31"
+    if q_arr.size and not (
+        q_arr.min() >= 0
+        and v_arr.min() >= 0
+        and q_arr.max() < (1 << 31)
+        and v_arr.max() < (1 << 31)
+    ):
+        # explicit raise (an assert disappears under python -O and a
+        # packed-key collision silently corrupts a query's top-k)
+        raise ValueError("pq_topk pair packing requires non-negative ids < 2^31")
     allowed = np.unique((q_arr << np.int64(31)) | v_arr)
     allowed_ref = ray.put(allowed)
     exact = brute_topk(ds.map_batches(keep_cands, batch_format="pyarrow"), queries_ref, k=shortlist)

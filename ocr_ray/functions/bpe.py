@@ -234,7 +234,7 @@ def bpe_train(
     express."""
     wc = word_counts(ds, text_col=text_col)
     wc_dict: dict[str, int] | None = None
-    if verify:
+    if verify or return_word_counts:
         wc = wc.materialize()  # one corpus pass feeds both consumers
         wdf = wc.to_pandas()
         wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
@@ -298,10 +298,7 @@ def bpe_train(
             )
     if return_word_counts:
         # callers building a gate_ok column replay the reference on the
-        # SAME word-count table without a second corpus pass
-        if wc_dict is None:
-            wdf = wc.to_pandas()
-            wc_dict = dict(zip(wdf["word"].astype(str), wdf["n"].astype(int)))
+        # SAME (materialized above) word-count table — no second corpus pass
         return out, wc_dict
     return out
 

@@ -686,8 +686,13 @@ def kcore(
             # amplifier (VERDICT r3). Same arithmetic as the Dataset
             # path: per-src counts and >= k filter, so rounds and
             # outputs match the bounded-unroll oracle exactly.
-            parts = ray.get([_degree_block.remote(b, src_col) for b in refs])
-            parts = [(u, c) for u, c in parts if len(u)]
+            parts_raw = ray.get([_degree_block.remote(b, src_col) for b in refs])
+            # prune blocks that have peeled empty: once a block has no
+            # rows it stays empty (filters only remove), so dropping its
+            # ref here keeps the wave size proportional to the LIVE edge
+            # set instead of the original block count
+            refs = [r for r, (u, _) in zip(refs, parts_raw) if len(u)]
+            parts = [(u, c) for u, c in parts_raw if len(u)]
             if parts:
                 un = np.concatenate([u for u, _ in parts])
                 cn = np.concatenate([c for _, c in parts])

@@ -174,14 +174,16 @@ def grouped_exact_median(
 ) -> pd.DataFrame:
     """EXACT per-group median without ever holding a whole group in one
     task (the round-1 ``groupby.map_groups`` held O(table/groups) rows —
-    the canonical low-cardinality-key skew killer). Three streaming passes:
+    the canonical low-cardinality-key skew killer). Two streaming passes
+    (plus none for min/max — the default bit-pattern binning is
+    data-independent; a caller-supplied ``value_range`` switches to
+    uniform bins over that range):
 
-    1. global min/max (cheap aggregate);
-    2. per-(group, bin) histogram — map-side combine, distributed
-       ``groupby.sum``, driver gets <= groups x bins rows;
-    3. exact values of ONLY the bracketing bin(s) per group (broadcast
-       (group, bin) filter — expected cell size n/bins), then exact
-       order-statistic selection driver-side on those cells.
+    1. per-(group, bin) histogram — map-side combine, bucketed fold,
+       driver gets <= groups x bins-present rows;
+    2. exact values of ONLY the bracketing bin(s) per group (broadcast
+       (group, bin) filter), then exact order-statistic selection
+       driver-side on those cells.
 
     Matches ``median()`` semantics (even counts average the two middle
     values). Degenerate distributions (all values in one bin) fall back to
@@ -335,18 +337,18 @@ def hll_estimate(merged: pd.DataFrame) -> pd.DataFrame:
 
 
 def grouped_exact_quantiles(
-    ds, *, group_col: str, value_col: str, qs: tuple[float, ...], bins: int = 4096
+    ds, *, group_col: str, value_col: str, qs: tuple[float, ...]
 ) -> pd.DataFrame:
     """EXACT per-group discrete quantiles (``quantile_disc`` semantics:
-    order statistic at index ``ceil(q*n) - 1``) with the same three-pass
+    order statistic at index ``ceil(q*n) - 1``) with the same two-pass
     distributed-selection shape as ``grouped_exact_median`` — no task ever
     holds a whole group:
 
-    1. global min/max aggregate;
-    2. per-(group, bin) histogram, map-side combined, distributed
-       ``groupby.sum`` (driver sees <= groups x bins rows);
-    3. broadcast-filter fetch of ONLY the bracketing bins (expected cell
-       size n/bins), exact selection inside each fetched cell.
+    1. per-(group, bin) histogram on the monotone bit-pattern key
+       (data-independent — no min/max barrier), map-side combined,
+       bucketed fold (driver sees <= groups x bins-present rows);
+    2. broadcast-filter fetch of ONLY the bracketing bins, exact
+       selection inside each fetched cell.
 
     Returns a DataFrame ``(group_col, q_<pct>..., n)``.
     """
@@ -439,11 +441,12 @@ def grouped_exact_quantiles(
     return pd.DataFrame(rows, columns=cols)
 
 
-def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int = 4096):
+def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn):
     """Shared distributed-selection core: per group, fetch the exact
     values at the order-statistic indices ``targets_fn(n) -> [pos...]``
-    (same three passes as ``grouped_exact_median``; no task ever holds a
-    whole group). Returns ``{group: (n, {pos: value})}``."""
+    (same two passes as ``grouped_exact_median`` — bit-pattern binning,
+    no min/max barrier; no task ever holds a whole group). Returns
+    ``{group: (n, {pos: value})}``."""
     import pyarrow.compute as pc
     import ray
 
@@ -530,7 +533,7 @@ def _grouped_select(ds, *, group_col: str, value_col: str, targets_fn, bins: int
 
 
 def grouped_percentile_cont(
-    ds, *, group_col: str, value_col: str, qs: tuple[float, ...], bins: int = 4096
+    ds, *, group_col: str, value_col: str, qs: tuple[float, ...]
 ) -> pd.DataFrame:
     """EXACT per-group INTERPOLATED percentiles (SQL ``quantile_cont`` /
     ``percentile_cont`` semantics: linear interpolation between the two
@@ -546,7 +549,7 @@ def grouped_percentile_cont(
         return out
 
     sel = _grouped_select(
-        ds, group_col=group_col, value_col=value_col, targets_fn=targets, bins=bins
+        ds, group_col=group_col, value_col=value_col, targets_fn=targets
     )
     rows = []
     for g, (n, picked) in sel.items():

@@ -151,3 +151,30 @@ def stateless_stage(ds, cls, *, batch_size: int = 512):
         return inst(t)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def gate_by_sampled_recheck(out_ds, raw_ds, *, id_col: str, checker):
+    """Shared harness for the non-SQL entries' ``gate_ok`` columns
+    (VERDICT r3 item 7): take the deterministic ``id % 97 == 0`` sample
+    of BOTH the engine output and the raw input, run ``checker(eng_df,
+    raw_df)`` (raw indexed by ``id_col``; returns truthy iff every
+    sampled row re-verifies), and append a constant ``gate_ok`` column
+    to the full output. Sample-bounded driver work — no O(n) state."""
+    import numpy as np
+    import pyarrow as _pa
+
+    def sample_rows(t: _pa.Table) -> _pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(ids % 97 == 0))
+
+    eng = out_ds.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    raw = (
+        raw_ds.map_batches(sample_rows, batch_format="pyarrow")
+        .to_pandas()
+        .set_index(id_col)
+    )
+    gate = bool(checker(eng, raw))
+    return out_ds.map_batches(
+        lambda t: t.append_column("gate_ok", _pa.array([gate] * t.num_rows)),
+        batch_format="pyarrow",
+    )

@@ -15,7 +15,7 @@ from ocr_ray.functions.relational import hash_join, to_units
 from ocr_ray.sizing import buckets_for_input, default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_out, query, read_docs
+from ocr_ray.pipelines.queries._shared import arrow_out, gate_by_sampled_recheck, query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +144,18 @@ def regr_price_by_qty(sf_dir: str) -> ray.data.Dataset:
         part = tbl.group_by("returnflag").aggregate(
             [([], "count_all"), ("xc", "sum"), ("yc", "sum"), ("xx", "sum"), ("xy", "sum")]
         )
-        return part.rename_columns(["returnflag", "n", "xc", "yc", "xx", "xy"])
+        # select by NAME (pyarrow group_by output column order has varied
+        # across versions; positional rename would silently shift stats)
+        return pa.table(
+            {
+                "returnflag": part["returnflag"],
+                "n": part["count_all"],
+                "xc": part["xc_sum"],
+                "yc": part["yc_sum"],
+                "xx": part["xx_sum"],
+                "xy": part["xy_sum"],
+            }
+        )
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -791,33 +802,19 @@ def bpe_encode_docs(sf_dir: str) -> ray.data.Dataset:
     ).materialize()
 
     # gate: deterministic doc sample re-encoded with the INDEPENDENT
-    # reference encoder (written without merge_pair_rows); sample-bounded
-    # driver work, one broadcast-filtered fetch of the sampled rows
-    def sample_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 97 == 0))
+    # reference encoder (written without merge_pair_rows)
+    def check(eng, raw):
+        for doc_id, n_eng in zip(eng["doc_id"], eng["n_bpe_tokens"]):
+            n_ref = sum(
+                len(bpe_encode_reference(w, merges))
+                for w in (raw.loc[int(doc_id), "text"] or "").split(" ")
+                if w
+            )
+            if n_ref != int(n_eng):
+                return False
+        return True
 
-    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    txt = (
-        ds.map_batches(sample_rows, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("doc_id")["text"]
-    )
-    gate = True
-    for doc_id, n_eng in zip(eng["doc_id"], eng["n_bpe_tokens"]):
-        n_ref = sum(
-            len(bpe_encode_reference(w, merges))
-            for w in (txt.get(doc_id) or "").split(" ")
-            if w
-        )
-        if n_ref != int(n_eng):
-            gate = False
-            break
-    gate = bool(gate)
-    return out.map_batches(
-        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
-        batch_format="pyarrow",
-    )
+    return gate_by_sampled_recheck(out, ds, id_col="doc_id", checker=check)
 
 
 @query(

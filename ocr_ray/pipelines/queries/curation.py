@@ -15,7 +15,7 @@ from ocr_ray.functions import text as textfn
 from ocr_ray.sizing import default_buckets, pool_size
 from ocr_ray.sources import read_documents, read_table
 
-from ocr_ray.pipelines.queries._shared import load_small_table, query, read_docs, read_embeddings
+from ocr_ray.pipelines.queries._shared import gate_by_sampled_recheck, load_small_table, query, read_docs, read_embeddings
 from ocr_ray.pipelines.queries.simsearch import embedding_neardup_pairs
 
 
@@ -761,30 +761,28 @@ def kmeans_embeddings(sf_dir: str) -> ray.data.Dataset:
     ).materialize()
 
     # sample-bounded gate: deterministic vector sample re-scored on the
-    # driver with an independent numpy argmax (no O(n) driver state)
-    def sample_rows(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 97 == 0))
+    # driver with an independent numpy path (no O(n) driver state)
+    def check(eng, raw):
+        for vec_id, cid, cs in zip(eng["vec_id"], eng["cid"], eng["cos_sim"]):
+            x = np.asarray(raw.loc[int(vec_id), "embedding"], dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-300)
+            sims = cent @ x
+            # tolerance on the argmax too: engine (gemm) and driver (gemv)
+            # reduction orders differ by ulps, so near-equidistant vectors
+            # may legally flip — require the assigned centroid to be
+            # within 1e-9 of the best, not equal to the driver's argmax
+            if (
+                float(sims[int(cid)]) < float(sims.max()) - 1e-9
+                or abs(float(sims[int(cid)]) - float(cs)) > 1e-9
+            ):
+                return False
+        return True
 
-    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    raw = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(sample_rows, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("vec_id")
-    )
-    gate = True
-    for vec_id, cid, cs in zip(eng["vec_id"], eng["cid"], eng["cos_sim"]):
-        x = np.asarray(raw.loc[int(vec_id), "embedding"], dtype=np.float64)
-        x = x / max(np.linalg.norm(x), 1e-300)
-        sims = cent @ x
-        if int(np.argmax(sims)) != int(cid) or abs(float(sims[int(cid)]) - float(cs)) > 1e-9:
-            gate = False
-            break
-    gate = bool(gate)
-    return out.map_batches(
-        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
-        batch_format="pyarrow",
+    return gate_by_sampled_recheck(
+        out,
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]),
+        id_col="vec_id",
+        checker=check,
     )
 
 

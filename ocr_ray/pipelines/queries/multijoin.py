@@ -21,7 +21,7 @@ from ocr_ray.functions.relational import (
 from ocr_ray.sizing import default_buckets
 from ocr_ray.sources import read_table
 
-from ocr_ray.pipelines.queries._shared import arrow_topk, load_small_table, query, read_docs, read_embeddings
+from ocr_ray.pipelines.queries._shared import arrow_topk, gate_by_sampled_recheck, load_small_table, query, read_docs, read_embeddings
 
 
 # ---------------------------------------------------------------------------
@@ -640,32 +640,21 @@ def pca_embeddings(sf_dir: str) -> ray.data.Dataset:
 
     # sample-bounded gate: re-project a deterministic row sample on the
     # driver (independent numpy path; no O(n) driver state)
-    def sample_rows(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 97 == 0))
+    def check(eng, raw):
+        for _, r in eng.iterrows():
+            x = np.asarray(raw.loc[int(r["vec_id"]), "embedding"], dtype=np.float64)
+            proj = (x - mean) @ comps.T
+            if not np.allclose(proj, [r["pc0"], r["pc1"]], atol=1e-9):
+                return False
+        return True
 
-    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    raw = (
-        read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(sample_rows, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("vec_id")
+    gated = gate_by_sampled_recheck(
+        out,
+        read_embeddings(sf_dir, columns=["vec_id", "embedding"]),
+        id_col="vec_id",
+        checker=check,
     )
-    gate = True
-    for _, r in eng.iterrows():
-        x = np.asarray(raw.loc[int(r["vec_id"]), "embedding"], dtype=np.float64)
-        proj = (x - mean) @ comps.T
-        if not np.allclose(proj, [r["pc0"], r["pc1"]], atol=1e-9):
-            gate = False
-            break
-    gate = bool(gate)
-    return (
-        out.map_batches(
-            lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
-            batch_format="pyarrow",
-        )
-        .sort("vec_id")
-    )
+    return gated.sort("vec_id")
 
 
 @query(

@@ -34,13 +34,25 @@ def _rank_order_gate(out, sf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: in
     with no SQL oracle): re-fetch ONLY the returned vectors (one
     broadcast-filtered scan, <= Q*k rows), recompute their EXACT cosines
     against the query matrix on the driver, and check per query that
-    (a) ranks are dense 1..n and (b) the returned order equals the
-    exact-cosine order (desc, vec_id tiebreak; 1e-12 float tolerance for
-    BLAS reduction-order ulps). A merge/rescore/rank regression shows up
+    (a) ranks are dense 1..n and (b) the returned order is non-increasing
+    in exact cosine within a 1e-12 tolerance zone (ulp-close scores may
+    legally appear in either order — the driver cannot reproduce the
+    engine's BLAS reduction order bit-for-bit). A merge/rescore/rank regression shows up
     as ``gate_ok = false`` rows in the result table itself."""
     from ocr_ray.functions.ann import _as_matrix, _normalize
 
     res = out.to_pandas().sort_values(["query_id", "rank"], ignore_index=True)
+    if len(res) == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                {
+                    "query_id": pa.int64(),
+                    "vec_id": pa.int64(),
+                    "rank": pa.int64(),
+                    "gate_ok": pa.bool_(),
+                }
+            ).empty_table()
+        )
     need = np.unique(res["vec_id"].to_numpy(dtype=np.int64))
 
     def pick(t: pa.Table) -> pa.Table:
@@ -65,13 +77,12 @@ def _rank_order_gate(out, sf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: in
         ok = bool((ranks == np.arange(1, len(sub) + 1)).all())
         if ok and int(q) in qpos and all(int(v) in vpos for v in vids):
             cos = vmat[[vpos[int(v)] for v in vids]] @ qn[qpos[int(q)]]
-            # descending cosine with ascending-vec_id tiebreak
-            ok = bool(
-                np.all(
-                    (cos[:-1] >= cos[1:] - 1e-12)
-                    & ((np.abs(cos[:-1] - cos[1:]) > 1e-12) | (vids[:-1] < vids[1:]))
-                )
-            )
+            # descending cosine within a 1e-12 tolerance zone: inside the
+            # zone the driver cannot distinguish the engine's computed
+            # scores (BLAS reduction-order ulps), so EITHER order is
+            # accepted there — demanding the vec_id tiebreak would flag a
+            # correct run whose two scores genuinely differ by < 1e-12
+            ok = bool(np.all(cos[:-1] >= cos[1:] - 1e-12))
         else:
             ok = False
         gate[idx] = ok

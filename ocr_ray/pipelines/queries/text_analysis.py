@@ -10,7 +10,7 @@ import ray.data
 
 from ocr_ray.functions import text as textfn
 
-from ocr_ray.pipelines.queries._shared import query, read_docs
+from ocr_ray.pipelines.queries._shared import gate_by_sampled_recheck, query, read_docs
 
 
 # ---------------------------------------------------------------------------
@@ -494,34 +494,22 @@ def wordpiece_encode_docs(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_kwargs={"vocab": vocab},
     ).materialize()
 
-    def sample_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % 97 == 0))
-
-    eng = out.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
-    txt = (
-        ds.map_batches(sample_rows, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("doc_id")["text"]
-    )
     vset = frozenset(vocab)
-    gate = True
-    for doc_id, n_p, n_u in zip(eng["doc_id"], eng["n_pieces"], eng["n_unk"]):
-        rp = ru = 0
-        for w in (txt.get(doc_id) or "").split(" "):
-            if not w:
-                continue
-            pieces = wordpiece_encode_reference(w, vset)
-            rp += len(pieces)
-            ru += int(UNK in pieces)
-        if (rp, ru) != (int(n_p), int(n_u)):
-            gate = False
-            break
-    gate = bool(gate)
-    return out.map_batches(
-        lambda t: t.append_column("gate_ok", pa.array([gate] * t.num_rows)),
-        batch_format="pyarrow",
-    )
+
+    def check(eng, raw):
+        for doc_id, n_p, n_u in zip(eng["doc_id"], eng["n_pieces"], eng["n_unk"]):
+            rp = ru = 0
+            for w in (raw.loc[int(doc_id), "text"] or "").split(" "):
+                if not w:
+                    continue
+                pieces = wordpiece_encode_reference(w, vset)
+                rp += len(pieces)
+                ru += int(UNK in pieces)
+            if (rp, ru) != (int(n_p), int(n_u)):
+                return False
+        return True
+
+    return gate_by_sampled_recheck(out, ds, id_col="doc_id", checker=check)
 
 
 @query(
