@@ -159,6 +159,8 @@ QUERY_SET = [
     "media_audio_fingerprint_dedup",
     "extract_delete_mor_spans",
     "capped_sessions",
+    # round-4 additions
+    "inverted_index_lookup",
 ]
 
 

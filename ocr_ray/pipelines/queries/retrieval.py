@@ -1029,3 +1029,40 @@ def media_audio_fingerprint_dedup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return groups.map_batches(finalize, batch_format="pyarrow")
+
+
+@query(
+    "inverted_index_lookup",
+    sql="""
+WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM s WHERE token IN ('spark', 'join', 'window')
+GROUP BY token, doc_id
+""",
+)
+def inverted_index_lookup(sf_dir: str) -> pa.Table:
+    """MATERIALIZED inverted index, build + point lookup: one
+    corpus-scale tokenize pass writes (token, doc_id, tf) postings
+    hash-partitioned by TOKEN through the engine's atomic
+    fragment+manifest sink (write-once/query-forever — a committed index
+    under /tmp keyed by corpus identity is reused across calls), then a
+    3-term lookup plans its scan from the manifest alone: hash(term) % P
+    names the only fragment that can hold each term's postings, so the
+    query opens <= 3 of the 16 fragments regardless of corpus size
+    (asserted in ``index_lookup`` — a pruning regression fails loudly).
+    The BM25/phrase entries score on the fly; this is the persisted
+    structure a retrieval corpus keeps next to the documents."""
+    import os
+
+    from ocr_ray.functions.invindex import build_inverted_index, index_lookup
+    from ocr_ray.state.manifest import load_manifest
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata — identifies the corpus
+    out_dir = (
+        f"/tmp/ocr_ray_invindex/{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-n{n_docs}-p16"
+    )
+    if len(load_manifest(out_dir)) < 16:
+        build_inverted_index(docs, out_dir, num_parts=16)
+    return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)
