@@ -161,6 +161,7 @@ QUERY_SET = [
     "capped_sessions",
     # round-4 additions
     "inverted_index_lookup",
+    "incremental_minhash_dedup",
 ]
 
 

@@ -1,0 +1,197 @@
+"""Persisted MinHash signature store + incremental near-dup probe.
+
+The continuous-ingest dedup shape: a 100 TB committed corpus should not
+be re-tokenized every time a new shard arrives. ``build_minhash_store``
+persists the corpus's dedup state ONCE through the engine's atomic
+fragment+manifest sink (``state/manifest.ResumableSink``):
+
+- ``bands/``  — the LSH band table ``(pair_key, doc_id)``, partitioned
+  by ``pair_key % P`` (one row per band per doc, ~32 x 16 bytes/doc);
+- ``sigs/``   — per-doc unique-sorted shingle-hash signatures
+  ``(doc_id, shingles: large_list<uint64>)``, partitioned by doc bucket
+  (the exact-Jaccard verify input, ~8 bytes/token — an order of
+  magnitude smaller than the text it summarizes).
+
+``incremental_minhash_pairs`` then dedups a NEW shard against the store
+by reading ONLY these two signature tables (never the corpus): new
+bands are computed from the new text, candidate pairs are old x new
+rows sharing a ``pair_key`` (same coarse-bucket discipline and hot-key
+cap as the full pipeline, so the candidate set equals the full-corpus
+run restricted to cross pairs), and the exact set-Jaccard verify joins
+stored old signatures with freshly computed new ones through the same
+``attach_verify_pairs`` two-shuffle machinery. Every stage is the same
+deterministic mod-2^64 arithmetic as ``minhash_dedup_pairs``, so the
+result is bit-equal to re-running the full pipeline on (corpus ∪ shard)
+and keeping the cross pairs — which is exactly what the SQL oracle
+states.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.functions.dedup import (
+    SHINGLES_TYPE,
+    attach_verify_pairs,
+    bucketed_pairs,
+    doc_shingle_lists,
+    minhash_bands,
+    run_index_pairs,
+)
+
+BANDS_SCHEMA = pa.schema({"pair_key": pa.uint64(), "doc_id": pa.int64()})
+SIGS_SCHEMA = pa.schema({"doc_id": pa.int64(), "shingles": SHINGLES_TYPE})
+
+
+def _sink_all(ds_tagged, out_dir: str, num_parts: int, empty_tbl: pa.Table, extra: dict):
+    """Partition-tagged rows -> committed fragments (+ explicit empty
+    fragments for untouched partitions, so 'manifest has P rows' is the
+    unambiguous build-complete condition)."""
+    from ocr_ray.state.manifest import ResumableSink, _check_layout, load_manifest
+
+    sink = ResumableSink(out_dir, data_format="auto")
+    _check_layout(
+        out_dir, num_parts, write=True, extra={"data_format": sink.data_format, **extra}
+    )
+
+    def write_part(group: pa.Table) -> pa.Table:
+        return sink(group)
+
+    df = (
+        ds_tagged.groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    done = load_manifest(out_dir)
+    for p in range(num_parts):
+        if p not in done:
+            sink.write(empty_tbl, p)
+    return df
+
+
+def build_minhash_store(docs_ds, store_dir: str, *, num_parts: int = 16):
+    """Persist the corpus's dedup state (band table + signatures)."""
+    from ocr_ray.functions.hashing import doc_bucket
+
+    def tag_bands(t: pa.Table) -> pa.Table:
+        b = minhash_bands(t).select(["pair_key", "doc_id"])
+        part = (
+            b["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return b.append_column("_part", pa.array(part))
+
+    def tag_sigs(t: pa.Table) -> pa.Table:
+        s = doc_shingle_lists(t)
+        part = doc_bucket(s["doc_id"], num_parts).astype(np.int32)
+        return s.append_column("_part", pa.array(part))
+
+    bands_df = _sink_all(
+        docs_ds.map_batches(tag_bands, batch_format="pyarrow"),
+        os.path.join(store_dir, "bands"),
+        num_parts,
+        BANDS_SCHEMA.empty_table(),
+        {"store": "minhash-bands", "key": "pair_key"},
+    )
+    sigs_df = _sink_all(
+        docs_ds.map_batches(tag_sigs, batch_format="pyarrow"),
+        os.path.join(store_dir, "sigs"),
+        num_parts,
+        SIGS_SCHEMA.empty_table(),
+        {"store": "minhash-sigs", "key": "doc_id"},
+    )
+    return bands_df, sigs_df
+
+
+def store_complete(store_dir: str, num_parts: int = 16) -> bool:
+    from ocr_ray.state.manifest import load_manifest
+
+    return (
+        len(load_manifest(os.path.join(store_dir, "bands"))) == num_parts
+        and len(load_manifest(os.path.join(store_dir, "sigs"))) == num_parts
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs_ds,
+    store_dir: str,
+    *,
+    tau: float = 0.5,
+    num_buckets: int = 64,
+    max_group: int = 256,
+):
+    """Near-dup pairs (old_doc, new_doc) of a new shard vs the committed
+    store — no corpus text is read; old state comes entirely from the
+    persisted band + signature tables."""
+    from ocr_ray.state.manifest import load_manifest, read_fragments
+
+    bands_files = [
+        r["file"] for r in load_manifest(os.path.join(store_dir, "bands")).values()
+    ]
+    sigs_files = [
+        r["file"] for r in load_manifest(os.path.join(store_dir, "sigs")).values()
+    ]
+
+    def tag_side(side: int):
+        def fx(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and "pair_key" not in t.column_names:
+                t = BANDS_SCHEMA.empty_table()
+            return pa.table(
+                {
+                    "pair_key": pa.compute.cast(t["pair_key"], pa.uint64()),
+                    "doc_id": t["doc_id"],
+                    "side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fx
+
+    old_bands = read_fragments(bands_files).map_batches(
+        tag_side(0), batch_format="pyarrow"
+    )
+    new_bands = (
+        new_docs_ds.map_batches(minhash_bands, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["pair_key", "doc_id"]), batch_format="pyarrow"
+        )
+        .map_batches(tag_side(1), batch_format="pyarrow")
+    )
+
+    def cross_body(g: pa.Table) -> pa.Table:
+        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+        order = np.lexsort((ids, keys))
+        keys, ids, side = keys[order], ids[order], side[order]
+        ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
+        # keep only OLD x NEW pairs, oriented (doc_a=old, doc_b=new)
+        cross = side[ia] != side[ib]
+        ia, ib = ia[cross], ib[cross]
+        swap = side[ia] == 1
+        a = np.where(swap, ids[ib], ids[ia])
+        b = np.where(swap, ids[ia], ids[ib])
+        if len(a):
+            o2 = np.lexsort((b, a))
+            a, b = a[o2], b[o2]
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[first], b[first]
+        return pa.table(
+            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+        )
+
+    cands = bucketed_pairs(
+        old_bands.union(new_bands),
+        key_col="pair_key",
+        id_col="doc_id",
+        pair_body=cross_body,
+        num_buckets=num_buckets,
+    )
+    sigs = read_fragments(sigs_files).union(
+        new_docs_ds.map_batches(doc_shingle_lists, batch_format="pyarrow")
+    )
+    return attach_verify_pairs(cands, sigs, tau=tau)

@@ -735,3 +735,52 @@ def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup_pairs(cands, cols=("doc_a", "doc_b"))
 
 
+
+
+_INCR_MINHASH_SQL = (
+    _MINHASH_SQL_TEMPLATE
+    + "SELECT doc_a, doc_b FROM verified WHERE doc_a < 1000000 AND doc_b >= 1000000"
+).format(perms=_minhash_perm_values())
+
+
+@query("incremental_minhash_dedup", sql=_INCR_MINHASH_SQL)
+def incremental_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """INCREMENTAL near-dup dedup against a COMMITTED corpus — the
+    continuous-ingest shape: the original documents' dedup state (LSH
+    band table + per-doc shingle signatures) is persisted ONCE through
+    the atomic fragment+manifest sink (``functions/dedup_store``), and
+    the arriving shard (the seeded mutants) is deduped by reading ONLY
+    those signature tables — the corpus text is never re-tokenized.
+    Candidates are old x new rows sharing a ``pair_key`` (same coarse
+    buckets and hot-key cap as ``minhash_dedup_pairs``), verified by the
+    same two-shuffle exact-Jaccard machinery joining STORED old
+    signatures with freshly computed new ones. Every stage is the same
+    deterministic mod-2^64 arithmetic, so the result is bit-equal to
+    re-running the full pipeline on corpus ∪ shard and keeping the
+    cross pairs — which is what the oracle states (the full verified
+    set restricted to doc_a < 1e6 <= doc_b)."""
+    import os
+
+    from ocr_ray.functions.dedup import MUTANT_OFFSET, with_mutants
+    from ocr_ray.functions.dedup_store import (
+        build_minhash_store,
+        incremental_minhash_pairs,
+        store_complete,
+    )
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata — identifies the corpus
+    store = (
+        f"/tmp/ocr_ray_minhash_store/{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-n{n_docs}-p16"
+    )
+    if not store_complete(store, 16):
+        build_minhash_store(docs, store, num_parts=16)
+
+    # the arriving shard: the seeded mutant copies (doc_id + 1e6)
+    off = pa.scalar(MUTANT_OFFSET, type=pa.int64())
+    new_docs = docs.map_batches(with_mutants, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], off)),
+        batch_format="pyarrow",
+    )
+    return incremental_minhash_pairs(new_docs, store, tau=0.5)

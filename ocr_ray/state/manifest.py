@@ -148,12 +148,22 @@ def read_fragments(files: list[str]):
     manifests). Lance dirs go through the readers' streaming dispatch."""
     import ray as _ray
 
+    from ocr_ray.sizing import read_blocks_for_bytes
     from ocr_ray.sources.readers import read_documents
 
     pq_files = [f for f in files if not f.endswith(".lance")]
     parts = []
     if pq_files:
-        parts.append(_ray.data.read_parquet(pq_files))
+        # byte-proportional block count: fragment files are often small
+        # (fine-grained resumable layouts), and Ray's default ~2x-CPU read
+        # parallelism would hand every downstream shuffle one reduce
+        # partition per near-empty block (the r3-measured pathology)
+        nbytes = sum(os.path.getsize(f) for f in pq_files)
+        parts.append(
+            _ray.data.read_parquet(
+                pq_files, override_num_blocks=read_blocks_for_bytes(nbytes)
+            )
+        )
     for f in files:
         if f.endswith(".lance"):
             parts.append(read_documents(f))

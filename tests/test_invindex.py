@@ -79,3 +79,42 @@ def test_missing_term_and_empty_result(ray_session, tmp_path):
     got = index_lookup(out, ["zzz_absent"], num_parts=4).to_pandas()
     assert len(got) == 0
     assert list(got.columns) == ["token", "doc_id", "tf"]
+
+
+def test_incremental_minhash_equals_full_cross_pairs(ray_session, sf_smoke, tmp_path):
+    """The incremental probe against the persisted store must produce
+    exactly the full-pipeline pair set restricted to (old, new) cross
+    pairs — the bit-equality the SQL oracle states."""
+    import pyarrow.compute as pc
+    import ray
+
+    import __ray_entry__ as e
+    from ocr_ray.functions.dedup import MUTANT_OFFSET, with_mutants
+    from ocr_ray.functions.dedup_store import (
+        build_minhash_store,
+        incremental_minhash_pairs,
+        store_complete,
+    )
+    from ocr_ray.sources import read_table
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    store = str(tmp_path / "store")
+    build_minhash_store(docs, store, num_parts=8)
+    assert store_complete(store, 8)
+
+    off = pa.scalar(MUTANT_OFFSET, type=pa.int64())
+    new_docs = docs.map_batches(with_mutants, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], off)),
+        batch_format="pyarrow",
+    )
+    inc = (
+        incremental_minhash_pairs(new_docs, store, tau=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    full = e.queries()["minhash_dedup_pairs"](sf_smoke).to_pandas()
+    cross = full[
+        (full["doc_a"] < MUTANT_OFFSET) & (full["doc_b"] >= MUTANT_OFFSET)
+    ].sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(inc[["doc_a", "doc_b"]], cross[["doc_a", "doc_b"]])
+    assert len(inc) > 0  # seeded mutants guarantee a nonempty pair set
