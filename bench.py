@@ -162,6 +162,7 @@ QUERY_SET = [
     # round-4 additions
     "inverted_index_lookup",
     "incremental_minhash_dedup",
+    "ann_ivf_store_topk",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Persisted IVF cell store — the materialized inverted-file ANN index.
+
+`ivf_topk` (functions/ann.py) re-scans and re-assigns the whole
+embedding table on every query batch; at 100 TB the index must instead
+be MATERIALIZED once: vectors are partitioned by their assigned
+centroid cell through the engine's atomic fragment+manifest sink (one
+fragment per cell, the assignment stored as a ``cid`` column), and the
+centroid matrix commits beside the manifest. A query batch then plans
+its scan from the manifest alone — the union of the queries' ``nprobe``
+nearest cells names the only fragments read, so probe cost scales with
+``nprobe / n_cells`` of the corpus, not with the corpus.
+
+Driven at ``nprobe = n_cells`` the mask is a no-op and the result is
+EXACTLY brute-force cosine top-k — which turns the shared brute SQL
+oracle into a bit-exact driver-visible check of the whole store path
+(build partitioning, stored assignments, probe planning, masked
+scoring, partial merge); tests exercise the ``nprobe < n_cells``
+pruning bound and its recall on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_ray.functions.ann import _as_matrix, _normalize, _partial_table, merge_topk
+
+
+def build_ivf_store(
+    emb_ds,
+    store_dir: str,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Partition the embedding table into per-cell fragments (+ commit
+    the centroid matrix). Returns the manifest rows of this run."""
+    import ray
+
+    from ocr_ray.state.manifest import ResumableSink, _check_layout, load_manifest
+
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_cells = len(cent)
+    sink = ResumableSink(store_dir, data_format="auto")
+    _check_layout(
+        store_dir,
+        n_cells,
+        write=True,
+        extra={"data_format": sink.data_format, "store": "ivf-cells"},
+    )
+    cent_ref = ray.put(cent)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_as_matrix(t[col]))
+        cid = np.argmax(x @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                col: t[col],
+                "cid": pa.array(cid),
+                "_part": pa.array(cid),
+            }
+        )
+
+    def write_part(group: pa.Table) -> pa.Table:
+        return sink(group)
+
+    df = (
+        emb_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.schema(
+        {id_col: pa.int64(), col: pa.large_list(pa.float64()), "cid": pa.int32()}
+    ).empty_table()
+    done = load_manifest(store_dir)
+    for p in range(n_cells):
+        if p not in done:
+            sink.write(empty, p)
+    # commit the centroid matrix atomically beside the manifest
+    tmp = os.path.join(store_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cent.tolist()}, f)
+    os.replace(tmp, os.path.join(store_dir, "centroids.json"))
+    return df
+
+
+def load_ivf_centroids(store_dir: str) -> np.ndarray:
+    with open(os.path.join(store_dir, "centroids.json")) as f:
+        return np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+
+def ivf_store_topk(
+    store_dir: str,
+    queries_ref,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Top-k over the materialized store: read ONLY the fragments of the
+    queries' probed cells (asserted — a planning regression fails loudly
+    instead of silently scanning every cell)."""
+    import ray
+
+    from ocr_ray.state.manifest import load_manifest, read_fragments
+
+    cent = load_ivf_centroids(store_dir)
+    qids, qmat = ray.get(queries_ref)
+    qids = np.asarray(qids, dtype=np.int64)
+    qn = _normalize(np.asarray(qmat, dtype=np.float64))
+    npb = min(nprobe, len(cent))
+    qc = qn @ cent.T
+    probe = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]  # (Q, nprobe)
+
+    manifest = load_manifest(store_dir)
+    needed = sorted(set(int(p) for p in probe.reshape(-1)))
+    assert len(needed) <= len(cent), (needed, len(cent))
+    files = [manifest[p]["file"] for p in needed if p in manifest]
+    if not files:
+        return ray.data.from_arrow(
+            pa.schema(
+                {"query_id": pa.int64(), "vec_id": pa.int64(), "rank": pa.int64()}
+            ).empty_table()
+        )
+    probe_ref = ray.put((qids, qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _partial_table()
+        ids_, q, pr = ray.get(probe_ref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = batch["cid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_as_matrix(batch[col]))
+        # a vector is a candidate only for queries that probed its cell
+        mask = (pr[:, :, None] == cid[None, None, :]).any(axis=1)  # (Q, n)
+        scores = q @ m.T
+        scores[~mask] = -np.inf
+        scores[ids_[:, None] == vids[None, :]] = -np.inf
+        kk = min(k, scores.shape[1])
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(ids_, kk)
+        rows_v = vids[idx.reshape(-1)]
+        rows_s = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+        keep = np.isfinite(rows_s)
+        return _partial_table(rows_q[keep], rows_v[keep], rows_s[keep])
+
+    partial = read_fragments(files).map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k=k), batch_format="pandas"
+    )

@@ -308,3 +308,46 @@ def ann_pq_topk(sf_dir: str) -> ray.data.Dataset:
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = pq_topk(ds, queries_ref, books_ref, k=5, shortlist=64)
     return _rank_order_gate(out, sf_dir, qids, qmat, k=5)
+
+
+@query("ann_ivf_store_topk", sql=_BRUTE_TOPK_SQL)
+def ann_ivf_store_topk(sf_dir: str) -> ray.data.Dataset:
+    """MATERIALIZED IVF index (``functions/ann_store``): the embedding
+    table is partitioned ONCE into per-centroid-cell fragments through
+    the atomic fragment+manifest sink (assignments stored, centroid
+    matrix committed beside the manifest, store reused across calls),
+    and each query batch plans its scan from the manifest alone — only
+    the probed cells' fragments are read. Driven here at nprobe =
+    n_cells so the mask is a no-op and the result is EXACTLY brute-force
+    cosine top-5: the shared brute SQL oracle bit-exactly checks the
+    whole store path (build partitioning, stored assignments, probe
+    planning, masked scoring, partial merge). The nprobe < n_cells
+    pruning bound and its recall are pinned in tests/test_invindex.py;
+    ``ann_ivf_topk`` remains the recompute-per-run configuration."""
+    import os
+
+    from ocr_ray.functions.ann import make_centroids
+    from ocr_ray.functions.ann_store import build_ivf_store, ivf_store_topk
+    from ocr_ray.sources.readers import sample_parquet_rows
+    from ocr_ray.state.manifest import load_manifest
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    n_vecs = ds.count()  # parquet metadata — identifies the corpus
+    store = (
+        f"/tmp/ocr_ray_ivf_store/{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-n{n_vecs}-c16"
+    )
+    if len(load_manifest(store)) < 16:
+        sample = sample_parquet_rows(
+            f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
+        ).to_pandas()
+        cent = make_centroids(
+            np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16
+        )
+        build_ivf_store(ds, store, cent)
+    out = ivf_store_topk(store, queries_ref, k=5, nprobe=16)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )

@@ -118,3 +118,64 @@ def test_incremental_minhash_equals_full_cross_pairs(ray_session, sf_smoke, tmp_
     ].sort_values(["doc_a", "doc_b"], ignore_index=True)
     pd.testing.assert_frame_equal(inc[["doc_a", "doc_b"]], cross[["doc_a", "doc_b"]])
     assert len(inc) > 0  # seeded mutants guarantee a nonempty pair set
+
+
+def test_ivf_store_prunes_and_recalls(ray_session, sf_smoke, tmp_path):
+    """nprobe < n_cells reads only the probed cells' fragments, and its
+    top-k still recalls most of brute force on this corpus family."""
+    import ray
+
+    from ocr_ray.functions.ann import brute_topk, make_centroids
+    from ocr_ray.functions.ann_store import (
+        build_ivf_store,
+        ivf_store_topk,
+        load_ivf_centroids,
+    )
+    from ocr_ray.functions.ann import _normalize
+    from ocr_ray.sources import read_table
+
+    emb = read_table(sf_smoke, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.limit(128).to_pandas()
+    cent = make_centroids(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=8
+    )
+    store = str(tmp_path / "ivf")
+    build_ivf_store(emb, store, cent)
+    assert load_ivf_centroids(store).shape == (8, cent.shape[1])
+
+    q = emb.limit(4).to_pandas()
+    qids = q["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qref = ray.put((qids, qmat))
+
+    # probe-all equals brute force exactly
+    exact = (
+        ivf_store_topk(store, qref, k=5, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    brute = (
+        brute_topk(emb, qref, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id", "rank"]], brute[["query_id", "vec_id", "rank"]]
+    )
+
+    # nprobe=2: results only come from probed cells, recall stays useful
+    approx = ivf_store_topk(store, qref, k=5, nprobe=2).to_pandas()
+    centn = _normalize(load_ivf_centroids(store))
+    probe = np.argsort(-(_normalize(qmat) @ centn.T), axis=1)[:, :2]
+    allowed = {int(qid): set(map(int, probe[i])) for i, qid in enumerate(qids)}
+    emb_df = emb.to_pandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"]) for _, r in emb_df.iterrows()}
+    for _, r in approx.iterrows():
+        v = _normalize(vecs[int(r["vec_id"])][None, :])[0]
+        cell = int(np.argmax(centn @ v))
+        assert cell in allowed[int(r["query_id"])]
+    hit = len(
+        set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+        & set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
+    )
+    assert hit >= len(brute) // 2, (hit, len(brute))
