@@ -26,7 +26,6 @@ import uuid
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ocr_ray.functions.ann import _as_matrix, _normalize, _partial_table, merge_topk
 
@@ -43,17 +42,19 @@ def build_ivf_store(
     the centroid matrix). Returns the manifest rows of this run."""
     import ray
 
-    from ocr_ray.state.manifest import ResumableSink, _check_layout, load_manifest
+    from ocr_ray.state.manifest import sink_partitioned
 
     cent = _normalize(np.asarray(centroids, dtype=np.float64))
     n_cells = len(cent)
-    sink = ResumableSink(store_dir, data_format="auto")
-    _check_layout(
-        store_dir,
-        n_cells,
-        write=True,
-        extra={"data_format": sink.data_format, "store": "ivf-cells"},
-    )
+    # centroids commit FIRST: the build-complete condition is
+    # (centroids.json present AND manifest has n_cells rows) — see
+    # ivf_store_complete — so a crash anywhere leaves an incomplete store
+    # that probes refuse and callers rebuild (rebuild overwrites both)
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = os.path.join(store_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cent.tolist()}, f)
+    os.replace(tmp, os.path.join(store_dir, "centroids.json"))
     cent_ref = ray.put(cent)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -69,28 +70,33 @@ def build_ivf_store(
             }
         )
 
-    def write_part(group: pa.Table) -> pa.Table:
-        return sink(group)
-
-    df = (
-        emb_ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(write_part, batch_format="pyarrow")
-        .to_pandas()
-    )
+    # empty backfill fragments must carry the SAME schema as real ones
+    # (the source's embedding type, not a hardcoded one — a cell that
+    # captures zero vectors must not change the store's unified schema)
+    src_schema = emb_ds.schema()
+    src_fields = dict(zip(src_schema.names, src_schema.types))
     empty = pa.schema(
-        {id_col: pa.int64(), col: pa.large_list(pa.float64()), "cid": pa.int32()}
+        {id_col: src_fields[id_col], col: src_fields[col], "cid": pa.int32()}
     ).empty_table()
-    done = load_manifest(store_dir)
-    for p in range(n_cells):
-        if p not in done:
-            sink.write(empty, p)
-    # commit the centroid matrix atomically beside the manifest
-    tmp = os.path.join(store_dir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump({"centroids": cent.tolist()}, f)
-    os.replace(tmp, os.path.join(store_dir, "centroids.json"))
-    return df
+    return sink_partitioned(
+        emb_ds.map_batches(tag, batch_format="pyarrow"),
+        store_dir,
+        n_cells,
+        empty,
+        {"store": "ivf-cells"},
+    )
+
+
+def ivf_store_complete(store_dir: str, n_cells: int) -> bool:
+    """Build-complete = centroid matrix committed AND every cell fragment
+    in the manifest (both are rewritten by a rebuild, so either missing
+    means 'rebuild')."""
+    from ocr_ray.state.manifest import load_manifest
+
+    return (
+        os.path.exists(os.path.join(store_dir, "centroids.json"))
+        and len(load_manifest(store_dir)) == n_cells
+    )
 
 
 def load_ivf_centroids(store_dir: str) -> np.ndarray:
@@ -112,7 +118,7 @@ def ivf_store_topk(
     instead of silently scanning every cell)."""
     import ray
 
-    from ocr_ray.state.manifest import load_manifest, read_fragments
+    from ocr_ray.state.manifest import read_fragments, require_complete_manifest
 
     cent = load_ivf_centroids(store_dir)
     qids, qmat = ray.get(queries_ref)
@@ -122,10 +128,11 @@ def ivf_store_topk(
     qc = qn @ cent.T
     probe = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]  # (Q, nprobe)
 
-    manifest = load_manifest(store_dir)
+    # loud on a crashed build: a partial store must not silently answer
+    # from the fragments it happens to have
+    manifest = require_complete_manifest(store_dir, len(cent), what="ivf_store_topk")
     needed = sorted(set(int(p) for p in probe.reshape(-1)))
-    assert len(needed) <= len(cent), (needed, len(cent))
-    files = [manifest[p]["file"] for p in needed if p in manifest]
+    files = [manifest[p]["file"] for p in needed]
     if not files:
         return ray.data.from_arrow(
             pa.schema(

@@ -247,6 +247,53 @@ def run_index_pairs(
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def keyed_run_pairs(
+    g: pa.Table,
+    *,
+    key_col: str = "pair_key",
+    id_col: str = "doc_id",
+    side_col: str | None = None,
+    max_group: int = 256,
+) -> pa.Table:
+    """Same-key candidate pairs within one coarse bucket — THE shared
+    pair body of the LSH family (one implementation, so the full and
+    incremental pipelines cannot drift apart; their bit-equality is what
+    the incremental oracle states). Rows sort by (key, id), same-key runs
+    pair all-vs-all up to ``max_group`` (hot-key cap), and the pair set
+    dedups. Without ``side_col``: all pairs, ``doc_a < doc_b`` by the
+    sorted order. With ``side_col`` (int8, 0 = old / 1 = new): only
+    CROSS-side pairs, oriented ``doc_a`` = side-0 id, ``doc_b`` = side-1
+    id — the incremental probe's shape."""
+    keys = g[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    side = (
+        g[side_col].to_numpy(zero_copy_only=False).astype(np.int8)[order]
+        if side_col is not None
+        else None
+    )
+    ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
+    if side is not None:
+        cross = side[ia] != side[ib]
+        ia, ib = ia[cross], ib[cross]
+        swap = side[ia] == 1
+        a = np.where(swap, ids[ib], ids[ia])
+        b = np.where(swap, ids[ia], ids[ib])
+    else:
+        a, b = ids[ia], ids[ib]
+    if len(a):
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[first], b[first]
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
 def bucketed_pairs(
     ds,
     *,

@@ -38,38 +38,12 @@ from ocr_ray.functions.dedup import (
     attach_verify_pairs,
     bucketed_pairs,
     doc_shingle_lists,
+    keyed_run_pairs,
     minhash_bands,
-    run_index_pairs,
 )
 
 BANDS_SCHEMA = pa.schema({"pair_key": pa.uint64(), "doc_id": pa.int64()})
 SIGS_SCHEMA = pa.schema({"doc_id": pa.int64(), "shingles": SHINGLES_TYPE})
-
-
-def _sink_all(ds_tagged, out_dir: str, num_parts: int, empty_tbl: pa.Table, extra: dict):
-    """Partition-tagged rows -> committed fragments (+ explicit empty
-    fragments for untouched partitions, so 'manifest has P rows' is the
-    unambiguous build-complete condition)."""
-    from ocr_ray.state.manifest import ResumableSink, _check_layout, load_manifest
-
-    sink = ResumableSink(out_dir, data_format="auto")
-    _check_layout(
-        out_dir, num_parts, write=True, extra={"data_format": sink.data_format, **extra}
-    )
-
-    def write_part(group: pa.Table) -> pa.Table:
-        return sink(group)
-
-    df = (
-        ds_tagged.groupby("_part")
-        .map_groups(write_part, batch_format="pyarrow")
-        .to_pandas()
-    )
-    done = load_manifest(out_dir)
-    for p in range(num_parts):
-        if p not in done:
-            sink.write(empty_tbl, p)
-    return df
 
 
 def build_minhash_store(docs_ds, store_dir: str, *, num_parts: int = 16):
@@ -89,14 +63,16 @@ def build_minhash_store(docs_ds, store_dir: str, *, num_parts: int = 16):
         part = doc_bucket(s["doc_id"], num_parts).astype(np.int32)
         return s.append_column("_part", pa.array(part))
 
-    bands_df = _sink_all(
+    from ocr_ray.state.manifest import sink_partitioned
+
+    bands_df = sink_partitioned(
         docs_ds.map_batches(tag_bands, batch_format="pyarrow"),
         os.path.join(store_dir, "bands"),
         num_parts,
         BANDS_SCHEMA.empty_table(),
         {"store": "minhash-bands", "key": "pair_key"},
     )
-    sigs_df = _sink_all(
+    sigs_df = sink_partitioned(
         docs_ds.map_batches(tag_sigs, batch_format="pyarrow"),
         os.path.join(store_dir, "sigs"),
         num_parts,
@@ -126,14 +102,21 @@ def incremental_minhash_pairs(
     """Near-dup pairs (old_doc, new_doc) of a new shard vs the committed
     store — no corpus text is read; old state comes entirely from the
     persisted band + signature tables."""
-    from ocr_ray.state.manifest import load_manifest, read_fragments
+    from ocr_ray.state.manifest import (
+        load_manifest,
+        read_fragments,
+        require_complete_manifest,
+    )
 
-    bands_files = [
-        r["file"] for r in load_manifest(os.path.join(store_dir, "bands")).values()
-    ]
-    sigs_files = [
-        r["file"] for r in load_manifest(os.path.join(store_dir, "sigs")).values()
-    ]
+    nb_parts = len(load_manifest(os.path.join(store_dir, "bands"))) or 16
+    bands_m = require_complete_manifest(
+        os.path.join(store_dir, "bands"), nb_parts, what="incremental_minhash_pairs"
+    )
+    sigs_m = require_complete_manifest(
+        os.path.join(store_dir, "sigs"), nb_parts, what="incremental_minhash_pairs"
+    )
+    bands_files = [r["file"] for r in bands_m.values()]
+    sigs_files = [r["file"] for r in sigs_m.values()]
 
     def tag_side(side: int):
         def fx(t: pa.Table) -> pa.Table:
@@ -161,28 +144,10 @@ def incremental_minhash_pairs(
     )
 
     def cross_body(g: pa.Table) -> pa.Table:
-        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int8)
-        order = np.lexsort((ids, keys))
-        keys, ids, side = keys[order], ids[order], side[order]
-        ia, ib = run_index_pairs(keys, max_group=max_group, presorted=True)
-        # keep only OLD x NEW pairs, oriented (doc_a=old, doc_b=new)
-        cross = side[ia] != side[ib]
-        ia, ib = ia[cross], ib[cross]
-        swap = side[ia] == 1
-        a = np.where(swap, ids[ib], ids[ia])
-        b = np.where(swap, ids[ia], ids[ib])
-        if len(a):
-            o2 = np.lexsort((b, a))
-            a, b = a[o2], b[o2]
-            first = np.empty(len(a), dtype=bool)
-            first[0] = True
-            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            a, b = a[first], b[first]
-        return pa.table(
-            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
-        )
+        # the SHARED pair body with the cross-side filter — one
+        # implementation with the full pipeline, so bit-equality holds
+        # by construction
+        return keyed_run_pairs(g, side_col="side", max_group=max_group)
 
     cands = bucketed_pairs(
         old_bands.union(new_bands),

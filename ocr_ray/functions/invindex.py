@@ -13,10 +13,12 @@ itself is the index).
 
 Scale notes: the build is one map pass + one bucket shuffle (the
 partition tag), identical in shape to the flagship extraction sink;
-postings fragments are resumable (a killed build skips completed
-partitions on re-run) because they commit through the same
-demote/atomic-rename protocol. tf counting is per-batch vectorized —
-no Python loop over tokens.
+fragments commit through the same demote/atomic-rename protocol, so a
+rebuild after a crash is IDEMPOTENT (every partition rewrites — there
+is no skip-completed fast path, because the partition key derives from
+row content, not input shards; callers detect a crashed build via the
+loud completeness check in ``index_lookup``). tf counting is per-batch
+vectorized — no Python loop over tokens.
 """
 
 from __future__ import annotations
@@ -68,15 +70,7 @@ def build_inverted_index(
 ) -> pd.DataFrame:
     """Build (or resume) the token-partitioned postings index; returns the
     manifest rows committed by this run."""
-    from ocr_ray.state.manifest import ResumableSink, _check_layout
-
-    sink = ResumableSink(out_dir, data_format="auto")
-    _check_layout(
-        out_dir,
-        num_parts,
-        write=True,
-        extra={"data_format": sink.data_format, "index": "inverted", "key": "token"},
-    )
+    from ocr_ray.state.manifest import sink_partitioned
 
     def tag(t: pa.Table) -> pa.Table:
         part = postings_partial(t, text_col=text_col, id_col=id_col)
@@ -84,48 +78,46 @@ def build_inverted_index(
             "_part", pa.array(token_partition(part["token"], num_parts))
         )
 
-    def write_part(group: pa.Table) -> pa.Table:
-        return sink(group)
-
-    df = (
-        docs_ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(write_part, batch_format="pyarrow")
-        .to_pandas()
+    return sink_partitioned(
+        docs_ds.map_batches(tag, batch_format="pyarrow"),
+        out_dir,
+        num_parts,
+        POSTINGS_SCHEMA.empty_table(),
+        {"index": "inverted", "key": "token"},
     )
-    # backfill EMPTY fragments for partitions no token hashed into, so
-    # "manifest has P rows" is the unambiguous build-complete condition
-    # (a resume check can then distinguish 'legitimately empty' from
-    # 'crashed mid-build')
-    from ocr_ray.state.manifest import load_manifest
-
-    done = load_manifest(out_dir)
-    for p in range(num_parts):
-        if p not in done:
-            sink.write(POSTINGS_SCHEMA.empty_table(), p)
-    return df
 
 
 def index_lookup(out_dir: str, terms: list[str], *, num_parts: int = 16) -> pa.Table:
     """Postings of ``terms`` — opens ONLY the fragments the partition law
-    names (<= len(terms) of the P committed fragments; asserted, so a
-    pruning regression fails loudly instead of silently scanning)."""
-    from ocr_ray.state.manifest import load_manifest
+    names (<= len(terms) of the P committed fragments). Raises loudly on
+    an incomplete store (crashed build) instead of silently returning
+    partial postings; reads either fragment format via
+    ``read_fragments``."""
+    import ray
 
-    manifest = load_manifest(out_dir)
+    from ocr_ray.state.manifest import read_fragments, require_complete_manifest
+
+    manifest = require_complete_manifest(out_dir, num_parts, what="index_lookup")
     wanted_parts = sorted(set(int(p) for p in token_partition(list(terms), num_parts)))
-    assert len(wanted_parts) <= len(terms), (wanted_parts, terms)
-    files = [manifest[p]["file"] for p in wanted_parts if p in manifest]
+    files = [manifest[p]["file"] for p in wanted_parts]
     term_set = pa.array(sorted(set(terms)), type=pa.string())
-    out = []
-    for f in files:
-        import pyarrow.parquet as pq
 
-        tbl = pq.read_table(f)
-        mask = pc.is_in(tbl["token"], value_set=term_set)
-        hit = tbl.filter(mask)
-        if hit.num_rows:
-            out.append(hit.select(["token", "doc_id", "tf"]))
-    if not out:
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return POSTINGS_SCHEMA.empty_table()
+        return t.filter(pc.is_in(t["token"], value_set=term_set)).select(
+            ["token", "doc_id", "tf"]
+        )
+
+    hits = [
+        t
+        for t in ray.get(
+            read_fragments(files)
+            .map_batches(pick, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not hits:
         return POSTINGS_SCHEMA.empty_table()
-    return pa.concat_tables(out)
+    return pa.concat_tables(hits)

@@ -178,3 +178,20 @@ def gate_by_sampled_recheck(out_ds, raw_ds, *, id_col: str, checker):
         lambda t: t.append_column("gate_ok", _pa.array([gate] * t.num_rows)),
         batch_format="pyarrow",
     )
+
+
+
+def store_key(sf_dir: str, table: str) -> str:
+    """Cache key identifying a source table's CONTENT for the persisted
+    /tmp stores (inverted index, minhash store, IVF cells): absolute-path
+    hash + file size + mtime. A regenerated corpus with the same row
+    count, or a different corpus under the same basename, changes the
+    key — a stale persisted store can then never silently answer for the
+    wrong data (the failure mode of keying on basename + row count)."""
+    import os
+    import zlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    ident = zlib.crc32(os.path.abspath(path).encode()) & 0xFFFFFFFF
+    return f"{os.path.basename(os.path.normpath(sf_dir))}-{ident:08x}-b{st.st_size}-m{st.st_mtime_ns}"

@@ -441,25 +441,11 @@ def minhash_dedup_pairs(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.select(["pair_key", "doc_id"]), batch_format="pyarrow"
     )
 
-    def pair_body(g: pa.Table) -> pa.Table:
-        keys = g["pair_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, keys))
-        keys, ids = keys[order], ids[order]
-        ia, ib = run_index_pairs(keys, max_group=256, presorted=True)
-        a, b = ids[ia], ids[ib]
-        if len(a):
-            o2 = np.lexsort((b, a))
-            a, b = a[o2], b[o2]
-            first = np.empty(len(a), dtype=bool)
-            first[0] = True
-            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            a, b = a[first], b[first]
-        return pa.table(
-            {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
-        )
+    from ocr_ray.functions.dedup import keyed_run_pairs
 
-    cands = bucketed_pairs(bands, key_col="pair_key", id_col="doc_id", pair_body=pair_body)
+    cands = bucketed_pairs(
+        bands, key_col="pair_key", id_col="doc_id", pair_body=keyed_run_pairs
+    )
     return _verified_pairs(docs, cands, tau=0.5)
 
 
@@ -759,21 +745,16 @@ def incremental_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
     re-running the full pipeline on corpus ∪ shard and keeping the
     cross pairs — which is what the oracle states (the full verified
     set restricted to doc_a < 1e6 <= doc_b)."""
-    import os
-
     from ocr_ray.functions.dedup import MUTANT_OFFSET, with_mutants
     from ocr_ray.functions.dedup_store import (
         build_minhash_store,
         incremental_minhash_pairs,
         store_complete,
     )
+    from ocr_ray.pipelines.queries._shared import store_key
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
-    n_docs = docs.count()  # parquet metadata — identifies the corpus
-    store = (
-        f"/tmp/ocr_ray_minhash_store/{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-n{n_docs}-p16"
-    )
+    store = f"/tmp/ocr_ray_minhash_store/{store_key(sf_dir, 'documents')}-p16"
     if not store_complete(store, 16):
         build_minhash_store(docs, store, num_parts=16)
 

@@ -1052,17 +1052,12 @@ def inverted_index_lookup(sf_dir: str) -> pa.Table:
     (asserted in ``index_lookup`` — a pruning regression fails loudly).
     The BM25/phrase entries score on the fly; this is the persisted
     structure a retrieval corpus keeps next to the documents."""
-    import os
-
     from ocr_ray.functions.invindex import build_inverted_index, index_lookup
+    from ocr_ray.pipelines.queries._shared import store_key
     from ocr_ray.state.manifest import load_manifest
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
-    n_docs = docs.count()  # parquet metadata — identifies the corpus
-    out_dir = (
-        f"/tmp/ocr_ray_invindex/{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-n{n_docs}-p16"
-    )
+    out_dir = f"/tmp/ocr_ray_invindex/{store_key(sf_dir, 'documents')}-p16"
     if len(load_manifest(out_dir)) < 16:
         build_inverted_index(docs, out_dir, num_parts=16)
     return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)

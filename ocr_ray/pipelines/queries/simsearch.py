@@ -324,22 +324,20 @@ def ann_ivf_store_topk(sf_dir: str) -> ray.data.Dataset:
     planning, masked scoring, partial merge). The nprobe < n_cells
     pruning bound and its recall are pinned in tests/test_invindex.py;
     ``ann_ivf_topk`` remains the recompute-per-run configuration."""
-    import os
-
     from ocr_ray.functions.ann import make_centroids
-    from ocr_ray.functions.ann_store import build_ivf_store, ivf_store_topk
+    from ocr_ray.functions.ann_store import (
+        build_ivf_store,
+        ivf_store_complete,
+        ivf_store_topk,
+    )
+    from ocr_ray.pipelines.queries._shared import store_key
     from ocr_ray.sources.readers import sample_parquet_rows
-    from ocr_ray.state.manifest import load_manifest
 
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    n_vecs = ds.count()  # parquet metadata — identifies the corpus
-    store = (
-        f"/tmp/ocr_ray_ivf_store/{os.path.basename(os.path.normpath(sf_dir))}"
-        f"-n{n_vecs}-c16"
-    )
-    if len(load_manifest(store)) < 16:
+    store = f"/tmp/ocr_ray_ivf_store/{store_key(sf_dir, 'embeddings')}-c16"
+    if not ivf_store_complete(store, 16):
         sample = sample_parquet_rows(
             f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
         ).to_pandas()

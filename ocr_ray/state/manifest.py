@@ -410,6 +410,50 @@ def write_extracted_resumable(
     return df
 
 
+def sink_partitioned(ds_tagged, out_dir: str, num_parts: int, empty_tbl, extra: dict):
+    """`_part`-tagged rows -> committed fragments, plus explicit EMPTY
+    fragments for untouched partitions so "manifest has P rows" is the
+    unambiguous build-complete condition (a resume/consistency check can
+    then distinguish 'legitimately empty' from 'crashed mid-build').
+    Shared by the persisted-structure builders (inverted index, minhash
+    store, IVF cell store). A rebuild after a crash rewrites ALL
+    partitions (atomic rewrites are idempotent) — there is no
+    skip-completed fast path here because the partition key is derived
+    from row content, not input shards."""
+    sink = ResumableSink(out_dir, data_format="auto")
+    _check_layout(
+        out_dir, num_parts, write=True, extra={"data_format": sink.data_format, **extra}
+    )
+
+    def write_part(group: pa.Table) -> pa.Table:
+        return sink(group)
+
+    df = (
+        ds_tagged.groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    done = load_manifest(out_dir)
+    for p in range(num_parts):
+        if p not in done:
+            sink.write(empty_tbl, p)
+    return df
+
+
+def require_complete_manifest(out_dir: str, num_parts: int, *, what: str) -> dict:
+    """Load a store manifest and FAIL LOUDLY if any partition is missing
+    (a crashed build) — the check that makes partial stores unreadable
+    instead of silently incomplete."""
+    manifest = load_manifest(out_dir)
+    missing = [p for p in range(num_parts) if p not in manifest]
+    if missing:
+        raise ValueError(
+            f"{what}: store at {out_dir} is incomplete — partitions {missing} "
+            f"missing from the manifest (crashed build?); rebuild the store"
+        )
+    return manifest
+
+
 def compact_partitions(in_dir: str, out_dir: str, *, num_parts: int):
     """Compact a committed fragment directory to a coarser layout — the
     100 TB small-file remedy (a resumable run that checkpointed at fine

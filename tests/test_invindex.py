@@ -179,3 +179,23 @@ def test_ivf_store_prunes_and_recalls(ray_session, sf_smoke, tmp_path):
         & set(map(tuple, brute[["query_id", "vec_id"]].to_numpy()))
     )
     assert hit >= len(brute) // 2, (hit, len(brute))
+
+
+def test_incomplete_store_raises_instead_of_partial_answers(ray_session, tmp_path):
+    """A crashed build (missing manifest partitions) must make lookups
+    FAIL LOUDLY, not silently answer from the fragments that exist."""
+    import os
+
+    from ocr_ray.functions.invindex import build_inverted_index, index_lookup
+
+    out = str(tmp_path / "idx")
+    build_inverted_index(
+        _docs_ds({"doc_id": [1, 2], "text": ["alpha beta", "beta gamma"]}),
+        out,
+        num_parts=4,
+    )
+    # simulate the crash: remove one committed sidecar
+    victim = os.path.join(out, "_manifest", "part-00002.json")
+    os.remove(victim)
+    with pytest.raises(ValueError, match="incomplete"):
+        index_lookup(out, ["alpha"], num_parts=4)
