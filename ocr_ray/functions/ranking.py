@@ -64,7 +64,6 @@ def partitioned_rank(
     value_col: str,
     tiebreak_col: str,
     out_cols: list[str],
-    bins: int = 1024,
     num_buckets: int | None = None,
     ntile: int | None = None,
     emit_count: bool = False,
@@ -77,20 +76,11 @@ def partitioned_rank(
     Dataset with ``out_cols + [rn (+ tile) (+ n_part)]``.
     """
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
+    from ocr_ray.functions.sketch import bitpattern_bin_of as bin_of
     from ocr_ray.sizing import default_buckets
 
     nb = num_buckets or default_buckets()
-
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    if mm is None:
-        raise ValueError("partitioned_rank: empty input dataset")
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    span = max(hi - lo, 1e-300)
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
@@ -104,12 +94,13 @@ def partitioned_rank(
             }
         )
 
-    merged = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby(["part", "bin"])
-        .aggregate(Sum("count", alias_name="count"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=["part", "bin"],
+        aggs={"count": ("count", "sum")},
+    ).to_pandas()
 
     # exclusive prefix: rows of the partition strictly before each bin
     offsets: dict[tuple[str, int], int] = {}
@@ -193,34 +184,24 @@ def partitioned_prefix_sum(
     tiebreak_col: str,
     weight_col: str,
     out_cols: list[str],
-    bins: int = 1024,
     num_buckets: int | None = None,
 ):
     """Distributed PREFIX SUM: append ``running_before`` = the sum of
     ``weight_col`` over all rows of the same ``part_col`` that sort
     strictly before this row in ``(value_col, tiebreak_col)`` order —
     SQL's ``SUM(w) OVER (PARTITION BY p ORDER BY v, t ROWS UNBOUNDED
-    PRECEDING) - w``. Same three-pass range-bucket shape as
+    PRECEDING) - w``. Same two-pass range-bucket shape as
     :func:`partitioned_rank` (histogram of per-bin weight sums, driver
     exclusive scan, one coarse-bucket shuffle with in-cell cumsum), so no
     task ever holds a whole partition. The scan primitive behind
     training-sequence packing, byte-offset assignment, and quota splits.
     """
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
+    from ocr_ray.functions.sketch import bitpattern_bin_of as bin_of
     from ocr_ray.sizing import default_buckets
 
     nb = num_buckets or default_buckets()
-
-    mm = ds.aggregate(Min(value_col), Max(value_col))
-    if mm is None:
-        raise ValueError("partitioned_prefix_sum: empty input dataset")
-    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    span = max(hi - lo, 1e-300)
-
-    def bin_of(v: np.ndarray) -> np.ndarray:
-        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def _weights(t_or_g, col):
         # float weight columns sum in float64 (the previous int64 cast
@@ -253,12 +234,13 @@ def partitioned_prefix_sum(
             }
         )
 
-    merged = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby(["part", "bin"])
-        .aggregate(Sum("w", alias_name="w"))
-        .to_pandas()
-    )
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    merged = bucketed_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        keys=["part", "bin"],
+        aggs={"w": ("w", "sum")},
+    ).to_pandas()
 
     wdtype = np.float64 if merged["w"].dtype.kind == "f" else np.int64
     offsets: dict = {}

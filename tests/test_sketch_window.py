@@ -169,7 +169,6 @@ def test_partitioned_rank_matches_pandas(ray_session):
             value_col="val",
             tiebreak_col="id",
             out_cols=["part", "id"],
-            bins=16,
             num_buckets=4,
             ntile=4,
         )
