@@ -195,3 +195,36 @@ def store_key(sf_dir: str, table: str) -> str:
     st = os.stat(path)
     ident = zlib.crc32(os.path.abspath(path).encode()) & 0xFFFFFFFF
     return f"{os.path.basename(os.path.normpath(sf_dir))}-{ident:08x}-b{st.st_size}-m{st.st_mtime_ns}"
+
+
+def mapside_count_sum(ds, *, keys: list[str], sum_cols: list[str]):
+    """Per-batch Arrow ``group_by`` combine (COUNT(*) + sums) before the
+    Ray fold — the q1 partial+final idiom as a helper. Without it,
+    ``Dataset.groupby().aggregate`` sorts every raw row to produce a
+    handful of groups (the regr_price_by_qty pathology). Returns a
+    Dataset with ``keys + [n (count), <sum_cols>...]``; the final fold is
+    a Dataset.groupby over the (tiny) per-batch partials, so it is only
+    for LOW-cardinality keys — data-scaled keys need bucketed_aggregate.
+    """
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Sum
+
+    def combine(t: _pa.Table) -> _pa.Table:
+        part = t.group_by(keys).aggregate(
+            [([], "count_all")] + [(c, "sum") for c in sum_cols]
+        )
+        cols = {k: part[k] for k in keys}
+        cols["n"] = part["count_all"]
+        for c in sum_cols:
+            cols[c] = part[f"{c}_sum"]
+        return _pa.table(cols)
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(c, alias_name=c) for c in sum_cols],
+        )
+    )

@@ -993,11 +993,16 @@ def cube_year_status(sf_dir: str) -> pa.Table:
             }
         )
 
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
     fine = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["yr", "status"])
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        mapside_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            keys=["yr", "status"],
+            sum_cols=["price_c"],
+        )
         .to_pandas()
+        .rename(columns={"n": "n_orders"})
     )
     by_yr = fine.groupby("yr", as_index=False)[["n_orders", "price_c"]].sum().assign(status="ALL")
     by_st = (
@@ -1243,11 +1248,14 @@ def orders_daily_with_gaps(sf_dir: str) -> pa.Table:
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"day": pc.cast(t["o_orderdate"], pa.date32())})
 
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
     daily = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Count(alias_name="n_orders"))
+        mapside_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow"), keys=["day"], sum_cols=[]
+        )
         .to_pandas()
+        .rename(columns={"n": "n_orders"})
     )
     days = pd.to_datetime(daily["day"])
     spine = pd.date_range(days.min(), days.max(), freq="D")

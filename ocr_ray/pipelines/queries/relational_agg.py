@@ -157,8 +157,19 @@ def events_by_type(sf_dir: str) -> ray.data.Dataset:
 
     # distinct users per type: dedupe (type, user) pairs first, then count.
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    base = prepped.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value_c", alias_name="value_c")
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
+    base = mapside_count_sum(
+        prepped, keys=["event_type"], sum_cols=["value_c"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n"],
+                "value_c": t["value_c"],
+            }
+        ),
+        batch_format="pyarrow",
     )
     from ocr_ray.functions.relational import bucketed_aggregate
 
@@ -216,17 +227,19 @@ def orders_per_month(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
+    agg = mapside_count_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["month"],
+        sum_cols=["price_c"],
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "month": df["month"],
-                "n_orders": df["n_orders"].astype(np.int64),
+                "n_orders": df["n"].astype(np.int64),
                 "total_price": units_to_double(df["price_c"], 2),
             }
         )

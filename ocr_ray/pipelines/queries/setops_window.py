@@ -1012,7 +1012,7 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
     def prep(t: pa.Table) -> pa.Table:
         epoch = pc.cast(t["ts"], pa.int64())
         start = pc.multiply(pc.divide(epoch, pa.scalar(w_us, type=pa.int64())), pa.scalar(w_us, type=pa.int64()))
-        return pa.table(
+        tbl = pa.table(
             {
                 "window_start": pc.strftime(
                     pc.cast(start, pa.timestamp("us")), format="%Y-%m-%d %H:%M"
@@ -1021,11 +1021,27 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
                 "value_c": to_units(t["value"]),
             }
         )
+        # map-side combine: the window-key cardinality scales with the
+        # log's time span (~rows/window at sf0.1), so the fold must be
+        # bucketed, with per-batch partials shrinking the shuffle
+        part = tbl.group_by(["window_start", "event_type"]).aggregate(
+            [([], "count_all"), ("value_c", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start": part["window_start"],
+                "event_type": part["event_type"],
+                "n_events": part["count_all"],
+                "value_c": part["value_c_sum"],
+            }
+        )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["window_start", "event_type"],
+        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1074,7 +1090,7 @@ def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
             ]
         )
         vals = pa.concat_arrays([value_c.combine_chunks()] * 2)
-        return pa.table(
+        tbl = pa.table(
             {
                 "window_start": pc.strftime(
                     pc.cast(starts, pa.timestamp("us")), format="%Y-%m-%d %H:%M"
@@ -1082,11 +1098,23 @@ def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
                 "value_c": vals,
             }
         )
+        part = tbl.group_by("window_start").aggregate(
+            [([], "count_all"), ("value_c", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start": part["window_start"],
+                "n_events": part["count_all"],
+                "value_c": part["value_c_sum"],
+            }
+        )
 
-    agg = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("window_start")
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        keys=["window_start"],
+        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1203,11 +1231,16 @@ def orders_rollup_year_status(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
     fine = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["yr", "status"])
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        mapside_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            keys=["yr", "status"],
+            sum_cols=["price_c"],
+        )
         .to_pandas()
+        .rename(columns={"n": "n_orders"})
     )
     lvl1 = (
         fine.groupby("yr", as_index=False)[["n_orders", "price_c"]].sum().assign(status="ALL")
@@ -1318,12 +1351,24 @@ def orders_pivot_status_by_year(sf_dir: str) -> ray.data.Dataset:
 
     def prep(t: pa.Table) -> pa.Table:
         s = t["o_orderstatus"]
-        return pa.table(
+        tbl = pa.table(
             {
                 "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
                 "is_o": pc.cast(pc.equal(s, "O"), pa.int64()),
                 "is_f": pc.cast(pc.equal(s, "F"), pa.int64()),
                 "is_p": pc.cast(pc.equal(s, "P"), pa.int64()),
+            }
+        )
+        # map-side combine: fold each batch to <= |years| rows first
+        part = tbl.group_by("yr").aggregate(
+            [("is_o", "sum"), ("is_f", "sum"), ("is_p", "sum")]
+        )
+        return pa.table(
+            {
+                "yr": part["yr"],
+                "is_o": part["is_o_sum"],
+                "is_f": part["is_f_sum"],
+                "is_p": part["is_p_sum"],
             }
         )
 
@@ -1769,11 +1814,16 @@ def orders_grouping_sets(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
     fine = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["yr", "status", "priority"])
-        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        mapside_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            keys=["yr", "status", "priority"],
+            sum_cols=["price_c"],
+        )
         .to_pandas()
+        .rename(columns={"n": "n_orders"})
     )
 
     def fold(keep: list[str]) -> pd.DataFrame:
@@ -1837,18 +1887,31 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
         t = t.filter(pc.is_valid(t["ts"]))
         us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         win = (us // FIVE_MIN) * FIVE_MIN
-        return pa.table(
+        tbl = pa.table(
             {
                 "win_us": pa.array(win),
                 "event_type": t["event_type"],
                 "value_c": to_units(t["value"]),
             }
         )
+        part = tbl.group_by(["win_us", "event_type"]).aggregate(
+            [([], "count_all"), ("value_c", "sum")]
+        )
+        return pa.table(
+            {
+                "win_us": part["win_us"],
+                "event_type": part["event_type"],
+                "n_events": part["count_all"],
+                "value_c": part["value_c_sum"],
+            }
+        )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["win_us", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
+    from ocr_ray.functions.relational import bucketed_aggregate
+
+    agg = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["win_us", "event_type"],
+        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

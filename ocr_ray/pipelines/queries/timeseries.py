@@ -464,11 +464,20 @@ def cusum_daily_value(sf_dir: str) -> pa.Table:
         day = pa.compute.cast(
             pa.compute.floor_temporal(t["ts"], unit="day"), pa.date32()
         )
-        return pa.table(
+        tbl = pa.table(
             {
                 "event_type": t["event_type"],
                 "day": pa.compute.cast(day, pa.int32()),
                 "x_c": to_units(t["value"]),
+            }
+        )
+        # map-side combine: <= |types x days in batch| partial rows
+        part = tbl.group_by(["event_type", "day"]).aggregate([("x_c", "sum")])
+        return pa.table(
+            {
+                "event_type": part["event_type"],
+                "day": part["day"],
+                "x_c": part["x_c_sum"],
             }
         )
 
