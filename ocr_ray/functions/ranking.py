@@ -76,11 +76,28 @@ def partitioned_rank(
     Dataset with ``out_cols + [rn (+ tile) (+ n_part)]``.
     """
     import ray
+    from ray.data.aggregate import Max, Min
 
-    from ocr_ray.functions.sketch import bitpattern_bin_of as bin_of
     from ocr_ray.sizing import default_buckets
 
     nb = num_buckets or default_buckets()
+    bins = 1024
+
+    # ADAPTIVE uniform binning (not the selection primitives' bit-pattern
+    # key): ranking shuffles EVERY row through its (part, bin) cells, so
+    # cell size must track the data's actual range — a narrow-range key
+    # under fixed bit-pattern bins would concentrate a whole partition
+    # into one cell (the straggler this module exists to prevent). The
+    # min/max pass is one cheap scan; the expensive part (the histogram
+    # fold) stays bucketed.
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    if mm is None:
+        raise ValueError("partitioned_rank: empty input dataset")
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def hist(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
@@ -101,6 +118,8 @@ def partitioned_rank(
         keys=["part", "bin"],
         aggs={"count": ("count", "sum")},
     ).to_pandas()
+    if len(merged) == 0:
+        raise ValueError("partitioned_rank: empty input dataset")
 
     # exclusive prefix: rows of the partition strictly before each bin
     offsets: dict[tuple[str, int], int] = {}
@@ -197,11 +216,23 @@ def partitioned_prefix_sum(
     training-sequence packing, byte-offset assignment, and quota splits.
     """
     import ray
+    from ray.data.aggregate import Max, Min
 
-    from ocr_ray.functions.sketch import bitpattern_bin_of as bin_of
     from ocr_ray.sizing import default_buckets
 
     nb = num_buckets or default_buckets()
+    bins = 1024
+
+    # adaptive uniform binning — see partitioned_rank's note: every row
+    # shuffles through the cells, so cell width must track the range
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    if mm is None:
+        raise ValueError("partitioned_prefix_sum: empty input dataset")
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = max(hi - lo, 1e-300)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip((v - lo) / span * bins, 0, bins - 1).astype(np.int64)
 
     def _weights(t_or_g, col):
         # float weight columns sum in float64 (the previous int64 cast
@@ -241,6 +272,8 @@ def partitioned_prefix_sum(
         keys=["part", "bin"],
         aggs={"w": ("w", "sum")},
     ).to_pandas()
+    if len(merged) == 0:
+        raise ValueError("partitioned_prefix_sum: empty input dataset")
 
     wdtype = np.float64 if merged["w"].dtype.kind == "f" else np.int64
     offsets: dict = {}

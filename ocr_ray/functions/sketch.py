@@ -160,14 +160,14 @@ def _bitpattern_bin_of(v: np.ndarray) -> np.ndarray:
     selection. int64 inputs cast to float64 exactly below 2^53."""
     u = np.ascontiguousarray(v.astype(np.float64)).view(np.uint64)
     # -0.0 -> +0.0: the only EQUAL values with different bit patterns;
-    # rank/selection consumers need equal values to share a bin
+    # selection consumers need equal values to share a bin
     u = np.where(u == np.uint64(1 << 63), np.uint64(0), u)
     neg = (u >> np.uint64(63)) == 1
     k = np.where(neg, ~u, u | np.uint64(1 << 63))
     return (k >> np.uint64(64 - 18)).astype(np.int64)
 
 
-bitpattern_bin_of = None  # set below (public alias)
+bitpattern_bin_of = _bitpattern_bin_of  # public alias
 
 
 def grouped_exact_median(
@@ -772,5 +772,3 @@ def grouped_winsorize_stats(
         columns=[group_col, "n", "n_clipped_lo", "n_clipped_hi", "sum_winsorized", "p_lo", "p_hi"],
     )
 
-
-bitpattern_bin_of = _bitpattern_bin_of  # public alias for ranking.py

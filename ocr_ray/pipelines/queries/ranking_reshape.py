@@ -980,8 +980,6 @@ def cube_year_status(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE — all four grouping sets folded from ONE distributed
     fine-grained groupby (same partial+final idiom as the ROLLUP entry;
     the three coarser levels are arithmetic over the tiny finest level)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1241,8 +1239,6 @@ def orders_daily_with_gaps(sf_dir: str) -> pa.Table:
     combine + tiny groupby), then the driver generates the min..max day
     spine (bounded by the date RANGE, not the data) and left-joins the
     aggregate — missing days appear with zero counts."""
-    from ray.data.aggregate import Count
-
     ds = read_table(sf_dir, "orders", columns=["o_orderdate"])
 
     def prep(t: pa.Table) -> pa.Table:

@@ -142,7 +142,7 @@ FROM events GROUP BY event_type
 )
 def events_by_type(sf_dir: str) -> ray.data.Dataset:
     """Event-stream rollup with exact sums and a distinct-count."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     ds = read_table(sf_dir, "events", columns=["event_type", "value", "user_id"])
 
@@ -215,8 +215,6 @@ FROM orders GROUP BY month
 """,
 )
 def orders_per_month(sf_dir: str) -> ray.data.Dataset:
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:

@@ -1004,8 +1004,6 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
     """Tumbling-window aggregate (5-min windows) — the finite-log idiom for
     the reference's absent streaming surface: window id is pure integer
     arithmetic on the epoch, then a standard partial+final groupby."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
     w_us = 5 * 60 * 1_000_000
 
@@ -1025,7 +1023,7 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
         # log's time span (~rows/window at sf0.1), so the fold must be
         # bucketed, with per-batch partials shrinking the shuffle
         part = tbl.group_by(["window_start", "event_type"]).aggregate(
-            [([], "count_all"), ("value_c", "sum")]
+            [([], "count_all"), ("value_c", "sum"), ("value_c", "count")]
         )
         return pa.table(
             {
@@ -1033,6 +1031,10 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
                 "event_type": part["event_type"],
                 "n_events": part["count_all"],
                 "value_c": part["value_c_sum"],
+                # non-null count: the bucketed pandas fold turns an
+                # all-NULL group's sum into 0, but SQL SUM yields NULL —
+                # finalize nulls the sum when n_valid == 0
+                "n_valid": part["value_c_count"],
             }
         )
 
@@ -1041,16 +1043,22 @@ def events_tumbling_5min(sf_dir: str) -> ray.data.Dataset:
     agg = bucketed_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["window_start", "event_type"],
-        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
+        aggs={
+            "n_events": ("n_events", "sum"),
+            "value_c": ("value_c", "sum"),
+            "n_valid": ("n_valid", "sum"),
+        },
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        sv = units_to_double(df["value_c"], 2)
+        sv = np.where(df["n_valid"].to_numpy(dtype=np.int64) == 0, np.nan, sv)
         return pd.DataFrame(
             {
                 "window_start": df["window_start"],
                 "event_type": df["event_type"],
                 "n_events": df["n_events"].astype(np.int64),
-                "sum_value": units_to_double(df["value_c"], 2),
+                "sum_value": sv,
             }
         )
 
@@ -1074,8 +1082,6 @@ def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
     """Hopping windows (size 10 min, hop 5 min): each event replicates into
     its two overlapping windows inside map_batches (flat-map shape), then
     one groupby — replication happens before the shuffle, no driver loop."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "events", columns=["ts", "value"])
     hop_us = 5 * 60 * 1_000_000
 
@@ -1099,13 +1105,14 @@ def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
             }
         )
         part = tbl.group_by("window_start").aggregate(
-            [([], "count_all"), ("value_c", "sum")]
+            [([], "count_all"), ("value_c", "sum"), ("value_c", "count")]
         )
         return pa.table(
             {
                 "window_start": part["window_start"],
                 "n_events": part["count_all"],
                 "value_c": part["value_c_sum"],
+                "n_valid": part["value_c_count"],  # see tumbling note
             }
         )
 
@@ -1114,15 +1121,21 @@ def events_hopping_10min(sf_dir: str) -> ray.data.Dataset:
     agg = bucketed_aggregate(
         ds.map_batches(assign, batch_format="pyarrow"),
         keys=["window_start"],
-        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
+        aggs={
+            "n_events": ("n_events", "sum"),
+            "value_c": ("value_c", "sum"),
+            "n_valid": ("n_valid", "sum"),
+        },
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        sv = units_to_double(df["value_c"], 2)
+        sv = np.where(df["n_valid"].to_numpy(dtype=np.int64) == 0, np.nan, sv)
         return pd.DataFrame(
             {
                 "window_start": df["window_start"],
                 "n_events": df["n_events"].astype(np.int64),
-                "sum_value": units_to_double(df["value_c"], 2),
+                "sum_value": sv,
             }
         )
 
@@ -1218,8 +1231,6 @@ def orders_rollup_year_status(sf_dir: str) -> ray.data.Dataset:
     """ROLLUP hierarchy (year, status) -> the partial+final idiom: ONE
     fine-grained distributed groupby, then the two coarser levels fold
     from the (tiny) finest level — no second pass over the data."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -1796,8 +1807,6 @@ def orders_grouping_sets(sf_dir: str) -> ray.data.Dataset:
     union of all referenced dimensions, with every requested set folded
     from that tiny finest level driver-side. One pass over the data for
     any number of sets, the same partial+final idiom as ROLLUP/CUBE."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(
         sf_dir,
         "orders",
@@ -1876,7 +1885,7 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
     assignment + integer-unit sums stay one distributed groupby. The
     is_final flag is part of the oracle hash, so the
     watermark arithmetic (bucket end vs bound) is pinned bit-exactly."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max
 
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
     wm = ds.aggregate(Max("ts"))["max(ts)"]
@@ -1895,7 +1904,7 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
             }
         )
         part = tbl.group_by(["win_us", "event_type"]).aggregate(
-            [([], "count_all"), ("value_c", "sum")]
+            [([], "count_all"), ("value_c", "sum"), ("value_c", "count")]
         )
         return pa.table(
             {
@@ -1903,6 +1912,7 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
                 "event_type": part["event_type"],
                 "n_events": part["count_all"],
                 "value_c": part["value_c_sum"],
+                "n_valid": part["value_c_count"],  # see tumbling note
             }
         )
 
@@ -1911,17 +1921,23 @@ def events_watermarked_window(sf_dir: str) -> ray.data.Dataset:
     agg = bucketed_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["win_us", "event_type"],
-        aggs={"n_events": ("n_events", "sum"), "value_c": ("value_c", "sum")},
+        aggs={
+            "n_events": ("n_events", "sum"),
+            "value_c": ("value_c", "sum"),
+            "n_valid": ("n_valid", "sum"),
+        },
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         win_us = df["win_us"].to_numpy(dtype=np.int64)
+        sv = units_to_double(df["value_c"], 2)
+        sv = np.where(df["n_valid"].to_numpy(dtype=np.int64) == 0, np.nan, sv)
         return pd.DataFrame(
             {
                 "win_start": pd.to_datetime(win_us, unit="us"),
                 "event_type": df["event_type"],
                 "n_events": df["n_events"].astype(np.int64),
-                "sum_value": units_to_double(df["value_c"], 2),
+                "sum_value": sv,
                 "is_final": (win_us + FIVE_MIN) <= watermark_us,
             }
         )

@@ -336,3 +336,40 @@ def test_grouped_winsorize_stats_exact_vs_pandas(ray_session):
         assert int(row["n_clipped_lo"]) == int((v < p_lo).sum())
         assert int(row["n_clipped_hi"]) == int((v > p_hi).sum())
         assert int(row["sum_winsorized"]) == int(clipped.sum())
+
+
+def test_window_sum_of_all_null_group_is_null(ray_session, tmp_path):
+    """SQL SUM over an all-NULL value group is NULL, not 0 — the bucketed
+    pandas fold would silently produce 0 without the n_valid guard
+    (review finding on the round-4 window-family conversion)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    sf = str(tmp_path)
+    ts = pd.to_datetime(
+        ["2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 00:07:00"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], type=pa.int64()),
+                "user_id": pa.array([1, 1, 2], type=pa.int64()),
+                "event_type": pa.array(["a", "a", "a"], type=pa.string()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                # first 5-min window: both values NULL; second: 3.0
+                "value": pa.array([None, None, 3.0], type=pa.float64()),
+                "payload": pa.array(["{}", "{}", "{}"], type=pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    df = (
+        e.queries()["events_tumbling_5min"](sf)
+        .to_pandas()
+        .sort_values("window_start", ignore_index=True)
+    )
+    assert df["n_events"].tolist() == [2, 1]
+    assert np.isnan(df["sum_value"].iloc[0])  # all-NULL window -> NULL sum
+    assert df["sum_value"].iloc[1] == 3.0
