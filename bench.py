@@ -163,6 +163,7 @@ QUERY_SET = [
     "inverted_index_lookup",
     "incremental_minhash_dedup",
     "ann_ivf_store_topk",
+    "bm25_index_search",
 ]
 
 

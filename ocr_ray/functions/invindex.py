@@ -121,3 +121,185 @@ def index_lookup(out_dir: str, terms: list[str], *, num_parts: int = 16) -> pa.T
     if not hits:
         return POSTINGS_SCHEMA.empty_table()
     return pa.concat_tables(hits)
+
+
+LENGTHS_SCHEMA = pa.schema({"doc_id": pa.int64(), "dl": pa.int64()})
+
+
+def build_bm25_index(
+    docs_ds,
+    out_dir: str,
+    *,
+    num_parts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Full BM25 retrieval structure: the token-partitioned postings index
+    plus a doc-length table (doc bucket partitioned) plus the two corpus
+    scalars BM25 needs (N, sum_dl) committed as meta.json — everything a
+    query-time scorer requires WITHOUT touching the corpus again. The
+    meta commits FIRST, so build-complete = (meta present AND both
+    sub-manifests full); a crash anywhere leaves a store that
+    ``bm25_from_index`` refuses loudly."""
+    import json
+    import os
+    import uuid
+
+    import ray
+
+    from ocr_ray.functions.hashing import doc_bucket
+    from ocr_ray.functions.text import split_tokens
+    from ocr_ray.state.manifest import sink_partitioned
+
+    def lengths(t: pa.Table) -> pa.Table:
+        _, counts, _ = split_tokens(t[text_col])
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(t[id_col], pa.int64()),
+                "dl": pa.array(counts),
+            }
+        )
+
+    # corpus scalars in one tiny aggregate over the lengths stream
+    len_ds = docs_ds.map_batches(lengths, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    g = len_ds.aggregate(Count(), Sum("dl"))
+    meta = {"n_docs": int(g["count()"]), "sum_dl": int(g["sum(dl)"])}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+
+    build_inverted_index(
+        docs_ds,
+        os.path.join(out_dir, "postings"),
+        num_parts=num_parts,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+    def tag_lengths(t: pa.Table) -> pa.Table:
+        lt = lengths(t)
+        return lt.append_column(
+            "_part", pa.array(doc_bucket(lt["doc_id"], num_parts).astype(np.int32))
+        )
+
+    sink_partitioned(
+        docs_ds.map_batches(tag_lengths, batch_format="pyarrow"),
+        os.path.join(out_dir, "lengths"),
+        num_parts,
+        LENGTHS_SCHEMA.empty_table(),
+        {"index": "bm25-lengths", "key": "doc_id"},
+    )
+    return meta
+
+
+def bm25_index_complete(out_dir: str, num_parts: int = 16) -> bool:
+    import os
+
+    from ocr_ray.state.manifest import load_manifest
+
+    return (
+        os.path.exists(os.path.join(out_dir, "meta.json"))
+        and len(load_manifest(os.path.join(out_dir, "postings"))) == num_parts
+        and len(load_manifest(os.path.join(out_dir, "lengths"))) == num_parts
+    )
+
+
+def bm25_from_index(
+    out_dir: str,
+    terms: list[str],
+    *,
+    k: int = 20,
+    num_parts: int = 16,
+) -> pa.Table:
+    """BM25 top-k SERVED FROM the committed index — the corpus is never
+    read: term postings give exact tf and df (postings-list length), the
+    candidates' doc lengths come from the lengths table (only the
+    candidate doc buckets' fragments are read), and N / sum_dl come from
+    meta.json. The float op sequence mirrors ``bm25_search`` exactly
+    (same idf formula, same accumulation order over terms, and a
+    missing term contributes ``idf * 0.0`` — adding 0.0 is exact), so
+    scores are bit-equal to the full-scan scorer and its SQL oracle.
+    k1=1.2 / b=0.75 are FIXED (the scorer's 2.2 literal is k1+1 — a
+    parameter would break the bit-exact mirror). The Lucene idf variant
+    is always > 0, so every candidate outscores every non-candidate
+    (score 0); the only divergence from a full scan is a corpus with
+    FEWER than k matching docs, where the full scan pads the top-k with
+    zero-score docs and this returns just the matches."""
+    K1, B = 1.2, 0.75
+    import json
+    import math
+    import os
+
+    import numpy as np
+    import ray
+
+    from ocr_ray.functions.hashing import doc_bucket
+    from ocr_ray.state.manifest import read_fragments, require_complete_manifest
+
+    if not os.path.exists(os.path.join(out_dir, "meta.json")):
+        raise ValueError(f"bm25_from_index: store at {out_dir} has no meta.json")
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    avgdl = float(sum_dl) / n
+
+    post = index_lookup(os.path.join(out_dir, "postings"), terms, num_parts=num_parts)
+    pt = post.to_pandas()
+    # per-term postings maps; df = postings-list length (exact)
+    tf_maps, dfs = [], []
+    for term in terms:
+        sub = pt[pt["token"] == term]
+        tf_maps.append(dict(zip(sub["doc_id"].astype(np.int64), sub["tf"].astype(np.int64))))
+        dfs.append(len(sub))
+    idf = [
+        math.log((n - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0) for i in range(len(terms))
+    ]
+
+    cand = np.unique(pt["doc_id"].to_numpy(dtype=np.int64))
+    if len(cand) == 0:
+        return pa.schema({"doc_id": pa.int64(), "score": pa.float64()}).empty_table()
+
+    # candidates' doc lengths: read ONLY their buckets' fragments
+    lm = require_complete_manifest(
+        os.path.join(out_dir, "lengths"), num_parts, what="bm25_from_index"
+    )
+    need_parts = sorted(set(int(p) for p in doc_bucket(cand, num_parts)))
+    files = [lm[p]["file"] for p in need_parts]
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LENGTHS_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, cand)))
+
+    lt = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                read_fragments(files)
+                .map_batches(pick, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    ).to_pandas()
+    dl_map = dict(zip(lt["doc_id"].astype(np.int64), lt["dl"].astype(np.int64)))
+
+    # identical op sequence to bm25_search.score
+    dl = np.array([dl_map[int(d)] for d in cand], dtype=np.float64)
+    denom_norm = K1 * (0.25 + B * (dl / avgdl))
+    s = np.zeros(len(cand), dtype=np.float64)
+    for i in range(len(terms)):
+        tf = np.array([tf_maps[i].get(int(d), 0) for d in cand], dtype=np.float64)
+        s = s + idf[i] * ((tf * 2.2) / (tf + denom_norm))
+    order = np.lexsort((cand, -s))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(cand[order], type=pa.int64()),
+            "score": pa.array(s[order]),
+        }
+    )

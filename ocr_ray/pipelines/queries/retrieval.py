@@ -1061,3 +1061,35 @@ def inverted_index_lookup(sf_dir: str) -> pa.Table:
     if len(load_manifest(out_dir)) < 16:
         build_inverted_index(docs, out_dir, num_parts=16)
     return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)
+
+
+@query(
+    "bm25_index_search",
+    sql=_BM25_SC_SQL
+    + """
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def bm25_index_search(sf_dir: str) -> pa.Table:
+    """BM25 top-20 SERVED FROM the materialized index — the committed
+    postings + doc-length tables + corpus scalars answer the query with
+    ZERO corpus reads (``functions/invindex.build_bm25_index`` /
+    ``bm25_from_index``); only the query terms' postings fragments and
+    the candidates' length buckets are opened. Shares ``bm25_search``'s
+    SQL oracle VERBATIM: the scorer replays the identical float op
+    sequence on identical operands (df = postings length, dl from the
+    lengths table, N/sum_dl from build-time meta), so scores are
+    bit-equal to the full-scan leg. The persisted-retrieval sibling of
+    ``inverted_index_lookup``."""
+    from ocr_ray.functions.invindex import (
+        bm25_from_index,
+        bm25_index_complete,
+        build_bm25_index,
+    )
+    from ocr_ray.pipelines.queries._shared import store_key
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    out_dir = f"/tmp/ocr_ray_bm25index/{store_key(sf_dir, 'documents')}-p16"
+    if not bm25_index_complete(out_dir, 16):
+        build_bm25_index(docs, out_dir, num_parts=16)
+    return bm25_from_index(out_dir, ["spark", "join", "window"], k=20, num_parts=16)

@@ -199,3 +199,28 @@ def test_incomplete_store_raises_instead_of_partial_answers(ray_session, tmp_pat
     os.remove(victim)
     with pytest.raises(ValueError, match="incomplete"):
         index_lookup(out, ["alpha"], num_parts=4)
+
+
+def test_bm25_from_index_bit_equals_full_scan(ray_session, sf_smoke, tmp_path):
+    """The index-served scorer must reproduce the full-scan BM25 scores
+    bit-for-bit (same operands, same float op order)."""
+    import __ray_entry__ as e
+    from ocr_ray.functions.invindex import bm25_from_index, build_bm25_index
+    from ocr_ray.sources import read_table
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    out = str(tmp_path / "bm25")
+    meta = build_bm25_index(docs, out, num_parts=8)
+    assert meta["n_docs"] == docs.count()
+
+    got = (
+        bm25_from_index(out, ["spark", "join", "window"], k=20, num_parts=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    full = e.queries()["bm25_search"](sf_smoke).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "score"]],
+        full[["doc_id", "score"]].astype(got.dtypes.to_dict()),
+        check_exact=True,
+    )
