@@ -168,17 +168,73 @@ def gate_by_sampled_recheck(out_ds, raw_ds, *, id_col: str, checker):
         return t.filter(_pa.array(ids % 97 == 0))
 
     eng = out_ds.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    if len(eng) == 0:
+        # The stride missed every id (small corpus / shifted id space);
+        # a vacuous all-pass gate would certify zero re-verified rows.
+        # Fall back to the guaranteed-nonempty sample: the minimum id.
+        from ray.data.aggregate import Min
+
+        mn = out_ds.aggregate(Min(id_col))[f"min({id_col})"]
+        if mn is None:
+            raise ValueError(
+                "gate_by_sampled_recheck: output is empty — nothing to gate"
+            )
+
+        def sample_rows(t: _pa.Table) -> _pa.Table:  # noqa: F811
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return t.filter(_pa.array(ids == mn))
+
+        eng = out_ds.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
     raw = (
         raw_ds.map_batches(sample_rows, batch_format="pyarrow")
         .to_pandas()
         .set_index(id_col)
     )
+    if len(eng) == 0:
+        raise ValueError(
+            "gate_by_sampled_recheck: sampled zero rows — gate would be vacuous"
+        )
     gate = bool(checker(eng, raw))
     return out_ds.map_batches(
         lambda t: t.append_column("gate_ok", _pa.array([gate] * t.num_rows)),
         batch_format="pyarrow",
     )
 
+
+
+def store_root(kind: str) -> str:
+    """Per-user, mode-0700 root for the persisted stores (inverted index,
+    BM25 index, minhash store, IVF cells). The previous fixed
+    world-readable ``/tmp/ocr_ray_*`` paths were squattable: any local
+    user could pre-create the directory (or plant a 'complete' store
+    that passes the manifest check) and the oracle-checked queries would
+    serve its contents. Rooting at ``$TMPDIR/ocr_ray-<uid>`` and
+    verifying ownership + 0700 on every open means a store is only ever
+    read from a directory this uid created; ``store_key``'s
+    size+mtime+path fingerprint continues to guard staleness."""
+    import os
+    import stat
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ocr_ray-{os.getuid()}")
+    try:
+        os.mkdir(root, 0o700)
+    except FileExistsError:
+        pass
+    st = os.lstat(root)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or (st.st_mode & 0o077)
+    ):
+        raise RuntimeError(
+            f"store_root: {root} is not a private directory owned by uid "
+            f"{os.getuid()} (mode {oct(st.st_mode)}, uid {st.st_uid}) — "
+            "refusing to trust persisted stores under it"
+        )
+    d = os.path.join(root, kind)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
 
 
 def store_key(sf_dir: str, table: str) -> str:

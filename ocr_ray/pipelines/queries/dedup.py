@@ -751,10 +751,10 @@ def incremental_minhash_dedup(sf_dir: str) -> ray.data.Dataset:
         incremental_minhash_pairs,
         store_complete,
     )
-    from ocr_ray.pipelines.queries._shared import store_key
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
-    store = f"/tmp/ocr_ray_minhash_store/{store_key(sf_dir, 'documents')}-p16"
+    store = f"{store_root('minhash_store')}/{store_key(sf_dir, 'documents')}-p16"
     if not store_complete(store, 16):
         build_minhash_store(docs, store, num_parts=16)
 

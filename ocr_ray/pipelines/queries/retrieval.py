@@ -1053,11 +1053,11 @@ def inverted_index_lookup(sf_dir: str) -> pa.Table:
     The BM25/phrase entries score on the fly; this is the persisted
     structure a retrieval corpus keeps next to the documents."""
     from ocr_ray.functions.invindex import build_inverted_index, index_lookup
-    from ocr_ray.pipelines.queries._shared import store_key
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
     from ocr_ray.state.manifest import load_manifest
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
-    out_dir = f"/tmp/ocr_ray_invindex/{store_key(sf_dir, 'documents')}-p16"
+    out_dir = f"{store_root('invindex')}/{store_key(sf_dir, 'documents')}-p16"
     if len(load_manifest(out_dir)) < 16:
         build_inverted_index(docs, out_dir, num_parts=16)
     return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)
@@ -1086,10 +1086,10 @@ def bm25_index_search(sf_dir: str) -> pa.Table:
         bm25_index_complete,
         build_bm25_index,
     )
-    from ocr_ray.pipelines.queries._shared import store_key
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
-    out_dir = f"/tmp/ocr_ray_bm25index/{store_key(sf_dir, 'documents')}-p16"
+    out_dir = f"{store_root('bm25index')}/{store_key(sf_dir, 'documents')}-p16"
     if not bm25_index_complete(out_dir, 16):
         build_bm25_index(docs, out_dir, num_parts=16)
     return bm25_from_index(out_dir, ["spark", "join", "window"], k=20, num_parts=16)

@@ -330,13 +330,13 @@ def ann_ivf_store_topk(sf_dir: str) -> ray.data.Dataset:
         ivf_store_complete,
         ivf_store_topk,
     )
-    from ocr_ray.pipelines.queries._shared import store_key
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
     from ocr_ray.sources.readers import sample_parquet_rows
 
     qids, qmat = _query_vectors(sf_dir)
     queries_ref = ray.put((qids, qmat))
     ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
-    store = f"/tmp/ocr_ray_ivf_store/{store_key(sf_dir, 'embeddings')}-c16"
+    store = f"{store_root('ivf_store')}/{store_key(sf_dir, 'embeddings')}-c16"
     if not ivf_store_complete(store, 16):
         sample = sample_parquet_rows(
             f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]

@@ -201,6 +201,68 @@ def test_incomplete_store_raises_instead_of_partial_answers(ray_session, tmp_pat
         index_lookup(out, ["alpha"], num_parts=4)
 
 
+def test_index_lookup_empty_terms_returns_empty_table(ray_session, tmp_path):
+    """An empty term list short-circuits to an empty postings table
+    instead of propagating read_fragments' empty-file-list ValueError
+    (ADVICE r4)."""
+    from ocr_ray.functions.invindex import build_inverted_index, index_lookup
+
+    out = str(tmp_path / "idx")
+    build_inverted_index(
+        _docs_ds({"doc_id": [1], "text": ["alpha beta"]}), out, num_parts=4
+    )
+    got = index_lookup(out, [], num_parts=4).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["token", "doc_id", "tf"]
+
+
+def test_bm25_from_index_rejects_duplicate_terms(ray_session, tmp_path):
+    """Duplicate query terms would double-count idf (diverging from the
+    fixed-distinct-term full scan) — refused loudly (ADVICE r4)."""
+    from ocr_ray.functions.invindex import bm25_from_index, build_bm25_index
+
+    out = str(tmp_path / "bm25")
+    build_bm25_index(
+        _docs_ds({"doc_id": [1, 2], "text": ["alpha beta", "beta gamma"]}),
+        out,
+        num_parts=4,
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        bm25_from_index(out, ["alpha", "alpha"], k=5, num_parts=4)
+
+
+def test_bm25_from_index_pads_to_k_like_full_scan(ray_session, tmp_path):
+    """Fewer than k matching docs: the full scan pads the top-k with
+    zero-score docs ordered by doc_id — the index path must too
+    (ADVICE r4; previously it returned only the matches)."""
+    from ocr_ray.functions.invindex import bm25_from_index, build_bm25_index
+
+    rows = {
+        "doc_id": [10, 11, 12, 13, 14, 15],
+        "text": [
+            "spark rules",
+            "plain prose",
+            "more prose",
+            "spark again",
+            "filler text",
+            "yet more",
+        ],
+    }
+    out = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds(rows), out, num_parts=4)
+    got = bm25_from_index(out, ["spark"], k=5, num_parts=4).to_pandas()
+    assert len(got) == 5
+    # candidates (positive score) first, by score desc then doc_id asc
+    assert set(got.loc[got["score"] > 0, "doc_id"]) == {10, 13}
+    # then the zero-score pad: the smallest non-candidate doc ids, ordered
+    assert got.loc[got["score"] == 0.0, "doc_id"].tolist() == [11, 12, 14]
+
+    # no matching docs at all: k smallest doc ids, all zero
+    none = bm25_from_index(out, ["zzz_absent"], k=3, num_parts=4).to_pandas()
+    assert none["doc_id"].tolist() == [10, 11, 12]
+    assert (none["score"] == 0.0).all()
+
+
 def test_bm25_from_index_bit_equals_full_scan(ray_session, sf_smoke, tmp_path):
     """The index-served scorer must reproduce the full-scan BM25 scores
     bit-for-bit (same operands, same float op order)."""
