@@ -997,7 +997,14 @@ def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
 
     def window_vals(t: pa.Table, *, tref) -> pa.Table:
         tot = ray.get(tref)
-        n = np.array([tot[s] for s in t["o_orderstatus"].to_pylist()], dtype=np.int64)
+        # dictionary-encode + numpy index: the Python lookup runs once per
+        # DISTINCT status (3), not once per row (r4 verdict consistency nit)
+        col = t["o_orderstatus"]
+        enc = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).dictionary_encode()
+        lut = np.array([tot[s] for s in enc.dictionary.to_pylist()], dtype=np.int64)
+        n = lut[enc.indices.to_numpy(zero_copy_only=False)]
         rb = t["running_before"].to_numpy(zero_copy_only=False).astype(np.int64)
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(

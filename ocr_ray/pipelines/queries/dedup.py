@@ -479,7 +479,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
 
     def explode_shingles(t: pa.Table) -> pa.Table:
         sh, n_sh = shingle_hashes(t["text"])
-        ids = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), n_sh)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_sh)
         rate = np.minimum(1.0, 32.0 / np.maximum(np.repeat(n_sh, n_sh), 1))
         keep = mix64(sh).astype(np.float64) < rate * float(2**64)
         return pa.table({"shingle": pa.array(sh[keep]), "doc_id": pa.array(ids[keep])})
@@ -665,7 +665,7 @@ def simhash_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
 
     def band_rows(t: pa.Table) -> pa.Table:
         sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         bands = []
         for b in range(4):
             chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)

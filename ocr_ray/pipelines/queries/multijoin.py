@@ -397,7 +397,7 @@ def q4_priority_count(sf_dir: str) -> ray.data.Dataset:
     )
 
     def combine(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pandas()})
         red = df.groupby("o_orderpriority", as_index=False).size()
         return pa.table(
             {
@@ -456,7 +456,7 @@ def orders_without_discounted_items(sf_dir: str) -> ray.data.Dataset:
     )
 
     def combine(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist()})
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pandas()})
         red = df.groupby("o_orderpriority", as_index=False).size()
         return pa.table(
             {

@@ -205,7 +205,7 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     def combine(t: pa.Table) -> pa.Table:
         # map-side partial: one row per nation per batch
         df = pd.DataFrame(
-            {"n_name": t["n_name"].to_pylist(), "rev_u4": t["rev_u4"].to_numpy(zero_copy_only=False)}
+            {"n_name": t["n_name"].to_pandas(), "rev_u4": t["rev_u4"].to_numpy(zero_copy_only=False)}
         )
         red = df.groupby("n_name", sort=False)["rev_u4"].sum().reset_index()
         return pa.table(

@@ -71,7 +71,7 @@ def reservoir_sample_events(sf_dir: str) -> ray.data.Dataset:
         ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pri = mix64(ids.astype(np.uint64))
         df = pd.DataFrame(
-            {"event_type": t["event_type"].to_pylist(), "event_id": ids, "pri": pri}
+            {"event_type": t["event_type"].to_pandas(), "event_id": ids, "pri": pri}
         )
         df = df.sort_values(["event_type", "pri", "event_id"], kind="mergesort")
         df = df.groupby("event_type", as_index=False, dropna=False).head(K)
@@ -531,10 +531,15 @@ def incremental_dedup_new_docs(sf_dir: str) -> ray.data.Dataset:
                         ]
                     )
                 ),
-                "text": pa.array(
-                    dup["text"].to_pylist()
-                    + [s + " extra" for s in new["text"].to_pylist()],
-                    type=pa.string(),
+                "text": pa.chunked_array(
+                    [
+                        dup["text"].combine_chunks().cast(pa.string()),
+                        pc.binary_join_element_wise(
+                            new["text"].combine_chunks().cast(pa.string()),
+                            "extra",
+                            " ",
+                        ),
+                    ]
                 ),
             }
         )

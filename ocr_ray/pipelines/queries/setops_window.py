@@ -1756,11 +1756,16 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
     def deviations(t: pa.Table) -> pa.Table:
         meds = ray.get(med_ref)
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        m = (
-            pd.Series(t["event_type"].to_pylist(), dtype=object)
-            .map(meds)
-            .to_numpy(dtype=np.float64, na_value=np.nan)
+        # dict lookup once per DISTINCT event_type, numpy gather per row
+        col = t["event_type"]
+        enc = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).dictionary_encode()
+        lut = np.array(
+            [meds.get(s, np.nan) for s in enc.dictionary.to_pylist()],
+            dtype=np.float64,
         )
+        m = lut[enc.indices.to_numpy(zero_copy_only=False)]
         ok = np.isfinite(v)
         return pa.table(
             {
