@@ -87,21 +87,133 @@ def build_inverted_index(
     )
 
 
+def _read_frag(path: str, columns: list[str] | None = None) -> pa.Table:
+    """One committed fragment, either sink format (Lance dir or Parquet
+    file) — the per-partition-task sibling of ``read_fragments``."""
+    if path.endswith(".lance"):
+        import lance
+
+        return lance.dataset(path).to_table(columns=columns)
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(path, columns=columns)
+
+
+def _load_generations(out_dir: str) -> list[str]:
+    """Registered delta-generation directory names (oldest first). The
+    registration file is the delta commit point: a crashed
+    ``update_inverted_index`` leaves an unregistered (invisible)
+    directory, never a half-visible one."""
+    import json
+    import os
+
+    p = os.path.join(out_dir, "_generations.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return list(json.load(f)["deltas"])
+
+
+def _register_generation(out_dir: str, name: str) -> None:
+    import json
+    import os
+    import uuid
+
+    gens = _load_generations(out_dir)
+    gens.append(name)
+    tmp = os.path.join(out_dir, f".tmp-gen-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"deltas": gens}, f)
+    os.replace(tmp, os.path.join(out_dir, "_generations.json"))
+
+
+def update_inverted_index(
+    new_docs_ds,
+    out_dir: str,
+    *,
+    num_parts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Append a new shard's postings to a committed index WITHOUT
+    touching the base fragments — the Lucene-segment shape: the shard's
+    postings are built under the SAME token-partition law into a fresh
+    ``delta-*`` directory (one map pass + one bucket shuffle over the
+    SHARD only, never the corpus), then registered atomically in
+    ``_generations.json``. Lookups merge base + registered deltas by
+    summing tf per (token, doc_id) — exactly the postings a from-scratch
+    rebuild over the concatenated corpus would produce, which is what
+    the oracle checks bit-exactly.
+
+    Crash safety: a delta dir is invisible until registered, and a
+    rewrite-in-place protocol (the alternative) was rejected because a
+    crashed half-applied merge double-counts tf on retry; append-only
+    deltas are idempotent to rebuild. Applying the SAME shard twice is a
+    caller error (same contract as the incremental minhash store). Many
+    accumulated deltas cost lookups one extra fragment read per term per
+    delta — ``compact_inverted_index`` folds them back to one fragment
+    per partition."""
+    import os
+    import uuid
+
+    from ocr_ray.state.manifest import require_complete_manifest
+
+    require_complete_manifest(out_dir, num_parts, what="update_inverted_index(base)")
+    name = f"delta-{len(_load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    build_inverted_index(
+        new_docs_ds,
+        os.path.join(out_dir, name),
+        num_parts=num_parts,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    _register_generation(out_dir, name)
+    return name
+
+
+def _index_files_for_parts(out_dir: str, parts: list[int], num_parts: int, what: str):
+    """Fragment files covering ``parts`` across base + registered deltas
+    (each layer complete, checked loudly)."""
+    import os
+
+    from ocr_ray.state.manifest import require_complete_manifest
+
+    layers = [require_complete_manifest(out_dir, num_parts, what=what)]
+    for gen in _load_generations(out_dir):
+        layers.append(
+            require_complete_manifest(
+                os.path.join(out_dir, gen), num_parts, what=f"{what}[{gen}]"
+            )
+        )
+    return [m[p]["file"] for m in layers for p in parts]
+
+
+def _merge_postings(t: pa.Table) -> pa.Table:
+    """Sum tf per (token, doc_id) — the base+delta merge rule. For a
+    single-layer store this is an identity up to row order."""
+    if t.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    g = t.group_by(["token", "doc_id"]).aggregate([("tf", "sum")])
+    return pa.table(
+        {"token": g["token"], "doc_id": g["doc_id"], "tf": g["tf_sum"]}
+    )
+
+
 def index_lookup(out_dir: str, terms: list[str], *, num_parts: int = 16) -> pa.Table:
     """Postings of ``terms`` — opens ONLY the fragments the partition law
-    names (<= len(terms) of the P committed fragments). Raises loudly on
-    an incomplete store (crashed build) instead of silently returning
-    partial postings; reads either fragment format via
-    ``read_fragments``."""
+    names (<= len(terms) per layer of base + registered deltas). Raises
+    loudly on an incomplete store (crashed build) instead of silently
+    returning partial postings; reads either fragment format via
+    ``read_fragments``. Base and delta postings merge by summing tf per
+    (token, doc_id)."""
     import ray
 
-    from ocr_ray.state.manifest import read_fragments, require_complete_manifest
+    from ocr_ray.state.manifest import read_fragments
 
     if not terms:
         return POSTINGS_SCHEMA.empty_table()
-    manifest = require_complete_manifest(out_dir, num_parts, what="index_lookup")
     wanted_parts = sorted(set(int(p) for p in token_partition(list(terms), num_parts)))
-    files = [manifest[p]["file"] for p in wanted_parts]
+    files = _index_files_for_parts(out_dir, wanted_parts, num_parts, "index_lookup")
     term_set = pa.array(sorted(set(terms)), type=pa.string())
 
     def pick(t: pa.Table) -> pa.Table:
@@ -122,7 +234,64 @@ def index_lookup(out_dir: str, terms: list[str], *, num_parts: int = 16) -> pa.T
     ]
     if not hits:
         return POSTINGS_SCHEMA.empty_table()
-    return pa.concat_tables(hits)
+    return _merge_postings(pa.concat_tables(hits))
+
+
+def compact_inverted_index(in_dir: str, out_dir: str, *, num_parts: int = 16) -> None:
+    """Fold a base + its delta generations into a fresh single-layer
+    store at ``out_dir`` — one SHUFFLE-FREE map task per partition (all
+    layers share the token-partition law, so partition p's rows live
+    only in the layers' part-p fragments): read, merge-sum, sort for a
+    deterministic fragment, commit through the atomic sink. The input
+    store is untouched (compact-into-new, not rewrite-in-place: a
+    crashed in-place merge would double-count deltas on retry; a crashed
+    compact-into-new is just an incomplete new store that every reader
+    refuses loudly)."""
+    import ray
+
+    from ocr_ray.state.manifest import ResumableSink, _check_layout
+
+    all_parts = list(range(num_parts))
+    by_part = {
+        p: _index_files_for_parts(in_dir, [p], num_parts, "compact_inverted_index")
+        for p in all_parts
+    }
+    sink = ResumableSink(out_dir, data_format="auto")
+    _check_layout(
+        out_dir,
+        num_parts,
+        write=True,
+        extra={"data_format": sink.data_format, "index": "inverted", "key": "token"},
+    )
+    plan = pa.table(
+        {
+            "part": pa.array(all_parts, type=pa.int64()),
+            "files": pa.array(["\x00".join(by_part[p]) for p in all_parts]),
+        }
+    )
+
+    def compact_part(t: pa.Table) -> pa.Table:
+        outs = []
+        for part, files in zip(t["part"].to_pylist(), t["files"].to_pylist()):
+            merged = _merge_postings(
+                pa.concat_tables(
+                    [_read_frag(f, columns=["token", "doc_id", "tf"]) for f in files.split("\x00")]
+                )
+            )
+            merged = merged.take(
+                pc.sort_indices(
+                    merged, sort_keys=[("token", "ascending"), ("doc_id", "ascending")]
+                )
+            )
+            outs.append(sink.write(merged, int(part)))
+        return pa.concat_tables(outs)
+
+    (
+        ray.data.from_arrow(plan)
+        .repartition(num_parts)
+        .map_batches(compact_part, batch_format="pyarrow", batch_size=1)
+        .materialize()
+    )
 
 
 LENGTHS_SCHEMA = pa.schema({"doc_id": pa.int64(), "dl": pa.int64()})
@@ -366,15 +535,13 @@ def bm25_from_index(
     def score_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return OUT.empty_table()
-        import pyarrow.parquet as _pq
-
         part = int(g["_part"][0].as_py())
         doc_ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tfv = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         tok = g["token"].combine_chunks() if isinstance(g["token"], pa.ChunkedArray) else g["token"]
         cand = np.unique(doc_ids)
         # this bucket's doc lengths: exactly one fragment, same bucket law
-        lt = _pq.read_table(len_files[part], columns=["doc_id", "dl"])
+        lt = _read_frag(len_files[part], columns=["doc_id", "dl"])
         lids = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         dls = lt["dl"].to_numpy(zero_copy_only=False)
         order = np.argsort(lids)

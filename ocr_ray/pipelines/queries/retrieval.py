@@ -1069,6 +1069,67 @@ def inverted_index_lookup(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "incremental_index_lookup",
+    sql="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus)
+SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM s WHERE token IN ('spark', 'join', 'window')
+GROUP BY token, doc_id
+""",
+)
+def incremental_index_lookup(sf_dir: str) -> pa.Table:
+    """INCREMENTAL inverted index — the corpus-grows-by-shards shape: the
+    base index is built once over ``documents``; an arriving shard (every
+    5th doc re-tagged +1e6, the deterministic synthetic arrival) appends
+    its postings as a Lucene-style DELTA generation
+    (``functions/invindex.update_inverted_index``) — one map pass + one
+    bucket shuffle over the SHARD only, the corpus-scale base fragments
+    are never re-read or rewritten. The delta directory becomes visible
+    only through an atomic ``_generations.json`` registration, so a
+    crashed update is invisible rather than half-applied. The lookup
+    merges base + delta postings by summing tf per (token, doc_id),
+    which the oracle pins bit-exactly to a from-scratch rebuild over the
+    unioned corpus. ``compact_inverted_index`` (tested in
+    tests/test_invindex.py) folds deltas back to one fragment per
+    partition with per-partition shuffle-free merge tasks."""
+    from ocr_ray.functions.invindex import (
+        _load_generations,
+        build_inverted_index,
+        index_lookup,
+        update_inverted_index,
+    )
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
+    from ocr_ray.state.manifest import load_manifest
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    out_dir = f"{store_root('invindex_incr')}/{store_key(sf_dir, 'documents')}-p16"
+    if len(load_manifest(out_dir)) < 16:
+        build_inverted_index(docs, out_dir, num_parts=16)
+
+    if not _load_generations(out_dir):
+
+        def mk_shard(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t.filter(pa.array(ids % 5 == 0))
+            return pa.table(
+                {
+                    "doc_id": pc.add(s["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                    "text": s["text"],
+                }
+            )
+
+        update_inverted_index(
+            docs.map_batches(mk_shard, batch_format="pyarrow"), out_dir, num_parts=16
+        )
+    return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)
+
+
+@query(
     "bm25_index_search",
     sql=_BM25_SC_SQL
     + """

@@ -201,6 +201,92 @@ def test_incomplete_store_raises_instead_of_partial_answers(ray_session, tmp_pat
         index_lookup(out, ["alpha"], num_parts=4)
 
 
+def test_incremental_update_equals_rebuild_and_compacts(ray_session, tmp_path):
+    """Delta-generation update: lookups over base+delta must bit-equal a
+    from-scratch rebuild over the unioned corpus, compaction must fold
+    the layers without changing any answer, and an UNREGISTERED delta
+    directory (crashed update) must stay invisible."""
+    import os
+
+    from ocr_ray.functions.invindex import (
+        _load_generations,
+        build_inverted_index,
+        compact_inverted_index,
+        index_lookup,
+        update_inverted_index,
+    )
+
+    base_rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["spark join spark", "join window", "quiet text"],
+    }
+    shard_rows = {
+        "doc_id": [11, 12],
+        "text": ["spark window", "join join join"],
+    }
+    out = str(tmp_path / "idx")
+    build_inverted_index(_docs_ds(base_rows), out, num_parts=8)
+    update_inverted_index(_docs_ds(shard_rows), out, num_parts=8)
+    assert len(_load_generations(out)) == 1
+
+    rebuilt = str(tmp_path / "rebuilt")
+    union_rows = {
+        "doc_id": base_rows["doc_id"] + shard_rows["doc_id"],
+        "text": base_rows["text"] + shard_rows["text"],
+    }
+    build_inverted_index(_docs_ds(union_rows), rebuilt, num_parts=8)
+
+    terms = ["spark", "join", "window"]
+    key = ["token", "doc_id"]
+    got = index_lookup(out, terms, num_parts=8).to_pandas().sort_values(key, ignore_index=True)
+    exp = index_lookup(rebuilt, terms, num_parts=8).to_pandas().sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0
+
+    # compaction into a fresh single-layer store preserves every answer
+    compacted = str(tmp_path / "compacted")
+    compact_inverted_index(out, compacted, num_parts=8)
+    assert _load_generations(compacted) == []
+    got_c = (
+        index_lookup(compacted, terms, num_parts=8)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_c, exp)
+
+    # a crashed (unregistered) delta build is invisible to lookups
+    os.rename(
+        os.path.join(out, "_generations.json"),
+        os.path.join(out, "_generations.json.bak"),
+    )
+    base_only = (
+        index_lookup(out, terms, num_parts=8)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    base_direct = str(tmp_path / "base_direct")
+    build_inverted_index(_docs_ds(base_rows), base_direct, num_parts=8)
+    exp_base = (
+        index_lookup(base_direct, terms, num_parts=8)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(base_only, exp_base)
+
+
+def test_update_refuses_incomplete_base(ray_session, tmp_path):
+    """update_inverted_index on a crashed/missing base must fail loudly,
+    not write a delta next to garbage."""
+    from ocr_ray.functions.invindex import update_inverted_index
+
+    with pytest.raises(ValueError, match="incomplete"):
+        update_inverted_index(
+            _docs_ds({"doc_id": [1], "text": ["a"]}),
+            str(tmp_path / "nonexistent"),
+            num_parts=4,
+        )
+
+
 def test_index_lookup_empty_terms_returns_empty_table(ray_session, tmp_path):
     """An empty term list short-circuits to an empty postings table
     instead of propagating read_fragments' empty-file-list ValueError
