@@ -164,6 +164,9 @@ QUERY_SET = [
     "incremental_minhash_dedup",
     "ann_ivf_store_topk",
     "bm25_index_search",
+    # round-5 additions
+    "incremental_index_lookup",
+    "incremental_bm25_search",
 ]
 
 

@@ -379,6 +379,45 @@ def bm25_index_complete(out_dir: str, num_parts: int = 16) -> bool:
     )
 
 
+def update_bm25_index(
+    new_docs_ds,
+    out_dir: str,
+    *,
+    num_parts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Append a shard to a committed BM25 store WITHOUT touching the
+    base: the shard gets its own full mini-store (meta + postings +
+    lengths, one map pass + two bucket shuffles over the SHARD only)
+    inside a ``gen-*`` directory, registered atomically in the root
+    ``_generations.json`` — one commit point covers all three pieces,
+    so a crash anywhere leaves the delta invisible, never half-visible.
+    ``bm25_from_index`` then sums the layers' metas (integer adds —
+    N/avgdl/idf equal a from-scratch rebuild exactly), reads postings
+    and lengths fragments from every layer under the shared partition
+    laws, and refuses loudly if a shard re-ingested an existing doc_id
+    (the disjoint-shard contract both incremental stores share)."""
+    import os
+    import uuid
+
+    if not bm25_index_complete(out_dir, num_parts):
+        raise ValueError(
+            f"update_bm25_index: base store at {out_dir} is incomplete — "
+            "build it first (crashed build?)"
+        )
+    name = f"gen-{len(_load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    build_bm25_index(
+        new_docs_ds,
+        os.path.join(out_dir, name),
+        num_parts=num_parts,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    _register_generation(out_dir, name)
+    return name
+
+
 def _smallest_doc_ids(len_files: list[str], m: int, exclude: np.ndarray) -> np.ndarray:
     """The ``m`` smallest doc ids in the lengths table NOT in ``exclude``
     — distributed bottom-m (per-fragment partial, m-row driver merge).
@@ -457,15 +496,33 @@ def bm25_from_index(
 
     if not os.path.exists(os.path.join(out_dir, "meta.json")):
         raise ValueError(f"bm25_from_index: store at {out_dir} has no meta.json")
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    n, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    # layers: the base store plus registered delta generations (each a
+    # full mini bm25 store over its shard). Corpus scalars are the sums
+    # of the per-layer metas — integer adds, so N and sum_dl (and hence
+    # avgdl and every idf) equal a from-scratch rebuild exactly.
+    layer_dirs = [out_dir] + [
+        os.path.join(out_dir, g) for g in _load_generations(out_dir)
+    ]
+    n = sum_dl = 0
+    for d in layer_dirs:
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            raise ValueError(f"bm25_from_index: layer at {d} has no meta.json")
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        n += int(meta["n_docs"])
+        sum_dl += int(meta["sum_dl"])
     avgdl = float(sum_dl) / n
 
-    lm = require_complete_manifest(
-        os.path.join(out_dir, "lengths"), num_parts, what="bm25_from_index"
-    )
-    len_files = [lm[p]["file"] for p in range(num_parts)]
+    len_layers = [
+        require_complete_manifest(
+            os.path.join(d, "lengths"), num_parts, what="bm25_from_index"
+        )
+        for d in layer_dirs
+    ]
+    len_files_by_part = [
+        [m[p]["file"] for m in len_layers] for p in range(num_parts)
+    ]
+    len_files = [f for files in len_files_by_part for f in files]
 
     if not terms:
         # every doc scores 0.0; top-k = the k smallest doc ids
@@ -477,11 +534,14 @@ def bm25_from_index(
             }
         )
 
-    pm = require_complete_manifest(
-        os.path.join(out_dir, "postings"), num_parts, what="bm25_from_index"
-    )
+    post_layers = [
+        require_complete_manifest(
+            os.path.join(d, "postings"), num_parts, what="bm25_from_index"
+        )
+        for d in layer_dirs
+    ]
     wanted = sorted(set(int(p) for p in token_partition(list(terms), num_parts)))
-    post_files = [pm[p]["file"] for p in wanted]
+    post_files = [m[p]["file"] for m in post_layers for p in wanted]
     term_set = pa.array(sorted(set(terms)), type=pa.string())
 
     def pick(t: pa.Table) -> pa.Table:
@@ -540,17 +600,30 @@ def bm25_from_index(
         tfv = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         tok = g["token"].combine_chunks() if isinstance(g["token"], pa.ChunkedArray) else g["token"]
         cand = np.unique(doc_ids)
-        # this bucket's doc lengths: exactly one fragment, same bucket law
-        lt = _read_frag(len_files[part], columns=["doc_id", "dl"])
+        # this bucket's doc lengths: one fragment per layer, same bucket
+        # law everywhere (the co-partitioned-join contract)
+        lt = pa.concat_tables(
+            [
+                _read_frag(f, columns=["doc_id", "dl"])
+                for f in len_files_by_part[part]
+            ]
+        )
         lids = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         dls = lt["dl"].to_numpy(zero_copy_only=False)
         order = np.argsort(lids)
         lids, dls = lids[order], dls[order]
+        if len(lids) > 1 and (lids[1:] == lids[:-1]).any():
+            raise ValueError(
+                f"bm25_from_index: bucket {part} holds duplicate doc ids "
+                "across layers — a shard re-ingested an existing doc_id, "
+                "violating the disjoint-shard contract (df and dl would "
+                "both be wrong); rebuild or compact the store"
+            )
         at = np.searchsorted(lids, cand)
         if at.max(initial=-1) >= len(lids) or not np.array_equal(lids[at], cand):
             raise ValueError(
                 f"bm25_from_index: bucket {part} postings reference doc ids "
-                "absent from its lengths fragment — stores built from "
+                "absent from its lengths fragments — stores built from "
                 "different corpora?"
             )
         dl = dls[at].astype(np.float64)

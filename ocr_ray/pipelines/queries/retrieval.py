@@ -1159,3 +1159,73 @@ def bm25_index_search(sf_dir: str) -> pa.Table:
     if not bm25_index_complete(out_dir, 16):
         build_bm25_index(docs, out_dir, num_parts=16)
     return bm25_from_index(out_dir, ["spark", "join", "window"], k=20, num_parts=16)
+
+
+# bm25 scoring CTEs over the GROWN corpus (base ∪ the deterministic
+# arriving shard: every 5th doc re-tagged +1e6) — the incremental-BM25
+# oracle is the full-scan formula over the union, which the layered
+# index store must reproduce bit-exactly.
+_BM25_INCR_SQL = _BM25_SC_SQL.replace(
+    "WITH s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),",
+    """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+s AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),""",
+)
+assert "FROM corpus" in _BM25_INCR_SQL  # replace() must have matched
+
+
+@query(
+    "incremental_bm25_search",
+    sql=_BM25_INCR_SQL
+    + """
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def incremental_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25 over a GROWING corpus with no rebuild and no corpus
+    re-reads: the base store is built once over ``documents``; the
+    arriving shard (every 5th doc re-tagged +1e6) is appended as a
+    delta generation (``functions/invindex.update_bm25_index`` — its
+    own meta + postings + lengths mini-store, one atomic root
+    registration). Query-time scoring sums the layers' integer metas
+    (N, sum_dl — so avgdl and every idf equal a from-scratch rebuild
+    exactly), reads the query terms' postings fragments from every
+    layer, and scores per doc-bucket with the same distributed
+    partial-top-k plan as ``bm25_index_search``. The oracle is the
+    full-scan BM25 formula over the unioned corpus — bit-exact, which
+    pins df/dl/N accounting across layers. The duplicate-doc-id guard
+    makes a shard that re-ingests an existing doc fail loudly instead
+    of silently mis-scoring."""
+    from ocr_ray.functions.invindex import (
+        _load_generations,
+        bm25_from_index,
+        bm25_index_complete,
+        build_bm25_index,
+        update_bm25_index,
+    )
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
+
+    docs = read_docs(sf_dir, columns=["doc_id", "text"])
+    out_dir = f"{store_root('bm25index_incr')}/{store_key(sf_dir, 'documents')}-p16"
+    if not bm25_index_complete(out_dir, 16):
+        build_bm25_index(docs, out_dir, num_parts=16)
+
+    if not _load_generations(out_dir):
+
+        def mk_shard(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t.filter(pa.array(ids % 5 == 0))
+            return pa.table(
+                {
+                    "doc_id": pc.add(s["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                    "text": s["text"],
+                }
+            )
+
+        update_bm25_index(
+            docs.map_batches(mk_shard, batch_format="pyarrow"), out_dir, num_parts=16
+        )
+    return bm25_from_index(out_dir, ["spark", "join", "window"], k=20, num_parts=16)

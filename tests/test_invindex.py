@@ -274,6 +274,57 @@ def test_incremental_update_equals_rebuild_and_compacts(ray_session, tmp_path):
     pd.testing.assert_frame_equal(base_only, exp_base)
 
 
+def test_bm25_update_equals_rebuild_over_union(ray_session, tmp_path):
+    """A BM25 store grown by update_bm25_index must score bit-equal to a
+    from-scratch build over the unioned corpus (N/sum_dl/df/dl/tf all
+    layered correctly), and a shard that re-ingests an existing doc_id
+    must fail loudly."""
+    from ocr_ray.functions.invindex import (
+        bm25_from_index,
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    base_rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "spark join spark window",
+            "join join filler words here",
+            "window pane",
+            "unrelated prose entirely",
+        ],
+    }
+    shard_rows = {
+        "doc_id": [11, 12],
+        "text": ["spark window spark", "join me"],
+    }
+    out = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds(base_rows), out, num_parts=8)
+    update_bm25_index(_docs_ds(shard_rows), out, num_parts=8)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(
+        _docs_ds(
+            {
+                "doc_id": base_rows["doc_id"] + shard_rows["doc_id"],
+                "text": base_rows["text"] + shard_rows["text"],
+            }
+        ),
+        rebuilt,
+        num_parts=8,
+    )
+
+    terms = ["spark", "join", "window"]
+    got = bm25_from_index(out, terms, k=6, num_parts=8).to_pandas()
+    exp = bm25_from_index(rebuilt, terms, k=6, num_parts=8).to_pandas()
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+    # duplicate doc_id across layers -> loud failure, not silent mis-scoring
+    update_bm25_index(_docs_ds({"doc_id": [1], "text": ["spark again"]}), out, num_parts=8)
+    with pytest.raises(ValueError, match="duplicate doc ids"):
+        bm25_from_index(out, terms, k=6, num_parts=8)
+
+
 def test_update_refuses_incomplete_base(ray_session, tmp_path):
     """update_inverted_index on a crashed/missing base must fail loudly,
     not write a delta next to garbage."""
@@ -283,6 +334,15 @@ def test_update_refuses_incomplete_base(ray_session, tmp_path):
         update_inverted_index(
             _docs_ds({"doc_id": [1], "text": ["a"]}),
             str(tmp_path / "nonexistent"),
+            num_parts=4,
+        )
+
+    from ocr_ray.functions.invindex import update_bm25_index
+
+    with pytest.raises(ValueError, match="incomplete"):
+        update_bm25_index(
+            _docs_ds({"doc_id": [1], "text": ["a"]}),
+            str(tmp_path / "nonexistent2"),
             num_parts=4,
         )
 
