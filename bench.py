@@ -167,6 +167,7 @@ QUERY_SET = [
     # round-5 additions
     "incremental_index_lookup",
     "incremental_bm25_search",
+    "incremental_ivf_topk",
 ]
 
 

@@ -87,6 +87,42 @@ def build_ivf_store(
     )
 
 
+def update_ivf_store(
+    new_emb_ds,
+    store_dir: str,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> str:
+    """Append a shard of vectors to a committed IVF store WITHOUT
+    touching the base cell fragments: the new vectors are assigned to
+    the EXISTING (frozen) centroids and written as their own per-cell
+    delta-generation store, registered atomically in the root
+    ``_generations.json`` (the same commit-point protocol as the
+    incremental inverted-index / BM25 / minhash stores — a crashed
+    update is invisible, never half-visible). Probes then read the
+    probed cells' fragments from every layer; at ``nprobe = n_cells``
+    the result is exactly brute force over the grown corpus. Centroid
+    RETRAINING is deliberately a separate (compaction-class) event —
+    appending must not silently shift existing assignments."""
+    import ray  # noqa: F401  (parity with build path; ray session owned by caller)
+
+    from ocr_ray.state.manifest import (
+        load_generations,
+        register_generation,
+        require_complete_manifest,
+    )
+
+    cent = load_ivf_centroids(store_dir)
+    require_complete_manifest(store_dir, len(cent), what="update_ivf_store(base)")
+    name = f"gen-{len(load_generations(store_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    build_ivf_store(
+        new_emb_ds, os.path.join(store_dir, name), cent, id_col=id_col, col=col
+    )
+    register_generation(store_dir, name)
+    return name
+
+
 def ivf_store_complete(store_dir: str, n_cells: int) -> bool:
     """Build-complete = centroid matrix committed AND every cell fragment
     in the manifest (both are rewritten by a rebuild, so either missing
@@ -129,10 +165,20 @@ def ivf_store_topk(
     probe = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]  # (Q, nprobe)
 
     # loud on a crashed build: a partial store must not silently answer
-    # from the fragments it happens to have
-    manifest = require_complete_manifest(store_dir, len(cent), what="ivf_store_topk")
+    # from the fragments it happens to have. Layers = base + registered
+    # delta generations (appended shards assigned to the same frozen
+    # centroids), each complete.
+    from ocr_ray.state.manifest import load_generations
+
+    layer_dirs = [store_dir] + [
+        os.path.join(store_dir, g) for g in load_generations(store_dir)
+    ]
+    manifests = [
+        require_complete_manifest(d, len(cent), what="ivf_store_topk")
+        for d in layer_dirs
+    ]
     needed = sorted(set(int(p) for p in probe.reshape(-1)))
-    files = [manifest[p]["file"] for p in needed]
+    files = [m[p]["file"] for m in manifests for p in needed]
     if not files:
         return ray.data.from_arrow(
             pa.schema(

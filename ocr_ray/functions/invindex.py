@@ -100,31 +100,15 @@ def _read_frag(path: str, columns: list[str] | None = None) -> pa.Table:
 
 
 def _load_generations(out_dir: str) -> list[str]:
-    """Registered delta-generation directory names (oldest first). The
-    registration file is the delta commit point: a crashed
-    ``update_inverted_index`` leaves an unregistered (invisible)
-    directory, never a half-visible one."""
-    import json
-    import os
+    from ocr_ray.state.manifest import load_generations
 
-    p = os.path.join(out_dir, "_generations.json")
-    if not os.path.exists(p):
-        return []
-    with open(p) as f:
-        return list(json.load(f)["deltas"])
+    return load_generations(out_dir)
 
 
 def _register_generation(out_dir: str, name: str) -> None:
-    import json
-    import os
-    import uuid
+    from ocr_ray.state.manifest import register_generation
 
-    gens = _load_generations(out_dir)
-    gens.append(name)
-    tmp = os.path.join(out_dir, f".tmp-gen-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump({"deltas": gens}, f)
-    os.replace(tmp, os.path.join(out_dir, "_generations.json"))
+    register_generation(out_dir, name)
 
 
 def update_inverted_index(

@@ -349,3 +349,97 @@ def ann_ivf_store_topk(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
     )
+
+
+@query(
+    "incremental_ivf_topk",
+    sql="""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 8),
+s AS (
+  SELECT qid, vec_id, list_cosine_similarity(qe, embedding) AS sc
+  FROM q, emb WHERE vec_id <> qid
+)
+SELECT qid AS query_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5
+""",
+)
+def incremental_ivf_topk(sf_dir: str) -> ray.data.Dataset:
+    """ANN over a GROWING vector corpus with no store rebuild: the base
+    IVF store partitions ``embeddings`` once; the arriving shard (every
+    5th vector, reversed — deterministic, distinct, SQL-expressible —
+    re-tagged +1e6) is assigned to the SAME frozen centroids and
+    appended as a per-cell delta generation
+    (``functions/ann_store.update_ivf_store``, one atomic root
+    registration — the fourth store on the shared delta-generation
+    protocol, after minhash/inverted-index/BM25). Probes read the probed
+    cells' fragments from every layer; driven here at nprobe = n_cells
+    the masked scan is exactly brute force over the grown corpus, so the
+    union-corpus brute SQL oracle checks the whole layered path
+    bit-exactly (shard assignment, layer planning, masked scoring,
+    cross-layer partial merge). Centroid retraining is deliberately a
+    separate compaction-class event — appends never shift existing
+    assignments."""
+    from ocr_ray.functions.ann import make_centroids
+    from ocr_ray.functions.ann_store import (
+        build_ivf_store,
+        ivf_store_complete,
+        ivf_store_topk,
+        update_ivf_store,
+    )
+    from ocr_ray.pipelines.queries._shared import store_key, store_root
+    from ocr_ray.sources.readers import sample_parquet_rows
+    from ocr_ray.state.manifest import load_generations
+
+    qids, qmat = _query_vectors(sf_dir)
+    queries_ref = ray.put((qids, qmat))
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+    store = f"{store_root('ivf_store_incr')}/{store_key(sf_dir, 'embeddings')}-c16"
+    if not ivf_store_complete(store, 16):
+        sample = sample_parquet_rows(
+            f"{sf_dir}/embeddings.parquet", 256, columns=["vec_id", "embedding"]
+        ).to_pandas()
+        cent = make_centroids(
+            np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=16
+        )
+        build_ivf_store(ds, store, cent)
+
+    if not load_generations(store):
+
+        def mk_shard_rev(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t.filter(pa.array(ids % 5 == 0))
+            col = s["embedding"]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            typ = arr.type
+            # reverse each fixed-length vector IN ITS STORED DTYPE
+            # (float32 reversal is exact — value-identical to the SQL
+            # oracle's list_reverse), fully vectorized via the flat child
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            n = len(arr)
+            d = len(flat) // max(n, 1)
+            rev = np.ascontiguousarray(flat.reshape(n, d)[:, ::-1]).reshape(-1)
+            offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            emb = pa.ListArray.from_arrays(
+                offsets, pa.array(rev, type=typ.value_type)
+            ).cast(typ)
+            return pa.table(
+                {
+                    "vec_id": pc.add(s["vec_id"], pa.scalar(1_000_000, pa.int64())),
+                    "embedding": emb,
+                }
+            )
+
+        update_ivf_store(
+            ds.map_batches(mk_shard_rev, batch_format="pyarrow"), store
+        )
+    out = ivf_store_topk(store, queries_ref, k=5, nprobe=16)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )

@@ -440,6 +440,28 @@ def sink_partitioned(ds_tagged, out_dir: str, num_parts: int, empty_tbl, extra: 
     return df
 
 
+def load_generations(out_dir: str) -> list[str]:
+    """Registered delta-generation directory names (oldest first) of an
+    incremental store. The registration file is the delta COMMIT POINT:
+    a crashed update leaves an unregistered (invisible) directory, never
+    a half-visible one."""
+    p = Path(out_dir) / "_generations.json"
+    if not p.exists():
+        return []
+    return list(json.loads(p.read_text())["deltas"])
+
+
+def register_generation(out_dir: str, name: str) -> None:
+    """Atomically append one delta-generation name to the store's
+    registration file (the single commit point for everything inside the
+    generation directory)."""
+    gens = load_generations(out_dir)
+    gens.append(name)
+    tmp = Path(out_dir) / f".tmp-gen-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps({"deltas": gens}))
+    os.replace(tmp, Path(out_dir) / "_generations.json")
+
+
 def require_complete_manifest(out_dir: str, num_parts: int, *, what: str) -> dict:
     """Load a store manifest and FAIL LOUDLY if any partition is missing
     (a crashed build) — the check that makes partial stores unreadable

@@ -274,6 +274,74 @@ def test_incremental_update_equals_rebuild_and_compacts(ray_session, tmp_path):
     pd.testing.assert_frame_equal(base_only, exp_base)
 
 
+def test_ivf_update_equals_rebuild_with_frozen_centroids(ray_session, sf_smoke, tmp_path):
+    """A store grown by update_ivf_store must answer every probe exactly
+    like a store rebuilt from the unioned corpus with the SAME (frozen)
+    centroid matrix — at nprobe = n_cells (brute equivalence) AND at
+    nprobe < n_cells (layered cell planning)."""
+    import ray
+
+    from ocr_ray.functions.ann import make_centroids
+    from ocr_ray.functions.ann_store import (
+        build_ivf_store,
+        ivf_store_topk,
+        load_ivf_centroids,
+        update_ivf_store,
+    )
+    from ocr_ray.sources import read_table
+
+    emb = read_table(sf_smoke, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.limit(128).to_pandas()
+    cent = make_centroids(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=8
+    )
+    store = str(tmp_path / "ivf")
+    build_ivf_store(emb, store, cent)
+
+    import pyarrow.compute as pc
+
+    shard = emb.map_batches(
+        lambda t: t.filter(
+            pa.array(t["vec_id"].to_numpy(zero_copy_only=False) % 7 == 0)
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], pa.scalar(500_000, pa.int64())),
+                "embedding": t["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    update_ivf_store(shard, store)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_store(emb.union(shard), rebuilt, load_ivf_centroids(store))
+
+    q = emb.limit(4).to_pandas()
+    qref = ray.put(
+        (
+            q["vec_id"].to_numpy(dtype=np.int64),
+            np.stack(q["embedding"].to_numpy()).astype(np.float64),
+        )
+    )
+    for nprobe in (8, 2):
+        got = (
+            ivf_store_topk(store, qref, k=5, nprobe=nprobe)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        exp = (
+            ivf_store_topk(rebuilt, qref, k=5, nprobe=nprobe)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["query_id", "vec_id", "rank"]], exp[["query_id", "vec_id", "rank"]]
+        )
+
+
 def test_bm25_update_equals_rebuild_over_union(ray_session, tmp_path):
     """A BM25 store grown by update_bm25_index must score bit-equal to a
     from-scratch build over the unioned corpus (N/sum_dl/df/dl/tf all
