@@ -42,20 +42,27 @@ def token_partition(tokens, num_parts: int) -> np.ndarray:
 
 
 def postings_partial(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """One batch -> (token, doc_id, tf) rows (per-batch combined)."""
+    """One batch -> (token, doc_id, tf) rows (per-batch combined via
+    Arrow ``group_by`` — the build path is corpus-scale, so no
+    to_pylist/pandas round trip here)."""
     from ocr_ray.functions.text import split_tokens
 
     parents, _, flat = split_tokens(t[text_col])
     if len(flat) == 0:
         return POSTINGS_SCHEMA.empty_table()
     ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    df = pd.DataFrame({"token": flat.to_pylist(), "doc_id": ids[parents]})
-    red = df.groupby(["token", "doc_id"], as_index=False, sort=False).size()
+    tbl = pa.table(
+        {
+            "token": pc.cast(flat, pa.string()),
+            "doc_id": pa.array(ids[parents], type=pa.int64()),
+        }
+    )
+    g = tbl.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
     return pa.table(
         {
-            "token": pa.array(red["token"], type=pa.string()),
-            "doc_id": pa.array(red["doc_id"].to_numpy(dtype=np.int64)),
-            "tf": pa.array(red["size"].to_numpy(dtype=np.int64)),
+            "token": g["token"],
+            "doc_id": g["doc_id"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
         }
     )
 
