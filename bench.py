@@ -251,6 +251,25 @@ def run_bench() -> dict:
             "bench_reps": BENCH_REPS,
             "headline": headline_mode,
         }
+    # Persisted-store entries are "build once, query forever": their
+    # metric is WARM serve latency against the committed store, so the
+    # one-time build runs untimed first (otherwise the recorded number
+    # flips between build+serve and serve depending on what earlier
+    # sessions left under the per-user store root — the r4->r5 bench
+    # diff hit exactly that).
+    STORE_BACKED = [
+        "inverted_index_lookup",
+        "incremental_index_lookup",
+        "bm25_index_search",
+        "incremental_bm25_search",
+        "incremental_minhash_dedup",
+        "ann_ivf_store_topk",
+        "incremental_ivf_topk",
+    ]
+    for name in STORE_BACKED:
+        if name in QUERY_SET:
+            QUERY_FNS[name](SF_DIR)
+
     for name in QUERY_SET:
         fn = QUERY_FNS[name]
         tq = time.perf_counter()
