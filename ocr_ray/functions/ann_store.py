@@ -97,8 +97,8 @@ def update_ivf_store(
     """Append a shard of vectors to a committed IVF store WITHOUT
     touching the base cell fragments: the new vectors are assigned to
     the EXISTING (frozen) centroids and written as their own per-cell
-    delta-generation store, registered atomically in the root
-    ``_generations.json`` (the same commit-point protocol as the
+    delta-generation store, registered by its atomic per-generation
+    commit marker (the same commit-point protocol as the
     incremental inverted-index / BM25 / minhash stores — a crashed
     update is invisible, never half-visible). Probes then read the
     probed cells' fragments from every layer; at ``nprobe = n_cells``
@@ -179,12 +179,6 @@ def ivf_store_topk(
     ]
     needed = sorted(set(int(p) for p in probe.reshape(-1)))
     files = [m[p]["file"] for m in manifests for p in needed]
-    if not files:
-        return ray.data.from_arrow(
-            pa.schema(
-                {"query_id": pa.int64(), "vec_id": pa.int64(), "rank": pa.int64()}
-            ).empty_table()
-        )
     probe_ref = ray.put((qids, qn, probe))
 
     def score(batch: pa.Table) -> pa.Table:

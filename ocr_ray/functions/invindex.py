@@ -130,8 +130,8 @@ def update_inverted_index(
     touching the base fragments — the Lucene-segment shape: the shard's
     postings are built under the SAME token-partition law into a fresh
     ``delta-*`` directory (one map pass + one bucket shuffle over the
-    SHARD only, never the corpus), then registered atomically in
-    ``_generations.json``. Lookups merge base + registered deltas by
+    SHARD only, never the corpus), then registered by atomically
+    creating its per-generation commit marker. Lookups merge base + registered deltas by
     summing tf per (token, doc_id) — exactly the postings a from-scratch
     rebuild over the concatenated corpus would produce, which is what
     the oracle checks bit-exactly.
@@ -238,10 +238,24 @@ def compact_inverted_index(in_dir: str, out_dir: str, *, num_parts: int = 16) ->
     crashed in-place merge would double-count deltas on retry; a crashed
     compact-into-new is just an incomplete new store that every reader
     refuses loudly)."""
+    import os
+
     import ray
 
     from ocr_ray.state.manifest import ResumableSink, _check_layout
 
+    if os.path.realpath(in_dir) == os.path.realpath(out_dir):
+        raise ValueError(
+            "compact_inverted_index: in_dir == out_dir — in-place compaction "
+            "is refused (a crash mid-merge would double-count deltas on "
+            "retry); compact into a fresh directory"
+        )
+    if _load_generations(out_dir):
+        raise ValueError(
+            f"compact_inverted_index: {out_dir} already holds registered "
+            "delta generations — compacting over them would resurrect their "
+            "postings on top of the folded fragments; choose an empty target"
+        )
     all_parts = list(range(num_parts))
     by_part = {
         p: _index_files_for_parts(in_dir, [p], num_parts, "compact_inverted_index")
@@ -431,7 +445,10 @@ def _smallest_doc_ids(len_files: list[str], m: int, exclude: np.ndarray) -> np.n
         .map_batches(bottom, batch_format="pyarrow")
         .to_pandas()
     )
-    return np.sort(part["doc_id"].to_numpy(dtype=np.int64))[:m]
+    # unique: with layered stores a doc id could appear in two layers'
+    # lengths fragments (contract violation the scored path rejects);
+    # the pad set must be distinct ids regardless
+    return np.unique(part["doc_id"].to_numpy(dtype=np.int64))[:m]
 
 
 def bm25_from_index(
@@ -542,8 +559,14 @@ def bm25_from_index(
             ["token", "doc_id", "tf"]
         )
 
-    def postings():
-        return read_fragments(post_files).map_batches(pick, batch_format="pyarrow")
+    # ONE pruned read of the terms' postings, materialized in the object
+    # store and reused by both the df fold and the scoring shuffle
+    # (halves serve-path fragment reads; blocks spill, never the driver)
+    post_ds = (
+        read_fragments(post_files)
+        .map_batches(pick, batch_format="pyarrow")
+        .materialize()
+    )
 
     # per-term df = postings-list length (exact): per-batch Arrow group_by
     # partials, Q-row driver fold — never the postings themselves
@@ -557,7 +580,7 @@ def bm25_from_index(
             {"token": g["token"], "df": pc.cast(g["count_all"], pa.int64())}
         )
 
-    dfp = postings().map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfp = post_ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
     df_map = dfp.groupby("token")["df"].sum().to_dict() if len(dfp) else {}
     dfs = [int(df_map.get(term, 0)) for term in terms]
     idf = [
@@ -640,7 +663,7 @@ def bm25_from_index(
         )
 
     merged = (
-        postings()
+        post_ds
         .map_batches(tag, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(score_bucket, batch_format="pyarrow")

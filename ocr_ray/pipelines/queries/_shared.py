@@ -202,6 +202,21 @@ def gate_by_sampled_recheck(out_ds, raw_ds, *, id_col: str, checker):
 
 
 
+def arrival_shard_docs(t: pa.Table) -> pa.Table:
+    """The canonical synthetic ARRIVING SHARD for the incremental-store
+    entries: every 5th doc re-tagged doc_id + 1e6. Load-bearing — must
+    match the SQL oracles' ``doc_id % 5 = 0 ... + 1000000`` clause
+    exactly, so both incremental index entries share THIS definition."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t.filter(pa.array(ids % 5 == 0))
+    return pa.table(
+        {
+            "doc_id": pc.add(s["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            "text": s["text"],
+        }
+    )
+
+
 def store_root(kind: str) -> str:
     """Per-user, mode-0700 root for the persisted stores (inverted index,
     BM25 index, minhash store, IVF cells). The previous fixed

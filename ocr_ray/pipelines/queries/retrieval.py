@@ -1112,19 +1112,12 @@ def incremental_index_lookup(sf_dir: str) -> pa.Table:
         build_inverted_index(docs, out_dir, num_parts=16)
 
     if not _load_generations(out_dir):
-
-        def mk_shard(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            s = t.filter(pa.array(ids % 5 == 0))
-            return pa.table(
-                {
-                    "doc_id": pc.add(s["doc_id"], pa.scalar(1_000_000, pa.int64())),
-                    "text": s["text"],
-                }
-            )
+        from ocr_ray.pipelines.queries._shared import arrival_shard_docs
 
         update_inverted_index(
-            docs.map_batches(mk_shard, batch_format="pyarrow"), out_dir, num_parts=16
+            docs.map_batches(arrival_shard_docs, batch_format="pyarrow"),
+            out_dir,
+            num_parts=16,
         )
     return index_lookup(out_dir, ["spark", "join", "window"], num_parts=16)
 
@@ -1214,18 +1207,11 @@ def incremental_bm25_search(sf_dir: str) -> pa.Table:
         build_bm25_index(docs, out_dir, num_parts=16)
 
     if not _load_generations(out_dir):
-
-        def mk_shard(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            s = t.filter(pa.array(ids % 5 == 0))
-            return pa.table(
-                {
-                    "doc_id": pc.add(s["doc_id"], pa.scalar(1_000_000, pa.int64())),
-                    "text": s["text"],
-                }
-            )
+        from ocr_ray.pipelines.queries._shared import arrival_shard_docs
 
         update_bm25_index(
-            docs.map_batches(mk_shard, batch_format="pyarrow"), out_dir, num_parts=16
+            docs.map_batches(arrival_shard_docs, batch_format="pyarrow"),
+            out_dir,
+            num_parts=16,
         )
     return bm25_from_index(out_dir, ["spark", "join", "window"], k=20, num_parts=16)

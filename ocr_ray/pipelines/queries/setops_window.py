@@ -1762,10 +1762,13 @@ def mad_robust_stats_events(sf_dir: str) -> pa.Table:
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         ).dictionary_encode()
         lut = np.array(
-            [meds.get(s, np.nan) for s in enc.dictionary.to_pylist()],
+            [meds.get(s, np.nan) for s in enc.dictionary.to_pylist()] + [np.nan],
             dtype=np.float64,
         )
-        m = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        # null event_type -> sentinel index -> NaN (filtered below), the
+        # tolerance the replaced pandas .map had
+        idx = pc.fill_null(enc.indices, len(lut) - 1).to_numpy(zero_copy_only=False)
+        m = lut[idx.astype(np.int64)]
         ok = np.isfinite(v)
         return pa.table(
             {

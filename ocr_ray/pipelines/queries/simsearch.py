@@ -423,7 +423,14 @@ def incremental_ivf_topk(sf_dir: str) -> ray.data.Dataset:
             # oracle's list_reverse), fully vectorized via the flat child
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             n = len(arr)
-            d = len(flat) // max(n, 1)
+            if n == 0:  # a batch with no shard rows (tail/empty batches)
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "embedding": pa.array([], type=typ),
+                    }
+                )
+            d = len(flat) // n
             rev = np.ascontiguousarray(flat.reshape(n, d)[:, ::-1]).reshape(-1)
             offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
             emb = pa.ListArray.from_arrays(

@@ -440,26 +440,39 @@ def sink_partitioned(ds_tagged, out_dir: str, num_parts: int, empty_tbl, extra: 
     return df
 
 
+GEN_MARKER = "_gen_committed.json"
+
+
 def load_generations(out_dir: str) -> list[str]:
-    """Registered delta-generation directory names (oldest first) of an
-    incremental store. The registration file is the delta COMMIT POINT:
-    a crashed update leaves an unregistered (invisible) directory, never
-    a half-visible one."""
-    p = Path(out_dir) / "_generations.json"
-    if not p.exists():
-        return []
-    return list(json.loads(p.read_text())["deltas"])
+    """Registered delta-generation directory names (name-ordered — the
+    zero-padded sequence prefix makes that append order) of an
+    incremental store. A generation is visible iff its COMMIT MARKER
+    (``<gen>/_gen_committed.json``) exists: a crashed update leaves an
+    unmarked (invisible) directory, never a half-visible one. Legacy
+    stores registered through a root ``_generations.json`` keep
+    working (union of both mechanisms)."""
+    names = set()
+    root = Path(out_dir)
+    legacy = root / "_generations.json"
+    if legacy.exists():
+        names.update(json.loads(legacy.read_text())["deltas"])
+    if root.is_dir():
+        for child in root.iterdir():
+            if child.is_dir() and (child / GEN_MARKER).exists():
+                names.add(child.name)
+    return sorted(names)
 
 
 def register_generation(out_dir: str, name: str) -> None:
-    """Atomically append one delta-generation name to the store's
-    registration file (the single commit point for everything inside the
-    generation directory)."""
-    gens = load_generations(out_dir)
-    gens.append(name)
-    tmp = Path(out_dir) / f".tmp-gen-{uuid.uuid4().hex}.json"
-    tmp.write_text(json.dumps({"deltas": gens}))
-    os.replace(tmp, Path(out_dir) / "_generations.json")
+    """Commit one delta generation by atomically creating its marker
+    file. Registration is PER-GENERATION (one atomic file create inside
+    the generation's own directory), not a read-modify-write of shared
+    root state — concurrent updaters of the same store each commit
+    their own delta and neither can erase the other's registration."""
+    gdir = Path(out_dir) / name
+    tmp = gdir / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps({"generation": name}))
+    os.replace(tmp, gdir / GEN_MARKER)
 
 
 def require_complete_manifest(out_dir: str, num_parts: int, *, what: str) -> dict:

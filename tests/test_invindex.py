@@ -254,11 +254,13 @@ def test_incremental_update_equals_rebuild_and_compacts(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got_c, exp)
 
-    # a crashed (unregistered) delta build is invisible to lookups
-    os.rename(
-        os.path.join(out, "_generations.json"),
-        os.path.join(out, "_generations.json.bak"),
-    )
+    # a crashed (unregistered) delta build is invisible to lookups:
+    # deleting the per-generation commit marker de-registers it
+    from ocr_ray.state.manifest import GEN_MARKER
+
+    (gen_name,) = _load_generations(out)
+    os.remove(os.path.join(out, gen_name, GEN_MARKER))
+    assert _load_generations(out) == []
     base_only = (
         index_lookup(out, terms, num_parts=8)
         .to_pandas()
@@ -391,6 +393,50 @@ def test_bm25_update_equals_rebuild_over_union(ray_session, tmp_path):
     update_bm25_index(_docs_ds({"doc_id": [1], "text": ["spark again"]}), out, num_parts=8)
     with pytest.raises(ValueError, match="duplicate doc ids"):
         bm25_from_index(out, terms, k=6, num_parts=8)
+
+
+def test_concurrent_registrations_both_stay_visible(tmp_path):
+    """Registration is one atomic marker create per generation — two
+    updaters committing 'at once' can never erase each other (the old
+    root-file read-modify-write lost the first registration when both
+    loaded the same snapshot)."""
+    import os
+
+    from ocr_ray.state.manifest import load_generations, register_generation
+
+    store = str(tmp_path / "store")
+    for name in ("delta-0000-aaaa", "delta-0000-bbbb"):
+        os.makedirs(os.path.join(store, name))
+    # interleave as a concurrent pair would: both saw zero generations,
+    # then both register
+    register_generation(store, "delta-0000-aaaa")
+    register_generation(store, "delta-0000-bbbb")
+    assert load_generations(store) == ["delta-0000-aaaa", "delta-0000-bbbb"]
+
+
+def test_compact_refuses_in_place_and_ghost_deltas(ray_session, tmp_path):
+    """Compaction must refuse in_dir == out_dir and a target that already
+    holds registered generations (ghost layers would double-count)."""
+    import os
+
+    from ocr_ray.functions.invindex import (
+        build_inverted_index,
+        compact_inverted_index,
+    )
+    from ocr_ray.state.manifest import register_generation
+
+    src = str(tmp_path / "src")
+    build_inverted_index(
+        _docs_ds({"doc_id": [1], "text": ["alpha beta"]}), src, num_parts=4
+    )
+    with pytest.raises(ValueError, match="in-place"):
+        compact_inverted_index(src, src, num_parts=4)
+
+    tgt = str(tmp_path / "tgt")
+    os.makedirs(os.path.join(tgt, "delta-0000-ghost"))
+    register_generation(tgt, "delta-0000-ghost")
+    with pytest.raises(ValueError, match="generations"):
+        compact_inverted_index(src, tgt, num_parts=4)
 
 
 def test_update_refuses_incomplete_base(ray_session, tmp_path):
