@@ -93,6 +93,7 @@ def update_ivf_store(
     *,
     id_col: str = "vec_id",
     col: str = "embedding",
+    check_duplicates: bool = True,
 ) -> str:
     """Append a shard of vectors to a committed IVF store WITHOUT
     touching the base cell fragments: the new vectors are assigned to
@@ -116,11 +117,72 @@ def update_ivf_store(
     cent = load_ivf_centroids(store_dir)
     require_complete_manifest(store_dir, len(cent), what="update_ivf_store(base)")
     name = f"gen-{len(load_generations(store_dir)):04d}-{uuid.uuid4().hex[:8]}"
-    build_ivf_store(
-        new_emb_ds, os.path.join(store_dir, name), cent, id_col=id_col, col=col
-    )
+    gdir = os.path.join(store_dir, name)
+    build_ivf_store(new_emb_ds, gdir, cent, id_col=id_col, col=col)
+    if check_duplicates:
+        _refuse_duplicate_ids(store_dir, gdir, len(cent), id_col=id_col)
     register_generation(store_dir, name)
     return name
+
+
+def _refuse_duplicate_ids(store_dir: str, delta_dir: str, n_cells: int, *, id_col: str) -> None:
+    """Update-time disjoint-shard guard: raise if any of the delta's ids
+    already exists in the base or a registered generation. Column-pruned
+    and cell-pruned (only the id column of the cells the delta touched,
+    across prior layers) and distributed (the shard id set broadcasts
+    once; the driver folds one count). Runs BEFORE registration, so a
+    refused delta leaves the store unchanged (an unregistered directory
+    is invisible)."""
+    import ray
+
+    from ocr_ray.state.manifest import (
+        load_generations,
+        load_manifest,
+        read_fragments,
+        require_complete_manifest,
+    )
+
+    dm = load_manifest(delta_dir)
+    touched = [p for p, r in dm.items() if r.get("row_count", 0) > 0]
+    if not touched:
+        return
+    shard_ids = np.sort(
+        read_fragments([dm[p]["file"] for p in touched])
+        .select_columns([id_col])
+        .to_pandas()[id_col]
+        .to_numpy(dtype=np.int64)
+    )
+    ids_ref = ray.put(shard_ids)
+    layer_dirs = [store_dir] + [
+        os.path.join(store_dir, g) for g in load_generations(store_dir)
+    ]
+    files = []
+    for d in layer_dirs:
+        m = require_complete_manifest(d, n_cells, what="update_ivf_store(guard)")
+        files.extend(m[p]["file"] for p in touched)
+
+    def count_dups(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ex = ray.get(ids_ref)
+        hit = ids[np.isin(ids, ex)]
+        return pa.table({"dup": pa.array(hit[:8], type=pa.int64())})
+
+    hits = [
+        t
+        for t in ray.get(
+            read_fragments(files)
+            .map_batches(count_dups, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if hits:
+        sample = sorted(pa.concat_tables(hits)["dup"].to_pylist())[:8]
+        raise ValueError(
+            f"update_ivf_store: shard re-ingests existing ids "
+            f"(e.g. {sample}) — the disjoint-shard contract is violated; "
+            "the delta was NOT registered"
+        )
 
 
 def ivf_store_complete(store_dir: str, n_cells: int) -> bool:
@@ -179,6 +241,19 @@ def ivf_store_topk(
     ]
     needed = sorted(set(int(p) for p in probe.reshape(-1)))
     files = [m[p]["file"] for m in manifests for p in needed]
+    if not files:
+        # zero queries probe zero cells: an empty typed result in the
+        # live path's merged schema, not a read-planner error
+        return ray.data.from_arrow(
+            pa.schema(
+                {
+                    "query_id": pa.int64(),
+                    "vec_id": pa.int64(),
+                    "score": pa.float64(),
+                    "rank": pa.int64(),
+                }
+            ).empty_table()
+        )
     probe_ref = ray.put((qids, qn, probe))
 
     def score(batch: pa.Table) -> pa.Table:

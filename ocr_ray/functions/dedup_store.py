@@ -82,6 +82,88 @@ def build_minhash_store(docs_ds, store_dir: str, *, num_parts: int = 16):
     return bands_df, sigs_df
 
 
+def update_minhash_store(new_docs_ds, store_dir: str, *, num_parts: int = 16,
+                         check_duplicates: bool = True) -> str:
+    """Append a shard's dedup state (bands + signatures) to a committed
+    store as a delta generation on the shared commit-marker protocol
+    (see ``state/manifest.register_generation``): the shard is
+    tokenized ONCE into its own mini bands/sigs store inside a ``gen-*``
+    directory, then registered by one atomic marker create — so the
+    NEXT arriving shard dedups against corpus ∪ appended shards without
+    the corpus (or any earlier shard) ever being re-read. A crashed
+    update is invisible; re-ingesting existing doc ids is refused
+    loudly BEFORE registration (column-pruned, bucket-pruned id check
+    across prior layers — disable via ``check_duplicates=False`` for
+    trusted disjoint pipelines)."""
+    import uuid
+
+    import numpy as np
+    import ray
+
+    from ocr_ray.functions.hashing import doc_bucket
+    from ocr_ray.state.manifest import (
+        load_generations,
+        load_manifest,
+        read_fragments,
+        register_generation,
+        require_complete_manifest,
+    )
+
+    if not store_complete(store_dir, num_parts):
+        raise ValueError(
+            f"update_minhash_store: base store at {store_dir} is incomplete — "
+            "build it first (crashed build?)"
+        )
+    name = f"gen-{len(load_generations(store_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    gdir = os.path.join(store_dir, name)
+    build_minhash_store(new_docs_ds, gdir, num_parts=num_parts)
+
+    if check_duplicates:
+        dm = load_manifest(os.path.join(gdir, "sigs"))
+        touched = [p for p, r in dm.items() if r.get("row_count", 0) > 0]
+        if touched:
+            shard_ids = np.sort(
+                read_fragments([dm[p]["file"] for p in touched])
+                .select_columns(["doc_id"])
+                .to_pandas()["doc_id"]
+                .to_numpy(dtype=np.int64)
+            )
+            ids_ref = ray.put(shard_ids)
+            layer_dirs = [store_dir] + [
+                os.path.join(store_dir, g) for g in load_generations(store_dir)
+            ]
+            files = []
+            for d in layer_dirs:
+                m = require_complete_manifest(
+                    os.path.join(d, "sigs"), num_parts, what="update_minhash_store(guard)"
+                )
+                files.extend(m[p]["file"] for p in touched)
+
+            def dups(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                hit = ids[np.isin(ids, ray.get(ids_ref))]
+                return pa.table({"dup": pa.array(hit[:8], type=pa.int64())})
+
+            hits = [
+                t
+                for t in ray.get(
+                    read_fragments(files)
+                    .select_columns(["doc_id"])
+                    .map_batches(dups, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            if hits:
+                sample = sorted(pa.concat_tables(hits)["dup"].to_pylist())[:8]
+                raise ValueError(
+                    f"update_minhash_store: shard re-ingests existing doc ids "
+                    f"(e.g. {sample}) — refused; the delta was NOT registered"
+                )
+    register_generation(store_dir, name)
+    return name
+
+
 def store_complete(store_dir: str, num_parts: int = 16) -> bool:
     from ocr_ray.state.manifest import load_manifest
 
@@ -108,15 +190,24 @@ def incremental_minhash_pairs(
         require_complete_manifest,
     )
 
+    from ocr_ray.state.manifest import load_generations
+
     nb_parts = len(load_manifest(os.path.join(store_dir, "bands"))) or 16
-    bands_m = require_complete_manifest(
-        os.path.join(store_dir, "bands"), nb_parts, what="incremental_minhash_pairs"
-    )
-    sigs_m = require_complete_manifest(
-        os.path.join(store_dir, "sigs"), nb_parts, what="incremental_minhash_pairs"
-    )
-    bands_files = [r["file"] for r in bands_m.values()]
-    sigs_files = [r["file"] for r in sigs_m.values()]
+    # the OLD side = base + every registered delta generation (appended
+    # shards) — each layer a complete bands+sigs mini-store
+    layer_dirs = [store_dir] + [
+        os.path.join(store_dir, g) for g in load_generations(store_dir)
+    ]
+    bands_files, sigs_files = [], []
+    for d in layer_dirs:
+        bm = require_complete_manifest(
+            os.path.join(d, "bands"), nb_parts, what="incremental_minhash_pairs"
+        )
+        sm = require_complete_manifest(
+            os.path.join(d, "sigs"), nb_parts, what="incremental_minhash_pairs"
+        )
+        bands_files.extend(r["file"] for r in bm.values())
+        sigs_files.extend(r["file"] for r in sm.values())
 
     def tag_side(side: int):
         def fx(t: pa.Table) -> pa.Table:

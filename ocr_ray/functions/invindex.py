@@ -106,18 +106,6 @@ def _read_frag(path: str, columns: list[str] | None = None) -> pa.Table:
     return _pq.read_table(path, columns=columns)
 
 
-def _load_generations(out_dir: str) -> list[str]:
-    from ocr_ray.state.manifest import load_generations
-
-    return load_generations(out_dir)
-
-
-def _register_generation(out_dir: str, name: str) -> None:
-    from ocr_ray.state.manifest import register_generation
-
-    register_generation(out_dir, name)
-
-
 def update_inverted_index(
     new_docs_ds,
     out_dir: str,
@@ -147,10 +135,14 @@ def update_inverted_index(
     import os
     import uuid
 
-    from ocr_ray.state.manifest import require_complete_manifest
+    from ocr_ray.state.manifest import (
+        load_generations,
+        register_generation,
+        require_complete_manifest,
+    )
 
     require_complete_manifest(out_dir, num_parts, what="update_inverted_index(base)")
-    name = f"delta-{len(_load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    name = f"delta-{len(load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
     build_inverted_index(
         new_docs_ds,
         os.path.join(out_dir, name),
@@ -158,7 +150,7 @@ def update_inverted_index(
         text_col=text_col,
         id_col=id_col,
     )
-    _register_generation(out_dir, name)
+    register_generation(out_dir, name)
     return name
 
 
@@ -167,10 +159,10 @@ def _index_files_for_parts(out_dir: str, parts: list[int], num_parts: int, what:
     (each layer complete, checked loudly)."""
     import os
 
-    from ocr_ray.state.manifest import require_complete_manifest
+    from ocr_ray.state.manifest import load_generations, require_complete_manifest
 
     layers = [require_complete_manifest(out_dir, num_parts, what=what)]
-    for gen in _load_generations(out_dir):
+    for gen in load_generations(out_dir):
         layers.append(
             require_complete_manifest(
                 os.path.join(out_dir, gen), num_parts, what=f"{what}[{gen}]"
@@ -250,7 +242,9 @@ def compact_inverted_index(in_dir: str, out_dir: str, *, num_parts: int = 16) ->
             "is refused (a crash mid-merge would double-count deltas on "
             "retry); compact into a fresh directory"
         )
-    if _load_generations(out_dir):
+    from ocr_ray.state.manifest import load_generations as _lg
+
+    if _lg(out_dir):
         raise ValueError(
             f"compact_inverted_index: {out_dir} already holds registered "
             "delta generations — compacting over them would resurrect their "
@@ -395,8 +389,8 @@ def update_bm25_index(
     """Append a shard to a committed BM25 store WITHOUT touching the
     base: the shard gets its own full mini-store (meta + postings +
     lengths, one map pass + two bucket shuffles over the SHARD only)
-    inside a ``gen-*`` directory, registered atomically in the root
-    ``_generations.json`` — one commit point covers all three pieces,
+    inside a ``gen-*`` directory, registered by one atomic
+    commit-marker create — one commit point covers all three pieces,
     so a crash anywhere leaves the delta invisible, never half-visible.
     ``bm25_from_index`` then sums the layers' metas (integer adds —
     N/avgdl/idf equal a from-scratch rebuild exactly), reads postings
@@ -406,12 +400,14 @@ def update_bm25_index(
     import os
     import uuid
 
+    from ocr_ray.state.manifest import load_generations, register_generation
+
     if not bm25_index_complete(out_dir, num_parts):
         raise ValueError(
             f"update_bm25_index: base store at {out_dir} is incomplete — "
             "build it first (crashed build?)"
         )
-    name = f"gen-{len(_load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
+    name = f"gen-{len(load_generations(out_dir)):04d}-{uuid.uuid4().hex[:8]}"
     build_bm25_index(
         new_docs_ds,
         os.path.join(out_dir, name),
@@ -419,7 +415,7 @@ def update_bm25_index(
         text_col=text_col,
         id_col=id_col,
     )
-    _register_generation(out_dir, name)
+    register_generation(out_dir, name)
     return name
 
 
@@ -508,8 +504,10 @@ def bm25_from_index(
     # full mini bm25 store over its shard). Corpus scalars are the sums
     # of the per-layer metas — integer adds, so N and sum_dl (and hence
     # avgdl and every idf) equal a from-scratch rebuild exactly.
+    from ocr_ray.state.manifest import load_generations
+
     layer_dirs = [out_dir] + [
-        os.path.join(out_dir, g) for g in _load_generations(out_dir)
+        os.path.join(out_dir, g) for g in load_generations(out_dir)
     ]
     n = sum_dl = 0
     for d in layer_dirs:

@@ -1090,19 +1090,19 @@ def incremental_index_lookup(sf_dir: str) -> pa.Table:
     (``functions/invindex.update_inverted_index``) — one map pass + one
     bucket shuffle over the SHARD only, the corpus-scale base fragments
     are never re-read or rewritten. The delta directory becomes visible
-    only through an atomic ``_generations.json`` registration, so a
-    crashed update is invisible rather than half-applied. The lookup
+    only through its atomic commit-marker registration, so a crashed
+    update is invisible rather than half-applied. The lookup
     merges base + delta postings by summing tf per (token, doc_id),
     which the oracle pins bit-exactly to a from-scratch rebuild over the
     unioned corpus. ``compact_inverted_index`` (tested in
     tests/test_invindex.py) folds deltas back to one fragment per
     partition with per-partition shuffle-free merge tasks."""
     from ocr_ray.functions.invindex import (
-        _load_generations,
         build_inverted_index,
         index_lookup,
         update_inverted_index,
     )
+    from ocr_ray.state.manifest import load_generations
     from ocr_ray.pipelines.queries._shared import store_key, store_root
     from ocr_ray.state.manifest import load_manifest
 
@@ -1111,7 +1111,7 @@ def incremental_index_lookup(sf_dir: str) -> pa.Table:
     if len(load_manifest(out_dir)) < 16:
         build_inverted_index(docs, out_dir, num_parts=16)
 
-    if not _load_generations(out_dir):
+    if not load_generations(out_dir):
         from ocr_ray.pipelines.queries._shared import arrival_shard_docs
 
         update_inverted_index(
@@ -1193,12 +1193,12 @@ def incremental_bm25_search(sf_dir: str) -> pa.Table:
     makes a shard that re-ingests an existing doc fail loudly instead
     of silently mis-scoring."""
     from ocr_ray.functions.invindex import (
-        _load_generations,
         bm25_from_index,
         bm25_index_complete,
         build_bm25_index,
         update_bm25_index,
     )
+    from ocr_ray.state.manifest import load_generations
     from ocr_ray.pipelines.queries._shared import store_key, store_root
 
     docs = read_docs(sf_dir, columns=["doc_id", "text"])
@@ -1206,7 +1206,7 @@ def incremental_bm25_search(sf_dir: str) -> pa.Table:
     if not bm25_index_complete(out_dir, 16):
         build_bm25_index(docs, out_dir, num_parts=16)
 
-    if not _load_generations(out_dir):
+    if not load_generations(out_dir):
         from ocr_ray.pipelines.queries._shared import arrival_shard_docs
 
         update_bm25_index(

@@ -209,12 +209,12 @@ def test_incremental_update_equals_rebuild_and_compacts(ray_session, tmp_path):
     import os
 
     from ocr_ray.functions.invindex import (
-        _load_generations,
         build_inverted_index,
         compact_inverted_index,
         index_lookup,
         update_inverted_index,
     )
+    from ocr_ray.state.manifest import load_generations as _load_generations
 
     base_rows = {
         "doc_id": [1, 2, 3],
@@ -393,6 +393,87 @@ def test_bm25_update_equals_rebuild_over_union(ray_session, tmp_path):
     update_bm25_index(_docs_ds({"doc_id": [1], "text": ["spark again"]}), out, num_parts=8)
     with pytest.raises(ValueError, match="duplicate doc ids"):
         bm25_from_index(out, terms, k=6, num_parts=8)
+
+
+def test_minhash_store_append_layers_and_refuses_duplicates(ray_session, sf_smoke, tmp_path):
+    """update_minhash_store: a probe against base+appended-shard must
+    bit-equal a probe against a store REBUILT over corpus ∪ shard, and
+    re-ingesting existing doc ids is refused before registration."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ocr_ray.functions.dedup import MUTANT_OFFSET, with_mutants
+    from ocr_ray.functions.dedup_store import (
+        build_minhash_store,
+        incremental_minhash_pairs,
+        update_minhash_store,
+    )
+    from ocr_ray.sources import read_table
+    from ocr_ray.state.manifest import load_generations
+
+    docs = read_table(sf_smoke, "documents", columns=["doc_id", "text"])
+    off = pa.scalar(MUTANT_OFFSET, type=pa.int64())
+    shard1 = docs.map_batches(with_mutants, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], off)),
+        batch_format="pyarrow",
+    )
+    # probe shard: the mutants re-tagged once more (disjoint from both)
+    shard2 = shard1.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], pa.scalar(10_000_000, pa.int64())),
+                "text": t["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    grown = str(tmp_path / "grown")
+    build_minhash_store(docs, grown, num_parts=8)
+    update_minhash_store(shard1, grown, num_parts=8)
+    assert len(load_generations(grown)) == 1
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_minhash_store(docs.union(shard1), rebuilt, num_parts=8)
+
+    key = ["doc_a", "doc_b"]
+    got = (
+        incremental_minhash_pairs(shard2, grown, tau=0.5)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    exp = (
+        incremental_minhash_pairs(shard2, rebuilt, tau=0.5)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[key], exp[key])
+    assert len(got) > 0  # every shard2 doc is a near-dup of its shard1 source
+
+    # re-ingesting shard1 again: refused loudly, store unchanged
+    with pytest.raises(ValueError, match="re-ingests"):
+        update_minhash_store(shard1, grown, num_parts=8)
+    assert len(load_generations(grown)) == 1
+
+
+def test_ivf_update_refuses_duplicate_ids(ray_session, sf_smoke, tmp_path):
+    """update_ivf_store's disjoint-shard guard: a shard re-using existing
+    vec_ids is refused BEFORE registration."""
+    from ocr_ray.functions.ann import make_centroids
+    from ocr_ray.functions.ann_store import build_ivf_store, update_ivf_store
+    from ocr_ray.sources import read_table
+    from ocr_ray.state.manifest import load_generations
+
+    emb = read_table(sf_smoke, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.limit(64).to_pandas()
+    cent = make_centroids(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64), n_centroids=4
+    )
+    store = str(tmp_path / "ivf")
+    build_ivf_store(emb, store, cent)
+    with pytest.raises(ValueError, match="re-ingests"):
+        update_ivf_store(emb.limit(16), store)
+    assert load_generations(store) == []
 
 
 def test_concurrent_registrations_both_stay_visible(tmp_path):
