@@ -204,6 +204,7 @@ def partitioned_prefix_sum(
     weight_col: str,
     out_cols: list[str],
     num_buckets: int | None = None,
+    extra_weight_cols: tuple[str, ...] = (),
 ):
     """Distributed PREFIX SUM: append ``running_before`` = the sum of
     ``weight_col`` over all rows of the same ``part_col`` that sort
@@ -214,6 +215,12 @@ def partitioned_prefix_sum(
     exclusive scan, one coarse-bucket shuffle with in-cell cumsum), so no
     task ever holds a whole partition. The scan primitive behind
     training-sequence packing, byte-offset assignment, and quota splits.
+
+    ``extra_weight_cols``: additional weight columns scanned IN THE SAME
+    PASS (same histogram, same shuffle — the marginal cost is one more
+    per-cell sum each); each emits ``running_before_<col>``. A caller
+    needing both a rank (weight 1) and a weighted running total (the
+    dense_rank/cume_dist pair) pays one pass instead of two.
     """
     import ray
     from ray.data.aggregate import Max, Min
@@ -252,37 +259,52 @@ def partitioned_prefix_sum(
             return w.astype(np.float64)
         return w.astype(np.int64)
 
+    wcols = [weight_col, *extra_weight_cols]
+    wnames = ["w"] + [f"w{i}" for i in range(1, len(wcols))]
+
     def hist(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
-        w = _weights(t, weight_col)
-        df = pd.DataFrame({"part": _part_keys(t[part_col].to_pylist()), "bin": bin_of(v), "w": w})
-        red = df.groupby(["part", "bin"], sort=False)["w"].sum().reset_index()
-        return pa.table(
-            {
-                "part": pa.array(red["part"], type=pa.string()),
-                "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
-                "w": pa.array(red["w"].to_numpy(dtype=w.dtype)),
-            }
-        )
+        cols = {
+            "part": _part_keys(t[part_col].to_pylist()),
+            "bin": bin_of(v),
+        }
+        for nm, wc in zip(wnames, wcols):
+            cols[nm] = _weights(t, wc)
+        df = pd.DataFrame(cols)
+        red = df.groupby(["part", "bin"], sort=False)[wnames].sum().reset_index()
+        out = {
+            "part": pa.array(red["part"], type=pa.string()),
+            "bin": pa.array(red["bin"].to_numpy(dtype=np.int64)),
+        }
+        for nm in wnames:
+            out[nm] = pa.array(red[nm].to_numpy())
+        return pa.table(out)
 
     from ocr_ray.functions.relational import bucketed_aggregate
 
     merged = bucketed_aggregate(
         ds.map_batches(hist, batch_format="pyarrow"),
         keys=["part", "bin"],
-        aggs={"w": ("w", "sum")},
+        aggs={nm: (nm, "sum") for nm in wnames},
     ).to_pandas()
     if len(merged) == 0:
         raise ValueError("partitioned_prefix_sum: empty input dataset")
 
-    wdtype = np.float64 if merged["w"].dtype.kind == "f" else np.int64
+    wdtypes = [
+        np.float64 if merged[nm].dtype.kind == "f" else np.int64 for nm in wnames
+    ]
+    wdtype = wdtypes[0]
     offsets: dict = {}
     for g, sub in merged.groupby("part"):
         sub = sub.sort_values("bin")
-        cum = np.concatenate([[0], np.cumsum(sub["w"].to_numpy(dtype=wdtype))])
-        for b, off in zip(sub["bin"].to_numpy(dtype=np.int64), cum[:-1]):
-            offsets[(g, int(b))] = off.item()
+        cums = [
+            np.concatenate([[0], np.cumsum(sub[nm].to_numpy(dtype=dt))])
+            for nm, dt in zip(wnames, wdtypes)
+        ]
+        for j, b in enumerate(sub["bin"].to_numpy(dtype=np.int64)):
+            offsets[(g, int(b))] = tuple(c[j].item() for c in cums)
     state_ref = ray.put(offsets)
+    out_names = ["running_before"] + [f"running_before_{c}" for c in wcols[1:]]
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
@@ -298,26 +320,28 @@ def partitioned_prefix_sum(
         offs = _prepared((state_ref.hex(), "scan_state"), lambda: __import__("ray").get(state_ref))
         if len(g) == 0:
             cols = {c: [] for c in out_cols}
-            cols["running_before"] = pd.Series([], dtype=wdtype)
+            for nm, dt in zip(out_names, wdtypes):
+                cols[nm] = pd.Series([], dtype=dt)
             return pd.DataFrame(cols)
         g = g.assign(_pk=_part_keys(g[part_col].tolist()))
         g = g.sort_values(["_pk", "_bin", value_col, tiebreak_col], kind="mergesort")
         parts = g["_pk"].to_numpy()
         bins_a = g["_bin"].to_numpy(dtype=np.int64)
-        w = _weights(g, weight_col)
         new = np.empty(len(g), dtype=bool)
         new[0] = True
         new[1:] = (parts[1:] != parts[:-1]) | (bins_a[1:] != bins_a[:-1])
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(g)))
-        cell_off = np.array(
-            [offs[(parts[s], int(bins_a[s]))] for s in starts], dtype=wdtype
-        )
-        cum = np.cumsum(w) - w  # inclusive-before within the whole frame
-        # subtract the running total at each cell start to make it cell-local
-        cum_local = cum - np.repeat(cum[starts], sizes)
         out = g[out_cols].copy()
-        out["running_before"] = np.repeat(cell_off, sizes) + cum_local
+        for k, (nm, wc, dt) in enumerate(zip(out_names, wcols, wdtypes)):
+            w = _weights(g, wc)
+            cell_off = np.array(
+                [offs[(parts[s], int(bins_a[s]))][k] for s in starts], dtype=dt
+            )
+            cum = np.cumsum(w) - w  # inclusive-before within the whole frame
+            # subtract the running total at each cell start -> cell-local
+            cum_local = cum - np.repeat(cum[starts], sizes)
+            out[nm] = np.repeat(cell_off, sizes) + cum_local
         return out
 
     return (

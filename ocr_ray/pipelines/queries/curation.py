@@ -971,27 +971,38 @@ def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
         aggs={"cnt": ("cnt", "sum")},
     ).materialize()
 
-    ranked = partitioned_rank(
-        pairs,
-        part_col="o_orderstatus",
-        value_col="o_totalprice",
-        tiebreak_col="o_totalprice",
-        out_cols=["o_orderstatus", "o_totalprice", "cnt"],
-    )
-    ranked = ranked.materialize()  # same re-execution argument as pairs
+    # ONE scan pass computes BOTH window quantities over the distinct
+    # table (r5: was partitioned_rank + partitioned_prefix_sum — two
+    # histogram passes and two shuffles over the same rows): with a unit
+    # weight alongside cnt, rank of a distinct value = rows strictly
+    # below + 1 = running_before_one + 1, and the cume_dist numerator
+    # uses running_before(cnt) + cnt.
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
     scanned = partitioned_prefix_sum(
-        ranked,
+        pairs.map_batches(add_one, batch_format="pyarrow"),
         part_col="o_orderstatus",
         value_col="o_totalprice",
         tiebreak_col="o_totalprice",
         weight_col="cnt",
-        out_cols=["o_orderstatus", "o_totalprice", "cnt", "rn"],
+        extra_weight_cols=("one",),
+        out_cols=["o_orderstatus", "o_totalprice", "cnt"],
     )
 
-    # per-status TOTAL row counts (3 statuses) — broadcast denominator
+    # per-status TOTAL row counts (3 statuses) — broadcast denominator.
+    # mapside_count_sum, not Dataset.groupby().aggregate: the latter's
+    # sort-aggregate over the 150k materialized pairs measured 1.67 s
+    # for a 3-row result; the per-batch Arrow combine folds it in ~0.3 s
+    from ocr_ray.pipelines.queries._shared import mapside_count_sum
+
     totals = {
         r["o_orderstatus"]: r["cnt"]
-        for r in pairs.groupby("o_orderstatus").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+        for r in mapside_count_sum(
+            pairs, keys=["o_orderstatus"], sum_cols=["cnt"]
+        ).take_all()
     }
     totals_ref = ray.put(totals)
 
@@ -1011,7 +1022,10 @@ def order_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
             {
                 "o_orderstatus": t["o_orderstatus"],
                 "o_totalprice": t["o_totalprice"],
-                "dense_rank": pc.cast(t["rn"], pa.int64()),
+                "dense_rank": pc.cast(
+                    pc.add(t["running_before_one"], pa.scalar(1, pa.int64())),
+                    pa.int64(),
+                ),
                 "cume_dist": pa.array((rb + cnt).astype(np.float64) / n.astype(np.float64)),
             }
         )
