@@ -244,6 +244,58 @@ def test_partitioned_primitives_handle_int_parts_null_parts_float_weights(ray_se
     assert np.allclose(ps["running_before"].to_numpy(), [0.0, 0.9, 2.6])
 
 
+def test_prefix_sum_extra_weights_equal_separate_passes(ray_session):
+    """Multi-weight scan (r5): extra_weight_cols must produce exactly the
+    running_before each weight would get from its own single-weight
+    pass, on mixed int/float weights with duplicate values and several
+    partitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.ranking import partitioned_prefix_sum
+
+    rng = np.random.RandomState(7)
+    n = 500
+    t = pa.table(
+        {
+            "p": pa.array(rng.choice(["a", "b", "c"], n)),
+            "v": pa.array(rng.randint(0, 40, n).astype(np.float64)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "wa": pa.array(rng.randint(1, 9, n).astype(np.int64)),
+            "wb": pa.array(rng.rand(n)),
+        }
+    )
+
+    def run(weight_col, extra=()):
+        return (
+            partitioned_prefix_sum(
+                ray.data.from_arrow(t),
+                part_col="p",
+                value_col="v",
+                tiebreak_col="id",
+                weight_col=weight_col,
+                extra_weight_cols=extra,
+                out_cols=["id"],
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    both = run("wa", extra=("wb",))
+    only_a = run("wa")
+    only_b = run("wb")
+    assert (both["running_before"].to_numpy() == only_a["running_before"].to_numpy()).all()
+    assert np.allclose(
+        both["running_before_wb"].to_numpy(), only_b["running_before"].to_numpy()
+    )
+    # int weight stays int64-exact
+    assert both["running_before"].dtype.kind == "i"
+
+
 def test_weighted_sample_priority_invariants(queries, sf_smoke):
     """Priority sampling: deterministic across runs, k rows, priorities
     sorted descending, and each priority equals w/u recomputed from the
