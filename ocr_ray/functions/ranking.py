@@ -42,18 +42,22 @@ def _part_keys(vals) -> np.ndarray:
     would silently drop it; a stringified None would collide with
     'None'). Vectorized via Arrow cast (r5 — was a per-row Python loop
     in every histogram/bucketize body); the key REPRESENTATION is
-    internal, so the only requirement is that every call site (Arrow
-    batch bodies and pandas group bodies alike) goes through THIS
-    function — both do, so hist offsets and scan lookups always agree.
-    Float NaN maps to the NULL partition, matching the old loop."""
-    import pyarrow.compute as _pc
-
+    internal, so the only requirement is that the histogram and the scan
+    derive keys from the SAME exact values. The histogram bodies call
+    this on the exact Arrow column; the scan bodies do NOT re-derive
+    from their pandas frame (a bucket slice containing a null arrives
+    int64->float64-converted, which rounds ids >= 2^53 to a DIFFERENT
+    key) — bucketize computes the key once and carries it through the
+    shuffle as the ``_pk`` column. Float NaN maps to the NULL
+    partition, matching the old loop."""
     arr = vals if isinstance(vals, (pa.Array, pa.ChunkedArray)) else pa.array(vals)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_floating(arr.type):
-        arr = _pc.if_else(_pc.is_nan(arr), pa.scalar(None, arr.type), arr)
-    keys = _pc.fill_null(_pc.cast(arr, pa.string()), _NULL_KEY)
+        if arr.type == pa.float16():  # no is_nan kernel for halffloat
+            arr = pc.cast(arr, pa.float32())
+        arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
+    keys = pc.fill_null(pc.cast(arr, pa.string()), _NULL_KEY)
     return keys.to_numpy(zero_copy_only=False)
 
 
@@ -146,9 +150,14 @@ def partitioned_rank(
     def bucketize(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
         b = bin_of(v)
-        part_h = pd.util.hash_array(_part_keys(t[part_col]))
+        pk = _part_keys(t[part_col])
+        part_h = pd.util.hash_array(pk)
         key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
         t = t.append_column("_bin", pa.array(b))
+        # the key string rides the shuffle: the group body must NOT
+        # re-derive it from its pandas frame (null-bearing int64 slices
+        # arrive as float64 — ids >= 2^53 would key differently)
+        t = t.append_column("_pk", pa.array(pk, type=pa.string()))
         return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -163,7 +172,6 @@ def partitioned_rank(
             if emit_count:
                 cols["n_part"] = pd.Series([], dtype=np.int64)
             return pd.DataFrame(cols)
-        g = g.assign(_pk=_part_keys(g[part_col]))
         g = g.sort_values(["_pk", "_bin", value_col, tiebreak_col], kind="mergesort")
         parts = g["_pk"].to_numpy()
         bins_a = g["_bin"].to_numpy(dtype=np.int64)
@@ -320,9 +328,11 @@ def partitioned_prefix_sum(
     def bucketize(t: pa.Table) -> pa.Table:
         v = _checked_values(t, value_col)
         b = bin_of(v)
-        part_h = pd.util.hash_array(_part_keys(t[part_col]))
+        pk = _part_keys(t[part_col])
+        part_h = pd.util.hash_array(pk)
         key = (part_h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) + b.astype(np.uint64)
         t = t.append_column("_bin", pa.array(b))
+        t = t.append_column("_pk", pa.array(pk, type=pa.string()))  # see partitioned_rank
         return t.append_column("_bucket", pa.array((key % np.uint64(nb)).astype(np.int32)))
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +344,6 @@ def partitioned_prefix_sum(
             for nm, dt in zip(out_names, wdtypes):
                 cols[nm] = pd.Series([], dtype=dt)
             return pd.DataFrame(cols)
-        g = g.assign(_pk=_part_keys(g[part_col]))
         g = g.sort_values(["_pk", "_bin", value_col, tiebreak_col], kind="mergesort")
         parts = g["_pk"].to_numpy()
         bins_a = g["_bin"].to_numpy(dtype=np.int64)

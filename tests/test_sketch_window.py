@@ -244,6 +244,66 @@ def test_partitioned_primitives_handle_int_parts_null_parts_float_weights(ray_se
     assert np.allclose(ps["running_before"].to_numpy(), [0.0, 0.9, 2.6])
 
 
+def test_rank_big_nullable_int_parts_key_consistently(ray_session):
+    """Nullable int64 partitions with ids >= 2^53 share shuffle buckets
+    with null rows: Ray hands the group body a float64-converted slice,
+    so a body that re-derived keys from its frame would round the id to
+    a DIFFERENT key than the histogram (KeyError at scan time — the r5
+    review repro). The key now rides the shuffle as _pk; this pins it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_ray.functions.ranking import partitioned_prefix_sum, partitioned_rank
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    t = pa.table(
+        {
+            "p": pa.array([big, big, None, None, big], pa.int64()),
+            "v": pa.array([3.0, 1.0, 2.0, 5.0, 4.0]),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "w": pa.array([1, 1, 1, 1, 1], pa.int64()),
+        }
+    )
+    out = (
+        partitioned_rank(
+            ray.data.from_arrow(t), part_col="p", value_col="v", tiebreak_col="id",
+            out_cols=["id"], num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert dict(zip(out["id"], out["rn"])) == {1: 2, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    ps = (
+        partitioned_prefix_sum(
+            ray.data.from_arrow(t), part_col="p", value_col="v", tiebreak_col="id",
+            weight_col="w", out_cols=["id"], num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert dict(zip(ps["id"], ps["running_before"])) == {1: 1, 2: 0, 3: 0, 4: 1, 5: 2}
+
+    # float16 partitions: is_nan has no halffloat kernel — cast path
+    h = pa.table(
+        {
+            "p": pa.array(np.array([1.5, 1.5, 2.5], dtype=np.float16), pa.float16()),
+            "v": pa.array([2.0, 1.0, 1.0]),
+            "id": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    hr = (
+        partitioned_rank(
+            ray.data.from_arrow(h), part_col="p", value_col="v", tiebreak_col="id",
+            out_cols=["id"], num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert dict(zip(hr["id"], hr["rn"])) == {1: 2, 2: 1, 3: 1}
+
+
 def test_prefix_sum_extra_weights_equal_separate_passes(ray_session):
     """Multi-weight scan (r5): extra_weight_cols must produce exactly the
     running_before each weight would get from its own single-weight
